@@ -1,13 +1,505 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregate, Prep, Validate}
+import graft.ext.{Dedup, JsonOps, Multimodal, Similarity, TextStats}
+import graft.plans.Ordinal
+
+/** Driver contract — the declared query inventory of SURVEY.md §2.8 plus
+  * the [EXT] training-data operators, each with a DuckDB oracle where
+  * SQL-expressible.
+  *
+  * The sensor feed maps onto the `events` table
+  * (`timestamp→ts, sensor_id→user_id/event_type, reading→value`,
+  * FIXTURES.md §B); the valid-reading range analog is
+  * `value ∈ [0.0, 200.0]`.
+  *
+  * Cross-engine float determinism: non-algebraic aggregates
+  * (avg/stddev/sum) are rounded to a fixed precision in BOTH the Spark
+  * query and the oracle — Spark's partial aggregation sums in partition
+  * order, DuckDB sums sequentially, so raw doubles can differ in the
+  * last ulp and would break the driver's hash compare. min/max/count
+  * and integer-ratio divisions are exact and left unrounded.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- events-analog validation predicate (V1-V5 on the testdata) ----
+  private val ValueLo = 0.0
+  private val ValueHi = 200.0
+
+  private def valueValid: Column =
+    col("value").isNotNull && col("value").between(ValueLo, ValueHi)
+
+  /** Reference-format error string for the events analog
+    * (`pipeline.py:129-137` shape, `%.2f` rendering on both engines).
+    */
+  private def valueError(lineNo: Column): Column =
+    when(col("value").isNull,
+      concat(lit("Row "), lineNo, lit(": 'value' is null.")))
+      .when(!col("value").between(ValueLo, ValueHi),
+        concat(lit("Row "), lineNo, lit(": 'value' ("),
+          format_string("%.2f", col("value")),
+          lit(s") out of range [$ValueLo, $ValueHi].")))
+
+  /** events + distributed global line number (1 header line + 1-based
+    * data rows — the reference's `index+2` CSV-line semantics).
+    */
+  private def eventsWithLineNo(s: SparkSession, dir: String): DataFrame =
+    Ordinal.withGlobalRowNumber(
+      Tables.events(s, dir), Seq(col("event_id")), "row_num")
+      .withColumn("line_no", col("row_num") + 1)
+
+  /** Flagship: the reference's whole relational core composed end-to-end
+    * on sf0.001 — scan → validate → route clean groups → per-sensor
+    * aggregate → unpivot (`pipeline.py` process_file as one Spark plan).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).withColumn("is_valid", valueValid)
+    val routed = Validate.routeValidGroups(ev, Seq("user_id", "event_type"))
+    Aggregate.metricAggregates(
+      routed, Seq("user_id"), Seq("value"), "ts")
+  }
+
+  // =====================================================================
+  // Query inventory
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P3/P6: string-first scan + NA normalization + TRY_CAST back.
+    // Values round-trip through each engine's own string rendering; the
+    // compared output is the recovered typed columns.
+    "q_scan_cast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val vstr = when(col("user_id") % 10 === 0, lit("N/A"))
+        .otherwise(col("value").cast("string"))
+      ev.select(
+        col("event_id"),
+        try_to_timestamp(
+          graft.ops.Cleanse.naNormalize(
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+          lit("yyyy-MM-dd HH:mm:ss")).as("ts_cast"),
+        graft.ops.Cleanse.tryDouble(
+          graft.ops.Cleanse.naNormalize(vstr)).as("value_cast"))
+    }),
+
+    // P1/P2: rename + fixed-order projection.
+    "q_rename_project" -> ((s, dir) =>
+      Prep.renameProject(
+        Tables.events(s, dir),
+        renames = Seq("ts" -> "event_time", "user_id" -> "sensor_id",
+          "value" -> "reading"),
+        order = Seq("event_id", "event_time", "sensor_id", "reading"))),
+
+    // P4: round-robin tag by global row position (distributed ordinal).
+    "q_roundrobin_tag" -> ((s, dir) =>
+      Prep.roundRobinTag(
+        Tables.events(s, dir).select("event_id"),
+        ids = Seq("Kaggle_Weather_01", "Kaggle_Weather_02", "Kaggle_Weather_03"),
+        orderKey = col("event_id"), outCol = "sensor_id")),
+
+    // P5: timestamp parse + reformat.
+    "q_ts_parse_format" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), Prep.tsParseFormat(col("ts")).as("ts_fmt"))),
+
+    // F1/V1-V5: conjunction filter.
+    "q_validate_filter" -> ((s, dir) =>
+      Tables.events(s, dir).filter(
+        col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull && valueValid)),
+
+    // F2: complement + reference-format error-string synthesis.
+    "q_invalid_rows" -> ((s, dir) =>
+      eventsWithLineNo(s, dir)
+        .filter(!valueValid)
+        .select(col("event_id"), col("line_no"),
+          valueError(col("line_no")).as("row_errors"))),
+
+    // F3: strict per-file (group) verdict with first-error reason.
+    "q_strict_file_flag" -> ((s, dir) => {
+      val validated = eventsWithLineNo(s, dir)
+        .withColumn("is_valid", valueValid)
+        .withColumn("row_errors", valueError(col("line_no")))
+      Validate.strictVerdicts(validated, "event_type")
+    }),
+
+    // F4: rows of all-valid (user, event_type) groups only.
+    "q_route_valid_groups" -> ((s, dir) =>
+      Validate.routeValidGroups(
+        Tables.events(s, dir).withColumn("is_valid", valueValid),
+        Seq("user_id", "event_type"))
+        .drop("is_valid")),
+
+    // F5: dropna(how='any') on derived nullable columns.
+    "q_dropna" -> ((s, dir) => {
+      val derived = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("user_id") % 10 =!= 0, col("user_id")).as("user_id_n"),
+        when(col("value") <= ValueHi, col("value")).as("value_n"))
+      Validate.dropNaAny(derived, Seq("user_id_n", "value_n"))
+    }),
+
+    // A1/A3: per-sensor metric aggregation (long format, one metric).
+    "q_agg_metrics" -> ((s, dir) =>
+      Aggregate.metricAggregates(
+        Tables.events(s, dir), Seq("user_id"), Seq("value"), "ts")
+        .withColumn("avg_value", round(col("avg_value"), 6))
+        .withColumn("std_dev_value", round(col("std_dev_value"), 6))),
+
+    // A2: 3-metric wide→long unpivot over lineitem.
+    "q_unpivot_agg" -> ((s, dir) =>
+      Aggregate.metricAggregates(
+        Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), "l_shipdate")
+        .withColumn("avg_value", round(col("avg_value"), 6))
+        .withColumn("std_dev_value", round(col("std_dev_value"), 6))),
+
+    // S5/A4: per-group counts against an expected domain (empty groups
+    // surface with n_rows = 0).
+    "q_empty_check" -> ((s, dir) => {
+      import s.implicits._
+      val expected = Seq("click", "error", "heartbeat", "purchase",
+        "signup", "view").toDF("event_type")
+      val counts = Aggregate.groupCounts(
+        Tables.events(s, dir), Seq("event_type"))
+      expected.join(counts, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .withColumn("is_empty", col("n_rows") === 0)
+    }),
+
+    // K2: last-write-wins upsert by unique key.
+    "q_upsert_latest" -> ((s, dir) =>
+      Prep.upsertLatest(
+        Tables.events(s, dir),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq(col("ts"), col("event_id")))),
+
+    // K6: chunk-id assignment (1000-row chunks).
+    "q_chunk_split" -> ((s, dir) =>
+      Prep.chunkSplit(
+        Tables.events(s, dir).select("event_id"),
+        chunkRows = 1000, orderKey = col("event_id"), outCol = "chunk_id")),
+
+    // ----------------------- [EXT] operators -------------------------
+
+    // Exact dedup with deterministic representative.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), Seq("text"), "doc_id")),
+
+    // Token / char / subword counts.
+    "q_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.uniqueTokenCount(col("text")).cast("long").as("n_unique_tokens"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"))
+    }),
+
+    // JSON property extraction from events.props.
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        JsonOps.extractLong(col("props"), "$.k").as("k_val"))),
+
+    // Event-time tumbling window aggregation (1 hour).
+    "q_window_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))),
+
+    // Language-ID heuristic (stopword density).
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextStats.stopwordRatio(col("text")).as("stop_ratio"),
+        TextStats.langId(col("text")).as("predicted_lang"))),
+
+    // Quality scoring.
+    "q_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))),
+
+    // Exact + bag-of-words-normalized fingerprints.
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.normalizedFingerprint(col("text")).as("norm_fp"))),
+
+    // Brute-force cosine top-10 for query vectors vec_id < 50.
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    }),
+
+    // Token-set Jaccard near-dup pairs (bounded query side).
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.jaccardPairs(
+        d, d.filter(col("doc_id") < 200), "doc_id", "text", threshold = 0.5)
+    }),
+
+    // Embedding-cosine near-dup pairs.
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicates(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.8, queryMax = 200)),
+
+    // Multimodal metadata decode (deterministic stub codec; real
+    // mapPartitions plumbing).
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMetadata(s,
+        Multimodal.fakeMediaFrom(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF),
+
+    // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", maxDist = 6)),
+
+    "q_sim_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshBucketedTopK(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 10, dim = 64, bits = 4)
+    }),
+  )
+
+  // =====================================================================
+  // DuckDB oracles (driver runs them on the same parquet at sf0.01)
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_scan_cast" ->
+      """SELECT event_id,
+        |  TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_cast,
+        |  TRY_CAST(CASE WHEN user_id % 10 = 0 THEN 'N/A' ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_cast
+        |FROM events""".stripMargin,
+
+    "q_rename_project" ->
+      "SELECT event_id, ts AS event_time, user_id AS sensor_id, value AS reading FROM events",
+
+    "q_roundrobin_tag" ->
+      """SELECT event_id,
+        |  CASE CAST((ROW_NUMBER() OVER (ORDER BY event_id) - 1) % 3 AS INT)
+        |    WHEN 0 THEN 'Kaggle_Weather_01'
+        |    WHEN 1 THEN 'Kaggle_Weather_02'
+        |    ELSE 'Kaggle_Weather_03' END AS sensor_id
+        |FROM events""".stripMargin,
+
+    "q_ts_parse_format" ->
+      "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt FROM events",
+
+    "q_validate_filter" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND value BETWEEN 0.0 AND 200.0""".stripMargin,
+
+    "q_invalid_rows" ->
+      """WITH n AS (
+        |  SELECT event_id, value, ROW_NUMBER() OVER (ORDER BY event_id) + 1 AS line_no
+        |  FROM events)
+        |SELECT event_id, line_no,
+        |  CASE WHEN value IS NULL THEN 'Row ' || line_no || ': ''value'' is null.'
+        |       ELSE 'Row ' || line_no || ': ''value'' (' || printf('%.2f', value)
+        |            || ') out of range [0.0, 200.0].' END AS row_errors
+        |FROM n
+        |WHERE value IS NULL OR value < 0.0 OR value > 200.0""".stripMargin,
+
+    "q_strict_file_flag" ->
+      """WITH n AS (
+        |  SELECT event_type, value, ROW_NUMBER() OVER (ORDER BY event_id) + 1 AS line_no
+        |  FROM events),
+        |i AS (
+        |  SELECT *, (value IS NULL OR value < 0.0 OR value > 200.0) AS bad,
+        |    CASE WHEN value IS NULL THEN 'Row ' || line_no || ': ''value'' is null.'
+        |         WHEN value < 0.0 OR value > 200.0
+        |           THEN 'Row ' || line_no || ': ''value'' (' || printf('%.2f', value)
+        |                || ') out of range [0.0, 200.0].' END AS err
+        |  FROM n),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN bad THEN 1 END) AS n_invalid,
+        |    MIN(CASE WHEN bad THEN line_no END) AS first_bad_row
+        |  FROM i GROUP BY event_type)
+        |SELECT g.event_type, g.n_rows, g.n_invalid, g.first_bad_row,
+        |  CASE WHEN g.first_bad_row IS NULL THEN NULL
+        |       ELSE 'Validation failed at row ' || g.first_bad_row || ': ' || i2.err
+        |  END AS first_error,
+        |  (g.n_invalid = 0) AS is_clean
+        |FROM g LEFT JOIN i i2
+        |  ON i2.event_type = g.event_type AND i2.line_no = g.first_bad_row""".stripMargin,
+
+    "q_route_valid_groups" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |WHERE (user_id, event_type) IN (
+        |  SELECT (user_id, event_type) FROM events GROUP BY user_id, event_type
+        |  HAVING COUNT(CASE WHEN value IS NULL OR value < 0.0 OR value > 200.0 THEN 1 END) = 0)""".stripMargin,
+
+    "q_dropna" ->
+      """SELECT * FROM (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 10 <> 0 THEN user_id END AS user_id_n,
+        |    CASE WHEN value <= 200.0 THEN value END AS value_n
+        |  FROM events)
+        |WHERE user_id_n IS NOT NULL AND value_n IS NOT NULL""".stripMargin,
+
+    "q_agg_metrics" ->
+      """SELECT user_id, MIN(ts) AS aggregation_time, 'value' AS metric_name,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  ROUND(AVG(value), 6) AS avg_value,
+        |  ROUND(COALESCE(STDDEV_SAMP(value), 0), 6) AS std_dev_value,
+        |  COUNT(value) AS record_count
+        |FROM events GROUP BY user_id HAVING COUNT(value) > 0""".stripMargin,
+
+    "q_unpivot_agg" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, MIN(l_shipdate) AS aggregation_time,
+        |    MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+        |    ROUND(AVG(l_quantity), 6) AS q_avg,
+        |    ROUND(COALESCE(STDDEV_SAMP(l_quantity), 0), 6) AS q_std,
+        |    COUNT(l_quantity) AS q_cnt,
+        |    MIN(l_extendedprice) AS e_min, MAX(l_extendedprice) AS e_max,
+        |    ROUND(AVG(l_extendedprice), 6) AS e_avg,
+        |    ROUND(COALESCE(STDDEV_SAMP(l_extendedprice), 0), 6) AS e_std,
+        |    COUNT(l_extendedprice) AS e_cnt,
+        |    MIN(l_discount) AS d_min, MAX(l_discount) AS d_max,
+        |    ROUND(AVG(l_discount), 6) AS d_avg,
+        |    ROUND(COALESCE(STDDEV_SAMP(l_discount), 0), 6) AS d_std,
+        |    COUNT(l_discount) AS d_cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, aggregation_time, 'l_quantity' AS metric_name,
+        |  q_min AS min_value, q_max AS max_value, q_avg AS avg_value,
+        |  q_std AS std_dev_value, q_cnt AS record_count FROM w WHERE q_cnt > 0
+        |UNION ALL
+        |SELECT l_returnflag, aggregation_time, 'l_extendedprice',
+        |  e_min, e_max, e_avg, e_std, e_cnt FROM w WHERE e_cnt > 0
+        |UNION ALL
+        |SELECT l_returnflag, aggregation_time, 'l_discount',
+        |  d_min, d_max, d_avg, d_std, d_cnt FROM w WHERE d_cnt > 0""".stripMargin,
+
+    "q_empty_check" ->
+      """SELECT e.event_type, COALESCE(c.n_rows, 0) AS n_rows,
+        |  (COALESCE(c.n_rows, 0) = 0) AS is_empty
+        |FROM (VALUES ('click'),('error'),('heartbeat'),('purchase'),('signup'),('view')) e(event_type)
+        |LEFT JOIN (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type) c
+        |  ON e.event_type = c.event_type""".stripMargin,
+
+    "q_upsert_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_chunk_split" ->
+      """SELECT event_id,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 1000) AS BIGINT) AS chunk_id
+        |FROM events""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
+
+    "q_text_stats" ->
+      """SELECT doc_id, lang,
+        |  LENGTH(text) AS n_chars_calc,
+        |  LEN(str_split(TRIM(text), ' ')) AS n_tokens,
+        |  LEN(list_distinct(str_split(TRIM(text), ' '))) AS n_unique_tokens,
+        |  LEN(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q_json_extract" ->
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+
+    "q_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |    t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |    / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |    t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |    / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) >= 0.05
+        |    THEN 'en' ELSE 'unk' END AS predicted_lang
+        |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  LEN(str_split(TRIM(text), ' ')) AS n_tokens,
+        |  ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
+        |    + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |         t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |       / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(array_to_string(list_sort(list_distinct(str_split(LOWER(TRIM(text)), ' '))), ' ')) AS norm_fp
+        |FROM documents""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_inner_product(q.qe, e.emb)
+        |      / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(str_split(TRIM(LOWER(text)), ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200
+        |  AND CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_inner_product(a.emb, b.emb)
+        |    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200
+        |  AND ROUND(list_inner_product(a.emb, b.emb)
+        |    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.8""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text' AS media_type,
+        |  octet_length(encode(text)) AS size_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+  )
 }

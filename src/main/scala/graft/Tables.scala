@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata tables (`/root/testdata/sf0.001`
+  * and siblings).
+  *
+  * Also owns the session confs every graft query needs. They are set
+  * idempotently at query entry because the driver may hand us a session
+  * it built itself:
+  *   - ANSI off — casts must null on garbage (TRY_CAST semantics; the
+  *     reference's validate-before-cast contract, SURVEY.md §7) instead
+  *     of throwing, and Spark 4 defaults ANSI on;
+  *   - `nanosAsLong` — the testdata `events.ts` is parquet
+  *     TIMESTAMP(NANOS), which Spark otherwise refuses to read
+  *     (PARQUET_TYPE_ILLEGAL); we read the raw nanos and truncate to
+  *     microseconds exactly like DuckDB does;
+  *   - UTC session timezone — deterministic timestamp formatting vs the
+  *     DuckDB oracle.
+  */
+object Tables {
+
+  def prepare(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` converted nanos→microseconds (integer division —
+    * identical truncation to DuckDB's TIMESTAMP_NS → TIMESTAMP read).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    read(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "lineitem")
+  }
+  def orders(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "orders")
+  }
+  def customer(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "customer")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "documents")
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "embeddings")
+  }
+}

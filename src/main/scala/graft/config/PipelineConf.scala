@@ -1,0 +1,49 @@
+package graft.config
+
+/** Inclusive numeric validation range (reference: `config.ini:15-20`,
+  * loaded at `pipeline.py:31-37`).
+  */
+final case class ValueRange(lo: Double, hi: Double) {
+  require(lo <= hi, s"bad range [$lo, $hi]")
+}
+
+/** Typed pipeline configuration mirroring the reference's `config.ini`.
+  *
+  * The reference hardcodes DB credentials in `config.ini:9-12`; here
+  * credentials come from the environment only and everything else is a
+  * plain case class so tests can inject ranges (the config/code fallback
+  * mismatch at `pipeline.py:34-35` is why ranges must be injectable).
+  *
+  * @param tempRange     temperature bounds (`config.ini:15-16`, −50..50)
+  * @param humidityRange humidity bounds (`config.ini:17-18`, 0.20..0.99)
+  * @param pressureRange pressure bounds (`config.ini:19-20`, 980..1050)
+  * @param monitorIntervalSec streaming trigger interval
+  *                           (`config.ini:6`, `pipeline.py:24`)
+  */
+final case class PipelineConf(
+    tempRange: ValueRange = ValueRange(-50.0, 50.0),
+    humidityRange: ValueRange = ValueRange(0.20, 0.99),
+    pressureRange: ValueRange = ValueRange(980.0, 1050.0),
+    monitorIntervalSec: Int = 5,
+    dataDir: String = "data",
+    processedDir: String = "processed",
+    quarantineDir: String = "quarantine",
+    checkpointDir: String = "checkpoint",
+    chunkRows: Int = 5000,
+)
+
+object PipelineConf {
+  val default: PipelineConf = PipelineConf()
+
+  /** JDBC settings come exclusively from the environment (never from a
+    * checked-in config file). Returns None when unset → tests and the
+    * lake-native mode run without any database.
+    */
+  def jdbcFromEnv(env: Map[String, String] = sys.env): Option[JdbcConf] =
+    env.get("GRAFT_JDBC_URL").map { url =>
+      JdbcConf(url, env.getOrElse("GRAFT_JDBC_USER", ""),
+        env.getOrElse("GRAFT_JDBC_PASSWORD", ""))
+    }
+}
+
+final case class JdbcConf(url: String, user: String, password: String)

@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication for LLM training-data pipelines — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine. North-star
+  * extension; no reference equivalent.
+  *
+  * Scale notes (the whole point of these designs):
+  *   - exact: one hash-shuffle on the dedup key (or its md5 when the key
+  *     is a long text — shuffle bytes shrink from document-size to 16).
+  *   - MinHash LSH: candidate generation is an equi-join on
+  *     (band_id, band_hash) — never an all-pairs product. Verification
+  *     runs only on bucket-colliding pairs.
+  *   - SimHash: 64-bit signature per doc; banding the 64 bits into 4×16
+  *     guarantees every pair within Hamming distance 3 shares a band
+  *     (pigeonhole), so candidate generation is again an equi-join.
+  *   - embedding: sign-LSH buckets via [[Similarity.lshBucket]].
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic representative (min of `repCol`) + copy
+    * count per distinct key. One hash aggregation.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], repCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup on a large text column via md5 digest: grouping key is
+    * 16 bytes instead of the document, so the shuffle stays small at
+    * 100 TB. Collision probability is negligible (2^-64 at petascale).
+    */
+  def exactByDigest(df: DataFrame, textCol: String, repCol: String): DataFrame =
+    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .groupBy(col("__fp"))
+      .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), " ")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64 over each shingle; signature[i] = min hash under
+    * seed i. Computed with explode + k `min` aggregations — one
+    * hash-shuffle keyed on the doc id, map-side combined.
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(
+      col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** MinHash LSH candidate pairs: band the signature into `bands` bands
+    * of `numHashes/bands` rows, hash each band, equi-join on
+    * (band_index, band_hash). Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b; est_jaccard = fraction of matching signature slots.
+    */
+  def minHashCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = signatures.select(
+      col(idCol),
+      col("signature"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("signature"), b * rows + lit(1), lit(rows)),
+            _.cast("string")), ",")))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bandhash")
+    val a = banded.select(col(idCol).as("id_a"),
+      col("signature").as("__sig_a"), col("__band"), col("__bandhash"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("signature").as("__sig_b"), col("__band"), col("__bandhash"))
+    val matching = size(array_compact(zip_with(col("__sig_a"), col("__sig_b"),
+      (x, y) => when(x === y, lit(1)))))
+    a.join(b, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("est_jaccard", matching.cast("double") / numHashes)
+      .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs via MinHash LSH, verified against the true
+    * token-set Jaccard of the candidate pairs only.
+    */
+  def minHashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val cands = minHashCandidatePairs(sigs, idCol, numHashes, bands)
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          (size(col("__set_a")) + size(col("__set_b")) -
+            size(array_intersect(col("__set_a"), col("__set_b")))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is
+    * the sign of Σ_tokens (±1 by bit i of xxhash64(token)). Built from
+    * 64 conditional-sum aggregations — one shuffle keyed on the doc id.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(
+      col(idCol),
+      explode(split(trim(lower(col(textCol))), " ")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"__b$i")
+    }
+    val sums = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxDist`. The 64
+    * bits are banded into `maxDist + 1` bands: any pair within distance
+    * maxDist must agree on at least one full band (pigeonhole), so
+    * candidates come from an equi-join on (band, band_bits), then the
+    * exact `bit_count(xor)` filter keeps true matches.
+    */
+  def simHashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sigs = simHash(docs, idCol, textCol)
+    // Band indices are static → plain Int shift amounts, unsigned so the
+    // sign bit of the signature doesn't smear across bands.
+    val bandCols = (0 until nBands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        shiftrightunsigned(col("simhash"), bIdx * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sigs
+      .select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("simhash"),
+        col("__bb.band").as("__band"), col("__bb.bits").as("__bits"))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("simhash").as("__sig_a"), col("__band"), col("__bits"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("simhash").as("__sig_b"), col("__band"), col("__bits"))
+    a.join(b, Seq("__band", "__bits"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Token-set Jaccard near-dup pairs, restricted to a bounded query
+    * side (`querySide`) so the pair space is |Q|·|C|, broadcastable when
+    * Q is small. For unbounded both-sides dedup use
+    * [[minHashNearDuplicates]] — that's the LSH scale path.
+    */
+  def jaccardPairs(
+      corpus: DataFrame, querySide: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    def prep(d: DataFrame, suffix: String) = d.select(
+      col(idCol).as(s"doc_$suffix"),
+      array_distinct(split(trim(lower(col(textCol))), " ")).as(s"toks_$suffix"))
+    val a = prep(querySide, "a")
+    val c = prep(corpus, "b")
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    c.join(broadcast(a), col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - inter).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ threshold (id_a < id_b), exact
+    * within the bounded query side. The unbounded scale path buckets
+    * both sides with [[Similarity.lshBucket]] first.
+    */
+  def embeddingNearDuplicates(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, queryMax: Long): DataFrame = {
+    val a = emb.filter(col(idCol) < queryMax).select(
+      col(idCol).as("id_a"), Similarity.asDouble(col(vecCol)).as("__va"))
+    val b = emb.select(
+      col(idCol).as("id_b"), Similarity.asDouble(col(vecCol)).as("__vb"))
+    b.join(broadcast(a), col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal columns: image/audio/video travel as opaque `binary`
+  * payloads with typed metadata beside them (schema
+  * [[graft.schema.Schemas.multimodal]]). North-star extension; no
+  * reference equivalent.
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-parallel
+  * decode — is real; the codec itself is STUBBED (no image/audio
+  * libraries in this environment) behind [[FakeCodec]], a deterministic
+  * stand-in with the same signature a real decoder (javacv / a
+  * `mapInPandas` PIL worker on the PySpark side) would have.
+  *
+  * Design for 100 TB: payloads are decoded per-partition via
+  * `mapPartitions` over a typed Dataset, so one task holds one batch of
+  * payloads at a time (constant memory per task, no driver collect);
+  * metadata-only queries never touch the payload column thanks to
+  * parquet column pruning.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      doc_id: Long, media_type: String, payload: Array[Byte])
+
+  final case class DecodedMedia(
+      doc_id: Long, media_type: String, size_bytes: Long,
+      width: Int, height: Int, channels: Int, checksum: String)
+
+  /** STUB decoder — deterministic fake. A real implementation replaces
+    * exactly this object (signature-compatible) with e.g. an image
+    * library; everything around it (schema, mapPartitions batch shape,
+    * partitioning) is production plumbing.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      // ??? <- real codec goes here; deterministic fake dimensions:
+      val n = if (payload == null) 0 else payload.length
+      (n % 640 + 1, (n * 31) % 480 + 1, 3)
+    }
+  }
+
+  /** Wrap a text table as fake media rows (payload = utf-8 bytes) so the
+    * decode pipeline is exercisable on the driver testdata.
+    */
+  def fakeMediaFrom(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("text").as("media_type"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** Partition-parallel decode: one `mapPartitions` pass, no shuffle.
+    * Output is a typed Dataset with payloads dropped (decoded metadata
+    * only) — the common shape for feature-extraction stages.
+    */
+  def decodeMetadata(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, c) = FakeCodec.decode(r.payload)
+          val sz = if (r.payload == null) 0L else r.payload.length.toLong
+          val sum = java.security.MessageDigest.getInstance("MD5")
+            .digest(if (r.payload == null) Array.emptyByteArray else r.payload)
+            .map("%02x".format(_)).mkString
+          DecodedMedia(r.doc_id, r.media_type, sz, w, h, c, sum)
+        }
+      }
+  }
+}

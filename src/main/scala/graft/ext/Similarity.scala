@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). North-star extension; no reference equivalent.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k, query-side broadcast.
+  *     O(|Q|·|C|) — the correctness baseline, fine when |Q| is small.
+  *   - [[lshBucketedTopK]]: random-hyperplane (sign) LSH. Both sides
+  *     hash to sign-bit buckets; the join keys on bucket id, so the
+  *     candidate set per query is |C| / 2^bits on average and the whole
+  *     thing is one shuffle-join on a short key — the 100 TB path.
+  *
+  * All arithmetic is done in double after widening the float vectors:
+  * sequential left-to-right accumulation via `aggregate`, matching the
+  * DuckDB oracle's `list_inner_product` evaluation order so rounded
+  * results hash-match.
+  */
+object Similarity {
+
+  /** Widen array<float> → array<double>. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Cosine similarity = dot / (||a|| * ||b||), computed exactly like
+    * the DuckDB oracle formula so cross-engine rounding agrees.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param candidates (idCol, vecCol) — the full corpus
+    * @param queries    (idCol, vecCol) — the (small) query set; gets
+    *                    broadcast so the corpus is never shuffled
+    * @param k          neighbors per query
+    * Similarities are rounded to 6 dp BEFORE ranking, with the id as a
+    * tiebreaker — ranks stay deterministic across engines/partitionings.
+    */
+  def bruteForceTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
+    * component j of plane p from a seeded xorshift-free simple LCG so
+    * plans are identical across runs/JVMs.
+    */
+  private def hyperplane(p: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(0x5EED0000L + p)
+    Array.fill(dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane. */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val planes = (0 until bits).map(p => hyperplane(p, dim))
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(asDouble(vec), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates are restricted to the query's sign-LSH
+    * bucket, so the pair space shrinks ~2^bits-fold and the join is a
+    * plain equi-join on (bucket) that AQE can re-plan for skew. Recall
+    * is traded for scale; raise `k`/lower `bits` to recover.
+    */
+  def lshBucketedTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
+      lshBucket(col(vecCol), dim, bits).as("__bucket"))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
+      lshBucket(col(vecCol), dim, bits).as("__bucket"))
+    val pairs = c.join(q, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+}

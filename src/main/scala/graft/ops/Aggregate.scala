@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A1–A4: per-group metric aggregation and wide→long unpivot.
+  *
+  * Reference semantics (`pipeline.py:186-208`):
+  *   - group by sensor_id; `aggregation_time = min(timestamp)` over the
+  *     WHOLE group (`pipeline.py:192`), not per metric;
+  *   - each metric dropna'd independently before aggregating
+  *     (`pipeline.py:195`) → per-metric counts differ; a metric with no
+  *     non-null values emits NO row (`pipeline.py:196`);
+  *   - stddev is SAMPLE (ddof=1) with an explicit n==1 → 0.0 guard
+  *     (`pipeline.py:205`).
+  *
+  * Spark mapping: one hash aggregation (Catalyst partial+final — the
+  * map-side combine makes the shuffle carry one row per (group, 16
+  * agg buffers), not the data) followed by a zero-shuffle `stack`
+  * unpivot. Null-skipping of `min/max/avg/count(col)` matches the
+  * per-metric dropna natively.
+  */
+object Aggregate {
+
+  /** Sample stddev with the reference's n==1 (and n==0) → 0.0 guard.
+    * `stddev_samp` yields null for n<=1; never use `stddev_pop` here.
+    */
+  def stddevGuarded(c: Column): Column = coalesce(stddev_samp(c), lit(0.0))
+
+  /** Wide aggregate: one row per group, 5 measures per metric + group
+    * min(timestamp).
+    */
+  def wideAggregates(
+      df: DataFrame,
+      groupCols: Seq[String],
+      metrics: Seq[String],
+      tsCol: String): DataFrame = {
+    val aggs: Seq[Column] =
+      min(col(tsCol)).as("aggregation_time") +:
+        metrics.flatMap { m =>
+          Seq(
+            min(col(m)).as(s"${m}_min"),
+            max(col(m)).as(s"${m}_max"),
+            avg(col(m)).as(s"${m}_avg"),
+            stddevGuarded(col(m)).as(s"${m}_std"),
+            count(col(m)).as(s"${m}_cnt"))
+        }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A2: unpivot the wide aggregate into the reference's long format —
+    * one row per (group, metric), dropping metrics with zero non-null
+    * values (`pipeline.py:196`). `stack` is a pure projection: no
+    * shuffle, stays in the same stage as the final aggregation.
+    */
+  def unpivotToLong(wide: DataFrame, metrics: Seq[String]): DataFrame = {
+    val stackArgs = metrics.map { m =>
+      s"'$m', ${m}_min, ${m}_max, ${m}_avg, ${m}_std, ${m}_cnt"
+    }.mkString(", ")
+    val keep = wide.columns
+      .filterNot(c => metrics.exists(m => c.startsWith(s"${m}_")))
+    wide.selectExpr(
+      keep ++ Seq(s"stack(${metrics.size}, $stackArgs) as " +
+        "(metric_name, min_value, max_value, avg_value, std_dev_value, record_count)"): _*)
+      .filter(col("record_count") > 0)
+  }
+
+  /** A1+A2 composed: the reference's `calculate_aggregates` as one plan. */
+  def metricAggregates(
+      df: DataFrame,
+      groupCols: Seq[String],
+      metrics: Seq[String],
+      tsCol: String): DataFrame =
+    unpivotToLong(wideAggregates(df, groupCols, metrics, tsCol), metrics)
+
+  /** A4/S5: per-group row counts (empty-file detection is `n_rows == 0`
+    * against an expected-group frame, see `q_empty_check`).
+    */
+  def groupCounts(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+}
