@@ -255,7 +255,7 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.8, queryMax = 200)),
+        threshold = 0.4, queryMax = 200)),
 
     // Multimodal metadata decode (deterministic stub codec; real
     // mapPartitions plumbing).
@@ -491,7 +491,7 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 200
         |  AND ROUND(list_inner_product(a.emb, b.emb)
-        |    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.8""".stripMargin,
+        |    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text' AS media_type,

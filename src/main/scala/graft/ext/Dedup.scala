@@ -37,14 +37,12 @@ object Dedup {
       .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
       .drop("__fp")
 
-  /** Word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), " ")
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  /** Distinct word n-gram shingles — the codegen-free custom
+    * [[graft.functions.WordShingles]] expression (the HOF formulation
+    * costs ~15 s of lambda codegen per query plus ~10x slower eval).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExprs.wordShingles(text, n)
 
   /** MinHash signature: k independent permutations approximated by
     * seeded xxhash64 over each shingle; signature[i] = min hash under
@@ -56,7 +54,7 @@ object Dedup {
       shingleN: Int, numHashes: Int): DataFrame = {
     val exploded = docs.select(
       col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+      explode(shingles(col(textCol), shingleN)).as("__sh"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -74,22 +72,29 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val banded = signatures.select(
-      col(idCol),
-      col("signature"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(
-          transform(slice(col("signature"), b * rows + lit(1), lit(rows)),
-            _.cast("string")), ",")))))
-      .withColumnRenamed("pos", "__band")
-      .withColumnRenamed("col", "__bandhash")
+    // Static band hashes: xxhash64 over the band's signature slots
+    // directly (no HOF lambdas, no string joins — band index is known
+    // at plan-build time).
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("signature"), i + 1)): _*).as("bandhash"))
+    }
+    val banded = signatures
+      .select(col(idCol), col("signature"),
+        explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("signature"),
+        col("__bb.band").as("__band"), col("__bb.bandhash").as("__bandhash"))
     val a = banded.select(col(idCol).as("id_a"),
       col("signature").as("__sig_a"), col("__band"), col("__bandhash"))
     val b = banded.select(col(idCol).as("id_b"),
       col("signature").as("__sig_b"), col("__band"), col("__bandhash"))
-    val matching = size(array_compact(zip_with(col("__sig_a"), col("__sig_b"),
-      (x, y) => when(x === y, lit(1)))))
+    // Static per-slot comparisons: plain codegen'd expressions, no
+    // higher-order functions (HOF lambdas cost seconds of janino time).
+    val matching = (1 to numHashes).map(i =>
+      when(element_at(col("__sig_a"), i) === element_at(col("__sig_b"), i),
+        1).otherwise(0)).reduce(_ + _)
     a.join(b, Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("est_jaccard", matching.cast("double") / numHashes)
@@ -104,17 +109,21 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // Signatures and shingle sets each feed two join branches; persist
+    // so the scan+aggregate runs once (both are tiny next to the corpus:
+    // k longs / one string-set per doc).
     val sigs = minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .persist()
     val cands = minHashCandidatePairs(sigs, idCol, numHashes, bands)
     val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+      shingles(col(textCol), shingleN).as("__set")).persist()
+    val inter = graft.functions.ArrayExprs.intersectSize(
+      col("__set_a"), col("__set_b"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
-          (size(col("__set_a")) + size(col("__set_b")) -
-            size(array_intersect(col("__set_a"), col("__set_b")))).cast("double"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__set_a")) + size(col("__set_b")) - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -150,7 +159,9 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sigs = simHash(docs, idCol, textCol)
+    // Both join sides derive from the signature table — persist it so
+    // the 64-column aggregate runs once (8 bytes/doc: tiny at any scale).
+    val sigs = simHash(docs, idCol, textCol).persist()
     // Band indices are static → plain Int shift amounts, unsigned so the
     // sign bit of the signature doesn't smear across bands.
     val bandCols = (0 until nBands).map { bIdx =>
@@ -189,7 +200,11 @@ object Dedup {
       array_distinct(split(trim(lower(col(textCol))), " ")).as(s"toks_$suffix"))
     val a = prep(querySide, "a")
     val c = prep(corpus, "b")
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    // intersect_size: counts without materializing the intersection
+    // array (which size(array_intersect(..)) would build twice after
+    // predicate pushdown duplicates the expression).
+    val inter = graft.functions.ArrayExprs.intersectSize(
+      col("toks_a"), col("toks_b"))
     c.join(broadcast(a), col("doc_a") < col("doc_b"))
       .withColumn("jaccard", inter.cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - inter).cast("double"))
@@ -204,13 +219,16 @@ object Dedup {
   def embeddingNearDuplicates(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, queryMax: Long): DataFrame = {
+    import graft.functions.VectorExprs.{dot => vdot}
     val a = emb.filter(col(idCol) < queryMax).select(
-      col(idCol).as("id_a"), Similarity.asDouble(col(vecCol)).as("__va"))
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", sqrt(vdot(col("__va"), col("__va"))))
     val b = emb.select(
-      col(idCol).as("id_b"), Similarity.asDouble(col(vecCol)).as("__vb"))
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", sqrt(vdot(col("__vb"), col("__vb"))))
     b.join(broadcast(a), col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(Similarity.cosine(col("__va"), col("__vb")), 6))
+        round(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

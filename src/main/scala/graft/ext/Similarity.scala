@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
 
 /** [EXT] Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). North-star extension; no reference equivalent.
@@ -25,9 +26,12 @@ object Similarity {
   /** Widen array<float> → array<double>. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Sequential dot product — the codegen'd [[graft.functions.DotProduct]]
+    * expression (the higher-order-function formulation
+    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` is interpreted per element:
+    * measured ~50x slower on the pair scans below).
+    */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   /** Cosine similarity = dot / (||a|| * ||b||), computed exactly like
     * the DuckDB oracle formula so cross-engine rounding agrees.
@@ -47,13 +51,19 @@ object Similarity {
   def bruteForceTopK(
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms are computed once per ROW (not per pair); the pair loop is
+    // one codegen'd dot product. Arithmetic stays identical to the
+    // oracle formula dot/(sqrt(qq)*sqrt(cc)).
     val q = queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
     val c = candidates.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("sim",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     pairs
@@ -76,7 +86,7 @@ object Similarity {
     val planes = (0 until bits).map(p => hyperplane(p, dim))
     planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
-      when(dot(asDouble(vec), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -90,14 +100,17 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       dim: Int, bits: Int = 8): DataFrame = {
     val q = queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
       lshBucket(col(vecCol), dim, bits).as("__bucket"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
     val c = candidates.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), dim, bits).as("__bucket"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val pairs = c.join(q, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("sim",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     pairs
