@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    // near-dup of 0: one word changed
+    (1L, "the quick brown fox leaps over the lazy dog near the old river bank"),
+    // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    // unrelated
+    (3L, "completely different content about spark query engines and data"),
+    (4L, "another unrelated document mentioning aggregation shuffles and joins"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id as representative with copy count") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exactByDigest agrees with exact dedup") {
+    val a = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    val b = Dedup.exactByDigest(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val sh = docs.filter(col("doc_id") === 3)
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh.head === "completely different content")
+    assert(sh.distinct.size === sh.size)
+    assert(sh.size === 7) // 9 tokens -> 7 trigrams
+  }
+
+  test("shingles of short text fall back to the whole token string") {
+    val sh = Seq(Tuple1("one two")).toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(sh === Seq("one two"))
+  }
+
+  test("minhash finds the exact and near duplicates, not the unrelated pair") {
+    val pairs = Dedup.minHashNearDuplicates(
+      docs, "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact duplicates have jaccard 1.0 via minhash verification") {
+    val j = Dedup.minHashNearDuplicates(docs, "doc_id", "text")
+      .filter(col("id_a") === 0 && col("id_b") === 2)
+      .select("jaccard").as[Double].collect()
+    assert(j.toSeq === Seq(1.0))
+  }
+
+  test("simhash: identical docs distance 0; near-dups close; unrelated far") {
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("simHashNearDuplicates returns pairs within the distance bound") {
+    val out = Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall(_._3 <= 3))
+    assert(out.map(p => (p._1, p._2)).contains((0L, 2L)))
+  }
+
+  test("jaccardPairs computes token-set jaccard with threshold") {
+    val out = Dedup.jaccardPairs(docs, docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((0L, 2L)) === 1.0)
+    assert(out.contains((0L, 1L)) && out((0L, 1L)) > 0.7 && out((0L, 1L)) < 1.0)
+    assert(!out.contains((0L, 3L)))
+  }
+}

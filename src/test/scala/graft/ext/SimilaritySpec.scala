@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{ArrayExprs, VectorExprs}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("DotProduct expression: exact values, float widened to double") {
+    val d = vecs.filter(col("vec_id") === 1)
+      .select(VectorExprs.dot(col("embedding"), col("embedding")).as("d"))
+      .as[Double].head()
+    assert(math.abs(d - (0.9f.toDouble * 0.9f + 0.1f.toDouble * 0.1f)) === 0.0)
+  }
+
+  test("DotProduct matches the interpreted HOF formulation bit-for-bit") {
+    val both = vecs.select(
+      VectorExprs.dot(col("embedding"), col("embedding")).as("fast"),
+      aggregate(zip_with(
+        transform(col("embedding"), _.cast("double")),
+        transform(col("embedding"), _.cast("double")),
+        _ * _), lit(0.0), _ + _).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rnk").select("neighbor_id", "sim")
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0)._2 > 0.99 && out(1)._2 === 0.0 && out(2)._2 === -1.0)
+  }
+
+  test("lsh bucketed top-k returns a subset of brute-force candidates with equal sims") {
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ann = Similarity.lshBucketedTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, dim = 3, bits = 2)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, n, s) => assert(exact((q, n)) === s) }
+  }
+
+  test("IntersectSize counts common elements without double counting") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
+    val n = df.select(ArrayExprs.intersectSize(col("x"), col("y")).as("n"))
+      .as[Int].head()
+    assert(n === 2)
+  }
+
+  test("IntersectSize of disjoint and identical sets") {
+    val df = Seq(
+      (Seq("a"), Seq("b"), 0),
+      (Seq("a", "b"), Seq("a", "b"), 2),
+      (Seq.empty[String], Seq("a"), 0))
+      .toDF("x", "y", "want")
+    assert(df.filter(
+      ArrayExprs.intersectSize(col("x"), col("y")) =!= col("want")).count() === 0)
+  }
+}

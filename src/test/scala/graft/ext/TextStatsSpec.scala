@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts over whitespace tokens") {
+    val df = Seq("the quick fox", "  padded  ", "one").toDF("t")
+    val out = df.select(TextStats.tokenCount(col("t")).as("n")).as[Int].collect()
+    // "  padded  " trims to one token; note double-space inside would differ —
+    // testdata is single-spaced.
+    assert(out.toSeq === Seq(3, 1, 1))
+  }
+
+  test("unique token count deduplicates") {
+    val n = Seq("a b a b c").toDF("t")
+      .select(TextStats.uniqueTokenCount(col("t"))).as[Int].head()
+    assert(n === 3)
+  }
+
+  test("bpe-ish tokens split letter runs, digit runs, and punctuation") {
+    val n = Seq("hello, world42!").toDF("t")
+      .select(TextStats.bpeishTokenCount(col("t"))).as[Int].head()
+    // hello , world 42 ! -> 5
+    assert(n === 5)
+  }
+
+  test("stopword ratio and language id") {
+    val df = Seq(
+      "the cat sat on the mat",          // 3/6 stopwords -> en
+      "zork blug frop klam").toDF("t")   // 0 stopwords -> unk
+    val out = df.select(
+      TextStats.stopwordRatio(col("t")).as("r"),
+      TextStats.langId(col("t")).as("l")).as[(Double, String)].collect()
+    assert(out(0)._1 === 0.5 && out(0)._2 === "en")
+    assert(out(1)._1 === 0.0 && out(1)._2 === "unk")
+  }
+
+  test("quality score is in [0,1] and rewards longer natural text") {
+    val df = Seq(
+      ("short", "ok go"),
+      ("long", ("the point of this considerably longer document is that it " +
+        "keeps going with many words and the usual amount of the stopwords " +
+        "that a natural document would have in it ") * 3))
+      .toDF("k", "t")
+    val m = df.select(col("k"), TextStats.qualityScore(col("t")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("long") > m("short"))
+  }
+
+  test("fingerprint is md5 of utf-8; normalized fp is order/dup invariant") {
+    val df = Seq(
+      ("a", "the quick brown fox"),
+      ("b", "fox brown quick the"),       // permuted -> same norm_fp
+      ("c", "the the quick brown fox"),   // dup token -> same norm_fp
+      ("d", "a different text")).toDF("k", "t")
+    val rows = df.select(col("k"),
+      TextStats.fingerprint(col("t")).as("fp"),
+      TextStats.normalizedFingerprint(col("t")).as("nfp"))
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows("a")._1 !== rows("b")._1)
+    assert(rows("a")._2 === rows("b")._2)
+    assert(rows("a")._2 === rows("c")._2)
+    assert(rows("a")._2 !== rows("d")._2)
+    // md5 well-known vector
+    val known = Seq(Tuple1("abc")).toDF("t")
+      .select(TextStats.fingerprint(col("t"))).as[String].head()
+    assert(known === "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
