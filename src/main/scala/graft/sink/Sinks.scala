@@ -1,0 +1,158 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.JdbcConf
+
+/** K1-K3: per-file transactional sink abstraction.
+  *
+  * The reference writes raw rows + aggregates in ONE MySQL transaction
+  * per file and relies on `INSERT … ON DUPLICATE KEY UPDATE` for the
+  * aggregate upsert (`pipeline.py:211-261`). A failed write leaves the
+  * file in `data/` for retry (`pipeline.py:326-328`) — so the sink must
+  * be idempotent under replay: raw rows are delete-by-file-then-insert
+  * (the `file_name` lineage column makes that cheap), aggregates are a
+  * native upsert on the unique key.
+  */
+trait BatchSink {
+  /** Write one file's raw rows and aggregates atomically.
+    * @return true on commit; false leaves the file for retry. */
+  def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean
+}
+
+/** Lake-native sink for tests/CI: parquet appends keyed by file_name.
+  * Idempotency comes from dynamic partition overwrite on the lineage
+  * column — a replayed file replaces exactly its own partition, the
+  * parquet analog of delete-by-file-then-insert.
+  */
+final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
+  override def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean =
+    try {
+      val spark = raw.sparkSession
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      raw.withColumn("file_name", lit(fileName))
+        .write.mode("overwrite").partitionBy("file_name").parquet(rawDir)
+      agg.withColumn("file_name", lit(fileName))
+        .write.mode("overwrite").partitionBy("file_name").parquet(aggDir)
+      true
+    } catch { case _: Exception => false }
+}
+
+/** MySQL-dialect JDBC sink reproducing the reference's store_data
+  * (`pipeline.py:211-261`): executemany-style batched statements, one
+  * transaction per file, rollback on error.
+  *
+  * Scale note: rows are collected per file partition via
+  * `toLocalIterator` batches on the driver only because the reference's
+  * contract is one transaction per file; the lake-native path
+  * ([[ParquetSink]]) is the 100 TB path, JDBC is the compatibility exit.
+  */
+final class JdbcSink(conf: JdbcConf) extends BatchSink {
+
+  private val upsertSql =
+    """INSERT INTO aggregated_sensor_data
+      |(sensor_id, file_name, aggregation_time, metric_name, min_value,
+      | max_value, avg_value, std_dev_value, record_count)
+      |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)
+      |ON DUPLICATE KEY UPDATE
+      |  min_value=VALUES(min_value), max_value=VALUES(max_value),
+      |  avg_value=VALUES(avg_value), std_dev_value=VALUES(std_dev_value),
+      |  record_count=VALUES(record_count), processed_at=NOW()""".stripMargin
+
+  private val rawSql =
+    """INSERT INTO raw_sensor_data
+      |(sensor_id, timestamp, temperature, humidity, pressure, file_name)
+      |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin
+
+  override def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean = {
+    var conn: java.sql.Connection = null
+    try {
+      conn = java.sql.DriverManager.getConnection(
+        conf.url, conf.user, conf.password)
+      conn.setAutoCommit(false)
+      // idempotent replay: remove any previous attempt for this file
+      val del = conn.prepareStatement(
+        "DELETE FROM raw_sensor_data WHERE file_name = ?")
+      del.setString(1, fileName)
+      del.executeUpdate()
+
+      val rawPs = conn.prepareStatement(rawSql)
+      raw.toLocalIterator().forEachRemaining { r =>
+        rawPs.setString(1, r.getAs[String]("sensor_id"))
+        rawPs.setTimestamp(2, r.getAs[java.sql.Timestamp]("timestamp"))
+        Seq("temperature", "humidity", "pressure").zipWithIndex.foreach {
+          case (c, i) =>
+            val v = r.getAs[Any](c)
+            if (v == null) rawPs.setNull(3 + i, java.sql.Types.DOUBLE)
+            else rawPs.setDouble(3 + i, v.asInstanceOf[Double])
+        }
+        rawPs.setString(6, fileName)
+        rawPs.addBatch()
+      }
+      rawPs.executeBatch()
+
+      val aggPs = conn.prepareStatement(upsertSql)
+      agg.toLocalIterator().forEachRemaining { r =>
+        aggPs.setString(1, r.getAs[String]("sensor_id"))
+        aggPs.setString(2, fileName)
+        aggPs.setTimestamp(3, r.getAs[java.sql.Timestamp]("aggregation_time"))
+        aggPs.setString(4, r.getAs[String]("metric_name"))
+        aggPs.setDouble(5, r.getAs[Double]("min_value"))
+        aggPs.setDouble(6, r.getAs[Double]("max_value"))
+        aggPs.setDouble(7, r.getAs[Double]("avg_value"))
+        aggPs.setDouble(8, r.getAs[Double]("std_dev_value"))
+        aggPs.setLong(9, r.getAs[Long]("record_count"))
+        aggPs.addBatch()
+      }
+      aggPs.executeBatch()
+      conn.commit()
+      true
+    } catch {
+      case _: Exception =>
+        if (conn != null) { try conn.rollback() catch { case _: Exception => } }
+        false
+    } finally {
+      if (conn != null) { try conn.close() catch { case _: Exception => } }
+    }
+  }
+}
+
+/** DDL bootstrap mirroring `setup_database_in_mysql.py:58-103` (run once
+  * against MySQL; the lake-native mode needs no DDL).
+  */
+object JdbcBootstrap {
+  val rawTableDdl: String =
+    """CREATE TABLE IF NOT EXISTS raw_sensor_data (
+      |  id INT AUTO_INCREMENT PRIMARY KEY,
+      |  sensor_id VARCHAR(255) NOT NULL,
+      |  timestamp DATETIME NOT NULL,
+      |  temperature FLOAT, humidity FLOAT, pressure FLOAT,
+      |  file_name VARCHAR(255),
+      |  processed_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+      |  INDEX idx_sensor_id (sensor_id),
+      |  INDEX idx_timestamp (timestamp),
+      |  INDEX idx_file_name (file_name))""".stripMargin
+
+  val aggTableDdl: String =
+    """CREATE TABLE IF NOT EXISTS aggregated_sensor_data (
+      |  id INT AUTO_INCREMENT PRIMARY KEY,
+      |  sensor_id VARCHAR(255) NOT NULL,
+      |  file_name VARCHAR(255),
+      |  aggregation_time DATETIME,
+      |  metric_name VARCHAR(50),
+      |  min_value FLOAT, max_value FLOAT, avg_value FLOAT,
+      |  std_dev_value FLOAT, record_count INT,
+      |  processed_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+      |    ON UPDATE CURRENT_TIMESTAMP,
+      |  UNIQUE KEY uq_agg (sensor_id, file_name, metric_name, aggregation_time))""".stripMargin
+
+  def run(conf: JdbcConf): Unit = {
+    val conn = java.sql.DriverManager.getConnection(
+      conf.url, conf.user, conf.password)
+    try {
+      val st = conn.createStatement()
+      st.execute(rawTableDdl)
+      st.execute(aggTableDdl)
+    } finally conn.close()
+  }
+}
