@@ -264,6 +264,20 @@ object SparkEntry {
         Multimodal.fakeMediaFrom(Tables.documents(s, dir), "doc_id", "text"))
         .toDF),
 
+    // Batch gaps-and-islands sessionization (30 min gap).
+    "q_sessionize" -> ((s, dir) =>
+      ext.Analytics.sessionizeBatch(Tables.events(s, dir))),
+
+    // Dimension enrichment via broadcast joins.
+    "q_join_enrich" -> ((s, dir) =>
+      ext.Analytics.enrich(
+        Tables.events(s, dir), Tables.customer(s, dir),
+        s.read.parquet(dir + "/nation.parquet"))),
+
+    // Top-10 users by total value (TakeOrderedAndProject, no global sort).
+    "q_topk_users" -> ((s, dir) =>
+      ext.Analytics.topKByValue(Tables.events(s, dir), 10)),
+
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
     "q_dedup_minhash" -> ((s, dir) =>
@@ -492,6 +506,35 @@ object SparkEntry {
         |WHERE a.vec_id < 200
         |  AND ROUND(list_inner_product(a.emb, b.emb)
         |    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT e.event_id, e.event_type, e.value, c.c_name, c.c_mktsegment, n.n_name
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "q_topk_users" ->
+      """SELECT user_id, ROUND(SUM(value), 4) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id ASC LIMIT 10""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text' AS media_type,

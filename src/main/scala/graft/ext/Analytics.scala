@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Batch analytics over the event stream: gaps-and-islands
+  * sessionization, dimension enrichment, top-k. North-star extensions
+  * (the reference has no joins, sessions, or rankings — §2.7).
+  */
+object Analytics {
+
+  /** Batch sessionization via gaps-and-islands: a new session starts
+    * when the previous event of the same user is more than `gap` ago.
+    * Both windows are partitioned per user — parallelism = users, state
+    * = one partition's rows; no global sort anywhere.
+    */
+  def sessionizeBatch(
+      events: DataFrame, gapExpr: String = "INTERVAL 30 MINUTES"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(w).isNull ||
+        col("ts") > lag(col("ts"), 1).over(w) + expr(gapExpr),
+      1).otherwise(0)
+    events
+      .withColumn("__new_s", newSession)
+      .withColumn("session_id",
+        sum(col("__new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** Dimension enrichment: events joined to customer and nation. Both
+    * dimension tables are broadcast — the fact stream is never shuffled.
+    */
+  def enrich(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer),
+        events("user_id") === customer("c_custkey"), "left")
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"), "left")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("c_name"), col("c_mktsegment"), col("n_name"))
+
+  /** Top-k keys by aggregated value: aggregate (partial+final), then
+    * `orderBy.limit` → TakeOrderedAndProject: each partition keeps k
+    * rows, the driver merges k·parts — no global sort at any scale.
+    */
+  def topKByValue(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+      .limit(k)
+}
