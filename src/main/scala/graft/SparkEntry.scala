@@ -295,6 +295,13 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 10, dim = 64, bits = 4)
     }),
+
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+    }),
   )
 
   // =====================================================================

@@ -118,4 +118,70 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** IVF-Flat ANN top-k.
+    *
+    * Coarse quantizer: `nlist` deterministic centroids (the corpus
+    * vectors with the smallest ids — reproducible without a training
+    * job; swap in k-means centroids for better recall). Every corpus
+    * vector is assigned to its nearest centroid (one pass, `nlist`
+    * static codegen'd dot products per row); each query probes its
+    * `nprobe` nearest lists. Candidates come from an equi-join on the
+    * list id, so the pair space is ~|C|·nprobe/nlist and the whole
+    * search is one shuffle-join — the standard IVF trade of recall for
+    * scale, complementary to [[lshBucketedTopK]] (IVF adapts to the
+    * data distribution; sign-LSH doesn't).
+    */
+  def ivfTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // Deterministic centroid table, collected once (nlist rows) and
+    // inlined as literals so assignment is pure projection.
+    val centroids: Array[(Int, Array[Double])] = candidates
+      .orderBy(col(idCol).asc).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toArray
+      }
+
+    // array of (similarity, centroidId) structs; argmax = last of the
+    // sorted array (struct ordering compares sim first, id breaks ties).
+    // Row norm comes in as a column so dot(vec,vec) is evaluated once
+    // per row, not once per centroid. No HOF lambdas anywhere: static
+    // element_at extractions instead (lambda codegen is expensive).
+    def simsTo(vec: Column, vecNorm: Column): Column =
+      array(centroids.map { case (cid, c) =>
+        val cCol = array(c.map(lit): _*)
+        val norm = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(vec, cCol) / (lit(norm) * vecNorm)).as("sim"),
+          lit(cid).as("cid"))
+      }: _*)
+    def nearestList(vec: Column, vecNorm: Column): Column =
+      element_at(array_sort(simsTo(vec, vecNorm)), -1).getField("cid")
+    def probeLists(vec: Column, vecNorm: Column, n: Int): Column = {
+      val ranked = reverse(array_sort(simsTo(vec, vecNorm)))
+      array((1 to n).map(i => element_at(ranked, i).getField("cid")): _*)
+    }
+
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .withColumn("__list", nearestList(col("__cv"), col("__cn")))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      .withColumn("__list",
+        explode(probeLists(col("__qv"), col("__qn"), nprobe)))
+    val pairs = c.join(q, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

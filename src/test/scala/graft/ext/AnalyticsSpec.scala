@@ -1,0 +1,46 @@
+package graft.ext
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionizeBatch splits on the gap and aggregates per session") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 1L, ts("2024-01-01 11:30:00"), 4.0), // > 30 min gap -> session 2
+      (4L, 2L, ts("2024-01-01 10:00:00"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.sessionizeBatch(ev)
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
+  test("enrich keeps unmatched events (left join) and resolves nation names") {
+    val ev = Seq((1L, "click", 5.0, 7L), (2L, "view", 6.0, 999L))
+      .toDF("event_id", "event_type", "value", "user_id")
+    val cust = Seq((7L, "Alice", 1, "AUTO")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val nation = Seq((1, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = Analytics.enrich(ev, cust, nation)
+      .select("event_id", "c_name", "n_name")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, Some("Alice"), Some("FRANCE")), (2L, None, None)))
+  }
+
+  test("topKByValue returns k rows ordered by total with id tiebreak") {
+    val ev = (1 to 30).map(i => (i.toLong % 5, 1.0))
+      .toDF("user_id", "value")
+    val out = Analytics.topKByValue(ev, 3).collect()
+    assert(out.length === 3)
+    val totals = out.map(_.getAs[Double]("total_value"))
+    assert(totals.sorted.reverse.toSeq === totals.toSeq)
+  }
+}

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (q, n, s) => assert(exact((q, n)) === s) }
   }
 
+  test("ivf top-k sims agree with brute force on overlapping pairs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // every ivf pair that brute force also ranked must carry the same sim
+    ivf.foreach { case (qid, nid, sim) =>
+      exact.get((qid, nid)).foreach(es => assert(es === sim))
+    }
+    // all 10 queries produced neighbors
+    assert(ivf.map(_._1).distinct.length === 10)
+  }
+
   test("IntersectSize counts common elements without double counting") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
     val n = df.select(ArrayExprs.intersectSize(col("x"), col("y")).as("n"))
