@@ -51,6 +51,74 @@ object Multimodal {
       lit("text").as("media_type"),
       col(textCol).cast("binary").as("payload"))
 
+  final case class MediaFeatures(doc_id: Long, feature: Array[Float])
+  final case class ResizedMedia(
+      doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int)
+  final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Feature extraction stub: a deterministic fixed-width float vector
+    * per payload (a real implementation runs an image/audio encoder
+    * here). Same mapPartitions batch shape as production: one encoder
+    * instance per partition, vectors sized for a downstream
+    * [[Similarity]] index.
+    */
+  def extractFeatures(
+      spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition "model load" happens here in a real codec
+        rows.map { r =>
+          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+          val f = Array.tabulate(dim) { i =>
+            // ??? <- real encoder; deterministic fake projection:
+            var acc = 0
+            var j = i
+            while (j < bytes.length) { acc = acc * 31 + bytes(j); j += dim }
+            (acc % 1000) / 1000.0f
+          }
+          MediaFeatures(r.doc_id, f)
+        }
+      }
+  }
+
+  /** Resize stub: recomputes payload + dimensions deterministically
+    * (truncation stands in for the pixel work; schema/flow is real).
+    */
+  def resize(
+      spark: SparkSession, media: DataFrame,
+      width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        // ??? <- real scaler; fake: clamp payload to width*height/64 bytes
+        val n = math.max(1, math.min(bytes.length, width * height / 64))
+        ResizedMedia(r.doc_id, r.media_type, bytes.take(n), width, height)
+      })
+  }
+
+  /** Frame sampling stub: the 1→N row shape of video decode. Emits
+    * `n` deterministic "frames" per payload via flatMap — partition
+    * parallel, no driver involvement, output size n× input rows.
+    */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .flatMap { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        (0 until n).map { i =>
+          // ??? <- real frame grab; fake: strided slice per frame index
+          val slice = bytes.zipWithIndex.collect {
+            case (b, j) if j % n == i => b
+          }
+          Frame(r.doc_id, i, slice)
+        }
+      }
+  }
+
   /** Partition-parallel decode: one `mapPartitions` pass, no shuffle.
     * Output is a typed Dataset with payloads dropped (decoded metadata
     * only) — the common shape for feature-extraction stages.

@@ -46,7 +46,26 @@ object Ingest {
       conf: PipelineConf, sink: BatchSink, batch: DataFrame): Seq[FileOutcome] = {
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[FileOutcome]
 
-    if (!batch.isEmpty) {
+    // V6: per-file header check (reference `pipeline.py:100-105`) — with
+    // an explicit schema Spark's CSV reader matches columns by POSITION
+    // and ignores header names, so a malformed header must be caught
+    // here or bad data flows through silently.
+    val headerBad: Map[String, String] = batch
+      .select("__file").distinct().collect().map(_.getString(0))
+      .flatMap { uri =>
+        val path = FsRouting.toLocalPath(uri)
+        missingHeaderColumns(path) match {
+          case Nil => None
+          case missing => Some(uri ->
+            (s"Missing critical columns: ${missing.mkString(", ")}. " +
+              "Quarantining."))
+        }
+      }.toMap
+    val batchOk =
+      if (headerBad.isEmpty) batch
+      else batch.filter(!col("__file").isin(headerBad.keys.toSeq: _*))
+
+    if (!batchOk.isEmpty) {
       // NA normalization (S1) then per-file line numbers: the window is
       // partitioned per file — parallelism = files per batch, matching
       // the reference's unit of work.
@@ -54,7 +73,7 @@ object Ingest {
       // plain batch DF (monotonically_increasing_id is rejected on
       // streaming plans).
       val cleaned = Schemas.sensorColumns.foldLeft(
-        batch.withColumn("__mono", monotonically_increasing_id()))((d, c) =>
+        batchOk.withColumn("__mono", monotonically_increasing_id()))((d, c) =>
         d.withColumn(c, Cleanse.naNormalize(col(c))))
       val w = Window.partitionBy(col("__file"))
         .orderBy(col("__mono"))
@@ -94,6 +113,15 @@ object Ingest {
       } finally validated.unpersist()
     }
 
+    // Physical moves of bad-header files happen LAST: the batch frame
+    // may still lazily re-read the underlying CSVs until every Spark
+    // action above has completed.
+    headerBad.foreach { case (uri, reason) =>
+      val path = FsRouting.toLocalPath(uri)
+      FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+      outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+        Some(reason), 0L)
+    }
     outcomes ++= sweepEmptyFiles(conf)
     outcomes.toSeq
   }
@@ -115,6 +143,15 @@ object Ingest {
           Some(FsRouting.EmptyFileReason), 0L)
       }.toSeq
   }
+
+  /** Required columns absent from the file's header line (V6). */
+  private def missingHeaderColumns(p: Path): Seq[String] =
+    try {
+      val s = Files.lines(p)
+      val header = try s.findFirst().orElse("") finally s.close()
+      val present = header.split(",").map(_.trim.toLowerCase).toSet
+      Schemas.sensorColumns.filterNot(present.contains)
+    } catch { case _: Exception => Nil } // moved/unreadable ⇒ let validation decide
 
   private def countDataLines(p: Path): Long =
     try {

@@ -71,6 +71,23 @@ class IngestSpec extends SparkSpec {
       .map(_.getString(0)).toSet === Set("clean.csv"))
   }
 
+  test("file with missing required columns is quarantined at the header check") {
+    val root = tmp("graft_header")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val p = dataDir.resolve("badheader.csv")
+    Files.writeString(p, // humidity/pressure missing from the header
+      "timestamp,sensor_id,temperature" + System.lineSeparator() +
+        "2025-05-26 04:36:08,S1,26.41" + System.lineSeparator())
+    val q = Ingest.start(spark, conf,
+      new ParquetSink(root.resolve("raw").toString, root.resolve("agg").toString))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(Files.exists(root.resolve("quarantine/badheader.csv")))
+    val log = Files.readString(root.resolve("quarantine/quarantine_log.txt"))
+    assert(log.contains("File: badheader.csv, Reason: Missing critical columns: " +
+      "humidity, pressure. Quarantining."))
+  }
+
   test("checkpoint restart: old files not reprocessed, new files picked up") {
     val root = tmp("graft_restart")
     val conf = mkConf(root)
