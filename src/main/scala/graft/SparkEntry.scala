@@ -274,6 +274,15 @@ object SparkEntry {
         Tables.events(s, dir), Tables.customer(s, dir),
         s.read.parquet(dir + "/nation.parquet"))),
 
+    // Sliding windows (1 h / 15 min) in batch.
+    "q_window_sliding" -> ((s, dir) =>
+      ext.Analytics.slidingWindowAgg(Tables.events(s, dir))),
+
+    // Fact-fact join + monthly revenue rollup.
+    "q_revenue_monthly" -> ((s, dir) =>
+      ext.Analytics.revenueMonthly(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
     // Top-10 users by total value (TakeOrderedAndProject, no global sort).
     "q_topk_users" -> ((s, dir) =>
       ext.Analytics.topKByValue(Tables.events(s, dir), 10)),
@@ -536,6 +545,26 @@ object SparkEntry {
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH k AS (SELECT UNNEST([0, 1, 2, 3]) AS kk),
+        |w AS (
+        |  SELECT e.event_type, e.value,
+        |    make_timestamp(((epoch_us(e.ts) // 900000000) - k.kk) * 900000000)
+        |      AS window_start
+        |  FROM events e CROSS JOIN k)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_revenue_monthly" ->
+      """SELECT date_trunc('month', o.o_orderdate) AS order_month,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o.o_orderkey) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_topk_users" ->
       """SELECT user_id, ROUND(SUM(value), 4) AS total_value,

@@ -48,6 +48,39 @@ object Analytics {
       .select(col("event_id"), col("event_type"), col("value"),
         col("c_name"), col("c_mktsegment"), col("n_name"))
 
+  /** Sliding event-time windows in batch (1 h window, 15 min slide):
+    * each event lands in window/slide = 4 windows; Spark's `window()`
+    * generates them as a projection, so the only shuffle is the final
+    * aggregation.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Monthly revenue by priority: the classic fact-fact equi-join +
+    * aggregate. orders is small enough to broadcast at test scale; at
+    * 100 TB both sides shuffle on the join key and AQE picks the
+    * strategy — the code declares only the join, not the plan.
+    */
+  def revenueMonthly(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"),
+        col("o_orderpriority"))
+      .agg(
+        // exact decimal arithmetic: double sums are partial-aggregation
+        // order dependent and can cross any rounding boundary; decimals
+        // sum exactly and convert to the same double in every engine
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+
   /** Top-k keys by aggregated value: aggregate (partial+final), then
     * `orderBy.limit` → TakeOrderedAndProject: each partition keeps k
     * rows, the driver merges k·parts — no global sort at any scale.
