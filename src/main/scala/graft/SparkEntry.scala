@@ -289,12 +289,27 @@ object SparkEntry {
 
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
+    // Oracle-checked MinHash: md5-derived hash family computable
+    // bit-identically in DuckDB (see oracle below, generated from the
+    // same seeds).
     "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.portableMinHashNearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+
+    // xxhash64-family variant (Spark-internal hashes; rows-only check).
+    "q_dedup_minhash_fast" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // Oracle-checked SimHash (md5-derived 60-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.portableSimHashNearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // xxhash64 64-bit variant (Spark-internal hashes; rows-only check).
+    "q_dedup_simhash_fast" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text", maxDist = 6)),
 
@@ -317,7 +332,93 @@ object SparkEntry {
   // DuckDB oracles (driver runs them on the same parquet at sf0.01)
   // =====================================================================
 
+  /** DuckDB oracle for q_dedup_minhash, generated from the SAME hash
+    * family as [[Dedup.portableMinHashSignatures]] (seeds inlined below
+    * via [[Dedup.portableSeeds]]).
+    */
+  private def minHashOracleSql: String = {
+    val P = Dedup.PortableP
+    val seeds = Dedup.portableSeeds(16)
+    val slotDefs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((m * $a + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map { band =>
+      val key = (band * 4 until band * 4 + 4).map(i => s"h$i").mkString(" || ':' || ")
+      s"SELECT doc_id, $band AS band, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk FROM documents),
+t AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(tk) - 2),
+    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles
+  FROM toks),
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM t),
+h AS (SELECT doc_id,
+    ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS m FROM e),
+sig AS (
+  SELECT doc_id,
+    $slotDefs
+  FROM h GROUP BY doc_id),
+banded AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+j AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+      / CAST(len(ta.shingles) + len(tb.shingles)
+             - len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.id_a
+  JOIN t tb ON tb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+  }
+
+  /** DuckDB oracle for q_dedup_simhash — same 60-bit md5 token hash,
+    * bit sums, banding, and Hamming filter, generated programmatically.
+    */
+  private def simHashOracleSql: String = {
+    val bits = 60
+    val nBands = 6
+    val width = 10
+    val bitSumDefs = (0 until bits).map { i =>
+      s"SUM(CASE WHEN (m >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until bits).map { i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until nBands).map { band =>
+      s"SELECT doc_id, simhash, $band AS band, (simhash >> ${band * width}) & ${(1L << width) - 1} AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+  SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS m FROM e),
+bs AS (
+  SELECT doc_id,
+    $bitSumDefs
+  FROM h GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM bs),
+banded AS (
+  $bandSelects),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_simhash" -> simHashOracleSql,
+
+    "q_dedup_minhash" -> minHashOracleSql,
 
     "q_scan_cast" ->
       """SELECT event_id,

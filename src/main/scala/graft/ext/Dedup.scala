@@ -128,6 +128,144 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Portable (cross-engine) MinHash ------------------------------
+  // The xxhash64 family above is Spark-internal; this variant derives
+  // its hash family from md5 — computable bit-identically in DuckDB —
+  // so the WHOLE MinHash LSH pipeline (signatures, banding, candidate
+  // pairs, verified jaccard) is oracle-checkable, not just rows-only.
+
+  val PortableP: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) pairs for h_i(m) = (a_i*m + b_i) mod P.
+    * a_i*m stays < 2^62: no overflow in either engine's BIGINT.
+    */
+  def portableSeeds(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      (((2L * i + 1) * 1000003L) % PortableP, (7919L * i + 13L) % PortableP)
+    }
+
+  /** 60-bit integer from the md5 of a shingle, reduced mod P — the
+    * portable base hash (`('0x' || substr(md5(s),1,15))::BIGINT` in
+    * DuckDB, `conv(substring(md5(s),1,15),16,10)` here).
+    */
+  def portableBaseHash(sh: Column): Column =
+    conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % PortableP
+
+  def portableMinHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(
+      col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__m", portableBaseHash(col("__sh")))
+    val mins = portableSeeds(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("__m") * a + b) % PortableP).as(s"__h$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** Candidate pairs with engine-portable band keys: the key is the
+    * ':'-joined slot values themselves (no engine-specific band hash),
+    * so the candidate SET is identical across engines.
+    */
+  def portableCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(":", (b * rows until (b + 1) * rows)
+          .map(i => element_at(col("signature"), i + 1)): _*).as("bk"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("__band"), col("__bb.bk").as("__bk"))
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bk"))
+    a.join(b, Seq("__band", "__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Oracle-checkable MinHash near-dup pairs: portable signatures →
+    * portable banding → true-jaccard verification.
+    */
+  def portableMinHashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = portableMinHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .persist()
+    val cands = portableCandidatePairs(sigs, idCol, numHashes, bands)
+    val sets = docs.select(col(idCol),
+      shingles(col(textCol), shingleN).as("__set")).persist()
+    val inter = graft.functions.ArrayExprs.intersectSize(
+      col("__set_a"), col("__set_b"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), "id_b")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__set_a")) + size(col("__set_b")) - inter).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Oracle-checkable SimHash: 60-bit signatures from the md5-derived
+    * token hash (the 60 bits of [[portableBaseHash]] BEFORE the mod-P
+    * reduction), banded 6×10 bits for Hamming distance ≤ 5. Same
+    * pigeonhole guarantee as the 64-bit variant; every step computable
+    * bit-identically in DuckDB.
+    */
+  def portableSimHashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val nBands = 6
+    val width = 10
+    val maxDist = nBands - 1
+    val exploded = docs.select(
+      col(idCol),
+      explode(split(trim(lower(col(textCol))), " ")).as("__tok"))
+      .withColumn("__m",
+        conv(substring(md5(col("__tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftrightunsigned(col("__m"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val sums = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = sums.select(col(idCol), sig.as("simhash")).persist()
+    val bandCols = (0 until nBands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        shiftrightunsigned(col("simhash"), bIdx * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bk"))
+    }
+    val banded = sigs
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("simhash"),
+        col("__bb.band").as("__band"), col("__bb.bk").as("__bk"))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("simhash").as("__sig_a"), col("__band"), col("__bk"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("simhash").as("__sig_b"), col("__band"), col("__bk"))
+    a.join(b, Seq("__band", "__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
     * the sign of Σ_tokens (±1 by bit i of xxhash64(token)). Built from
     * 64 conditional-sum aggregations — one shuffle keyed on the doc id.

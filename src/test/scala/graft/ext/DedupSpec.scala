@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     assert(out.map(p => (p._1, p._2)).contains((0L, 2L)))
   }
 
+  test("portable minhash (md5 family) finds the planted duplicates too") {
+    val pairs = Dedup.portableMinHashNearDuplicates(
+      docs, "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portable simhash: exact duplicates at hamming 0") {
+    val out = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0L))
+    assert(out.forall(_._3 <= 5))
+  }
+
   test("jaccardPairs computes token-set jaccard with threshold") {
     val out = Dedup.jaccardPairs(docs, docs, "doc_id", "text", 0.5)
       .as[(Long, Long, Double)].collect()
