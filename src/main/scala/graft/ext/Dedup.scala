@@ -336,6 +336,7 @@ object Dedup {
     def prep(d: DataFrame, suffix: String) = d.select(
       col(idCol).as(s"doc_$suffix"),
       array_distinct(split(trim(lower(col(textCol))), " ")).as(s"toks_$suffix"))
+      .withColumn(s"n_$suffix", size(col(s"toks_$suffix")))
     val a = prep(querySide, "a")
     val c = prep(corpus, "b")
     // intersect_size: counts without materializing the intersection
@@ -343,9 +344,16 @@ object Dedup {
     // predicate pushdown duplicates the expression).
     val inter = graft.functions.ArrayExprs.intersectSize(
       col("toks_a"), col("toks_b"))
-    c.join(broadcast(a), col("doc_a") < col("doc_b"))
+    // Length filter (set-similarity-join standard): jaccard >= t implies
+    // min(|a|,|b|)/max(|a|,|b|) >= t, so incompatible sizes are culled
+    // by an integer comparison in the join condition before any
+    // hash-probe work.
+    c.join(broadcast(a),
+        col("doc_a") < col("doc_b") &&
+          least(col("n_a"), col("n_b")).cast("double") >=
+            greatest(col("n_a"), col("n_b")).cast("double") * threshold)
       .withColumn("jaccard", inter.cast("double") /
-        (size(col("toks_a")) + size(col("toks_b")) - inter).cast("double"))
+        (col("n_a") + col("n_b") - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
