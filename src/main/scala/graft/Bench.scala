@@ -20,7 +20,12 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces every projected column to be computed (a bare
+      // count() would let Catalyst prune the projections away and time
+      // only the row count).
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // LSH queries persist their signature tables; drop them so later
       // queries aren't measured against a shrinking storage pool.
