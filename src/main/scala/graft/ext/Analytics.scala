@@ -67,19 +67,25 @@ object Analytics {
     * 100 TB both sides shuffle on the join key and AQE picks the
     * strategy — the code declares only the join, not the plan.
     */
-  def revenueMonthly(lineitem: DataFrame, orders: DataFrame): DataFrame =
-    lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+  def revenueMonthly(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // Pre-aggregate the fact side per order key first: the join becomes
+    // 1:1, n_orders is a plain count (no countDistinct expand), and the
+    // per-order partial sums shrink the shuffle to one row per order.
+    // Decimal sums are exact and associative, so sum-of-sums equals the
+    // oracle's single-level sum bit-for-bit.
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("__rev"))
+    perOrder
+      .join(orders, perOrder("l_orderkey") === orders("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"),
         col("o_orderpriority"))
       .agg(
-        // exact decimal arithmetic: double sums are partial-aggregation
-        // order dependent and can cross any rounding boundary; decimals
-        // sum exactly and convert to the same double in every engine
-        sum(col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("__rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
 
   /** Top-k keys by aggregated value: aggregate (partial+final), then
     * `orderBy.limit` → TakeOrderedAndProject: each partition keeps k
