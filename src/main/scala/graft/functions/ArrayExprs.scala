@@ -64,10 +64,62 @@ case class IntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |a ∩ b| for two string arrays that are ALREADY sorted ascending and
+  * distinct: a single merge walk, no hash set, no per-pair allocation.
+  * On a pair scan the per-row sort happens once per document (in the
+  * projection feeding the join), while the merge runs per pair — the
+  * right place to spend the work. Results are undefined if inputs are
+  * unsorted (callers own the contract).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size needs array<string> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (na, nb) = (aa.numElements(), bb.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = aa.getUTF8String(i)
+      val y = bb.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayExprs {
   import org.apache.spark.sql.GraftExpressionBridge._
 
   /** `intersect_size(a, b)` as a Column. */
   def intersectSize(a: Column, b: Column): Column =
     column(IntersectSize(expression(a), expression(b)))
+
+  /** `sorted_intersect_size(a, b)` — inputs must be sorted + distinct. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
 }

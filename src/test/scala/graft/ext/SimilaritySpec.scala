@@ -78,6 +78,19 @@ class SimilaritySpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("SortedIntersectSize matches IntersectSize on sorted inputs") {
+    val df = Seq(
+      (Seq("a", "b", "c", "x"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("m", "n", "o"), Seq("m", "n", "o")))
+      .toDF("x", "y")
+    val bad = df.filter(
+      ArrayExprs.sortedIntersectSize(col("x"), col("y")) =!=
+        ArrayExprs.intersectSize(col("x"), col("y")))
+    assert(bad.count() === 0)
+  }
+
   test("IntersectSize of disjoint and identical sets") {
     val df = Seq(
       (Seq("a"), Seq("b"), 0),
