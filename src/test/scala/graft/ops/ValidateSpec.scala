@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.config.PipelineConf
-import graft.plans.Ordinal
 
 /** V1-V5 / F1-F4 semantics, incl. byte-exact reference error strings
   * (format evidence: `quarantine/quarantine_log.txt:2-5`).
