@@ -22,20 +22,29 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces every projected column to be computed (a bare
       // count() would let Catalyst prune the projections away and time
-      // only the row count).
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => () }
+      // only the row count). A failed query must NOT pass as a fast one:
+      // record the error and fail the whole bench at exit.
+      val err: Option[String] =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Some(e.getClass.getSimpleName)
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // LSH queries persist their signature tables; drop them so later
       // queries aren't measured against a shrinking storage pool.
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errJson = errs.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Deduplication for LLM training-data pipelines — exact,
@@ -19,6 +20,21 @@ import org.apache.spark.sql.functions._
   *   - embedding: sign-LSH buckets via [[Similarity.lshBucket]].
   */
 object Dedup {
+
+  /** Materialize the (small) near-dup result, then free the cached
+    * intermediates: signature/shingle tables are only needed while the
+    * candidate and verification joins run, and leaving them cached for
+    * the life of the session accumulates storage across repeated calls.
+    * The returned frame is itself persisted (bounded: pair rows only)
+    * so the eager materialization isn't wasted; callers that are done
+    * with it can `unpersist()` it.
+    */
+  private def withCleanup(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Exact dedup: deterministic representative (min of `repCol`) + copy
     * count per distinct key. One hash aggregation.
@@ -51,10 +67,18 @@ object Dedup {
     */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(
-      col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("__sh"))
+      shingleN: Int, numHashes: Int): DataFrame =
+    signaturesFromShingleSets(
+      docs.select(col(idCol), shingles(col(textCol), shingleN).as("__set")),
+      idCol, numHashes)
+
+  /** Signatures derived from an already-shingled `(id, __set)` frame —
+    * lets near-dup pipelines shingle ONCE and reuse the same sets for
+    * both signature generation and candidate verification.
+    */
+  private def signaturesFromShingleSets(
+      sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -109,23 +133,24 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    // Signatures and shingle sets each feed two join branches; persist
-    // so the scan+aggregate runs once (both are tiny next to the corpus:
-    // k longs / one string-set per doc).
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
-      .persist()
-    val cands = minHashCandidatePairs(sigs, idCol, numHashes, bands)
+    // Shingle ONCE: the persisted sets feed signature generation and
+    // both verification branches (signatures are persisted too — they
+    // feed the two banding branches of the candidate join). Both caches
+    // are tiny next to the corpus: k longs / one string-set per doc.
     val sets = docs.select(col(idCol),
       shingles(col(textCol), shingleN).as("__set")).persist()
+    val sigs = signaturesFromShingleSets(sets, idCol, numHashes).persist()
+    val cands = minHashCandidatePairs(sigs, idCol, numHashes, bands)
     val inter = graft.functions.ArrayExprs.intersectSize(
       col("__set_a"), col("__set_b"))
-    cands
+    val result = cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), "id_b")
       .withColumn("jaccard", inter.cast("double") /
         (size(col("__set_a")) + size(col("__set_b")) - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    withCleanup(result, Seq(sets, sigs))
   }
 
   // ---- Portable (cross-engine) MinHash ------------------------------
@@ -154,10 +179,14 @@ object Dedup {
 
   def portableMinHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(
-      col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("__sh"))
+      shingleN: Int, numHashes: Int): DataFrame =
+    portableSignaturesFromShingleSets(
+      docs.select(col(idCol), shingles(col(textCol), shingleN).as("__set")),
+      idCol, numHashes)
+
+  private def portableSignaturesFromShingleSets(
+      sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
       .withColumn("__m", portableBaseHash(col("__sh")))
     val mins = portableSeeds(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("__m") * a + b) % PortableP).as(s"__h$i")
@@ -200,20 +229,21 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = portableMinHashSignatures(docs, idCol, textCol, shingleN, numHashes)
-      .persist()
-    val cands = portableCandidatePairs(sigs, idCol, numHashes, bands)
+    // Shingle ONCE (see minHashNearDuplicates).
     val sets = docs.select(col(idCol),
       shingles(col(textCol), shingleN).as("__set")).persist()
+    val sigs = portableSignaturesFromShingleSets(sets, idCol, numHashes).persist()
+    val cands = portableCandidatePairs(sigs, idCol, numHashes, bands)
     val inter = graft.functions.ArrayExprs.intersectSize(
       col("__set_a"), col("__set_b"))
-    cands
+    val result = cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), "id_b")
       .withColumn("jaccard", inter.cast("double") /
         (size(col("__set_a")) + size(col("__set_b")) - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    withCleanup(result, Seq(sets, sigs))
   }
 
   /** Oracle-checkable SimHash: 60-bit signatures from the md5-derived
@@ -257,13 +287,14 @@ object Dedup {
       col("simhash").as("__sig_a"), col("__band"), col("__bk"))
     val b = banded.select(col(idCol).as("id_b"),
       col("simhash").as("__sig_b"), col("__band"), col("__bk"))
-    a.join(b, Seq("__band", "__bk"))
+    val result = a.join(b, Seq("__band", "__bk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    withCleanup(result, Seq(sigs))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
@@ -317,42 +348,87 @@ object Dedup {
       col("simhash").as("__sig_a"), col("__band"), col("__bits"))
     val b = banded.select(col(idCol).as("id_b"),
       col("simhash").as("__sig_b"), col("__band"), col("__bits"))
-    a.join(b, Seq("__band", "__bits"))
+    val result = a.join(b, Seq("__band", "__bits"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    withCleanup(result, Seq(sigs))
   }
 
-  /** Token-set Jaccard near-dup pairs, restricted to a bounded query
-    * side (`querySide`) so the pair space is |Q|·|C|, broadcastable when
-    * Q is small. For unbounded both-sides dedup use
-    * [[minHashNearDuplicates]] — that's the LSH scale path.
+  /** Token-set Jaccard near-dup pairs via a prefix-filtered
+    * set-similarity join (the PPJoin/AllPairs family — Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
+    *
+    * Never enumerates the |Q|·|C| pair space. Plan:
+    *   1. token document-frequency table over the corpus (one count agg);
+    *   2. order each doc's tokens by ascending (df, token) — a single
+    *      GLOBAL token order, rarest first — and keep only the PREFIX of
+    *      the first floor((1-t)·n)+1 tokens. Prefix-filter lemma: two
+    *      sets with jaccard >= t must share at least one prefix token
+    *      under any common total order, so
+    *   3. candidate pairs come from a shuffled EQUI-JOIN on prefix
+    *      tokens (rare tokens ⇒ low fan-out and no hot keys), deduped,
+    *      length-filtered (jaccard >= t ⇒ t·max(|a|,|b|) <= min), and
+    *   4. verified exactly with a sorted-merge intersection on the full
+    *      lexicographically-sorted token sets.
+    *
+    * Every stage is a shuffle-partitioned join/agg/window keyed on doc
+    * or token — nothing is broadcast or driver-collected, so the same
+    * plan holds when BOTH sides are 100 TB-scale.
     */
   def jaccardPairs(
       corpus: DataFrame, querySide: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    // Token sets are SORTED once per document here, so the per-pair
-    // intersection below is a pure merge walk (no hash set, no per-pair
-    // allocation — measured ~2x on a 1M-pair scan).
+    // Token sets are SORTED once per document, so the per-pair
+    // verification below is a pure merge walk (no hash set, no per-pair
+    // allocation — measured ~2x on a large pair scan).
     def prep(d: DataFrame, suffix: String) = d.select(
       col(idCol).as(s"doc_$suffix"),
       array_sort(array_distinct(split(trim(lower(col(textCol))), " ")))
         .as(s"toks_$suffix"))
       .withColumn(s"n_$suffix", size(col(s"toks_$suffix")))
-    val a = prep(querySide, "a")
+    val q = prep(querySide, "a")
     val c = prep(corpus, "b")
+
+    // Corpus token document frequencies. Query-side tokens missing from
+    // the corpus get df 0 (coalesce below) — still one consistent global
+    // token order on both sides, which is all the lemma needs.
+    val dfTable = c.select(explode(col("toks_b")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+
+    // Prefix of each doc under the (df, token) order. row_number is
+    // windowed PER DOC — partitions stay small at any corpus size.
+    def prefixToks(side: DataFrame, id: String, toks: String, n: String) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__df").asc, col("__tok").asc)
+      side.select(col(id), col(n), explode(col(toks)).as("__tok"))
+        .join(dfTable, Seq("__tok"), "left")
+        .withColumn("__df", coalesce(col("__df"), lit(0L)))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <=
+          floor(lit(1.0 - threshold) * col(n)).cast("int") + 1)
+        .select(col(id), col(n), col("__tok"))
+    }
+    val pq = prefixToks(q, "doc_a", "toks_a", "n_a")
+    val pc = prefixToks(c, "doc_b", "toks_b", "n_b")
+
+    // Candidate generation: equi-join on the prefix token. The length
+    // filter culls size-incompatible pairs before the dedup shuffle.
+    val cands = pq.join(pc, Seq("__tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")).cast("double") * threshold)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    // Exact verification on candidates only.
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("toks_a"), col("toks_b"))
-    // Length filter (set-similarity-join standard): jaccard >= t implies
-    // min(|a|,|b|)/max(|a|,|b|) >= t, so incompatible sizes are culled
-    // by an integer comparison in the join condition before any
-    // hash-probe work.
-    c.join(broadcast(a),
-        col("doc_a") < col("doc_b") &&
-          least(col("n_a"), col("n_b")).cast("double") >=
-            greatest(col("n_a"), col("n_b")).cast("double") * threshold)
+    cands
+      .join(q, "doc_a")
+      .join(c, "doc_b")
       .withColumn("jaccard", inter.cast("double") /
         (col("n_a") + col("n_b") - inter).cast("double"))
       .filter(col("jaccard") >= threshold)

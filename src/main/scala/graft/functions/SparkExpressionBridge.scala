@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.StructType
 
 /** Bridge to Spark's classic Column ⇄ Expression conversions, which are
   * `private[sql]` in Spark 4's unified Column API. Lives in the
@@ -11,4 +14,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The physical plan's RDD[InternalRow] — lets per-partition operators
+    * (e.g. global row numbering) work on unsafe rows directly instead of
+    * paying the InternalRow→Row conversion of `Dataset.rdd`.
+    */
+  def toInternalRdd(df: Dataset[Row]): RDD[InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame without the
+    * Row-conversion round trip (`SparkSession.internalCreateDataFrame`
+    * is `private[sql]`).
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -38,9 +38,14 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.toLowerCase.split(" ")
+    // Locale.ROOT: locale-independent lowering, matching Spark's lower()
+    // and DuckDB (default-locale toLowerCase breaks on e.g. Turkish I).
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
     val out =
-      if (toks.length < n) Array(toks.mkString(" "))
+      // Docs shorter than n tokens yield NO shingles (they cannot
+      // contain an n-gram) — same as the oracle's generate_series(1,
+      // len-n+1), which emits nothing for short docs.
+      if (toks.length < n) Array.empty[String]
       else {
         val seen = new java.util.LinkedHashSet[String]()
         var i = 0

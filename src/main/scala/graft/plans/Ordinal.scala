@@ -1,6 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed global row numbering.
@@ -15,10 +18,14 @@ import org.apache.spark.sql.types.LongType
   *
   * Implementation: range-partition + sort by the key (the same shuffle a
   * global sort costs, so per-partition work stays bounded), then RDD
-  * `zipWithIndex`, which numbers rows as partitionOffset + localIndex.
-  * Its internal size-count job and the main pass run on the SAME
-  * materialized RDD lineage, so the shuffle output is computed once and
-  * partition ids cannot drift between passes.
+  * `zipWithIndex` over the plan's INTERNAL row RDD, which numbers rows
+  * as partitionOffset + localIndex. Its internal size-count job and the
+  * main pass run on the SAME materialized RDD lineage, so the shuffle
+  * output is computed once and partition ids cannot drift between
+  * passes. Working on `queryExecution.toRdd` + an UnsafeProjection
+  * (instead of `Dataset.rdd` + `createDataFrame`) skips the
+  * InternalRow→Row→InternalRow round trip — the per-row boxing tax that
+  * made this the slowest step of every positional query.
   *
   * (A previous design computed per-partition counts in a separate
   * DataFrame job keyed on `spark_partition_id()` — wrong under AQE,
@@ -46,9 +53,20 @@ object Ordinal {
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val numbered = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(numbered, schema)
+    val numbered = GraftExpressionBridge.toInternalRdd(sorted)
+      .zipWithIndex()
+      .mapPartitions { iter =>
+        // One projection per partition; its output buffer is reused per
+        // row — the same contract as any codegen'd operator's output
+        // (downstream operators copy when they buffer).
+        val proj = UnsafeProjection.create(schema)
+        val ordinal = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        iter.map { case (row, idx) =>
+          ordinal.setLong(0, idx + 1L)
+          proj(joined(row, ordinal)): InternalRow
+        }
+      }
+    GraftExpressionBridge.internalCreateDataFrame(spark, numbered, schema)
   }
 }

@@ -40,10 +40,12 @@ class DedupSpec extends SparkSpec {
     assert(sh.size === 7) // 9 tokens -> 7 trigrams
   }
 
-  test("shingles of short text fall back to the whole token string") {
+  test("shingles of short text are empty (no n-gram can exist)") {
+    // Matches the oracle's generate_series(1, len-n+1): a doc shorter
+    // than n tokens contributes no shingles and thus no signature.
     val sh = Seq(Tuple1("one two")).toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
-    assert(sh === Seq("one two"))
+    assert(sh === Seq.empty)
   }
 
   test("minhash finds the exact and near duplicates, not the unrelated pair") {
@@ -101,5 +103,25 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 2L)) === 1.0)
     assert(out.contains((0L, 1L)) && out((0L, 1L)) > 0.7 && out((0L, 1L)) < 1.0)
     assert(!out.contains((0L, 3L)))
+  }
+
+  test("prefix-filter jaccardPairs matches brute-force all-pairs on real docs") {
+    // The prefix-filter candidate generation must lose NO pair the
+    // all-pairs scan finds (completeness of the prefix-filter lemma).
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.jaccardPairs(d, d, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val toks = d.select(col("doc_id"),
+      array_sort(array_distinct(split(trim(lower(col("text"))), " "))).as("toks"))
+    val a = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    val inter = graft.functions.ArrayExprs.sortedIntersectSize(col("ta"), col("tb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("ta")) + size(col("tb")) - inter).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast.nonEmpty && fast === brute)
   }
 }
