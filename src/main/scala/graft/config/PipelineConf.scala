@@ -19,6 +19,12 @@ final case class ValueRange(lo: Double, hi: Double) {
   * @param pressureRange pressure bounds (`config.ini:19-20`, 980..1050)
   * @param monitorIntervalSec streaming trigger interval
   *                           (`config.ini:6`, `pipeline.py:24`)
+  * @param strictMode true = the reference's strict pipeline (ANY bad row
+  *                   quarantines the whole file, `pipeline.py:161-165`);
+  *                   false = the lenient variant evidenced in
+  *                   `logs/pipeline.log` 2025-05-26 ("19 valid rows out
+  *                   of 20" then commit): bad rows are dropped with a
+  *                   logged summary and the valid subset is committed.
   */
 final case class PipelineConf(
     tempRange: ValueRange = ValueRange(-50.0, 50.0),
@@ -30,6 +36,7 @@ final case class PipelineConf(
     quarantineDir: String = "quarantine",
     checkpointDir: String = "checkpoint",
     chunkRows: Int = 5000,
+    strictMode: Boolean = true,
 )
 
 object PipelineConf {
@@ -46,4 +53,11 @@ object PipelineConf {
     }
 }
 
-final case class JdbcConf(url: String, user: String, password: String)
+/** @param retries connection attempts before giving up
+  *                 (`pipeline.py:59`, retry_count=3)
+  * @param retryDelaySec backoff between attempts (`pipeline.py:59`,
+  *                      delay=5; injectable so tests don't sleep)
+  */
+final case class JdbcConf(
+    url: String, user: String, password: String,
+    retries: Int = 3, retryDelaySec: Int = 5)

@@ -49,6 +49,38 @@ final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
   */
 final class JdbcSink(conf: JdbcConf) extends BatchSink {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sink.JdbcSink")
+
+  /** Connection retry ×`conf.retries` with `conf.retryDelaySec` backoff,
+    * mirroring the reference's `get_db_connection(retry_count=3,
+    * delay=5)` (`pipeline.py:59-83`) including its log lines. Returns
+    * null after the final attempt — the caller then reports a sink
+    * failure and the file stays in data/ for the next trigger.
+    */
+  private[sink] def connectWithRetry(): java.sql.Connection = {
+    var attempt = 0
+    while (attempt < conf.retries) {
+      try {
+        val conn = java.sql.DriverManager.getConnection(
+          conf.url, conf.user, conf.password)
+        log.info("Successfully connected to database.")
+        return conn
+      } catch {
+        case e: Exception =>
+          log.error(s"Database connection failed " +
+            s"(attempt ${attempt + 1}/${conf.retries}): ${e.getMessage}")
+          attempt += 1
+          if (attempt < conf.retries) {
+            log.info(s"Retrying in ${conf.retryDelaySec} seconds...")
+            Thread.sleep(conf.retryDelaySec * 1000L)
+          } else {
+            log.error("Max retry attempts reached for DB connection.")
+          }
+      }
+    }
+    null
+  }
+
   private val upsertSql =
     """INSERT INTO aggregated_sensor_data
       |(sensor_id, file_name, aggregation_time, metric_name, min_value,
@@ -67,8 +99,8 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
   override def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean = {
     var conn: java.sql.Connection = null
     try {
-      conn = java.sql.DriverManager.getConnection(
-        conf.url, conf.user, conf.password)
+      conn = connectWithRetry()
+      if (conn == null) return false
       conn.setAutoCommit(false)
       // idempotent replay: remove any previous attempt for this file
       val del = conn.prepareStatement(

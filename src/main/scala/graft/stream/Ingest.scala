@@ -35,6 +35,13 @@ import graft.sink.{BatchSink, FsRouting}
   */
 object Ingest {
 
+  /** K8: structured per-stage run log. Message shapes mirror the
+    * reference's (`pipeline.py:94,163-168,312-328`, lenient variant
+    * evidenced in `logs/pipeline.log`), with file context on every line,
+    * so an operator debugging a quarantine storm sees the same story.
+    */
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.stream.Ingest")
+
   final case class FileOutcome(
       file: String, status: String, reason: Option[String], rows: Long)
 
@@ -72,6 +79,13 @@ object Ingest {
       // __mono must be added HERE: inside foreachBatch the frame is a
       // plain batch DF (monotonically_increasing_id is rejected on
       // streaming plans).
+      // Line-number ordering contract: __mono follows (partitionId,
+      // offset), which matches CSV line order only while each file maps
+      // to a SINGLE input split. That holds for this source's file class
+      // (the reference's per-file pandas loop caps files at chunk size,
+      // K6 ≤5000 rows) — a file larger than
+      // spark.sql.files.maxPartitionBytes (128 MiB default) would be
+      // split and could misnumber; raise that conf if such files appear.
       val cleaned = Schemas.sensorColumns.foldLeft(
         batchOk.withColumn("__mono", monotonically_increasing_id()))((d, c) =>
         d.withColumn(c, Cleanse.naNormalize(col(c))))
@@ -90,24 +104,57 @@ object Ingest {
           val path = FsRouting.toLocalPath(fileUri)
           val name = path.getFileName.toString
           val nRows = v.getAs[Long]("n_rows")
-          if (!v.getAs[Boolean]("is_clean")) {
-            val reason = Option(v.getAs[String]("first_error"))
-              .getOrElse("Validation failed.")
-            FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-            outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
-          } else {
-            val fileRows = validated.filter(col("__file") === fileUri)
+          val nInvalid = v.getAs[Long]("n_invalid")
+          val isClean = v.getAs[Boolean]("is_clean")
+          val firstError = Option(v.getAs[String]("first_error"))
+
+          // Commit one file's rows + aggregates; shared by both modes.
+          def commit(fileRows: DataFrame, committedRows: Long,
+              dropped: Long): Unit = {
             val typed = Cleanse.castTyped(
               fileRows.select(Schemas.sensorColumns.map(col): _*))
             val agg = Aggregate.metricAggregates(
               typed, Seq("sensor_id"), Schemas.metricColumns, "timestamp")
             if (sink.write(name, typed, agg)) {
               FsRouting.markProcessed(path, Paths.get(conf.processedDir))
-              outcomes += FileOutcome(name, "processed", None, nRows)
+              log.info(s"Successfully stored data from '$name'. Moving to processed.")
+              outcomes += FileOutcome(name, "processed",
+                if (dropped > 0) Some(s"$dropped invalid rows dropped") else None,
+                committedRows)
             } else {
               // retained in data/ for retry next batch (T5)
+              log.error(s"Failed to store data for '$name' in DB. " +
+                "File remains in data folder for retry.")
               outcomes += FileOutcome(name, "retained", Some("sink failure"), nRows)
             }
+          }
+
+          if (conf.strictMode) {
+            log.info(s"File '$name': Starting STRICT validation for $nRows rows.")
+            if (!isClean) {
+              val reason = firstError.getOrElse("Validation failed.")
+              log.warn(s"Strict validation failed for '$name'. " +
+                s"Quarantining. Summary: $reason")
+              FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+              log.warn(s"File '$name' moved to quarantine. Reason: $reason")
+              outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
+            } else {
+              log.info(s"File '$name': All $nRows rows passed strict validation.")
+              commit(validated.filter(col("__file") === fileUri), nRows, 0L)
+            }
+          } else {
+            // Lenient: drop bad rows with a logged summary, commit the
+            // valid subset (reference log evidence: "Validation
+            // complete. 19 valid rows out of 20." then store + move).
+            val nValid = nRows - nInvalid
+            log.info(s"File '$name': Starting validation for $nRows rows.")
+            log.info(s"File '$name': Validation complete. " +
+              s"$nValid valid rows out of $nRows.")
+            firstError.foreach(e =>
+              log.warn(s"File '$name': Summary of row-level issues: $e"))
+            commit(
+              validated.filter(col("__file") === fileUri && col("is_valid")),
+              nValid, nInvalid)
           }
         }
       } finally validated.unpersist()
@@ -118,7 +165,9 @@ object Ingest {
     // action above has completed.
     headerBad.foreach { case (uri, reason) =>
       val path = FsRouting.toLocalPath(uri)
+      log.error(s"File '${path.getFileName}': $reason")
       FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+      log.warn(s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
       outcomes += FileOutcome(path.getFileName.toString, "quarantined",
         Some(reason), 0L)
     }
@@ -133,15 +182,22 @@ object Ingest {
   def sweepEmptyFiles(conf: PipelineConf): Seq[FileOutcome] = {
     val dir = Paths.get(conf.dataDir)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".csv"))
-      .filter(p => countDataLines(p) == 0)
-      .map { p =>
-        FsRouting.quarantine(p, Paths.get(conf.quarantineDir),
-          FsRouting.EmptyFileReason)
-        FileOutcome(p.getFileName.toString, "quarantined",
-          Some(FsRouting.EmptyFileReason), 0L)
-      }.toSeq
+    // Files.list holds a directory fd until closed; this runs every
+    // micro-batch of a long-lived query, so leaking it would exhaust the
+    // process fd limit. toSeq materializes before the finally closes.
+    val listing = Files.list(dir)
+    try {
+      listing.iterator().asScala
+        .filter(p => p.toString.endsWith(".csv"))
+        .filter(p => countDataLines(p) == 0)
+        .map { p =>
+          log.warn(s"File '${p.getFileName}' is empty. Quarantining.")
+          FsRouting.quarantine(p, Paths.get(conf.quarantineDir),
+            FsRouting.EmptyFileReason)
+          FileOutcome(p.getFileName.toString, "quarantined",
+            Some(FsRouting.EmptyFileReason), 0L)
+        }.toSeq
+    } finally listing.close()
   }
 
   /** Required columns absent from the file's header line (V6). */

@@ -30,6 +30,36 @@ class IngestSpec extends SparkSpec {
     checkpointDir = root.resolve("checkpoint").toString,
     monitorIntervalSec = 1)
 
+  /** Capture the Ingest logger's formatted messages while `body` runs
+    * (K8 assertions — the structured run log is part of the contract).
+    */
+  private def capturingLogs(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{Configurator, Property}
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AbstractAppender(
+        "graft-ingest-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = events.synchronized {
+        events += e.getMessage.getFormattedMessage
+      }
+    }
+    appender.start()
+    val core = LogManager.getLogger("graft.stream.Ingest")
+      .asInstanceOf[CoreLogger]
+    val prevLevel = core.getLevel
+    Configurator.setLevel("graft.stream.Ingest", Level.INFO)
+    core.addAppender(appender)
+    try body
+    finally {
+      core.removeAppender(appender)
+      Configurator.setLevel("graft.stream.Ingest", prevLevel)
+      appender.stop()
+    }
+    events.synchronized(events.toSeq)
+  }
+
   test("end-to-end routing: clean commits+moves, dirty quarantines with reason, empty sweeps") {
     val root = tmp("graft_ingest")
     val conf = mkConf(root)
@@ -69,6 +99,69 @@ class IngestSpec extends SparkSpec {
     assert(agg.count() === 6) // 2 sensors x 3 metrics
     assert(raw.select("file_name").distinct().collect()
       .map(_.getString(0)).toSet === Set("clean.csv"))
+  }
+
+  test("lenient mode commits the valid subset of a mixed file and logs the drop") {
+    val root = tmp("graft_lenient")
+    val conf = mkConf(root).copy(strictMode = false)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+
+    writeCsv(dataDir, "mixed.csv",
+      "2025-05-26 04:36:08,S1,26.41,0.95,1014.74",
+      "2025-05-26 04:37:08,S1,abc,0.95,1014.74", // bad temperature
+      "2025-05-26 04:38:08,S2,-4.35,0.90,1016.09")
+
+    val logs = capturingLogs {
+      val q = Ingest.start(spark, conf, new ParquetSink(rawOut, aggOut))
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
+    // lenient: file is PROCESSED (not quarantined), bad row dropped
+    assert(Files.exists(root.resolve("processed/mixed.csv")))
+    assert(!Files.exists(root.resolve("quarantine/mixed.csv")))
+    val raw = spark.read.parquet(rawOut)
+    assert(raw.count() === 2)
+    assert(raw.select("sensor_id").distinct().collect()
+      .map(_.getString(0)).toSet === Set("S1", "S2"))
+
+    // K8 run-log parity with the reference's lenient evidence
+    // (`logs/pipeline.log`: "Validation complete. 19 valid rows out of 20.")
+    assert(logs.exists(_.contains(
+      "File 'mixed.csv': Validation complete. 2 valid rows out of 3.")))
+    assert(logs.exists(_.contains(
+      "File 'mixed.csv': Summary of row-level issues:")))
+    assert(logs.exists(_.contains(
+      "Successfully stored data from 'mixed.csv'. Moving to processed.")))
+  }
+
+  test("strict mode logs the per-stage run log with file context (K8)") {
+    val root = tmp("graft_k8")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+
+    writeCsv(dataDir, "good.csv",
+      "2025-05-26 04:36:08,S1,26.41,0.95,1014.74")
+    writeCsv(dataDir, "bad.csv",
+      "2025-05-26 04:36:08,S1,999.0,0.95,1014.74") // out of range
+
+    val logs = capturingLogs {
+      val q = Ingest.start(spark, conf, new ParquetSink(
+        root.resolve("raw").toString, root.resolve("agg").toString))
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
+    assert(logs.exists(_.contains(
+      "File 'good.csv': Starting STRICT validation for 1 rows.")))
+    assert(logs.exists(_.contains(
+      "File 'good.csv': All 1 rows passed strict validation.")))
+    assert(logs.exists(_.contains(
+      "Successfully stored data from 'good.csv'. Moving to processed.")))
+    assert(logs.exists(l => l.contains(
+      "Strict validation failed for 'bad.csv'. Quarantining. Summary:")))
+    assert(logs.exists(_.contains(
+      "File 'bad.csv' moved to quarantine. Reason:")))
   }
 
   test("file with missing required columns is quarantined at the header check") {
