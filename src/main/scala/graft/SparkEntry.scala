@@ -313,6 +313,10 @@ object SparkEntry {
       Dedup.simHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text", maxDist = 6)),
 
+    // Oracle-checked ANN paths: bucket/centroid decisions round to 6 dp
+    // in both engines, and the oracle SQL inlines the same hyperplane
+    // constants / derives the same centroids (see simLshOracleSql /
+    // simIvfOracleSql below).
     "q_sim_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshBucketedTopK(
@@ -414,11 +418,83 @@ p AS (
 SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
   }
 
+  /** DuckDB oracle for q_sim_lsh: the sign-LSH hyperplanes are the SAME
+    * JVM-deterministic constants [[Similarity.hyperplane]] uses, inlined
+    * as double literals; projections are rounded to 6 dp before the sign
+    * test in BOTH engines so bucket ids agree bit-exactly.
+    */
+  private def simLshOracleSql: String = {
+    val bits = 4
+    val dim = 64
+    val bucketExpr = (0 until bits).map { p =>
+      val lits = Similarity.hyperplane(p, dim).mkString("[", ", ", "]")
+      s"(CASE WHEN ROUND(list_inner_product(emb, $lits), 6) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+    $bucketExpr AS bucket
+  FROM e),
+q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM b WHERE vec_id < 50),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND(list_inner_product(q.qe, c.emb)
+      / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.emb, c.emb))), 6) AS sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 10"""
+  }
+
+  /** DuckDB oracle for q_sim_ivf: centroids are derived the same way the
+    * Spark side derives them (the nlist smallest vec_ids), assignment
+    * and probing rank by ROUND(sim, 6) DESC, cid DESC — exactly the
+    * struct-sort order of [[Similarity.ivfTopK]].
+    */
+  private def simIvfOracleSql: String = {
+    val nlist = 16
+    val nprobe = 4
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $nlist)),
+asim AS (
+  SELECT e.vec_id, cent.cid,
+    ROUND(list_inner_product(e.emb, cent.cemb)
+      / (sqrt(list_inner_product(cent.cemb, cent.cemb)) * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, cid AS list FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS r
+    FROM asim) WHERE r = 1),
+probe AS (
+  SELECT vec_id, cid AS list FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS r
+    FROM asim WHERE vec_id < 50) WHERE r <= $nprobe),
+c AS (SELECT e.vec_id, e.emb, a.list FROM e JOIN assign a USING (vec_id)),
+q AS (SELECT e.vec_id AS query_id, e.emb AS qe, p.list FROM e JOIN probe p ON e.vec_id = p.vec_id),
+p2 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND(list_inner_product(q.qe, c.emb)
+      / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.emb, c.emb))), 6) AS sim
+  FROM q JOIN c ON q.list = c.list AND c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM p2)
+WHERE rnk <= 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_dedup_simhash" -> simHashOracleSql,
 
     "q_dedup_minhash" -> minHashOracleSql,
+
+    "q_sim_lsh" -> simLshOracleSql,
+
+    "q_sim_ivf" -> simIvfOracleSql,
 
     "q_scan_cast" ->
       """SELECT event_id,

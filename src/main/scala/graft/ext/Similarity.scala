@@ -73,20 +73,24 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
-    * component j of plane p from a seeded xorshift-free simple LCG so
-    * plans are identical across runs/JVMs.
+    * component j of plane p from a seeded generator so plans are
+    * identical across runs/JVMs — and inlinable into the DuckDB oracle
+    * (the same constants render into SQL literals).
     */
-  private def hyperplane(p: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(p: Int, dim: Int): Array[Double] = {
     val rnd = new scala.util.Random(0x5EED0000L + p)
     Array.fill(dim)(rnd.nextGaussian())
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane. */
+  /** Sign-LSH bucket id: one bit per hyperplane. The projection is
+    * rounded to 6 dp before the sign test so bucket assignment can't
+    * flip on a last-ulp difference between engines.
+    */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
     val planes = (0 until bits).map(p => hyperplane(p, dim))
     planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(round(dot(vec, planeCol), 6) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -150,11 +154,13 @@ object Similarity {
     // Row norm comes in as a column so dot(vec,vec) is evaluated once
     // per row, not once per centroid. No HOF lambdas anywhere: static
     // element_at extractions instead (lambda codegen is expensive).
+    // Sims are rounded to 6 dp BEFORE the argmax so list assignment is
+    // deterministic across engines (same guard as lshBucket).
     def simsTo(vec: Column, vecNorm: Column): Column =
       array(centroids.map { case (cid, c) =>
         val cCol = array(c.map(lit): _*)
         val norm = math.sqrt(c.map(x => x * x).sum)
-        struct((dot(vec, cCol) / (lit(norm) * vecNorm)).as("sim"),
+        struct(round(dot(vec, cCol) / (lit(norm) * vecNorm), 6).as("sim"),
           lit(cid).as("cid"))
       }: _*)
     def nearestList(vec: Column, vecNorm: Column): Column =
