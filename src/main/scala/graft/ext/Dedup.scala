@@ -171,11 +171,12 @@ object Dedup {
 
   /** 60-bit integer from the md5 of a shingle, reduced mod P — the
     * portable base hash (`('0x' || substr(md5(s),1,15))::BIGINT` in
-    * DuckDB, `conv(substring(md5(s),1,15),16,10)` here).
+    * DuckDB; here the codegen-free [[graft.functions.Md5Prefix60]],
+    * which reads the digest bytes directly instead of allocating and
+    * re-parsing a hex string per shingle).
     */
   def portableBaseHash(sh: Column): Column =
-    conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10)
-      .cast("long") % PortableP
+    graft.functions.HashExprs.md5Prefix60(sh) % PortableP
 
   def portableMinHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
@@ -261,9 +262,7 @@ object Dedup {
     val exploded = docs.select(
       col(idCol),
       explode(split(trim(lower(col(textCol))), " ")).as("__tok"))
-      .withColumn("__m",
-        conv(substring(md5(col("__tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("__m", graft.functions.HashExprs.md5Prefix60(col("__tok")))
     val bitSums = (0 until bits).map { i =>
       sum(when(shiftrightunsigned(col("__m"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$i")
