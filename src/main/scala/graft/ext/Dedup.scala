@@ -53,7 +53,7 @@ object Dedup {
       .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
       .drop("__fp")
 
-  /** Distinct word n-gram shingles — the codegen-free custom
+  /** Distinct word n-gram shingles — the custom codegen'd
     * [[graft.functions.WordShingles]] expression (the HOF formulation
     * costs ~15 s of lambda codegen per query plus ~10x slower eval).
     */
@@ -171,7 +171,7 @@ object Dedup {
 
   /** 60-bit integer from the md5 of a shingle, reduced mod P — the
     * portable base hash (`('0x' || substr(md5(s),1,15))::BIGINT` in
-    * DuckDB; here the codegen-free [[graft.functions.Md5Prefix60]],
+    * DuckDB; here the codegen'd [[graft.functions.Md5Prefix60]],
     * which reads the digest bytes directly instead of allocating and
     * re-parsing a hex string per shingle).
     */

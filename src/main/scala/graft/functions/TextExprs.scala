@@ -2,42 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a lowercased, trimmed text column.
-  *
-  * Why a custom Expression: the composable formulation —
-  * `transform(sequence(0, size(toks)-n), i -> array_join(slice(toks,
-  * i+1, n), " "))` — pays ~15 s of one-time lambda codegen per query
-  * AND evaluates ~10× slower than a flat loop (the lambda-bound `slice`
-  * re-materializes per element). Shingling sits under every MinHash
-  * signature scan, so it must be a single tight pass per document.
-  *
-  * Evaluates as one Scala loop over the token array; interpreted eval
-  * (CodegenFallback) is already ~30× faster end-to-end than the HOF
-  * chain and adds no janino compile time.
+/** Static shingling kernel, called from both interpreted eval and the
+  * generated Java (keeps the surrounding stage in whole-stage codegen).
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(n >= 1, s"shingle size must be >= 1, got $n")
-
-  override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"word_shingles needs a string input, got ${child.dataType.simpleString}")
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+object WordShingleOps {
+  def shingle(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
     // Locale.ROOT: locale-independent lowering, matching Spark's lower()
     // and DuckDB (default-locale toLowerCase breaks on e.g. Turkish I).
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
@@ -67,6 +42,43 @@ case class WordShingles(child: Expression, n: Int)
       }
     new GenericArrayData(out.map(s => UTF8String.fromString(s): Any))
   }
+}
+
+/** Distinct word n-gram shingles of a lowercased, trimmed text column.
+  *
+  * Why a custom Expression: the composable formulation —
+  * `transform(sequence(0, size(toks)-n), i -> array_join(slice(toks,
+  * i+1, n), " "))` — pays ~15 s of one-time lambda codegen per query
+  * AND evaluates ~10× slower than a flat loop (the lambda-bound `slice`
+  * re-materializes per element). Shingling sits under every MinHash
+  * signature scan, so it must be a single tight pass per document.
+  *
+  * Evaluates as one Scala loop over the token array
+  * ([[WordShingleOps.shingle]]); the generated code is a static call to
+  * the same kernel, so shingling stages stay in whole-stage codegen.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleOps.shingle(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingleOps.shingle($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
