@@ -237,6 +237,12 @@ object SparkEntry {
         TextStats.fingerprint(col("text")).as("fp"),
         TextStats.normalizedFingerprint(col("text")).as("norm_fp"))),
 
+    // Winnowing (rolling-hash) fingerprint sets — partial-overlap
+    // detection (MOSS algorithm), k=3-token grams, window w=4.
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      TextStats.winnowingFingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)),
+
     // Brute-force cosine top-10 for query vectors vec_id < 50.
     "q_sim_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -664,6 +670,29 @@ WHERE rnk <= 10"""
       """SELECT doc_id, md5(text) AS fp,
         |  md5(array_to_string(list_sort(list_distinct(str_split(LOWER(TRIM(text)), ' '))), ' ')) AS norm_fp
         |FROM documents""".stripMargin,
+
+    // Winnowing: same positional 3-gram, same 60-bit md5 hash, same
+    // window-minimum selection over w=4 full windows.
+    "q_fingerprint_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(TRIM(LOWER(text)), ' ') AS tk FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> {'pos': i, 'gram': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]})) AS s
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, s.pos AS pos,
+        |    ('0x' || substr(md5(s.gram), 1, 15))::BIGINT AS h
+        |  FROM g0),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS r,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM wmin WHERE r <= GREATEST(1, m - 3)""".stripMargin,
 
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

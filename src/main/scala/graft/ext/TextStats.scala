@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Text analysis for LLM training-data pipelines: token stats,
@@ -73,4 +74,54 @@ object TextStats {
     md5(array_join(
       array_sort(array_distinct(split(lower(trim(text)), " "))), " ")
       .cast("binary"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS rolling-hash algorithm): hash every POSITIONAL k-token gram,
+    * slide a window of `w` consecutive gram hashes, keep each window's
+    * minimum; the distinct selected hashes are the document's
+    * fingerprint set. Guarantee: two documents sharing any token run of
+    * length >= k + w - 1 share at least one fingerprint — the partial-
+    * overlap detector that whole-document hashes can't provide.
+    *
+    * Scale shape: one shuffle keyed on the doc id; every window
+    * (k-gram lead, count, row_number, min-over-frame) shares that
+    * partitioning, and partitions are single documents — bounded work
+    * per doc at any corpus size. The gram hash is the portable
+    * [[graft.functions.Md5Prefix60]], so the whole operator is
+    * oracle-checkable in DuckDB.
+    *
+    * Output: (idCol, fp) — one row per distinct selected hash. Documents
+    * shorter than k tokens have no k-gram and produce no rows.
+    */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // Positional k-gram via k-1 lead()s (no HOF lambdas): gram at pos i
+    // is toks[i..i+k-1], present only while the last member exists.
+    val gramCols = (0 until k).map {
+      case 0 => col("__tok")
+      case j => lead(col("__tok"), j).over(byPos)
+    }
+    val grams = docs
+      .select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__tok")))
+      .withColumn("__last", gramCols.last)
+      .withColumn("__h",
+        graft.functions.HashExprs.md5Prefix60(concat_ws(" ", gramCols: _*)))
+      .filter(col("__last").isNotNull)
+    // Select window minima only at full-window start positions (the
+    // last m-w+1 .. m starts are clipped windows); a doc with fewer
+    // than w grams is one whole window so it still yields >=1 print.
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val all = Window.partitionBy(col(idCol))
+    grams
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__r", row_number().over(byPos))
+      .withColumn("__fp", min(col("__h")).over(frame))
+      .filter(col("__r") <= greatest(lit(1), col("__m") - (w - 1)))
+      .select(col(idCol), col("__fp").as("fp"))
+      .distinct()
+  }
 }

@@ -70,4 +70,23 @@ class TextStatsSpec extends SparkSpec {
       .select(TextStats.fingerprint(col("t"))).as[String].head()
     assert(known === "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("winnowing: shared run of >= k+w-1 tokens shares a fingerprint") {
+    // k=3, w=4 -> any shared run of 6 tokens must yield a common print.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"unrelated prefix words here $shared"),
+      (2L, s"$shared completely other suffix tokens"),
+      (3L, "nothing in common with either document at all"),
+      (4L, "tiny doc"), // < k tokens -> no fingerprints
+      (5L, "one two three")) // exactly k tokens -> 1 gram -> 1 print
+      .toDF("doc_id", "text")
+    val fp = TextStats.winnowingFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty)        // guarantee holds
+    assert((fp(1L) & fp(3L)).isEmpty)          // no spurious overlap
+    assert(!fp.contains(4L))                   // too short: no prints
+    assert(fp(5L).size === 1)                  // whole doc = one window
+  }
 }
