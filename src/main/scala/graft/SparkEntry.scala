@@ -257,11 +257,18 @@ object SparkEntry {
         d, d.filter(col("doc_id") < 200), "doc_id", "text", threshold = 0.5)
     }),
 
-    // Embedding-cosine near-dup pairs.
+    // Embedding-cosine near-dup pairs (bounded query side, exact).
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, queryMax = 200)),
+
+    // Embedding near-dup, BOTH sides unbounded: sign-LSH bucket
+    // equi-join (the 100 TB path), exact-cosine verified.
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicatesLsh(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, bits = 4)),
 
     // Multimodal metadata decode (deterministic stub codec; real
     // mapPartitions plumbing).
@@ -429,14 +436,19 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
     * as double literals; projections are rounded to 6 dp before the sign
     * test in BOTH engines so bucket ids agree bit-exactly.
     */
-  private def simLshOracleSql: String = {
-    val bits = 4
-    val dim = 64
-    val bucketExpr = (0 until bits).map { p =>
+  /** The sign-LSH bucket id as DuckDB SQL over a column `emb`
+    * (DOUBLE[]), with the SAME hyperplane constants as
+    * [[Similarity.lshBucket]] inlined as literals.
+    */
+  private def lshBucketSqlExpr(bits: Int, dim: Int): String =
+    (0 until bits).map { p =>
       val lits = Similarity.hyperplane(p, dim).mkString("[", ", ", "]")
       s"(CASE WHEN ROUND(list_inner_product(emb, $lits), 6) >= 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n    + ")
+
+  private def simLshOracleSql: String = {
+    val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 b AS (
   SELECT vec_id, emb,
@@ -492,7 +504,27 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 WHERE rnk <= 10"""
   }
 
+  /** DuckDB oracle for q_dedup_embed_lsh: same bucket constants, same
+    * equi-join + exact-cosine verification.
+    */
+  private def embedLshOracleSql: String = {
+    val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+    $bucketExpr AS bucket
+  FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+  ROUND(list_inner_product(a.emb, c.emb)
+    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_inner_product(a.emb, c.emb)
+    / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) >= 0.4"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_embed_lsh" -> embedLshOracleSql,
 
     "q_dedup_simhash" -> simHashOracleSql,
 

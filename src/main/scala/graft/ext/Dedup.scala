@@ -435,8 +435,8 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs ≥ threshold (id_a < id_b), exact
-    * within the bounded query side. The unbounded scale path buckets
-    * both sides with [[Similarity.lshBucket]] first.
+    * within the bounded query side. The unbounded scale path is
+    * [[embeddingNearDuplicatesLsh]].
     */
   def embeddingNearDuplicates(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -449,6 +449,37 @@ object Dedup {
       col(idCol).as("id_b"), col(vecCol).as("__vb"))
       .withColumn("__nb", sqrt(vdot(col("__vb"), col("__vb"))))
     b.join(broadcast(a), col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding-cosine near-dup with BOTH sides unbounded: bucket every
+    * vector with [[Similarity.lshBucket]] (sign-LSH — near-identical
+    * vectors land in the same bucket with high probability), equi-join
+    * on the bucket id, verify candidates with the exact cosine. The
+    * pair space shrinks from |C|²/2 to Σ_buckets n_b²/2 — one shuffle
+    * equi-join that AQE can re-plan for bucket skew; nothing is
+    * broadcast or bounded. Recall is traded for scale: only same-bucket
+    * pairs are reported (raise bits to shrink buckets, lower to raise
+    * recall).
+    */
+  def embeddingNearDuplicatesLsh(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bits: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.{dot => vdot}
+    val bucketed = emb.select(
+      col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), dim, bits).as("__bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__bucket"))
+      .withColumn("__na", sqrt(vdot(col("__va"), col("__va"))))
+    val b = bucketed.select(col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__bucket"))
+      .withColumn("__nb", sqrt(vdot(col("__vb"), col("__vb"))))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         round(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cosine") >= threshold)

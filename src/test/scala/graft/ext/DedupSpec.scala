@@ -105,6 +105,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("embedding LSH dedup finds same-bucket near-dups as a subset of brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Dedup.embeddingNearDuplicatesLsh(
+      emb, "vec_id", "embedding", threshold = 0.4, dim = 64, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDuplicates(
+      emb, "vec_id", "embedding", threshold = 0.4, queryMax = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sign-LSH trades recall, never precision: every reported pair is a
+    // true near-dup, and identical vectors always share a bucket.
+    assert(lsh.nonEmpty && lsh.subsetOf(brute))
+  }
+
   test("prefix-filter jaccardPairs matches brute-force all-pairs on real docs") {
     // The prefix-filter candidate generation must lose NO pair the
     // all-pairs scan finds (completeness of the prefix-filter lemma).
