@@ -15,6 +15,10 @@ import graft.stream.Ingest
   * GRAFT_JDBC_PASSWORD), raw rows + aggregates go to MySQL exactly like
   * the reference (`store_data`, one transaction per file); otherwise the
   * lake-native parquet sink writes under <dataDir>/../{raw,agg}.
+  *
+  * Validation mode: GRAFT_LENIENT=1 selects the lenient pipeline
+  * variant (drop invalid rows, commit the valid subset); default is the
+  * reference's strict whole-file quarantine.
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -25,7 +29,8 @@ object PipelineMain {
       dataDir = dataDir,
       processedDir = arg(1, root.resolve("processed").toString),
       quarantineDir = arg(2, root.resolve("quarantine").toString),
-      checkpointDir = arg(3, root.resolve("checkpoint").toString))
+      checkpointDir = arg(3, root.resolve("checkpoint").toString),
+      strictMode = !sys.env.get("GRAFT_LENIENT").exists(_ == "1"))
 
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
