@@ -243,6 +243,26 @@ object SparkEntry {
       TextStats.winnowingFingerprints(
         Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)),
 
+    // Composite curation pipeline — lang-ID filter → quality gate →
+    // exact dedup (min-id representative), as ONE Catalyst plan: the
+    // scan computes all scores in a single pass, the only shuffle is
+    // the dedup groupBy, and column pruning drops `text` after the agg.
+    "q_curate" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.langId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+      // identical text ⇒ identical scores, so min() is exact, not a choice
+      scored.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("quality")).as("quality"),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_tokens", "quality", "n_copies")
+    }),
+
     // Brute-force cosine top-10 for query vectors vec_id < 50.
     "q_sim_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -702,6 +722,24 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       """SELECT doc_id, md5(text) AS fp,
         |  md5(array_to_string(list_sort(list_distinct(str_split(LOWER(TRIM(text)), ' '))), ' ')) AS norm_fp
         |FROM documents""".stripMargin,
+
+    "q_curate" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    LEN(str_split(TRIM(text), ' ')) AS n_tokens,
+        |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
+        |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |           t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality,
+        |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |      t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |      / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) AS stop_ratio
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+        |  MIN(quality) AS quality, COUNT(*) AS n_copies
+        |FROM s
+        |WHERE stop_ratio >= 0.05 AND quality >= 0.3
+        |GROUP BY text""".stripMargin,
 
     // Winnowing: same positional 3-gram, same 60-bit md5 hash, same
     // window-minimum selection over w=4 full windows.
