@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("jaccardPairs at threshold 1.0 finds exactly the identical token sets") {
+    // prefix length collapses to 1 token at t=1.0 — the lemma still
+    // guarantees identical sets share their minimum token.
+    val out = Dedup.jaccardPairs(docs, docs, "doc_id", "text", 1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 2L))) // the exact-dup pair only
+  }
+
   test("embedding LSH dedup finds same-bucket near-dups as a subset of brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val lsh = Dedup.embeddingNearDuplicatesLsh(

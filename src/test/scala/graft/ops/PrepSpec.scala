@@ -15,6 +15,25 @@ class PrepSpec extends SparkSpec {
     assert(rn.filter(col("rn") =!= col("id") + 1).count() === 0)
   }
 
+  test("global row number preserves nullable strings/doubles through the unsafe projection") {
+    val df = Seq(
+      (3L, "c", Option(1.5)), (1L, "a", Option.empty[Double]),
+      (2L, null.asInstanceOf[String], Option(2.0)))
+      .toDF("id", "s", "v").repartition(5)
+    val rows = Ordinal.withGlobalRowNumber(df, Seq(col("id")), "rn")
+      .orderBy("rn")
+      .as[(Long, String, Option[Double], Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "a", None, 1L), (2L, null, Some(2.0), 2L), (3L, "c", Some(1.5), 3L)))
+  }
+
+  test("global row number of an empty frame is empty with the extra column") {
+    val out = Ordinal.withGlobalRowNumber(
+      spark.range(0).toDF("id"), Seq(col("id")), "rn")
+    assert(out.columns.toSeq === Seq("id", "rn"))
+    assert(out.count() === 0)
+  }
+
   test("roundRobinTag cycles ids by row position") {
     val out = Prep.roundRobinTag(
       spark.range(0, 10).toDF("id"), Seq("a", "b", "c"), col("id"), "tag")
