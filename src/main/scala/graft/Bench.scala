@@ -13,8 +13,19 @@ object Bench {
     Tables.prepare(spark)
     // Untimed warmup: pay JVM/JIT/codegen base cost and fault the input
     // files into page cache once, so per-query timings measure the
-    // queries rather than cold-start overhead.
+    // queries rather than cold-start overhead. Running the whole
+    // inventory once at sf0.001 (~2 s of work) compiles every generated
+    // stage and JITs the custom-expression kernels — measured 3-7 s of
+    // otherwise-attributed first-run cost on the dedup family alone.
     SparkEntry.entry(spark).count()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () } // warmup only; timed pass reports
+      }
+      spark.catalog.clearCache()
+    }
     Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
