@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class DocSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl reads typed documents and isolates malformed lines as rows") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(dir.resolve("part0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}
+        |{"doc_id": 2, "text": "zweites dokument", "lang": "de", "source": "web", "n_chars": 16}
+        |this line is not json at all
+        |{"doc_id": 3, "text": "third", "lang": "en", "source": "books", "n_chars": 5}
+        |""".stripMargin)
+
+    val ok = DocSources.jsonl(spark, dir.toString)
+    assert(ok.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(ok.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+
+    // the malformed LINE is routable, the file is not poisoned
+    // (project a data column too: Spark disallows queries touching ONLY
+    // the corrupt-record column)
+    val bad = DocSources.jsonlRaw(spark, dir.toString)
+      .select("doc_id", "_corrupt_record")
+      .filter($"_corrupt_record".isNotNull)
+      .as[(Option[Long], String)].collect()
+    assert(bad.length === 1)
+    assert(bad.head._2.contains("not json"))
+  }
+
+  test("csv reads quoted text fields and drops malformed rows") {
+    val dir = Files.createTempDirectory("graft_csvdocs")
+    Files.writeString(dir.resolve("docs.csv"),
+      """doc_id,text,lang,source,n_chars
+        |1,"comma, inside text",en,web,18
+        |2,plain text,de,web,10
+        |""".stripMargin)
+    val out = DocSources.csv(spark, dir.toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "comma, inside text")
+    assert(out(2L) === "plain text")
+  }
+}
