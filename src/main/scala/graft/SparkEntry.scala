@@ -320,6 +320,12 @@ object SparkEntry {
     "q_topk_users" -> ((s, dir) =>
       ext.Analytics.topKByValue(Tables.events(s, dir), 10)),
 
+    // Hot-key-safe exact distinct count (two-phase dedup-then-count).
+    "q_distinct_users" -> ((s, dir) =>
+      Aggregate.countDistinctScalable(
+        Tables.events(s, dir), Seq("event_type"), "user_id",
+        outCol = "n_users")),
+
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
     // Oracle-checked MinHash: md5-derived hash family computable
@@ -847,6 +853,10 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text' AS media_type,

@@ -78,4 +78,23 @@ object Aggregate {
     */
   def groupCounts(df: DataFrame, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+
+  /** [EXT] Hot-key-safe exact distinct count per group.
+    *
+    * `countDistinct` shuffles ALL of a group's values to one reducer —
+    * a single hot key (one user with a billion events) concentrates its
+    * whole value set on one task. The two-phase form dedups on
+    * (group, value) first, so phase 1 spreads a hot group across the
+    * cluster by value hash (partial aggregation dedups map-side too);
+    * phase 2 then counts one row per distinct value. Same answer, no
+    * single-task hotspot — the groupBy analog of AQE's skew-join split.
+    */
+  def countDistinctScalable(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String = "n_distinct"): DataFrame =
+    df.select((groupCols :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull) // COUNT(DISTINCT x) ignores nulls
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(outCol))
 }

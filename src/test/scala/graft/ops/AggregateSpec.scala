@@ -69,4 +69,17 @@ class AggregateSpec extends SparkSpec {
     assert(Aggregate.metricAggregates(full, Seq("sensor_id"),
       Seq("temperature", "humidity", "pressure"), "timestamp").count() === 9)
   }
+
+  test("countDistinctScalable matches COUNT(DISTINCT) incl. null skipping") {
+    val df = Seq(
+      ("a", Option(1L)), ("a", Option(1L)), ("a", Option(2L)),
+      ("a", Option.empty[Long]), ("b", Option(9L)))
+      .toDF("k", "v")
+    val out = Aggregate.countDistinctScalable(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L))
+    val builtin = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out === builtin)
+  }
 }
