@@ -326,6 +326,13 @@ object SparkEntry {
         Tables.events(s, dir), Seq("event_type"), "user_id",
         outCol = "n_users")),
 
+    // Curation scrub: mask emails/URLs, strip control chars, collapse
+    // whitespace — one codegen'd projection over the corpus.
+    "q_text_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        ext.TextClean.scrub(col("text")).as("clean_text"))),
+
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
     // Oracle-checked MinHash: md5-derived hash family computable
@@ -857,6 +864,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_distinct_users" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ ]+', '<URL>', 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text' AS media_type,

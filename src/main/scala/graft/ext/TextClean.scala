@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text scrubbing / normalization for training-data curation:
+  * mask identifier-like substrings (emails, URLs), collapse whitespace,
+  * strip control characters. Pure `regexp_replace` Column chains —
+  * codegen'd, one pass per document, no UDFs — so a corpus-wide scrub
+  * is a single embarrassingly-parallel projection.
+  *
+  * Patterns use only character classes, quantifiers and alternation so
+  * Java regex (Spark) and RE2 (DuckDB/others) agree — no backrefs, no
+  * lookaround (RE2 has neither).
+  */
+object TextClean {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val ControlPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+  /** Replace email addresses with a mask token. */
+  def scrubEmails(text: Column, mask: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, mask)
+
+  /** Replace http(s) URLs with a mask token. */
+  def scrubUrls(text: Column, mask: String = "<URL>"): Column =
+    regexp_replace(text, UrlPattern, mask)
+
+  /** Strip non-printing control characters (keeps \t \n \r). */
+  def stripControl(text: Column): Column =
+    regexp_replace(text, ControlPattern, "")
+
+  /** Collapse runs of whitespace to single spaces and trim. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "[ \\t\\r\\n]+", " "))
+
+  /** The standard curation scrub: mask PII-ish identifiers, drop
+    * control chars, normalize whitespace — composed as ONE projection.
+    */
+  def scrub(text: Column): Column =
+    collapseWhitespace(stripControl(scrubUrls(scrubEmails(text))))
+}

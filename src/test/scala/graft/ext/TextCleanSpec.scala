@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrubOne(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(TextClean.scrub(col("t"))).as[String].head()
+
+  test("emails and urls are masked") {
+    assert(scrubOne("contact me at jane.doe+spam@ex-ample.org today") ===
+      "contact me at <EMAIL> today")
+    assert(scrubOne("see https://example.com/a?b=c and http://x.io") ===
+      "see <URL> and <URL>")
+  }
+
+  test("control chars stripped, whitespace collapsed, ends trimmed") {
+    assert(scrubOne("a\u0007bc") === "abc")
+    assert(scrubOne("  too   many\t\tspaces \n and lines  ") ===
+      "too many spaces and lines")
+  }
+
+  test("clean text is unchanged") {
+    val s = "already clean single spaced text"
+    assert(scrubOne(s) === s)
+  }
+}
