@@ -333,6 +333,11 @@ object SparkEntry {
         col("doc_id"),
         ext.TextClean.scrub(col("text")).as("clean_text"))),
 
+    // Exact per-group quantiles (matches DuckDB quantile_cont).
+    "q_quantiles" -> ((s, dir) =>
+      ext.Analytics.valueQuantiles(
+        Tables.events(s, dir), Seq("event_type"), "value")),
+
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
     // Oracle-checked MinHash: md5-derived hash family computable
@@ -863,6 +868,13 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
 
     "q_distinct_users" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_text_scrub" ->

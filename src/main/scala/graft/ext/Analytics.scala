@@ -98,4 +98,27 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("total_value").desc, col("user_id").asc)
       .limit(k)
+
+  /** Exact per-group value quantiles (linear interpolation — the same
+    * definition as DuckDB's `quantile_cont`, so results match
+    * bit-for-bit after rounding).
+    *
+    * Scale note: exact percentile materializes each group's value
+    * multiset on its reducer — fine while groups fit an executor (low-
+    * cardinality groups over a value column, as here). For billion-row
+    * groups swap `percentile` for `approx_percentile(c, p, accuracy)`
+    * (t-digest-style mergeable sketch, constant memory) — same call
+    * shape, bounded rank error instead of exactness.
+    */
+  def valueQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantiles: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        round(expr(s"percentile($valueCol, ${quantiles.head._2})"), 6)
+          .as(quantiles.head._1),
+        quantiles.tail.map { case (name, p) =>
+          round(expr(s"percentile($valueCol, $p)"), 6).as(name)
+        }: _*)
 }
