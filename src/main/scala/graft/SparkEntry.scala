@@ -883,7 +883,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^ ]+', '<URL>', 'g'),
+        |        'https?://[^ \t\r\n]+', '<URL>', 'g'),
         |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
         |    '[ \t\r\n]+', ' ', 'g')) AS clean_text
         |FROM documents""".stripMargin,

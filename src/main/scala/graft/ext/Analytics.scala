@@ -113,12 +113,17 @@ object Analytics {
   def valueQuantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       quantiles: Seq[(String, Double)] =
-        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame =
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    // ONE percentile aggregate over an array of probabilities: the
+    // group's value multiset is buffered once for all quantiles (three
+    // separate percentile() calls would buffer it three times).
+    val ps = array(quantiles.map(q => lit(q._2)): _*)
+    val outCols = groupCols.map(col) ++ quantiles.zipWithIndex.map {
+      case ((name, _), i) => round(element_at(col("__qs"), i + 1), 6).as(name)
+    }
     df.groupBy(groupCols.map(col): _*)
-      .agg(
-        round(expr(s"percentile($valueCol, ${quantiles.head._2})"), 6)
-          .as(quantiles.head._1),
-        quantiles.tail.map { case (name, p) =>
-          round(expr(s"percentile($valueCol, $p)"), 6).as(name)
-        }: _*)
+      .agg(percentile(col(valueCol), ps).as("__qs"))
+      .select(outCols: _*)
+  }
 }

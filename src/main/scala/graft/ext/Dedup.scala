@@ -128,6 +128,12 @@ object Dedup {
 
   /** Near-duplicate pairs via MinHash LSH, verified against the true
     * token-set Jaccard of the candidate pairs only.
+    *
+    * NOTE: documents shorter than `shingleN` tokens have no shingles
+    * (matching the oracle's n-gram semantics) and are therefore
+    * invisible to the MinHash family — route short docs through
+    * [[exact]]/[[exactByDigest]] (or [[jaccardPairs]], which uses
+    * single tokens) if they must be deduplicated too.
     */
   def minHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -376,6 +382,14 @@ object Dedup {
     * Every stage is a shuffle-partitioned join/agg/window keyed on doc
     * or token — nothing is broadcast or driver-collected, so the same
     * plan holds when BOTH sides are 100 TB-scale.
+    *
+    * Contract notes: the plan is STATELESS — each side's tokenize
+    * projection is recomputed by the prefix and verification stages
+    * (2-3 scans of a cheap per-doc projection) rather than cached, so
+    * repeated calls leave no storage residue; callers looping over one
+    * corpus can pre-persist their own prepped frame. Tokens are
+    * whitespace-split; for n-gram (shingle) Jaccard, shingle the text
+    * into a column first.
     */
   def jaccardPairs(
       corpus: DataFrame, querySide: DataFrame,
@@ -399,6 +413,12 @@ object Dedup {
 
     // Prefix of each doc under the (df, token) order. row_number is
     // windowed PER DOC — partitions stay small at any corpus size.
+    // Prefix length must be >= n - ceil(t·n) + 1 for the lemma to hold;
+    // (1-t)·n in floating point can land one ULP BELOW the exact value
+    // (e.g. t=0.8, n=5: 0.19999…·5 = 0.999… floors to 0, losing a
+    // required prefix token and silently dropping true pairs). The +1e-9
+    // nudges rounding toward a LONGER prefix — always safe (a superset
+    // of candidates; verification prunes), never short.
     def prefixToks(side: DataFrame, id: String, toks: String, n: String) = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__df").asc, col("__tok").asc)
@@ -407,7 +427,7 @@ object Dedup {
         .withColumn("__df", coalesce(col("__df"), lit(0L)))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <=
-          floor(lit(1.0 - threshold) * col(n)).cast("int") + 1)
+          floor(lit(1.0 - threshold) * col(n) + lit(1e-9)).cast("int") + 1)
         .select(col(id), col(n), col("__tok"))
     }
     val pq = prefixToks(q, "doc_a", "toks_a", "n_a")

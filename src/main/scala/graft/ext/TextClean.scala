@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
 object TextClean {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^ ]+"
+  // stop at ANY whitespace, not just space — [^ ]+ would run across a
+  // newline/tab and mask the following non-URL text
+  val UrlPattern = "https?://[^ \\t\\r\\n]+"
   val ControlPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 
   /** Replace email addresses with a mask token. */

@@ -93,8 +93,9 @@ object Aggregate {
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       outCol: String = "n_distinct"): DataFrame =
     df.select((groupCols :+ valueCol).map(col): _*)
-      .filter(col(valueCol).isNotNull) // COUNT(DISTINCT x) ignores nulls
-      .distinct()
+      .distinct() // null survives as one row per group…
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as(outCol))
+      .agg(count(col(valueCol)).as(outCol)) // …but count(col) skips it:
+      // groups whose values are ALL null still appear, with 0 — exactly
+      // COUNT(DISTINCT x)'s contract.
 }

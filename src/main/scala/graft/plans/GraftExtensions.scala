@@ -43,7 +43,10 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _)
+      // legacySizeOfNull=false only: under the legacy conf size(NULL)
+      // is -1, while IntersectSize is null-intolerant (returns NULL) —
+      // rewriting there would change results.
+      case Size(ArrayIntersect(a, b), false)
           if isStringArray(a) && isStringArray(b) &&
             (noNullElements(a) || noNullElements(b)) =>
         IntersectSize(a, b)

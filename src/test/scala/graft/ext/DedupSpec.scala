@@ -105,6 +105,22 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("jaccardPairs finds boundary pairs at non-representable thresholds (t=0.8)") {
+    // jaccard({t1..t5},{t2..t5}) = 4/5 = exactly 0.8. (1-0.8)·5 in
+    // floating point is 0.999…, which floored WITHOUT the epsilon gives
+    // a 1-token prefix — too short, and this true pair is dropped when
+    // the differing token is the globally rarest (regression test).
+    val d = Seq(
+      (1L, "zzq alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta unrelated filler words"),
+      (4L, "more alpha beta filler content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, d, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("jaccardPairs at threshold 1.0 finds exactly the identical token sets") {
     // prefix length collapses to 1 token at t=1.0 — the lemma still
     // guarantees identical sets share their minimum token.

@@ -16,6 +16,13 @@ class TextCleanSpec extends SparkSpec {
       "see <URL> and <URL>")
   }
 
+  test("url match stops at any whitespace, not just space") {
+    // regression: [^ ]+ ran across the newline and destroyed "The"
+    assert(scrubOne("read https://x.io\nThe secret plan") ===
+      "read <URL> The secret plan")
+    assert(scrubOne("link http://a.b\tnext") === "link <URL> next")
+  }
+
   test("control chars stripped, whitespace collapsed, ends trimmed") {
     assert(scrubOne("a\u0007bc") === "abc")
     assert(scrubOne("  too   many\t\tspaces \n and lines  ") ===

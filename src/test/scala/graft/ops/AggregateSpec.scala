@@ -73,11 +73,12 @@ class AggregateSpec extends SparkSpec {
   test("countDistinctScalable matches COUNT(DISTINCT) incl. null skipping") {
     val df = Seq(
       ("a", Option(1L)), ("a", Option(1L)), ("a", Option(2L)),
-      ("a", Option.empty[Long]), ("b", Option(9L)))
+      ("a", Option.empty[Long]), ("b", Option(9L)),
+      ("c", Option.empty[Long])) // ALL-null group must appear with 0
       .toDF("k", "v")
     val out = Aggregate.countDistinctScalable(df, Seq("k"), "v")
       .as[(String, Long)].collect().toMap
-    assert(out === Map("a" -> 2L, "b" -> 1L))
+    assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
     val builtin = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
       .as[(String, Long)].collect().toMap
     assert(out === builtin)
