@@ -18,13 +18,20 @@ object Bench {
     // stage and JITs the custom-expression kernels — measured 3-7 s of
     // otherwise-attributed first-run cost on the dedup family alone.
     SparkEntry.entry(spark).count()
-    val warmDir = "/root/testdata/sf0.001"
+    // Smallest-SF sibling of the benched dir (overridable) — never a
+    // hardcoded absolute path, and never a SILENT skip: unwarmed runs
+    // time first-run codegen into the first queries of each family.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () } // warmup only; timed pass reports
       }
       spark.catalog.clearCache()
+    } else {
+      System.err.println(
+        s"[bench] WARM SKIPPED: $warmDir not found — timings include first-run codegen")
     }
     Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()

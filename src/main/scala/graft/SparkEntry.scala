@@ -474,6 +474,13 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
     * as double literals; projections are rounded to 6 dp before the sign
     * test in BOTH engines so bucket ids agree bit-exactly.
     */
+  /** SQL IN-list of [[TextStats.enStopwords]] — generated so the oracle
+    * and the Spark side can never drift (same pattern as the MinHash
+    * seeds and LSH hyperplanes).
+    */
+  private def stopwordSqlList: String =
+    TextStats.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
   /** The sign-LSH bucket id as DuckDB SQL over a column `emb`
     * (DOUBLE[]), with the SAME hyperplane constants as
     * [[Similarity.lshBucket]] inlined as literals.
@@ -717,22 +724,22 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_lang_id" ->
-      """SELECT doc_id, lang,
+      s"""SELECT doc_id, lang,
         |  CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |    t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |    t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |    / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) AS stop_ratio,
         |  CASE WHEN CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |    t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |    t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |    / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) >= 0.05
         |    THEN 'en' ELSE 'unk' END AS predicted_lang
         |FROM documents""".stripMargin,
 
     "q_quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  LEN(str_split(TRIM(text), ' ')) AS n_tokens,
         |  ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
         |    + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |         t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |         t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |       / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
 
@@ -742,15 +749,15 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM documents""".stripMargin,
 
     "q_curate" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, text,
         |    LEN(str_split(TRIM(text), ' ')) AS n_tokens,
         |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
         |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |           t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |           t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality,
         |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |      t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','as','it','that','this'))) AS DOUBLE)
+        |      t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |      / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) AS stop_ratio
         |  FROM documents)
         |SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
@@ -882,9 +889,9 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  TRIM(regexp_replace(
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^ \t\r\n]+', '<URL>', 'g'),
-        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |        regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ \t\r\n]+', '<URL>', 'g'),
         |    '[ \t\r\n]+', ' ', 'g')) AS clean_text
         |FROM documents""".stripMargin,
 

@@ -29,17 +29,24 @@ object TextClean {
   def scrubUrls(text: Column, mask: String = "<URL>"): Column =
     regexp_replace(text, UrlPattern, mask)
 
-  /** Strip non-printing control characters (keeps \t \n \r). */
+  /** Replace non-printing control characters (except \t \n \r) with a
+    * space — a space, not deletion: control chars usually act as field
+    * or line separators, and deleting them would GLUE the neighboring
+    * tokens together ("ab" → "ab").
+    */
   def stripControl(text: Column): Column =
-    regexp_replace(text, ControlPattern, "")
+    regexp_replace(text, ControlPattern, " ")
 
   /** Collapse runs of whitespace to single spaces and trim. */
   def collapseWhitespace(text: Column): Column =
     trim(regexp_replace(text, "[ \\t\\r\\n]+", " "))
 
-  /** The standard curation scrub: mask PII-ish identifiers, drop
-    * control chars, normalize whitespace — composed as ONE projection.
+  /** The standard curation scrub: drop control chars FIRST (so a
+    * control char right after a URL becomes a boundary the URL mask
+    * stops at, instead of being swallowed into the mask along with the
+    * following words), then mask PII-ish identifiers, then normalize
+    * whitespace — composed as ONE projection.
     */
   def scrub(text: Column): Column =
-    collapseWhitespace(stripControl(scrubUrls(scrubEmails(text))))
+    collapseWhitespace(scrubUrls(scrubEmails(stripControl(text))))
 }

@@ -30,16 +30,25 @@ object DocSources {
     StructField("n_chars", LongType),
     StructField("_corrupt_record", StringType)))
 
-  private def clean(df: DataFrame): DataFrame =
-    df.filter(df.col("_corrupt_record").isNull).drop("_corrupt_record")
+  private val dataSchema = StructType(docSchema.filterNot(
+    _.name == "_corrupt_record"))
 
   /** Well-formed documents from JSON-lines; malformed lines are dropped
-    * here (use [[jsonlRaw]] to route them instead).
+    * AT THE SOURCE (`DROPMALFORMED`) — filtering a PERMISSIVE read on
+    * its corrupt-record column instead would throw once column pruning
+    * leaves only that column in the scan (e.g. on a bare `.count()`).
+    * Use [[jsonlRaw]] to ROUTE malformed lines instead of dropping.
     */
   def jsonl(spark: SparkSession, path: String): DataFrame =
-    clean(jsonlRaw(spark, path))
+    spark.read
+      .schema(dataSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
 
-  /** JSONL with the corrupt-record column retained for routing. */
+  /** JSONL with the corrupt-record column retained for routing. Always
+    * project at least one data column alongside `_corrupt_record` —
+    * Spark rejects queries over ONLY the corrupt column.
+    */
   def jsonlRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(docSchema)
@@ -47,11 +56,20 @@ object DocSources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Well-formed documents from headered CSV (quoted text fields). */
+  /** Well-formed documents from headered CSV (quoted text fields);
+    * malformed rows dropped at the source (see [[jsonl]]).
+    */
   def csv(spark: SparkSession, path: String): DataFrame =
-    clean(csvRaw(spark, path))
+    spark.read
+      .schema(dataSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("multiLine", "false") // multiLine kills splittability
+      .csv(path)
 
-  /** CSV with the corrupt-record column retained for routing. */
+  /** CSV with the corrupt-record column retained for routing (see
+    * [[jsonlRaw]]'s projection caveat).
+    */
   def csvRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(docSchema)

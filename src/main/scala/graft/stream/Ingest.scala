@@ -152,9 +152,20 @@ object Ingest {
               s"$nValid valid rows out of $nRows.")
             firstError.foreach(e =>
               log.warn(s"File '$name': Summary of row-level issues: $e"))
-            commit(
-              validated.filter(col("__file") === fileUri && col("is_valid")),
-              nValid, nInvalid)
+            if (nValid == 0) {
+              // A file with NOTHING valid is garbage, not a partial:
+              // committing an empty write and marking it processed
+              // would silently discard 100% of its content. Quarantine
+              // it like strict mode does.
+              val reason = firstError.getOrElse("No valid rows.")
+              FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+              log.warn(s"File '$name' moved to quarantine. Reason: $reason")
+              outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
+            } else {
+              commit(
+                validated.filter(col("__file") === fileUri && col("is_valid")),
+                nValid, nInvalid)
+            }
           }
         }
       } finally validated.unpersist()

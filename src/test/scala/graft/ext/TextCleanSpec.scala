@@ -23,10 +23,18 @@ class TextCleanSpec extends SparkSpec {
     assert(scrubOne("link http://a.b\tnext") === "link <URL> next")
   }
 
-  test("control chars stripped, whitespace collapsed, ends trimmed") {
-    assert(scrubOne("a\u0007bc") === "abc")
+  test("control chars become boundaries, whitespace collapsed, ends trimmed") {
+    // control char -> space (not deletion: deletion would glue tokens)
+    assert(scrubOne("a\u0007bc") === "a bc")
     assert(scrubOne("  too   many\t\tspaces \n and lines  ") ===
       "too many spaces and lines")
+  }
+
+  test("control char right after a url is a mask boundary, not swallowed") {
+    // regression: masking before control-stripping swallowed the word
+    // after the control char into the <URL> mask
+    assert(scrubOne("see http://x.io\u000bimportant secret") ===
+      "see <URL> important secret")
   }
 
   test("clean text is unchanged") {

@@ -19,6 +19,9 @@ class DocSourcesSpec extends SparkSpec {
     assert(ok.columns.toSeq ===
       Seq("doc_id", "text", "lang", "source", "n_chars"))
     assert(ok.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // column-pruned aggregate works (regression: filtering a PERMISSIVE
+    // read on its corrupt column threw here)
+    assert(ok.count() === 3)
 
     // the malformed LINE is routable, the file is not poisoned
     // (project a data column too: Spark disallows queries touching ONLY
