@@ -136,6 +136,24 @@ class IngestSpec extends SparkSpec {
       "Successfully stored data from 'mixed.csv'. Moving to processed.")))
   }
 
+  test("lenient mode still quarantines a file with zero valid rows") {
+    val root = tmp("graft_lenient0")
+    val conf = mkConf(root).copy(strictMode = false)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+
+    writeCsv(dataDir, "garbage.csv",
+      "2025-05-26 04:36:08,S1,abc,0.95,1014.74",
+      "2025-05-26 04:37:08,S1,999.0,0.95,1014.74") // all rows invalid
+
+    val q = Ingest.start(spark, conf, new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString))
+    try { q.processAllAvailable() } finally q.stop()
+
+    // nothing valid to commit -> quarantine, never silently "processed"
+    assert(Files.exists(root.resolve("quarantine/garbage.csv")))
+    assert(!Files.exists(root.resolve("processed/garbage.csv")))
+  }
+
   test("strict mode logs the per-stage run log with file context (K8)") {
     val root = tmp("graft_k8")
     val conf = mkConf(root)
