@@ -78,4 +78,17 @@ object DocSources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("multiLine", "false") // multiLine kills splittability
       .csv(path)
+
+  /** STREAMING JSONL corpus source: watch a directory for document
+    * drops (the training-data analog of the sensor-CSV watch). The file
+    * source's checkpoint log gives exactly-once per file; compose with
+    * `TextClean.scrub` / quality gates / [[graft.stream.StreamDedup]]
+    * downstream — they are ordinary Columns and stateful ops.
+    */
+  def jsonlStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(dataSchema)
+      .option("mode", "DROPMALFORMED")
+      .option("pathGlobFilter", "*.jsonl")
+      .json(path)
 }

@@ -34,6 +34,28 @@ class DocSourcesSpec extends SparkSpec {
     assert(bad.head._2.contains("not json"))
   }
 
+  test("jsonlStream ingests document drops incrementally, exactly once") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    val cp = Files.createTempDirectory("graft_jsonl_cp")
+    Files.writeString(dir.resolve("drop1.jsonl"),
+      """{"doc_id": 1, "text": "first drop", "lang": "en", "source": "web", "n_chars": 10}
+        |""".stripMargin)
+    val q = DocSources.jsonlStream(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .format("memory").queryName("docs_stream_out").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("drop2.jsonl"),
+        """{"doc_id": 2, "text": "second drop", "lang": "en", "source": "web", "n_chars": 11}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val ids = spark.table("docs_stream_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("csv reads quoted text fields and drops malformed rows") {
     val dir = Files.createTempDirectory("graft_csvdocs")
     Files.writeString(dir.resolve("docs.csv"),
