@@ -25,8 +25,11 @@ object Bench {
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.values.foreach { fn =>
+        // Warmup-only failures are fine (timed pass reports them), but
+        // fatal JVM errors (OOM, LinkageError) must fail fast — timings
+        // after one would be garbage.
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () } // warmup only; timed pass reports
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
     } else {

@@ -48,7 +48,7 @@ object Dedup {
     * 100 TB. Collision probability is negligible (2^-64 at petascale).
     */
   def exactByDigest(df: DataFrame, textCol: String, repCol: String): DataFrame =
-    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+    df.withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
       .groupBy(col("__fp"))
       .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
       .drop("__fp")
@@ -134,6 +134,10 @@ object Dedup {
     * invisible to the MinHash family — route short docs through
     * [[exact]]/[[exactByDigest]] (or [[jaccardPairs]], which uses
     * single tokens) if they must be deduplicated too.
+    *
+    * EAGER: runs the full near-dup job at call time and returns a
+    * persisted pair frame that the caller owns — `unpersist()` it when
+    * done (see [[withCleanup]]).
     */
   def minHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -231,6 +235,9 @@ object Dedup {
 
   /** Oracle-checkable MinHash near-dup pairs: portable signatures →
     * portable banding → true-jaccard verification.
+    *
+    * EAGER: returns a persisted pair frame the caller owns —
+    * `unpersist()` it when done (see [[withCleanup]]).
     */
   def portableMinHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -258,6 +265,9 @@ object Dedup {
     * reduction), banded 6×10 bits for Hamming distance ≤ 5. Same
     * pigeonhole guarantee as the 64-bit variant; every step computable
     * bit-identically in DuckDB.
+    *
+    * EAGER: returns a persisted pair frame the caller owns —
+    * `unpersist()` it when done (see [[withCleanup]]).
     */
   def portableSimHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -327,6 +337,9 @@ object Dedup {
     * maxDist must agree on at least one full band (pigeonhole), so
     * candidates come from an equi-join on (band, band_bits), then the
     * exact `bit_count(xor)` filter keeps true matches.
+    *
+    * EAGER: returns a persisted pair frame the caller owns —
+    * `unpersist()` it when done (see [[withCleanup]]).
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,

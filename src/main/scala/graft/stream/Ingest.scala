@@ -122,15 +122,21 @@ object Ingest {
                 if (dropped > 0) Some(s"$dropped invalid rows dropped") else None,
                 committedRows)
             } else {
-              // retained in data/ for retry next batch (T5)
+              // retained in data/ for retry next batch (T5). Report the
+              // ATTEMPTED row count — in lenient mode that is the valid
+              // subset, not the whole file.
               log.error(s"Failed to store data for '$name' in DB. " +
                 "File remains in data folder for retry.")
-              outcomes += FileOutcome(name, "retained", Some("sink failure"), nRows)
+              outcomes += FileOutcome(name, "retained", Some("sink failure"),
+                committedRows)
             }
           }
 
           if (conf.strictMode) {
-            log.info(s"File '$name': Starting STRICT validation for $nRows rows.")
+            // Past tense: the validation pass already ran (the verdict
+            // aggregate above IS the validation); a "Starting…" line
+            // here would misstate the execution order.
+            log.info(s"File '$name': STRICT validation checked $nRows rows.")
             if (!isClean) {
               val reason = firstError.getOrElse("Validation failed.")
               log.warn(s"Strict validation failed for '$name'. " +
@@ -147,7 +153,6 @@ object Ingest {
             // valid subset (reference log evidence: "Validation
             // complete. 19 valid rows out of 20." then store + move).
             val nValid = nRows - nInvalid
-            log.info(s"File '$name': Starting validation for $nRows rows.")
             log.info(s"File '$name': Validation complete. " +
               s"$nValid valid rows out of $nRows.")
             firstError.foreach(e =>

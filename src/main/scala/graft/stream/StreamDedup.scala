@@ -26,7 +26,9 @@ object StreamDedup {
     */
   def exact(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      // unhex: md5() yields a 32-char hex STRING; unhex makes it the
+      // true 16-byte binary so per-key state is actually 16 B.
+      .withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
       .dropDuplicates("__fp")
       .drop("__fp")
 
@@ -43,7 +45,7 @@ object StreamDedup {
       docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

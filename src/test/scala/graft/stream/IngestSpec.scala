@@ -171,7 +171,7 @@ class IngestSpec extends SparkSpec {
     }
 
     assert(logs.exists(_.contains(
-      "File 'good.csv': Starting STRICT validation for 1 rows.")))
+      "File 'good.csv': STRICT validation checked 1 rows.")))
     assert(logs.exists(_.contains(
       "File 'good.csv': All 1 rows passed strict validation.")))
     assert(logs.exists(_.contains(
