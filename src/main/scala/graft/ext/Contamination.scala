@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Benchmark-contamination detection: for every training
+  * document, how much of it appears verbatim (as word n-grams) in a
+  * held-out benchmark set. The standard pre-training hygiene step
+  * (GPT-3 appendix C / Gopher §A.3 style n-gram decontamination).
+  * No reference equivalent (north-star extension).
+  *
+  * Scale shape: candidate generation is an equi-join on the n-gram —
+  * never doc×doc. The corpus side explodes to (doc, distinct n-gram)
+  * rows; the benchmark side collapses to its DISTINCT n-gram set
+  * (typically millions of rows — tiny next to a 100 TB corpus — so AQE
+  * will broadcast it; if it ever grows past the broadcast threshold the
+  * same plan degrades gracefully to a shuffled hash join on the
+  * n-gram). One aggregate keyed on the doc id finishes the ratio.
+  */
+object Contamination {
+
+  // WordShingles trims + lowercases internally (Locale.ROOT).
+  private def grams(text: Column, n: Int): Column =
+    graft.functions.TextExprs.wordShingles(text, n)
+
+  /** Per-corpus-document n-gram overlap against `benchmark`.
+    *
+    * Output: (idCol, n_ngrams, n_hits, contamination) — n_ngrams =
+    * distinct word n-grams of the document, n_hits = how many of those
+    * occur anywhere in the benchmark, contamination = n_hits/n_ngrams
+    * rounded 6 dp (null when the document is shorter than n tokens).
+    * Every corpus document appears exactly once.
+    */
+  def ngramOverlap(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusGrams = corpus.select(
+      col(idCol), explode(grams(col(textCol), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(explode(grams(col(textCol), n)).as("__g"))
+      .distinct()
+    val hits = corpusGrams.join(benchGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus
+      .select(col(idCol), size(grams(col(textCol), n)).cast("long").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_ngrams") > 0,
+          round(col("n_hits").cast("double") / col("n_ngrams").cast("double"), 6)))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs
+
+/** [EXT] Deterministic sampling for LLM training-data curation.
+  * No reference equivalent (north-star extension per BASELINE.json).
+  *
+  * Random sampling (`df.sample`) is useless for a reproducible data
+  * pipeline: re-runs must select the SAME rows, additions to the corpus
+  * must not reshuffle previous selections, and an auditor must be able
+  * to re-derive membership from the key alone. The standard answer is a
+  * hash gate — `hash(key) mod 100 < pct` — which is a pure projection +
+  * filter: zero shuffles, pushdown-friendly, identical on every engine
+  * that can compute the hash.
+  *
+  * The hash is the portable [[graft.functions.Md5Prefix60]] (60 bits of
+  * md5), so the gate is bit-identically computable in DuckDB:
+  * `('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 100`.
+  */
+object Sampling {
+
+  /** True for ~`pct`% of keys, deterministically. `pct` may be any
+    * integer Column in [0, 100] — a literal or a per-row expression
+    * (see [[stratifiedHashSample]]).
+    */
+  def hashGate(key: Column, pct: Column): Column =
+    (HashExprs.md5Prefix60(key.cast("string")) % 100) < pct
+
+  /** Keep a deterministic ~`pct`% of rows keyed by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct out of range: $pct")
+    df.filter(hashGate(col(keyCol), lit(pct)))
+  }
+
+  /** Stratified deterministic sampling: each stratum (e.g. language,
+    * source domain) gets its own keep-rate — the up/down-weighting step
+    * of every corpus-mixing recipe.
+    *
+    * The rate table is compiled into a literal CASE expression:
+    * codegen'd, no join, no shuffle. That is the right shape for the
+    * handful-of-strata case (languages, top-level sources); for a rate
+    * table with thousands of entries, broadcast-join a rates DataFrame
+    * on `strataCol` instead and filter on the joined rate — same
+    * zero-shuffle plan, data-driven rates.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((defaultPct +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "pct out of range")
+    // Fixed fold order (sorted keys) so the generated plan — and thus
+    // codegen caching — is stable across calls with equal maps.
+    val pctExpr = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashGate(col(keyCol), pctExpr))
+  }
+
+  /** Per-group document quota: keep the top `n` rows of each group by
+    * (`scoreCol` desc, `idCol` asc) and rank them 1..n — corpus curation
+    * capped per source/domain so no single crawl dominates the mix.
+    *
+    * Implementation is the bounded-heap aggregate
+    * [[graft.functions.TopKAgg]]: partial aggregation keeps at most `n`
+    * (score, id) pairs per group PER MAP PARTITION, so the shuffle
+    * carries ≤ n·partitions rows per group instead of the whole group —
+    * the map-side prune a `row_number().over(Window)` plan cannot do
+    * (a window shuffles every row of a hot group to one task; this
+    * aggregates. At 100 TB with a skewed source distribution that is
+    * the difference between a bounded merge and a straggler).
+    *
+    * Output: one row per kept document — (groupCols..., idCol, scoreCol,
+    * rank) with rank 1-based in quota order.
+    */
+  def quotaCap(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(
+      col(scoreCol).cast("double"), col(idCol).cast("long"), n)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk.as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__p", "__e")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("__e.id").as(idCol),
+          col("__e.score").as(scoreCol),
+          (col("__p") + 1).cast("long").as("rank")): _*)
+  }
+}

@@ -93,6 +93,53 @@ object TextStats {
     * Output: (idCol, fp) — one row per distinct selected hash. Documents
     * shorter than k tokens have no k-gram and produce no rows.
     */
+  /** Gopher-style repetition quality signals, adapted to single-line
+    * documents (the corpus has no newlines, so the paper's
+    * duplicate-LINE fractions become token/bigram fractions):
+    *
+    *   - `top_token_frac`  — occurrences of the most frequent token /
+    *     total tokens (paper: "fraction of characters in most common
+    *     word-ngram", n=1 case)
+    *   - `dup_token_frac`  — 1 − distinct/total tokens
+    *   - `dup_bigram_frac` — 1 − distinct/total word bigrams (null for
+    *     single-token docs, which have no bigram)
+    *
+    * High values mark boilerplate / degenerate repetition for filtering.
+    *
+    * Scale shape: distinct counts are pure projections (`array_distinct`
+    * sizes — no shuffle); only the per-doc token mode needs aggregation,
+    * and that is (doc, token)-keyed with map-side combine, then a
+    * doc-keyed max — both shuffles carry one row per distinct pair/doc,
+    * never the corpus text. The final join is doc-keyed, 1:1.
+    */
+  def repetitionMetrics(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val proj = docs.select(
+      col(idCol),
+      tokenCount(lower(col(textCol))).cast("long").as("n_tokens"),
+      uniqueTokenCount(lower(col(textCol))).cast("long").as("__n_distinct"),
+      size(graft.functions.TextExprs.wordShingles(col(textCol), 2))
+        .cast("long").as("__n_distinct_bigrams"))
+    val topCount = docs
+      .select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__top_c"))
+    proj.join(topCount, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        round(col("__top_c").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("__n_distinct").cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_token_frac"),
+        when(col("n_tokens") > 1,
+          round(lit(1.0) - col("__n_distinct_bigrams").cast("double")
+            / (col("n_tokens") - 1).cast("double"), 6)).as("dup_bigram_frac"))
+  }
+
   def winnowingFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {

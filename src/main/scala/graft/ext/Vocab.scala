@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus vocabulary and term weighting for LLM training-data
+  * pipelines. No reference equivalent (north-star extension).
+  *
+  * Scale shape: everything is explode → hash-aggregate. The token
+  * shuffle is keyed on the term (bounded by vocabulary size, not corpus
+  * size) or on (doc, term) with map-side combine; top-N selection is
+  * `orderBy.limit` → TakeOrderedAndProject (each partition keeps N, the
+  * driver merges N·partitions rows — no global sort).
+  */
+object Vocab {
+
+  private def tokens(text: Column): Column = split(trim(lower(text)), " ")
+
+  /** Top-`k` vocabulary: one row per distinct token with total
+    * occurrences and document frequency, ordered by (occurrences desc,
+    * token asc).
+    *
+    * Two-level aggregation instead of `count` + `countDistinct` in one
+    * `agg` (which would plan an Expand that doubles the exploded
+    * stream): first collapse to (token, doc) partial counts — map-side
+    * combinable — then one bounded-key aggregate over the collapsed
+    * frame.
+    */
+  def topVocabulary(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(sum(col("__c")).as("occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document top term by TF-IDF: score = tf · ln(N / df), rounded
+    * to 6 dp in-engine (cross-engine float determinism — see the oracle
+    * conventions in SparkEntry). Rank ties break by term asc; exactly
+    * one row per document that has at least one token.
+    *
+    * N (corpus document count) is a one-row aggregate broadcast into
+    * the score projection; df comes from re-aggregating the SAME
+    * (doc, term) tf frame — no second pass over the corpus text.
+    */
+  def topTfIdfTerm(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("__r", row_number().over(byDoc))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] As-of (backward) join: attach to every left row the latest
+  * right row with the same key and `rightTs` <= `leftTs` — the
+  * time-series enrichment primitive (sensor readings → latest
+  * calibration, trades → latest quote, events → latest rollup).
+  * DuckDB/kdb expose it as `ASOF JOIN`; Spark has no built-in.
+  *
+  * Implementation is the scalable union-merge form, NOT a range join:
+  * tag both inputs, union them, and run ONE window pass per key ordered
+  * by (ts, tag) taking the last non-null right-side value at or before
+  * each row. Cost = one shuffle on the key + a per-key sorted scan —
+  * the same shape as any windowed aggregation, with no pair
+  * enumeration at any timestamp density (a naive `left.ts >= right.ts`
+  * range join explodes to the full cross product per key before the
+  * max-filter; a broadcast-asof only works while one side is tiny).
+  *
+  * Rows of the right frame sort BEFORE left rows at equal timestamps
+  * (tag 0 < 1), giving the standard inclusive (`<=`) as-of semantics.
+  *
+  * Skew note: one key's full history lands in one task — the normal
+  * window contract. If a single key's timeline outgrows a task, bucket
+  * time into coarse epochs, run this per epoch, and carry each epoch's
+  * last value forward into the next (one tiny per-epoch frame).
+  */
+object AsOf {
+
+  /** Contract: `rightTs` must be unique per key (ties among right rows
+    * would make "latest" placement-dependent), and right payload values
+    * are assumed non-null — a null payload in a right row is looked
+    * THROUGH to the previous right row by `last(ignoreNulls)`, not
+    * propagated.
+    *
+    * @param left     probe side (keeps all rows; null-filled when no
+    *                 earlier right row exists — LEFT as-of semantics)
+    * @param right    reference side
+    * @param keys     equi-join key columns (present in both frames)
+    * @param leftTs   event-time column of `left`
+    * @param rightTs  event-time column of `right`; dropped from the
+    *                 output (its value at match time is `leftTs`-capped
+    *                 history, not usually wanted — select it into a
+    *                 payload column first if needed)
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(payload.nonEmpty, "right frame has no payload columns")
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    require(leftOnly.intersect(payload).isEmpty,
+      s"column collision: ${leftOnly.intersect(payload).mkString(", ")}")
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        leftOnly.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__tag") === 1)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
+        leftOnly.map(col) ++ payload.map(col): _*)
+  }
+}

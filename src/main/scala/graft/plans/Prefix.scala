@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed running (prefix) sum over a global order.
+  *
+  * The naive Spark form — `sum(v).over(Window.orderBy(k).rowsBetween(
+  * unboundedPreceding, currentRow))` — collapses the table into ONE
+  * partition, exactly like the global row-number problem [[Ordinal]]
+  * solves. Same cure: range-partition + sort by the key (bounded
+  * per-partition work), then two passes over the SAME materialized
+  * shuffle lineage — (1) per-partition totals, (2) a scan that adds
+  * each partition's carry-in offset. The totals pass and the main pass
+  * share one shuffle write (Spark reuses map outputs across jobs on a
+  * shared lineage), and both run on `queryExecution.toRdd` InternalRows
+  * — no Row-conversion tax (see Ordinal's design notes for why NOT
+  * `spark_partition_id()` two-job variants: AQE coalescing may differ
+  * between jobs and silently corrupt the offsets; RDD lineages are
+  * AQE-free).
+  *
+  * Driver state is one Long per partition — bounded at any data size.
+  */
+object Prefix {
+
+  /** Adds `outCol` = inclusive running sum of `valueCol` in `order`.
+    * `order` must be deterministic and unique; `valueCol` must be a
+    * non-null LongType column (cast upstream).
+    */
+  def withRunningSum(
+      df: DataFrame,
+      order: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    require(sorted.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType, got ${sorted.schema(valueCol).dataType}")
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = GraftExpressionBridge.toInternalRdd(sorted)
+    // Pass 1: per-partition totals (driver gets one Long per partition).
+    val partTotals: Array[Long] = rdd
+      .mapPartitions { iter =>
+        var s = 0L
+        iter.foreach(r => s += r.getLong(vIdx))
+        Iterator.single(s)
+      }
+      .collect()
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    // Pass 2: sequential scan per partition, carry-in from offsets.
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val summed = rdd.mapPartitionsWithIndex { (pid, iter) =>
+      val proj = UnsafeProjection.create(schema)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var running = offsets(pid)
+      iter.map { row =>
+        running += row.getLong(vIdx)
+        extra.setLong(0, running)
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftExpressionBridge.internalCreateDataFrame(spark, summed, schema)
+  }
+
+  /** Sequence packing, "concat then chunk" semantics: documents are
+    * laid end-to-end in `order` and cut into fixed `budget`-token bins —
+    * the standard pretraining packing layout. Each document is assigned
+    * the bin its FIRST token falls in (documents may straddle a
+    * boundary; the training loader splits those at read time).
+    *
+    * Output adds: `cumCol` (inclusive running token total) and `binCol`
+    * (0-based bin = startOffset div budget).
+    */
+  def packBins(
+      df: DataFrame,
+      order: Seq[Column],
+      tokenCountCol: String,
+      budget: Long,
+      cumCol: String = "cum_tokens",
+      binCol: String = "bin_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    withRunningSum(df, order, tokenCountCol, cumCol)
+      // Non-negative longs: `div` (integral division) == floor division.
+      .withColumn(binCol,
+        expr(s"($cumCol - $tokenCountCol) div $budget"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L)
+    .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr",
+      (i * 37) % 500))
+    .toDF("doc_id", "lang", "score")
+
+  test("hashSample is deterministic and near the requested rate") {
+    val a = Sampling.hashSample(docs, "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // md5 is uniform: 1000 keys at 30% ± a loose binomial bound
+    assert(a.size > 230 && a.size < 370, s"got ${a.size}")
+  }
+
+  test("hashSample is monotone in pct: 10% subset of 40% subset of 100%") {
+    val p10 = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
+    val p40 = Sampling.hashSample(docs, "doc_id", 40).select("doc_id").as[Long].collect().toSet
+    val p100 = Sampling.hashSample(docs, "doc_id", 100).select("doc_id").as[Long].collect().toSet
+    assert(p10.subsetOf(p40))
+    assert(p40.subsetOf(p100))
+    assert(p100.size === 1000)
+    assert(Sampling.hashSample(docs, "doc_id", 0).count() === 0)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val out = Sampling.stratifiedHashSample(
+      docs, "doc_id", "lang", Map("en" -> 100, "es" -> 0), defaultPct = 50)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 334)         // all en rows kept
+    assert(!byLang.contains("es"))       // none
+    val fr = byLang("fr")
+    assert(fr > 120 && fr < 215, s"fr=$fr") // ~50% of 333
+    // stratum gate uses the SAME hash as the flat gate
+    val flat = Sampling.hashSample(docs.filter($"lang" === "fr"), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter($"lang" === "fr").select("doc_id").as[Long].collect().toSet === flat)
+  }
+
+  test("quotaCap matches the window row_number reference plan") {
+    val expected = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rank" <= 7)
+      .select($"lang", $"doc_id", $"score".cast("double"), $"rank".cast("long"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    val got = Sampling.quotaCap(docs, Seq("lang"), "score", "doc_id", 7)
+      .select($"lang", $"doc_id", $"score", $"rank")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("quotaCap: ties break by id asc; groups smaller than n kept whole") {
+    val tied = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 9L, 2.0))
+      .toDF("g", "id", "s")
+    val got = Sampling.quotaCap(tied, Seq("g"), "s", "id", 2)
+      .select($"g", $"id", $"rank").as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
+  }
+
+  test("TopKAgg survives partial/merge across many partitions") {
+    val big = spark.range(0, 10000, 1, 16)
+      .select($"id", ($"id" % 97).cast("double").as("s"), lit("g").as("g"))
+    val got = Sampling.quotaCap(big, Seq("g"), "s", "id", 5)
+      .select($"id", $"s", $"rank").as[(Long, Double, Long)].collect().toSet
+    // score 96.0 is the max; smallest ids with that score win
+    assert(got === Set((96L, 96.0, 1L), (193L, 96.0, 2L),
+      (290L, 96.0, 3L), (387L, 96.0, 4L), (484L, 96.0, 5L)))
+  }
+}

@@ -89,4 +89,23 @@ class TextStatsSpec extends SparkSpec {
     assert(!fp.contains(4L))                   // too short: no prints
     assert(fp(5L).size === 1)                  // whole doc = one window
   }
+
+  test("repetitionMetrics: token/bigram repetition fractions") {
+    val df = Seq(
+      (0L, "spam spam spam spam"),       // fully repetitive
+      (1L, "all tokens here distinct"),  // no repetition
+      (2L, "a b a b a b"),               // repeated bigram pattern
+      (3L, "solo"))                      // single token: no bigrams
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // doc 0: 4 tokens, top=4/4, dup=1-1/4, bigrams: 3 total 1 distinct
+    assert(out(0L) === ((4L, 1.0, 0.75, Some(0.666667))))
+    assert(out(1L) === ((4L, 0.25, 0.0, Some(0.0))))
+    // doc 2: 6 tokens, top a=3 -> 0.5, dup=1-2/6, bigrams 5 total 2 distinct
+    assert(out(2L)._2 === 0.5)
+    assert(out(2L)._4 === Some(0.6))
+    assert(out(3L) === ((1L, 1.0, 0.0, None)))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark spark spark join"),
+    (1L, "spark join shuffle"),
+    (2L, "shuffle shuffle sort"))
+    .toDF("doc_id", "text")
+
+  test("topVocabulary counts occurrences and doc frequency") {
+    val out = Vocab.topVocabulary(docs, "doc_id", "text", 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(out === List(
+      ("spark", 4L, 2L),   // 4 occurrences in 2 docs
+      ("shuffle", 3L, 2L),
+      ("join", 2L, 2L),
+      ("sort", 1L, 1L)))
+  }
+
+  test("topVocabulary limit keeps the ordered head") {
+    val out = Vocab.topVocabulary(docs, "doc_id", "text", 2)
+      .as[(String, Long, Long)].collect().toList
+    assert(out.map(_._1) === List("spark", "shuffle"))
+  }
+
+  test("topTfIdfTerm picks each doc's highest-scoring term deterministically") {
+    val out = Vocab.topTfIdfTerm(docs, "doc_id", "text")
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // doc 0: spark tf=3 but df=2; ln(3/2)*3 > others -> spark
+    assert(out(0L) === "spark")
+    // doc 2: shuffle tf=2 df=2 -> 2*ln(1.5)=0.81 vs sort tf=1 df=1 -> ln(3)=1.10
+    assert(out(2L) === "sort")
+    // doc 1: all tf=1, df=2 everywhere -> equal scores; tiebreak term asc
+    assert(out(1L) === "join")
+  }
+
+  test("tfidf values are rounded 6dp and exactly one row per doc") {
+    val out = Vocab.topTfIdfTerm(docs, "doc_id", "text").collect()
+    assert(out.length === 3)
+    val score = Vocab.topTfIdfTerm(docs, "doc_id", "text")
+      .filter($"doc_id" === 0L).select("tfidf").as[Double].head()
+    assert(math.abs(score - 3.0 * math.log(3.0 / 2.0)) < 1e-6)
+  }
+}
