@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Aggregate, Prep, Validate}
-import graft.ext.{Dedup, JsonOps, Multimodal, Similarity, TextStats}
-import graft.plans.Ordinal
+import graft.ops.{Aggregate, AsOf, Prep, Validate}
+import graft.ext.{Contamination, Dedup, JsonOps, Multimodal, Sampling, Similarity, TextStats, Vocab}
+import graft.plans.{Ordinal, Prefix}
 
 /** Driver contract — the declared query inventory of SURVEY.md §2.8 plus
   * the [EXT] training-data operators, each with a DuckDB oracle where
@@ -380,6 +380,65 @@ object SparkEntry {
       Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // Deterministic stratified sampling: portable md5 hash gate, per-
+    // language keep rates. Pure projection+filter — zero shuffles.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 50, "es" -> 20), defaultPct = 10)),
+
+    // Per-source quota: top 50 docs per source by (n_chars desc, id) via
+    // the bounded-heap TopKAgg — map-side pruned, hot-source safe.
+    "q_quota_cap" -> ((s, dir) =>
+      Sampling.quotaCap(
+        Tables.documents(s, dir), Seq("source"), "n_chars", "doc_id", 50)),
+
+    // Benchmark decontamination: word-5-gram overlap of every corpus doc
+    // against the held-out benchmark slice (doc_id % 97 == 0).
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Contamination.ngramOverlap(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Gopher-style repetition quality signals per document.
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
+    "q_vocab_top" -> ((s, dir) =>
+      Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
+
+    // Per-document top TF-IDF term (rank on the 6dp-rounded score in
+    // BOTH engines so cross-engine ln() ulps can't flip the argmax).
+    "q_tfidf_top" -> ((s, dir) =>
+      Vocab.topTfIdfTerm(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Sequence packing: concat-then-chunk into 2048-token bins via the
+    // distributed prefix sum (no single-partition window).
+    "q_pack_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(lower(col("text"))).cast("long").as("n_tokens"))
+      Prefix.packBins(d, Seq(col("doc_id")), "n_tokens", 2048L)
+    }),
+
+    // As-of join: each event gets the latest even-hour rate (hourly avg
+    // per event_type) at or before its timestamp; DuckDB ASOF LEFT JOIN
+    // is the oracle. Odd-hour events exercise the look-back; events
+    // before the first even-hour rate stay null (LEFT semantics).
+    "q_asof_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rates = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(avg(col("value")), 6).as("rate"))
+        .filter(hour(col("hr")) % 2 === 0)
+      AsOf.asOfJoin(
+        ev.select("event_id", "event_type", "ts", "value"), rates,
+        Seq("event_type"), "ts", "hr")
     }),
   )
 
@@ -903,5 +962,110 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(3 AS INT) AS channels,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    // Portable hash gate: same md5-prefix-60 integer as Md5Prefix60.
+    "q_sample_stratified" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 20 ELSE 10 END""".stripMargin,
+
+    "q_quota_cap" ->
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM documents) WHERE rank <= 50""".stripMargin,
+
+    "q_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 4),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+        |  FROM tk),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM corp) c
+        |  JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+        |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_ngrams,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN len(c.sh) > 0
+        |    THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.sh), 6) END
+        |    AS contamination
+        |FROM corp c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS n_bigrams
+        |  FROM tk),
+        |tc AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  ROUND(CAST(top_c AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_token_frac,
+        |  CASE WHEN b.n_tokens > 1
+        |    THEN ROUND(1.0 - CAST(n_bigrams AS DOUBLE) / (b.n_tokens - 1), 6) END
+        |    AS dup_bigram_frac
+        |FROM base b JOIN tc USING (doc_id)""".stripMargin,
+
+    "q_vocab_top" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY ROUND(tf.tf * ln(n.n / df.df), 6) DESC, tf.term ASC) AS r
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM s WHERE r = 1""".stripMargin,
+
+    "q_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(trim(lower(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+        |FROM c""".stripMargin,
+
+    "q_asof_rate" ->
+      """WITH r AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    ROUND(AVG(value), 6) AS rate
+        |  FROM events GROUP BY 1, 2),
+        |r2 AS (SELECT * FROM r WHERE EXTRACT(hour FROM hr) % 2 = 0)
+        |SELECT e.event_type, e.ts, e.event_id, e.value, r2.rate
+        |FROM events e ASOF LEFT JOIN r2
+        |  ON e.event_type = r2.event_type AND e.ts >= r2.hr""".stripMargin,
   )
 }
