@@ -426,6 +426,17 @@ object SparkEntry {
       Prefix.packBins(d, Seq(col("doc_id")), "n_tokens", 2048L)
     }),
 
+    // Skew-salted fact join: identical result multiset to the plain
+    // equi-join (the oracle IS the plain join), but each hot orderkey
+    // spreads over 8 reduce tasks.
+    "q_join_salted" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltedJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber")),
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        Seq("l_orderkey"), salts = 8)),
+
     // As-of join: each event gets the latest even-hour rate (hourly avg
     // per event_type) at or before its timestamp; DuckDB ASOF LEFT JOIN
     // is the oracle. Odd-hour events exercise the look-back; events
@@ -1057,6 +1068,11 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
         |FROM c""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT l.l_orderkey, l.l_extendedprice, l.l_linenumber,
+        |  o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q_asof_rate" ->
       """WITH r AS (
