@@ -45,8 +45,12 @@ object Vocab {
     * one row per document that has at least one token.
     *
     * N (corpus document count) is a one-row aggregate broadcast into
-    * the score projection; df comes from re-aggregating the SAME
-    * (doc, term) tf frame — no second pass over the corpus text.
+    * the score projection. df is a COUNT WINDOW over the (doc, term)
+    * tf frame partitioned by term — NOT a groupBy + self-join, which
+    * Catalyst plans as a second full scan+explode of the corpus (AQE
+    * exchange reuse does not fire across the aggregate; verified on
+    * the executed plan). One corpus tokenize pass total; the argmax is
+    * a WindowGroupLimit (rank-1 prune before and after its shuffle).
     */
   def topTfIdfTerm(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -54,11 +58,11 @@ object Vocab {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
+    val byTerm = Window.partitionBy(col("term"))
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(df_, "term")
+    tf.withColumn("df", count(lit(1)).over(byTerm))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf").cast("double") *
