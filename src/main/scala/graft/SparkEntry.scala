@@ -409,6 +409,12 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")),
 
+    // RAG-style token-window chunking: 16-token windows, 4-token overlap.
+    "q_chunk_tokens" -> ((s, dir) =>
+      TextStats.tokenWindowChunks(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 16, overlap = 4)),
+
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -1031,6 +1037,24 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    THEN ROUND(1.0 - CAST(n_bigrams AS DOUBLE) / (b.n_tokens - 1), 6) END
         |    AS dup_bigram_frac
         |FROM base b JOIN tc USING (doc_id)""".stripMargin,
+
+    // Chunk starts advance by stride = 16 - 4 = 12; chunk count is
+    // 1 for len <= 16 else (len-16+stride-1)//stride + 1 — the same
+    // integer arithmetic as TokenChunkOps.chunk.
+    "q_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS tk,
+        |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 16 THEN 0 ELSE (n - 16 + 11) // 12 END)) AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[(k*12 + 1):least(k*12 + 16, n)], ' ') AS chunk_text,
+        |  CAST(least(k*12 + 16, n) - k*12 AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     "q_vocab_top" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,

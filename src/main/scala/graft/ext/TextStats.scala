@@ -93,6 +93,27 @@ object TextStats {
     * Output: (idCol, fp) — one row per distinct selected hash. Documents
     * shorter than k tokens have no k-gram and produce no rows.
     */
+  /** Token-window document chunking — the RAG/embedding prep step.
+    * Splits each document into `chunkSize`-token windows advancing by
+    * `chunkSize - overlap` tokens, so neighbors share `overlap` tokens
+    * of context. Pure projection + explode (the chunker is the
+    * codegen'd [[graft.functions.TokenChunks]] expression): no
+    * shuffle, corpus chunking parallelizes with the scan.
+    *
+    * Output: (idCol, chunk_id 0-based, chunk_text, n_chunk_tokens).
+    * Original-case text (chunking is payload prep, not normalization).
+    */
+  def tokenWindowChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(graft.functions.TextExprs.tokenChunks(
+          col(textCol), chunkSize, overlap)).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+
   /** Gopher-style repetition quality signals, adapted to single-line
     * documents (the corpus has no newlines, so the paper's
     * duplicate-LINE fractions become token/bigram fractions):

@@ -84,10 +84,83 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Static chunking kernel (same pattern as [[WordShingleOps]]). */
+object TokenChunkOps {
+  /** Overlapping token-window chunks. Tokens are the trimmed text split
+    * on single spaces (NO lowercasing — chunk text is payload, not a
+    * canonical form). Chunk count: 1 if len <= size, else
+    * (len - size + stride - 1) / stride + 1 with stride = size -
+    * overlap — full coverage, short final chunk allowed, never a chunk
+    * fully contained in its predecessor.
+    */
+  def chunk(input: UTF8String, size: Int, overlap: Int): ArrayData = {
+    val toks = input.toString.trim.split(" ")
+    val stride = size - overlap
+    val len = toks.length
+    val n = if (len <= size) 1 else (len - size + stride - 1) / stride + 1
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val start = k * stride
+      val end = math.min(start + size, len)
+      val sb = new java.lang.StringBuilder()
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Overlapping token-window chunks of a document — the RAG/embedding
+  * prep step that splits long texts into bounded-token windows with
+  * `overlap` tokens of context carried between neighbors. One flat
+  * loop per document ([[TokenChunkOps.chunk]]), codegen'd as a static
+  * kernel call: a pure projection, so corpus chunking is an
+  * embarrassingly-parallel scan at any scale.
+  */
+case class TokenChunks(child: Expression, size: Int, overlap: Int)
+    extends UnaryExpression {
+
+  require(size >= 1, s"chunk size must be >= 1, got $size")
+  require(overlap >= 0 && overlap < size,
+    s"overlap must be in [0, size), got $overlap for size $size")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_chunks needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenChunkOps.chunk(input.asInstanceOf[UTF8String], size, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenChunkOps.chunk($c, $size, $overlap);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
 object TextExprs {
   import org.apache.spark.sql.GraftExpressionBridge._
 
   /** Distinct word n-gram shingles as a Column. */
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
+
+  /** Overlapping token-window chunks as a Column. */
+  def tokenChunks(text: Column, size: Int, overlap: Int): Column =
+    column(TokenChunks(expression(text), size, overlap))
 }

@@ -108,4 +108,33 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._4 === Some(0.6))
     assert(out(3L) === ((1L, 1.0, 0.0, None)))
   }
+
+  test("tokenWindowChunks: overlapping windows, short tail, full coverage") {
+    val df = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, size 4 stride 2
+      (1L, "a b c"),                          // shorter than size -> 1 chunk
+      (2L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tokenWindowChunks(df, "doc_id", "text", 4, 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    // doc 0: n = (10-4+1)/2+1 = 4 chunks at starts 0,2,4,6... wait
+    // (len-size+stride-1)/stride+1 = (10-4+1)/2+1 = 3+1 = 4: starts 0,2,4,6
+    assert(out.filter(_._1 == 0L) === Set(
+      (0L, 0L, "t0 t1 t2 t3", 4L), (0L, 1L, "t2 t3 t4 t5", 4L),
+      (0L, 2L, "t4 t5 t6 t7", 4L), (0L, 3L, "t6 t7 t8 t9", 4L)))
+    assert(out.filter(_._1 == 1L) === Set((1L, 0L, "a b c", 3L)))
+    assert(out.filter(_._1 == 2L) === Set((2L, 0L, "x", 1L)))
+    // coverage: every source token appears in some chunk
+    val covered = out.filter(_._1 == 0L).flatMap(_._3.split(" "))
+    assert(covered === (0 until 10).map(i => s"t$i").toSet)
+  }
+
+  test("tokenWindowChunks: short-tail chunk when stride doesn't divide") {
+    val df = Seq((0L, "t0 t1 t2 t3 t4")).toDF("doc_id", "text") // 5 toks
+    val out = TextStats.tokenWindowChunks(df, "doc_id", "text", 4, 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    // n = (5-4+1)/2+1 = 2: starts 0,2 -> second chunk is 3 tokens
+    assert(out === Set(
+      (0L, 0L, "t0 t1 t2 t3", 4L), (0L, 1L, "t2 t3 t4", 3L)))
+  }
 }
