@@ -382,6 +382,11 @@ object SparkEntry {
         k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // Per-label embedding centroids, long format (label × 64 dims).
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(
+        Tables.embeddings(s, dir), "label", "embedding")),
+
     // Deterministic stratified sampling: portable md5 hash gate, per-
     // language keep rates. Pure projection+filter — zero shuffles.
     "q_sample_stratified" -> ((s, dir) =>
@@ -979,6 +984,15 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(3 AS INT) AS channels,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    // Dimensions are 1-based in both engines; embeddings are 64-dim.
+    "q_embed_centroids" ->
+      """SELECT e.label, CAST(g.g AS INT) AS dim,
+        |  ROUND(AVG(CAST(e.embedding[g.g] AS DOUBLE)), 6) AS centroid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM embeddings e
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g
+        |GROUP BY 1, 2""".stripMargin,
 
     // Portable hash gate: same md5-prefix-60 integer as Md5Prefix60.
     "q_sample_stratified" ->

@@ -39,6 +39,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Per-label centroid in LONG format: one row per (label, dimension)
+    * with the mean component value — class prototypes for
+    * nearest-centroid classification, cluster drift monitoring, or IVF
+    * coarse-quantizer seeding.
+    *
+    * Long format is deliberate: explode + hash-aggregate keyed on
+    * (label, dim) is map-side combinable and shuffles `labels × dim`
+    * aggregate rows — never vectors — so it scales to any corpus. (A
+    * collected array-of-avgs would need either HOF lambdas or a
+    * per-label collect.) Reassemble with
+    * `groupBy(label).agg(array_sort(collect_list(struct(dim, centroid))))`
+    * when a vector shape is needed — labels × dim stays tiny.
+    */
+  def labelCentroids(
+      emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col(labelCol), (col("__p") + 1).cast("int").as("dim"))
+      .agg(round(avg(col("__v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param candidates (idCol, vecCol) — the full corpus

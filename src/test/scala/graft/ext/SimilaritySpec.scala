@@ -100,4 +100,17 @@ class SimilaritySpec extends SparkSpec {
     assert(df.filter(
       ArrayExprs.intersectSize(col("x"), col("y")) =!= col("want")).count() === 0)
   }
+
+  test("labelCentroids: per-label per-dim means, 1-based dims") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f), 1),
+      (1L, Seq(3.0f, 6.0f), 1),
+      (2L, Seq(10.0f, 20.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb, "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect().toSet
+    assert(out === Set(
+      (1, 1, 2.0, 2L), (1, 2, 4.0, 2L),
+      (2, 1, 10.0, 1L), (2, 2, 20.0, 1L)))
+  }
 }
