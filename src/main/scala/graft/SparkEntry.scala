@@ -454,9 +454,15 @@ object SparkEntry {
     // before the first even-hour rate stay null (LEFT semantics).
     "q_asof_rate" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // Decimal-exact sum then one double division: a raw avg() sums in
+      // partition order and can cross the 6dp rounding boundary vs
+      // DuckDB's sequential sum (observed at sf0.1) — the same
+      // associativity fix as q_revenue_monthly.
       val rates = ev
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(round(avg(col("value")), 6).as("rate"))
+        .agg(round(
+          sum(col("value").cast("decimal(18,4)")).cast("double") /
+            count(col("value")), 6).as("rate"))
         .filter(hour(col("hr")) % 2 === 0)
       AsOf.asOfJoin(
         ev.select("event_id", "event_type", "ts", "value"), rates,
@@ -1115,7 +1121,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_asof_rate" ->
       """WITH r AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,
-        |    ROUND(AVG(value), 6) AS rate
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(value), 6) AS rate
         |  FROM events GROUP BY 1, 2),
         |r2 AS (SELECT * FROM r WHERE EXTRACT(hour FROM hr) % 2 = 0)
         |SELECT e.event_type, e.ts, e.event_id, e.value, r2.rate
