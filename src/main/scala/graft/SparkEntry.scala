@@ -354,6 +354,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // Pair -> cluster collapse: connected components of the portable
+    // MinHash near-dup graph, min-id representatives. The oracle
+    // re-derives the same pairs in SQL and closes them with a
+    // recursive CTE.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.portableMinHashNearDuplicates(
+          Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")),
+
     // Oracle-checked SimHash (md5-derived 60-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.portableSimHashNearDuplicates(
@@ -661,6 +672,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_dedup_simhash" -> simHashOracleSql,
 
     "q_dedup_minhash" -> minHashOracleSql,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+         |FROM reach GROUP BY s""".stripMargin,
 
     "q_sim_lsh" -> simLshOracleSql,
 

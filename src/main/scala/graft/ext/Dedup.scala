@@ -518,4 +518,87 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---- Pair -> cluster collapse -------------------------------------
+
+  /** Collapse near-duplicate PAIRS into clusters: connected components
+    * of the pair graph, labeled by the component's MINIMUM doc id (the
+    * canonical representative). This is the step every dedup pipeline
+    * needs after candidate pairs — transitive closure (a~b, b~c ⇒ keep
+    * one of {a,b,c}), not per-pair filtering.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * equi-join + one min-aggregate per round, both keyed on the node
+    * id), until a fixpoint. Rounds needed = graph diameter; LSH near-dup
+    * graphs are short chains/cliques, so this converges in a handful of
+    * rounds. For adversarial long-chain graphs at extreme scale, switch
+    * to the alternating large-star/small-star formulation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * same join shape, O(log²) rounds.
+    *
+    * The driver loop only checks a converged COUNT per round (no data
+    * collected); each round's labels are persisted and the previous
+    * round's freed.
+    *
+    * Output: (id, cluster_rep) for every node that appears in a pair;
+    * cluster_rep = min id of its component — deterministic regardless
+    * of partitioning.
+    *
+    * EAGER: the fixpoint loop runs at call time; the returned frame is
+    * persisted and caller-owned — `unpersist()` it when done.
+    */
+  def clusterPairs(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("__s"), col(bCol).cast("long").as("__d"))
+      .union(pairs.select(col(bCol).cast("long").as("__s"), col(aCol).cast("long").as("__d")))
+      .distinct()
+      .persist()
+    var labels = edges
+      .groupBy(col("__s").as("id"))
+      .agg(min(col("__d")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster_rep"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("__d"), col("cluster_rep").as("__nc")), "__d")
+        .groupBy(col("__s").as("id"))
+        .agg(min(col("__nc")).as("__nm"))
+      val next = labels
+        .join(neighborMin, Seq("id"))
+        .select(col("id"),
+          least(col("cluster_rep"), col("__nm")).as("cluster_rep"))
+        .persist()
+      val changed = labels
+        .join(next.select(col("id"), col("cluster_rep").as("__r2")), "id")
+        .filter(col("cluster_rep") =!= col("__r2"))
+        .count() // also materializes `next`
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged,
+      s"clusterPairs did not converge in $maxIter rounds — graph diameter " +
+        "exceeds the cap; raise maxIter or use a star-contraction variant")
+    labels
+  }
+
+  /** End-to-end near-dup collapse: keep exactly one document per
+    * cluster (the min-id representative) plus every unpaired document.
+    * `pairs` is any of the near-dup builders' outputs over `docs`.
+    */
+  def collapseNearDuplicates(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = clusterPairs(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_rep"))
+    docs.join(comp, Seq(idCol), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col(idCol))
+      .drop("cluster_rep")
+  }
 }

@@ -23,6 +23,29 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("clusterPairs: transitive closure with min-id representatives") {
+    // components: {1,2,3} via chain, {10,11}, and a 0..9-style long
+    // chain {20..27} exercising multi-round propagation (diameter 7)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 27L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(pairs, "id_a", "id_b")
+    val got = comp.as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(10L) === 10L && got(11L) === 10L)
+    (20L to 27L).foreach(i => assert(got(i) === 20L, s"node $i"))
+    comp.unpersist()
+  }
+
+  test("collapseNearDuplicates keeps one doc per cluster plus singletons") {
+    val corpus = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.collapseNearDuplicates(corpus, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,2} -> 0; {4,5} -> 4; 3 and 6 unpaired
+    assert(kept === Set(0L, 3L, 4L, 6L))
+  }
+
   test("exactByDigest agrees with exact dedup") {
     val a = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
