@@ -365,6 +365,18 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
         "id_a", "id_b")),
 
+    // End-to-end dedup deliverable: the SURVIVING corpus after cluster
+    // collapse (one representative per near-dup cluster + singletons).
+    "q_dedup_collapse" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.collapseNearDuplicates(
+        docs, "doc_id",
+        Dedup.portableMinHashNearDuplicates(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    }),
+
     // Oracle-checked SimHash (md5-derived 60-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.portableSimHashNearDuplicates(
@@ -683,6 +695,21 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_dedup_collapse" ->
+      s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+         |  FROM reach GROUP BY s)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |WHERE c.id IS NULL OR c.cluster_rep = d.doc_id""".stripMargin,
 
     "q_sim_lsh" -> simLshOracleSql,
 
