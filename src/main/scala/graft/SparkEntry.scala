@@ -417,6 +417,10 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "lang",
         Map("en" -> 50, "es" -> 20), defaultPct = 10)),
 
+    // Deterministic 80/10/10 train/val/test assignment (hash ranges).
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id")),
+
     // Per-source quota: top 50 docs per source by (n_chars desc, id) via
     // the bounded-heap TopKAgg — map-side pruned, hot-source safe.
     "q_quota_cap" -> ((s, dir) =>
@@ -1054,6 +1058,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
         |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 20 ELSE 10 END""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |      THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |      THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin,
 
     "q_quota_cap" ->
       """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS n_chars, rank FROM (

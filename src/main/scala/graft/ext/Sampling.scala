@@ -60,6 +60,26 @@ object Sampling {
     df.filter(hashGate(col(keyCol), pctExpr))
   }
 
+  /** Deterministic train/val/test split assignment: the hash bucket in
+    * [0,100) maps to a named split by cumulative range — train gets
+    * [0, trainPct), val [trainPct, trainPct+valPct), test the rest.
+    * Same portable hash as [[hashGate]], so membership is re-derivable
+    * from the key alone, stable under corpus growth, and auditable
+    * cross-engine. Pure projection: zero shuffles.
+    */
+  def splitAssign(
+      df: DataFrame, keyCol: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val bucket = HashExprs.md5Prefix60(col(keyCol).cast("string")) % 100
+    df.withColumn(outCol,
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-group document quota: keep the top `n` rows of each group by
     * (`scoreCol` desc, `idCol` asc) and rank them 1..n — corpus curation
     * capped per source/domain so no single crawl dominates the mix.

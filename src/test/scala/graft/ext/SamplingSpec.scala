@@ -46,6 +46,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter($"lang" === "fr").select("doc_id").as[Long].collect().toSet === flat)
   }
 
+  test("splitAssign: disjoint, exhaustive, consistent with the gate") {
+    val out = Sampling.splitAssign(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.values.sum === 1000)
+    assert(out("train") > 700 && out("train") < 880)
+    assert(out("val") > 50 && out("val") < 160)
+    assert(out("test") > 50 && out("test") < 160)
+    // the train split is EXACTLY the 80% hash sample (same gate)
+    val train = Sampling.splitAssign(docs, "doc_id")
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val gate80 = Sampling.hashSample(docs, "doc_id", 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(train === gate80)
+  }
+
   test("quotaCap matches the window row_number reference plan") {
     val expected = docs
       .withColumn("rank", row_number().over(
