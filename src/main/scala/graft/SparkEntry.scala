@@ -444,8 +444,8 @@ object SparkEntry {
     // RAG-style token-window chunking: 16-token windows, 4-token overlap.
     "q_chunk_tokens" -> ((s, dir) =>
       TextStats.tokenWindowChunks(
-        Tables.documents(s, dir), "doc_id", "text",
-        chunkSize = 16, overlap = 4)),
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        chunkSize = 16, overlap = 4).drop("text")),
 
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>

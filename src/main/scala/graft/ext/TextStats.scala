@@ -100,19 +100,22 @@ object TextStats {
     * codegen'd [[graft.functions.TokenChunks]] expression): no
     * shuffle, corpus chunking parallelizes with the scan.
     *
-    * Output: (idCol, chunk_id 0-based, chunk_text, n_chunk_tokens).
-    * Original-case text (chunking is payload prep, not normalization).
+    * Output: every input column (chunks inherit their document's
+    * metadata — provenance survives the explode) plus chunk_id
+    * (0-based), chunk_text, n_chunk_tokens. Original-case text
+    * (chunking is payload prep, not normalization); drop `textCol`
+    * afterwards if the full document shouldn't ride along.
     */
   def tokenWindowChunks(
       docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame =
     docs
-      .select(col(idCol),
+      .select(col("*"),
         posexplode(graft.functions.TextExprs.tokenChunks(
           col(textCol), chunkSize, overlap)).as(Seq("chunk_id", "chunk_text")))
-      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
-        col("chunk_text"),
-        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
 
   /** Gopher-style repetition quality signals, adapted to single-line
     * documents (the corpus has no newlines, so the paper's

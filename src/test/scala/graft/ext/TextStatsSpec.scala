@@ -116,8 +116,9 @@ class TextStatsSpec extends SparkSpec {
       (2L, "x"))
       .toDF("doc_id", "text")
     val out = TextStats.tokenWindowChunks(df, "doc_id", "text", 4, 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
       .as[(Long, Long, String, Long)].collect().toSet
-    // doc 0: n = (10-4+1)/2+1 = 4 chunks at starts 0,2,4,6... wait
+    // doc 0: starts advance by stride 2:
     // (len-size+stride-1)/stride+1 = (10-4+1)/2+1 = 3+1 = 4: starts 0,2,4,6
     assert(out.filter(_._1 == 0L) === Set(
       (0L, 0L, "t0 t1 t2 t3", 4L), (0L, 1L, "t2 t3 t4 t5", 4L),
@@ -132,6 +133,7 @@ class TextStatsSpec extends SparkSpec {
   test("tokenWindowChunks: short-tail chunk when stride doesn't divide") {
     val df = Seq((0L, "t0 t1 t2 t3 t4")).toDF("doc_id", "text") // 5 toks
     val out = TextStats.tokenWindowChunks(df, "doc_id", "text", 4, 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
       .as[(Long, Long, String, Long)].collect().toSet
     // n = (5-4+1)/2+1 = 2: starts 0,2 -> second chunk is 3 tokens
     assert(out === Set(
