@@ -410,6 +410,27 @@ object SparkEntry {
       Similarity.labelCentroids(
         Tables.embeddings(s, dir), "label", "embedding")),
 
+    // REAL media header round-trip: synthesize valid BMP/WAV binaries
+    // (dims derived from n_chars), parse them back with the byte-level
+    // MediaCodec; the oracle recomputes the same fields arithmetically
+    // — the parse must invert the synthesis bit-exactly.
+    "q_media_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          if (id % 2 == 0)
+            (id, "image",
+              ext.MediaCodec.synthesizeBmp(
+                (n % 640 + 1).toInt, ((n * 31) % 480 + 1).toInt))
+          else
+            (id, "audio",
+              ext.MediaCodec.synthesizeWav(
+                (n % 2 + 1).toInt, (8000 + (n % 8) * 1000).toInt))
+        }).toDF("doc_id", "media_type", "payload")
+      Multimodal.parseMediaHeaders(s, media).toDF()
+    }),
+
     // Deterministic stratified sampling: portable md5 hash gate, per-
     // language keep rates. Pure projection+filter — zero shuffles.
     "q_sample_stratified" -> ((s, dir) =>
@@ -1052,6 +1073,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM embeddings e
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_media_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars % 640 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((n_chars * 31) % 480 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS INT) END AS bits_per_pixel,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
+        |FROM documents""".stripMargin,
 
     // Portable hash gate: same md5-prefix-60 integer as Md5Prefix60.
     "q_sample_stratified" ->

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * reference equivalent.
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode — is real; the codec itself is STUBBED (no image/audio
-  * libraries in this environment) behind [[FakeCodec]], a deterministic
-  * stand-in with the same signature a real decoder (javacv / a
-  * `mapInPandas` PIL worker on the PySpark side) would have.
+  * decode — is real. Header-level decode is ALSO real for BMP and
+  * canonical PCM WAV ([[MediaCodec]], byte-level parsing via
+  * [[parseMediaHeaders]]); pixel/sample decode beyond the header is
+  * STUBBED (no image/audio libraries in this environment) behind
+  * [[FakeCodec]], a deterministic stand-in with the same signature a
+  * real decoder (javacv / a `mapInPandas` PIL worker on the PySpark
+  * side) would have.
   *
   * Design for 100 TB: payloads are decoded per-partition via
   * `mapPartitions` over a typed Dataset, so one task holds one batch of
@@ -117,6 +120,39 @@ object Multimodal {
           Frame(r.doc_id, i, slice)
         }
       }
+  }
+
+  final case class ParsedHeader(
+      doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], bits_per_pixel: Option[Int],
+      channels: Option[Int], sample_rate: Option[Int],
+      bits_per_sample: Option[Int])
+
+  /** REAL header decode (not a stub): BMP and canonical PCM WAV
+    * payloads are parsed byte-for-byte by [[MediaCodec]]; anything
+    * else reports format "unknown" with null fields. Same
+    * partition-parallel mapPartitions shape as [[decodeMetadata]] —
+    * one pass, no shuffle, payload column pruned for callers that
+    * only select the parsed fields downstream.
+    */
+  def parseMediaHeaders(spark: SparkSession, media: DataFrame): Dataset[ParsedHeader] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        MediaCodec.detect(r.payload) match {
+          case "bmp" =>
+            val h = MediaCodec.parseBmp(r.payload)
+            ParsedHeader(r.doc_id, "bmp",
+              Some(h.width), Some(h.height), Some(h.bitsPerPixel),
+              None, None, None)
+          case "wav" =>
+            val h = MediaCodec.parseWav(r.payload)
+            ParsedHeader(r.doc_id, "wav", None, None, None,
+              Some(h.channels), Some(h.sampleRate), Some(h.bitsPerSample))
+          case _ =>
+            ParsedHeader(r.doc_id, "unknown", None, None, None, None, None, None)
+        }
+      })
   }
 
   /** Partition-parallel decode: one `mapPartitions` pass, no shuffle.

@@ -62,4 +62,54 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema("payload").dataType.typeName === "binary")
     assert(media.select("doc_id", "media_type").columns.length === 2)
   }
+
+  test("MediaCodec parses golden BMP bytes (hand-written, not round-trip)") {
+    // 14-byte file header + BITMAPINFOHEADER for a 2x3, 24bpp image.
+    val golden = Array[Int](
+      'B', 'M', 54, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0,       // DIB size
+      2, 0, 0, 0,        // width = 2
+      3, 0, 0, 0,        // height = 3
+      1, 0,              // planes
+      24, 0,             // bpp
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0
+    ).map(_.toByte)
+    assert(MediaCodec.detect(golden) === "bmp")
+    assert(MediaCodec.parseBmp(golden) === MediaCodec.BmpHeader(2, 3, 24))
+  }
+
+  test("MediaCodec parses golden WAV bytes and round-trips synthesis") {
+    // canonical mono 8000 Hz 16-bit header
+    val golden = MediaCodec.synthesizeWav(1, 8000)
+    assert(golden.length === 44)
+    assert(new String(golden.slice(0, 4)) === "RIFF")
+    assert(new String(golden.slice(8, 12)) === "WAVE")
+    assert(MediaCodec.detect(golden) === "wav")
+    assert(MediaCodec.parseWav(golden) === MediaCodec.WavHeader(1, 8000, 16))
+    // multi-channel, odd rate
+    val st = MediaCodec.synthesizeWav(2, 44100)
+    assert(MediaCodec.parseWav(st) === MediaCodec.WavHeader(2, 44100, 16))
+    // byte rate field = rate * channels * bits/8 (u32le @28)
+    val byteRate = (st(28) & 0xff) | ((st(29) & 0xff) << 8) |
+      ((st(30) & 0xff) << 16) | ((st(31) & 0xff) << 24)
+    assert(byteRate === 44100 * 2 * 2)
+  }
+
+  test("parseMediaHeaders dispatches by magic and nulls unknown payloads") {
+    val media = Seq(
+      (1L, "image", MediaCodec.synthesizeBmp(640, 480)),
+      (2L, "audio", MediaCodec.synthesizeWav(2, 16000)),
+      (3L, "junk", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.parseMediaHeaders(spark, media)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(out(1L).format === "bmp")
+    assert(out(1L).width === Some(640) && out(1L).height === Some(480))
+    assert(out(1L).channels === None)
+    assert(out(2L).format === "wav")
+    assert(out(2L).channels === Some(2) && out(2L).sample_rate === Some(16000))
+    assert(out(2L).width === None)
+    assert(out(3L).format === "unknown")
+    assert(out(3L).width === None && out(3L).sample_rate === None)
+  }
 }
