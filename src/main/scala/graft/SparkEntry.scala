@@ -472,6 +472,10 @@ object SparkEntry {
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
 
+    // CCNet-style unigram-LM surprisal (perplexity-proxy quality score).
+    "q_unigram_surprisal" -> ((s, dir) =>
+      Vocab.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
+
     // Per-document top TF-IDF term (rank on the 6dp-rounded score in
     // BOTH engines so cross-engine ln() ulps can't flip the argmax).
     "q_tfidf_top" -> ((s, dir) =>
@@ -1178,6 +1182,25 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_unigram_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |tot AS (
+        |  SELECT CAST(SUM(len(str_split(trim(lower(text)), ' '))) AS DOUBLE) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, tf,
+        |    ROUND(-ln(CAST(SUM(tf) OVER (PARTITION BY term) AS DOUBLE) / tot.t), 6)
+        |      AS nll
+        |  FROM tf CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
+        |    AS DOUBLE) / SUM(tf), 6) AS surprisal
+        |FROM w GROUP BY doc_id""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH tf AS (

@@ -52,6 +52,48 @@ object Vocab {
     * the executed plan). One corpus tokenize pass total; the argmax is
     * a WindowGroupLimit (rank-1 prune before and after its shuffle).
     */
+  /** Unigram-LM surprisal per document — the perplexity-proxy quality
+    * filter of CCNet-style pipelines: score = mean over the document's
+    * tokens of −ln p(token), with p estimated from the corpus itself
+    * (count/total). Low surprisal ⇒ common boilerplate; high ⇒ rare
+    * junk; the middle band is "natural" text.
+    *
+    * Determinism across engines: each term's −ln p is rounded to 6 dp
+    * FIRST, then the per-doc total is summed as DECIMAL(18,6) — exact
+    * and associative, so Spark's partial-aggregation order cannot
+    * drift a single ulp from the oracle's sequential sum (the same
+    * trick as the decimal revenue rollup). Term counts are a
+    * count-window over the (doc, term) tf frame, like [[topTfIdfTerm]];
+    * the scalar token total is a second count-only pass (scan + explode
+    * + 1-row aggregate, no shuffle) — cheaper than re-running the tf
+    * aggregate, which exchange reuse would not dedupe anyway.
+    *
+    * Output: (idCol, n_tokens, surprisal) — surprisal rounded 6 dp.
+    */
+  def unigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val total = docs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count(lit(1)).as("__total"))
+    tf.withColumn("__cnt", sum(col("tf")).over(byTerm))
+      .crossJoin(broadcast(total))
+      .withColumn("__term_nll",
+        round(-log(col("__cnt").cast("double") / col("__total").cast("double")), 6))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("decimal(18,6)") *
+          col("__term_nll").cast("decimal(18,6)")).as("__nll_sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__nll_sum").cast("double") / col("n_tokens"), 6)
+          .as("surprisal"))
+  }
+
   def topTfIdfTerm(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs

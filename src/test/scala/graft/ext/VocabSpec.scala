@@ -38,6 +38,20 @@ class VocabSpec extends SparkSpec {
     assert(out(1L) === "join")
   }
 
+  test("unigramSurprisal: corpus-frequency mean negative log-likelihood") {
+    val tiny = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // T=5; p(a)=p(b)=2/5, p(c)=1/5; nll(a)=nll(b)=round(-ln(0.4),6)=0.916291
+    val out = Vocab.unigramSurprisal(tiny, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._1 === 3L)
+    assert(out(0L)._2 === 0.916291) // all three tokens share the same nll
+    assert(out(1L)._1 === 2L)
+    val expected1 = (0.916291 + math.rint(-math.log(0.2) * 1e6) / 1e6) / 2
+    assert(math.abs(out(1L)._2 - expected1) < 2e-6)
+    // rare-junk doc scores higher than common-token doc
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
   test("tfidf values are rounded 6dp and exactly one row per doc") {
     val out = Vocab.topTfIdfTerm(docs, "doc_id", "text").collect()
     assert(out.length === 3)
