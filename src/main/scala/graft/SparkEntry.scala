@@ -1072,7 +1072,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // Dimensions are 1-based in both engines; embeddings are 64-dim.
     "q_embed_centroids" ->
       """SELECT e.label, CAST(g.g AS INT) AS dim,
-        |  ROUND(AVG(CAST(e.embedding[g.g] AS DOUBLE)), 6) AS centroid,
+        |  ROUND(CAST(SUM(CAST(CAST(e.embedding[g.g] AS DOUBLE) AS DECIMAL(28,12)))
+        |    AS DOUBLE) / COUNT(*), 6) AS centroid,
         |  CAST(COUNT(*) AS BIGINT) AS n_vectors
         |FROM embeddings e
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g

@@ -34,18 +34,25 @@ object Contamination {
   def ngramOverlap(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val corpusGrams = corpus.select(
-      col(idCol), explode(grams(col(textCol), n)).as("__g"))
+    // Shingle each corpus document ONCE: n_ngrams rides through the
+    // explode next to each gram (a separate totals branch would re-run
+    // the WordShingles kernel over the whole corpus — exchange reuse
+    // does not dedupe independent subtrees). explode_outer keeps
+    // gram-less (too-short) docs as a single null-gram row, which can
+    // never join, so every corpus doc still appears exactly once.
+    val corpusGrams = corpus
+      .select(col(idCol), grams(col(textCol), n).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__gs")).as("__g"))
     val benchGrams = benchmark
       .select(explode(grams(col(textCol), n)).as("__g"))
       .distinct()
-    val hits = corpusGrams.join(benchGrams, "__g")
+      .withColumn("__hit", lit(1L))
+    corpusGrams
+      .join(benchGrams, Seq("__g"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-    corpus
-      .select(col(idCol), size(grams(col(textCol), n)).cast("long").as("n_ngrams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("contamination",
         when(col("n_ngrams") > 0,
           round(col("n_hits").cast("double") / col("n_ngrams").cast("double"), 6)))

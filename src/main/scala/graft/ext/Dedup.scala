@@ -582,9 +582,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
-    require(converged,
-      s"clusterPairs did not converge in $maxIter rounds — graph diameter " +
-        "exceeds the cap; raise maxIter or use a star-contraction variant")
+    if (!converged) {
+      labels.unpersist(blocking = false) // don't leak cache on failure
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIter rounds — graph diameter " +
+          "exceeds the cap; raise maxIter or use a star-contraction variant")
+    }
     labels
   }
 

@@ -57,7 +57,14 @@ object Similarity {
     emb
       .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
       .groupBy(col(labelCol), (col("__p") + 1).cast("int").as("dim"))
-      .agg(round(avg(col("__v").cast("double")), 6).as("centroid"),
+      // Decimal-exact sum, one double division: avg(double) sums in
+      // partition order and can flip the 6dp rounding vs the oracle's
+      // sequential sum. float→double is exact and both engines convert
+      // the SAME double to the same DECIMAL(28,12), so the sum is
+      // bit-identical cross-engine.
+      .agg(round(
+        sum(col("__v").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("centroid"),
         count(lit(1)).as("n_vectors"))
 
   /** Exact top-k neighbors for each query vector.

@@ -39,19 +39,6 @@ object Vocab {
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(k)
 
-  /** Per-document top term by TF-IDF: score = tf · ln(N / df), rounded
-    * to 6 dp in-engine (cross-engine float determinism — see the oracle
-    * conventions in SparkEntry). Rank ties break by term asc; exactly
-    * one row per document that has at least one token.
-    *
-    * N (corpus document count) is a one-row aggregate broadcast into
-    * the score projection. df is a COUNT WINDOW over the (doc, term)
-    * tf frame partitioned by term — NOT a groupBy + self-join, which
-    * Catalyst plans as a second full scan+explode of the corpus (AQE
-    * exchange reuse does not fire across the aggregate; verified on
-    * the executed plan). One corpus tokenize pass total; the argmax is
-    * a WindowGroupLimit (rank-1 prune before and after its shuffle).
-    */
   /** Unigram-LM surprisal per document — the perplexity-proxy quality
     * filter of CCNet-style pipelines: score = mean over the document's
     * tokens of −ln p(token), with p estimated from the corpus itself
@@ -94,6 +81,19 @@ object Vocab {
           .as("surprisal"))
   }
 
+  /** Per-document top term by TF-IDF: score = tf · ln(N / df), rounded
+    * to 6 dp in-engine (cross-engine float determinism — see the oracle
+    * conventions in SparkEntry). Rank ties break by term asc; exactly
+    * one row per document that has at least one token.
+    *
+    * N (corpus document count) is a one-row aggregate broadcast into
+    * the score projection. df is a COUNT WINDOW over the (doc, term)
+    * tf frame partitioned by term — NOT a groupBy + self-join, which
+    * Catalyst plans as a second full scan+explode of the corpus (AQE
+    * exchange reuse does not fire across the aggregate; verified on
+    * the executed plan). One corpus tokenize pass total; the argmax is
+    * a WindowGroupLimit (rank-1 prune before and after its shuffle).
+    */
   def topTfIdfTerm(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs

@@ -61,7 +61,10 @@ case class TopKAgg(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN scores are skipped: NaN compares false both ways under the
+    // '>' ordering, which would corrupt the heap invariant and make
+    // results insertion-order dependent.
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     }
     buf
@@ -75,16 +78,15 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    // Best-first: drain the worst-first queue and reverse.
-    val n = buf.size
-    val out = new Array[Any](n)
-    var i = n - 1
-    while (i >= 0) {
-      val (s, d) = buf.dequeue()
-      out(i) = new GenericInternalRow(Array[Any](d, s))
-      i -= 1
-    }
-    new GenericArrayData(out)
+    // Best-first via a sorted COPY — eval must not mutate the buffer:
+    // window-frame evaluation (AggregateProcessor) calls eval
+    // repeatedly on one shared buffer, and a destructive drain would
+    // return the top-k once and empty arrays afterwards.
+    // Ascending under worstFirst = best first ("less" = better: higher
+    // score, then lower id — the heap dequeues its max, the worst).
+    val best = buf.toArray.sortWith(worstFirst.lt)
+    new GenericArrayData(
+      best.map { case (s, d) => new GenericInternalRow(Array[Any](d, s)): Any })
   }
 
   override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {

@@ -45,10 +45,15 @@ object SkewJoin {
     val jt = joinType.toLowerCase.replace("_outer", "")
     require(jt == "inner" || jt == "left",
       s"salting preserves only inner/left joins, got: $joinType")
-    // rand(fixed seed): plan-stable, and result-set-neutral by the
-    // replica argument above — determinism of the OUTPUT does not
-    // depend on the salt draw.
-    val salted = probe.withColumn(SaltCol, floor(rand(42) * salts).cast("int"))
+    // The salt must be DETERMINISTIC PER ROW, not rand(): if a shuffle
+    // map task is recomputed after a fetch failure, rand() re-draws and
+    // rows move between salt partitions mid-shuffle — the SPARK-23207
+    // class of silent row loss/duplication. Hashing every probe column
+    // re-derives the same salt on any recompute; rows identical in all
+    // columns share a salt, which is harmless (identical rows are
+    // interchangeable in the join result).
+    val salted = probe.withColumn(SaltCol,
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salts)).cast("int"))
     val replicated = build.withColumn(
       SaltCol, explode(lit((0 until salts).toArray)))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)

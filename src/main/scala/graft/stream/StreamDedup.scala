@@ -28,6 +28,10 @@ object StreamDedup {
     docs
       // unhex: md5() yields a 32-char hex STRING; unhex makes it the
       // true 16-byte binary so per-key state is actually 16 B.
+      // MIGRATION NOTE: this changed the dedup state key type (string →
+      // binary). A stream restarted from a checkpoint written by the
+      // hex-string version fails the state schema check — start such
+      // upgrades from a fresh checkpoint.
       .withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
       .dropDuplicates("__fp")
       .drop("__fp")
