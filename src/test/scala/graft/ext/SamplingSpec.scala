@@ -84,6 +84,31 @@ class SamplingSpec extends SparkSpec {
     assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
   }
 
+  test("TopKAgg as a window function: eval is non-destructive") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("b", 9L, 2.0))
+      .toDF("g", "id", "s")
+    // WindowExec calls eval repeatedly on one shared buffer — a
+    // destructive eval would return the top-k once and [] afterwards.
+    val out = df.withColumn("top",
+      graft.functions.TopKAgg.topK($"s", $"id", 2)
+        .over(Window.partitionBy($"g")))
+      .select($"id", $"top.id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) === Seq(2L, 3L))
+    assert(out(2L) === Seq(2L, 3L)) // every row of the group sees the same top-k
+    assert(out(3L) === Seq(2L, 3L))
+    assert(out(9L) === Seq(9L))
+  }
+
+  test("TopKAgg skips NaN scores instead of corrupting the heap") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, Double.NaN), ("a", 3L, 3.0))
+      .toDF("g", "id", "s")
+    val got = Sampling.quotaCap(df, Seq("g"), "s", "id", 2)
+      .select($"id", $"rank").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L), (1L, 2L)))
+  }
+
   test("TopKAgg survives partial/merge across many partitions") {
     val big = spark.range(0, 10000, 1, 16)
       .select($"id", ($"id" % 97).cast("double").as("s"), lit("g").as("g"))
