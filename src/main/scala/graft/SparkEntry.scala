@@ -354,6 +354,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // Incremental exact dedup: the new batch (doc_id % 3 == 0) against
+    // a historical digest table (everything else) — the daily-crawl-vs-
+    // corpus pattern; history text is never read.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.incrementalExactByDigest(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Dedup.textDigests(d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"))
+    }),
+
     // Pair -> cluster collapse: connected components of the portable
     // MinHash near-dup graph, min-id representatives. The oracle
     // re-derives the same pairs in SQL and closes them with a
@@ -713,6 +723,18 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_dedup_simhash" -> simHashOracleSql,
 
     "q_dedup_minhash" -> minHashOracleSql,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, text, lang, source, n_chars, md5(text) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+        |surv AS (
+        |  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        |  FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+        |  WHERE h.fp IS NULL)
+        |SELECT doc_id, text, lang, source, n_chars FROM surv WHERE rn = 1""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),

@@ -91,37 +91,113 @@ object Dedup {
     * (band_index, band_hash). Returns (id_a, id_b, est_jaccard) with
     * id_a < id_b; est_jaccard = fraction of matching signature slots.
     */
-  def minHashCandidatePairs(
+  /** (id, signature, __band, __bandhash) — one row per (doc, band).
+    * Static band hashes: xxhash64 over the band's signature slots
+    * directly (no HOF lambdas, no string joins — band index is known
+    * at plan-build time).
+    */
+  private def bandExplode(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Static band hashes: xxhash64 over the band's signature slots
-    // directly (no HOF lambdas, no string joins — band index is known
-    // at plan-build time).
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows)
           .map(i => element_at(col("signature"), i + 1)): _*).as("bandhash"))
     }
-    val banded = signatures
+    signatures
       .select(col(idCol), col("signature"),
         explode(array(bandCols: _*)).as("__bb"))
       .select(col(idCol), col("signature"),
         col("__bb.band").as("__band"), col("__bb.bandhash").as("__bandhash"))
+  }
+
+  /** Static per-slot signature agreement — plain codegen'd expressions,
+    * no higher-order functions (HOF lambdas cost seconds of janino
+    * time).
+    */
+  private def slotAgreement(numHashes: Int): Column =
+    (1 to numHashes).map(i =>
+      when(element_at(col("__sig_a"), i) === element_at(col("__sig_b"), i),
+        1).otherwise(0)).reduce(_ + _).cast("double") / numHashes
+
+  def minHashCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandExplode(signatures, idCol, numHashes, bands)
     val a = banded.select(col(idCol).as("id_a"),
       col("signature").as("__sig_a"), col("__band"), col("__bandhash"))
     val b = banded.select(col(idCol).as("id_b"),
       col("signature").as("__sig_b"), col("__band"), col("__bandhash"))
-    // Static per-slot comparisons: plain codegen'd expressions, no
-    // higher-order functions (HOF lambdas cost seconds of janino time).
-    val matching = (1 to numHashes).map(i =>
-      when(element_at(col("__sig_a"), i) === element_at(col("__sig_b"), i),
-        1).otherwise(0)).reduce(_ + _)
     a.join(b, Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("est_jaccard", matching.cast("double") / numHashes)
+      .withColumn("est_jaccard", slotAgreement(numHashes))
+      .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---- Incremental dedup (new batch vs historical corpus) -----------
+
+  /** The digest frame a pipeline PERSISTS for incremental exact dedup:
+    * (idCol, digest) — 16 B/doc, the only state the history side needs.
+    */
+  def textDigests(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      unhex(md5(col(textCol).cast("binary"))).as("digest"))
+
+  /** Incremental exact dedup: which documents of a NEW batch survive
+    * against an already-deduplicated historical corpus. Drops new docs
+    * whose digest exists in history (left-anti join against the 16-byte
+    * digest table — the history TEXT is never touched), then keeps one
+    * representative (min `idCol`) per digest within the batch itself.
+    * Both steps are digest-keyed shuffles; the anti-join build side is
+    * the digest table, which AQE can broadcast when small.
+    */
+  def incrementalExactByDigest(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      historyDigests: DataFrame, digestCol: String = "digest"): DataFrame = {
+    val withFp = newDocs.withColumn("__fp",
+      unhex(md5(col(textCol).cast("binary"))))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    withFp
+      .join(historyDigests.select(col(digestCol).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Incremental MinHash candidates: pairs involving at least one NEW
+    * document, probed against a PERSISTED signature table — the
+    * historical corpus is never re-shingled or re-signed, and old×old
+    * pairs are never generated (the join is new-banded vs
+    * (history ∪ new)-banded, not all-vs-all). Output ids are
+    * normalized (id_a < id_b) and deduped, so new-vs-new pairs appear
+    * once. `est_jaccard` = signature slot agreement; verify against
+    * true token sets downstream if exactness is required.
+    */
+  def incrementalMinHashCandidatePairs(
+      newSigs: DataFrame, historySigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val bandedNew = bandExplode(newSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("__id_n"), col("signature").as("__sig_n"),
+        col("__band"), col("__bandhash"))
+    val bandedAll = bandExplode(
+      historySigs.unionByName(newSigs), idCol, numHashes, bands)
+      .select(col(idCol).as("__id_o"), col("signature").as("__sig_o"),
+        col("__band"), col("__bandhash"))
+    bandedNew.join(bandedAll, Seq("__band", "__bandhash"))
+      .filter(col("__id_n") =!= col("__id_o"))
+      .select(
+        least(col("__id_n"), col("__id_o")).as("id_a"),
+        greatest(col("__id_n"), col("__id_o")).as("id_b"),
+        when(col("__id_n") < col("__id_o"), col("__sig_n"))
+          .otherwise(col("__sig_o")).as("__sig_a"),
+        when(col("__id_n") < col("__id_o"), col("__sig_o"))
+          .otherwise(col("__sig_n")).as("__sig_b"))
+      .withColumn("est_jaccard", slotAgreement(numHashes))
       .select("id_a", "id_b", "est_jaccard")
       .dropDuplicates("id_a", "id_b")
   }

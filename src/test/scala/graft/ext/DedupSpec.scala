@@ -23,6 +23,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("incrementalExactByDigest: drops history dups, dedups within batch") {
+    val history = Seq((100L, "seen before"), (101L, "also known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),   // in history -> dropped
+      (2L, "brand new"),     // survives
+      (3L, "brand new"),     // batch-dup of 2 -> dropped
+      (4L, "also known"),    // in history -> dropped
+      (5L, "another fresh")) // survives
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactByDigest(
+      batch, "doc_id", "text", Dedup.textDigests(history, "doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 5L))
+  }
+
+  test("incremental MinHash candidates == full candidates minus old-old pairs") {
+    val history = docs.filter(col("doc_id") < 3)
+    val batch = docs.filter(col("doc_id") >= 3)
+      .union(Seq((9L, "the quick brown fox jumps over the lazy dog near an old river bank"))
+        .toDF("doc_id", "text"))
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignatures(d, "doc_id", "text", shingleN = 3, numHashes = 16)
+    val full = Dedup.minHashCandidatePairs(
+      sigs(history.union(batch)), "doc_id", 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oldIds = Set(0L, 1L, 2L)
+    val expected = full.filterNot { case (a, b) => oldIds(a) && oldIds(b) }
+    val got = Dedup.incrementalMinHashCandidatePairs(
+      sigs(batch), sigs(history), "doc_id", 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // doc 9 is a near-dup of history doc 0
+  }
+
   test("clusterPairs: transitive closure with min-id representatives") {
     // components: {1,2,3} via chain, {10,11}, and a 0..9-style long
     // chain {20..27} exercising multi-round propagation (diameter 7)
