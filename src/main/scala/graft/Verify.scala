@@ -23,7 +23,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Eager queries (LSH families, cluster collapse) persist
-      // intermediates; don't let 58 queries' caches accumulate.
+      // intermediates; don't let the inventory's caches accumulate.
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

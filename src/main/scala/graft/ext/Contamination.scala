@@ -42,7 +42,11 @@ object Contamination {
     // never join, so every corpus doc still appears exactly once.
     val corpusGrams = corpus
       .select(col(idCol), grams(col(textCol), n).as("__gs"))
-      .select(col(idCol), size(col("__gs")).cast("long").as("n_ngrams"),
+      // size(null) is -1 under legacySizeOfNull (ANSI off) — a null
+      // text must yield n_ngrams NULL, matching the oracle.
+      .select(col(idCol),
+        when(col("__gs").isNotNull, size(col("__gs")))
+          .cast("long").as("n_ngrams"),
         explode_outer(col("__gs")).as("__g"))
     val benchGrams = benchmark
       .select(explode(grams(col(textCol), n)).as("__g"))

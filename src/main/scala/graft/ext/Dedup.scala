@@ -43,12 +43,20 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
 
+  /** THE text digest of this library — a true 16-byte binary md5.
+    * Single definition on purpose: incremental dedup only works if the
+    * batch-side fingerprint matches how history digests were persisted,
+    * so every digest-keyed operator (exact dedup, textDigests,
+    * incremental, streaming dedup) must share this exact expression.
+    */
+  def textDigest(text: Column): Column = unhex(md5(text.cast("binary")))
+
   /** Exact dedup on a large text column via md5 digest: grouping key is
     * 16 bytes instead of the document, so the shuffle stays small at
     * 100 TB. Collision probability is negligible (2^-64 at petascale).
     */
   def exactByDigest(df: DataFrame, textCol: String, repCol: String): DataFrame =
-    df.withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
+    df.withColumn("__fp", textDigest(col(textCol)))
       .groupBy(col("__fp"))
       .agg(min(col(repCol)).as(repCol), count(lit(1)).as("n_copies"))
       .drop("__fp")
@@ -144,8 +152,7 @@ object Dedup {
     * (idCol, digest) — 16 B/doc, the only state the history side needs.
     */
   def textDigests(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      unhex(md5(col(textCol).cast("binary"))).as("digest"))
+    docs.select(col(idCol), textDigest(col(textCol)).as("digest"))
 
   /** Incremental exact dedup: which documents of a NEW batch survive
     * against an already-deduplicated historical corpus. Drops new docs
@@ -158,8 +165,7 @@ object Dedup {
   def incrementalExactByDigest(
       newDocs: DataFrame, idCol: String, textCol: String,
       historyDigests: DataFrame, digestCol: String = "digest"): DataFrame = {
-    val withFp = newDocs.withColumn("__fp",
-      unhex(md5(col(textCol).cast("binary"))))
+    val withFp = newDocs.withColumn("__fp", textDigest(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     withFp
       .join(historyDigests.select(col(digestCol).as("__fp")).distinct(),
@@ -181,14 +187,30 @@ object Dedup {
   def incrementalMinHashCandidatePairs(
       newSigs: DataFrame, historySigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
-    val bandedNew = bandExplode(newSigs, idCol, numHashes, bands)
+    // Fail fast on a signature-width mismatch: probing a history table
+    // persisted with a different numHashes would otherwise return
+    // silently-wrong buckets (element_at past the end is null under
+    // ANSI-off) and deflated est_jaccard.
+    def widthChecked(sigs: DataFrame, side: String) = sigs.withColumn(
+      "signature",
+      when(size(col("signature")) === numHashes, col("signature"))
+        .otherwise(raise_error(concat(
+          lit(s"$side signature width != $numHashes slots: "),
+          size(col("signature"))))))
+    // new-vs-new via the standard pair generator (new side banded once,
+    // each pair evaluated once) + new-vs-HISTORY-ONLY join. A pair is
+    // in exactly one part, so no cross-part dedup is needed.
+    val nsigs = widthChecked(newSigs, "new")
+    val newNew = minHashCandidatePairs(nsigs, idCol, numHashes, bands)
+    val bandedNew = bandExplode(nsigs, idCol, numHashes, bands)
       .select(col(idCol).as("__id_n"), col("signature").as("__sig_n"),
         col("__band"), col("__bandhash"))
-    val bandedAll = bandExplode(
-      historySigs.unionByName(newSigs), idCol, numHashes, bands)
+    val bandedHist = bandExplode(
+      widthChecked(historySigs, "history"), idCol, numHashes, bands)
       .select(col(idCol).as("__id_o"), col("signature").as("__sig_o"),
         col("__band"), col("__bandhash"))
-    bandedNew.join(bandedAll, Seq("__band", "__bandhash"))
+    val newHist = bandedNew.join(bandedHist, Seq("__band", "__bandhash"))
+      // guards the re-ingested-id case (same id on both sides)
       .filter(col("__id_n") =!= col("__id_o"))
       .select(
         least(col("__id_n"), col("__id_o")).as("id_a"),
@@ -200,6 +222,7 @@ object Dedup {
       .withColumn("est_jaccard", slotAgreement(numHashes))
       .select("id_a", "id_b", "est_jaccard")
       .dropDuplicates("id_a", "id_b")
+    newNew.unionByName(newHist)
   }
 
   /** Near-duplicate pairs via MinHash LSH, verified against the true

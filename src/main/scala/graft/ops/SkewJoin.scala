@@ -37,10 +37,18 @@ object SkewJoin {
     * @param keys     equi-join key columns present in both frames
     * @param salts    replication factor (= hot-key parallelism)
     * @param joinType "inner" (default) or "left" / "left_outer"
+    * @param saltOn   columns whose hash spreads a hot key over salts —
+    *                 name a (nearly) unique row key here. Default: all
+    *                 hashable probe columns. CAVEAT: rows identical in
+    *                 every `saltOn` column share one salt, so a hot key
+    *                 made of byte-identical duplicate rows does NOT
+    *                 spread — pre-aggregate duplicates (count them)
+    *                 before joining, or pass a synthetic unique column.
     */
   def saltedJoin(
       probe: DataFrame, build: DataFrame, keys: Seq[String],
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltOn: Seq[String] = Nil): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
     val jt = joinType.toLowerCase.replace("_outer", "")
     require(jt == "inner" || jt == "left",
@@ -48,12 +56,16 @@ object SkewJoin {
     // The salt must be DETERMINISTIC PER ROW, not rand(): if a shuffle
     // map task is recomputed after a fetch failure, rand() re-draws and
     // rows move between salt partitions mid-shuffle — the SPARK-23207
-    // class of silent row loss/duplication. Hashing every probe column
-    // re-derives the same salt on any recompute; rows identical in all
-    // columns share a salt, which is harmless (identical rows are
-    // interchangeable in the join result).
+    // class of silent row loss/duplication. A hash of the row's columns
+    // re-derives the same salt on any recompute. (MapType columns are
+    // excluded from the default — Spark's hash expressions reject them.)
+    val saltCols =
+      if (saltOn.nonEmpty) saltOn
+      else probe.schema.fields.filterNot(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(_.name).toSeq
+    require(saltCols.nonEmpty, "no hashable columns to salt on")
     val salted = probe.withColumn(SaltCol,
-      pmod(xxhash64(probe.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(saltCols.map(col): _*), lit(salts)).cast("int"))
     val replicated = build.withColumn(
       SaltCol, explode(lit((0 until salts).toArray)))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)

@@ -26,13 +26,13 @@ object StreamDedup {
     */
   def exact(docs: DataFrame, textCol: String): DataFrame =
     docs
-      // unhex: md5() yields a 32-char hex STRING; unhex makes it the
-      // true 16-byte binary so per-key state is actually 16 B.
+      // The shared 16-byte binary digest (same expression as the batch
+      // operators — incremental dedup depends on the match).
       // MIGRATION NOTE: this changed the dedup state key type (string →
       // binary). A stream restarted from a checkpoint written by the
       // hex-string version fails the state schema check — start such
       // upgrades from a fresh checkpoint.
-      .withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
+      .withColumn("__fp", graft.ext.Dedup.textDigest(col(textCol)))
       .dropDuplicates("__fp")
       .drop("__fp")
 
@@ -49,7 +49,7 @@ object StreamDedup {
       docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("__fp", unhex(md5(col(textCol).cast("binary"))))
+      .withColumn("__fp", graft.ext.Dedup.textDigest(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
