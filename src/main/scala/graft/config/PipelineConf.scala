@@ -25,6 +25,13 @@ final case class ValueRange(lo: Double, hi: Double) {
   *                   `logs/pipeline.log` 2025-05-26 ("19 valid rows out
   *                   of 20" then commit): bad rows are dropped with a
   *                   logged summary and the valid subset is committed.
+  * @param maxFilesPerTrigger backpressure cap on files per micro-batch.
+  *                   None = Spark default (unbounded): a restart against
+  *                   a large backlog ingests EVERYTHING in one batch —
+  *                   at production scale that is one giant transactional
+  *                   unit and one giant retry domain. Set to bound batch
+  *                   size; the checkpoint drains the backlog across
+  *                   triggers either way (T2/T3 unchanged).
   */
 final case class PipelineConf(
     tempRange: ValueRange = ValueRange(-50.0, 50.0),
@@ -37,6 +44,7 @@ final case class PipelineConf(
     checkpointDir: String = "checkpoint",
     chunkRows: Int = 5000,
     strictMode: Boolean = true,
+    maxFilesPerTrigger: Option[Int] = None,
 )
 
 object PipelineConf {

@@ -236,10 +236,15 @@ object Ingest {
     * the file source's first batch; T3: checkpointed exactly-once).
     */
   def start(spark: SparkSession, conf: PipelineConf, sink: BatchSink): StreamingQuery = {
-    val raw = spark.readStream
+    val reader = spark.readStream
       .option("header", "true")
       .option("pathGlobFilter", "*.csv")
       .schema(Schemas.sensorCsvRaw)
+    // Backpressure: bound files per micro-batch so a restart against a
+    // deep backlog doesn't become one giant batch/transaction.
+    conf.maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    val raw = reader
       .csv(conf.dataDir)
       .withColumn("__file", input_file_name())
     raw.writeStream

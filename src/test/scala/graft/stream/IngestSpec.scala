@@ -60,6 +60,29 @@ class IngestSpec extends SparkSpec {
     events.synchronized(events.toSeq)
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch; backlog drains across triggers") {
+    val root = tmp("graft_backpressure")
+    val conf = mkConf(root).copy(maxFilesPerTrigger = Some(1))
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    (1 to 3).foreach(i => writeCsv(dataDir, s"f$i.csv",
+      s"2025-05-26 04:36:0$i,S$i,25.5,0.65,1013.25"))
+
+    val q = Ingest.start(spark, conf, new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString))
+    try q.processAllAvailable() finally q.stop()
+
+    // all three committed despite the 1-file batch cap...
+    val processed = Files.list(root.resolve("processed"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      processed.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally processed.close()
+    assert(names === Set("f1.csv", "f2.csv", "f3.csv"))
+    // ...over at least 3 non-empty micro-batches (the cap was honored)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected >=3 capped batches, got $dataBatches")
+  }
+
   test("end-to-end routing: clean commits+moves, dirty quarantines with reason, empty sweeps") {
     val root = tmp("graft_ingest")
     val conf = mkConf(root)
