@@ -530,6 +530,23 @@ object SparkEntry {
         ev.select("event_id", "event_type", "ts", "value"), rates,
         Seq("event_type"), "ts", "hr")
     }),
+
+    // Same as-of semantics via the epoch-bucketed scale path (1 h
+    // epochs): window partitions are (key, epoch), not a key's whole
+    // history. Shares q_asof_rate's ASOF oracle — the driver gate
+    // proves the two implementations equivalent.
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rates = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(
+          sum(col("value").cast("decimal(18,4)")).cast("double") /
+            count(col("value")), 6).as("rate"))
+        .filter(hour(col("hr")) % 2 === 0)
+      AsOf.asOfJoinEpochBucketed(
+        ev.select("event_id", "event_type", "ts", "value"), rates,
+        Seq("event_type"), "ts", "hr", epochSeconds = 3600L)
+    }),
   )
 
   // =====================================================================
@@ -1261,6 +1278,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q_asof_rate" ->
+      """WITH r AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(value), 6) AS rate
+        |  FROM events GROUP BY 1, 2),
+        |r2 AS (SELECT * FROM r WHERE EXTRACT(hour FROM hr) % 2 = 0)
+        |SELECT e.event_type, e.ts, e.event_id, e.value, r2.rate
+        |FROM events e ASOF LEFT JOIN r2
+        |  ON e.event_type = r2.event_type AND e.ts >= r2.hr""".stripMargin,
+
+    "q_asof_bucketed" ->
       """WITH r AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,
         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)

@@ -74,4 +74,88 @@ object AsOf {
       .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
         leftOnly.map(col) ++ payload.map(col): _*)
   }
+
+  /** The hot-key scale path of [[asOfJoin]], same semantics: window
+    * partitions are (key, EPOCH) instead of a key's entire history, so
+    * one key's timeline never lands in one task no matter how long it
+    * runs. Three bounded steps:
+    *
+    *   1. within-epoch as-of fill — the [[asOfJoin]] union-window pass
+    *      partitioned by (key, epoch): per-task work is one epoch of
+    *      one key;
+    *   2. per-(key, epoch) LAST rate (an aggregate — map-side
+    *      combinable, output is keys × epochs rows, tiny);
+    *   3. carry-in: for each (key, epoch), the last non-null rate from
+    *      any STRICTLY earlier epoch — a window over the tiny frame of
+    *      step 2 (gaps are fine: `last(ignoreNulls)` looks across
+    *      missing epochs).
+    *
+    * An event's value = its within-epoch fill, else the carry-in.
+    * Equivalent to [[asOfJoin]] for every input (spec-checked);
+    * `epochSeconds` only tunes the partition granularity.
+    *
+    * Both timestamp columns must be TimestampType.
+    */
+  def asOfJoinEpochBucketed(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, epochSeconds: Long): DataFrame = {
+    require(epochSeconds > 0, s"epochSeconds must be positive: $epochSeconds")
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(payload.nonEmpty, "right frame has no payload columns")
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    require(leftOnly.intersect(payload).isEmpty,
+      s"column collision: ${leftOnly.intersect(payload).mkString(", ")}")
+
+    def epochOf(ts: Column): Column =
+      floor(unix_micros(ts) / lit(epochSeconds * 1000000L)).cast("long")
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+      .withColumn("__epoch", epochOf(col("__ts")))
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        leftOnly.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__epoch", epochOf(col("__ts")))
+    val unioned = taggedRight.unionByName(taggedLeft)
+
+    // 1. within-epoch fill
+    val wIn = Window.partitionBy((keys :+ "__epoch").map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filledIn = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__in_$c", last(col(c), ignoreNulls = true).over(wIn))
+    }
+
+    // 2. per-(key, epoch) last rate — struct max orders by __ts first
+    //    (rightTs is unique per key by the asOfJoin contract)
+    val rateLast = taggedRight
+      .groupBy((keys :+ "__epoch").map(col): _*)
+      .agg(max(struct(col("__ts") +: payload.map(col): _*)).as("__l"))
+      .select(keys.map(col) ++ Seq(col("__epoch")) ++
+        payload.map(c => col(s"__l.$c").as(s"__el_$c")): _*)
+
+    // 3. carry-in over strictly-earlier epochs, on the tiny epoch frame
+    val allEpochs = unioned
+      .select((keys :+ "__epoch").map(col): _*).distinct()
+      .join(rateLast, keys :+ "__epoch", "left")
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = payload.foldLeft(allEpochs) { (d, c) =>
+      d.withColumn(s"__carry_$c",
+        last(col(s"__el_$c"), ignoreNulls = true).over(wCarry))
+    }.select(keys.map(col) ++ Seq(col("__epoch")) ++
+      payload.map(c => col(s"__carry_$c")): _*)
+
+    filledIn
+      .filter(col("__tag") === 1)
+      .join(carry, keys :+ "__epoch", "left") // 1:1 — carry is unique per (key, epoch)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
+        leftOnly.map(col) ++
+        payload.map(c =>
+          coalesce(col(s"__in_$c"), col(s"__carry_$c")).as(c)): _*)
+  }
 }

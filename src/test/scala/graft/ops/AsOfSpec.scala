@@ -51,6 +51,49 @@ class AsOfSpec extends SparkSpec {
     assert(out.columns.toSet === Set("k", "ets", "id", "rate"))
   }
 
+  test("epoch-bucketed as-of == plain as-of on the crafted cases") {
+    val plain = AsOf.asOfJoin(events, quotes, Seq("k"), "ets", "qts")
+      .select($"id", $"rate")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // epoch = 30 min: lookbacks cross epoch boundaries (event 4 at
+    // 13:00 reaches the 12:00 quote two epochs back)
+    val bucketed = AsOf.asOfJoinEpochBucketed(
+      events, quotes, Seq("k"), "ets", "qts", epochSeconds = 1800L)
+      .select($"id", $"rate")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(bucketed === plain)
+  }
+
+  test("epoch-bucketed as-of == plain as-of on randomized timelines") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nQ <- Gen.choose(0, 25)
+      nE <- Gen.choose(1, 60)
+      // distinct quote seconds per key (rightTs uniqueness contract)
+      qts <- Gen.pick(nQ, 0 until 5000)
+      es <- Gen.listOfN(nE, Gen.choose(0, 5000))
+    } yield (qts.toList, es)
+    (1 to 8).foreach { i =>
+      val (qSecs, eSecs) = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val base = 1700000000L // fixed epoch base
+      val q = qSecs.zipWithIndex.map { case (s, j) =>
+        ("k", new Timestamp((base + s) * 1000L), j.toDouble)
+      }.toDF("k", "qts", "rate")
+      val e = eSecs.zipWithIndex.map { case (s, j) =>
+        (j.toLong, "k", new Timestamp((base + s) * 1000L))
+      }.toDF("id", "k", "ets")
+      val plain = AsOf.asOfJoin(e, q, Seq("k"), "ets", "qts")
+        .select($"id", $"rate")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val bucketed = AsOf.asOfJoinEpochBucketed(
+        e, q, Seq("k"), "ets", "qts", epochSeconds = 600L)
+        .select($"id", $"rate")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(bucketed === plain, s"seed $i")
+    }
+  }
+
   test("column collision between sides is rejected") {
     val bad = quotes.withColumnRenamed("rate", "id")
     val e = intercept[IllegalArgumentException] {
