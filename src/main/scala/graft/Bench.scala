@@ -64,7 +64,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
     val errJson = errs.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Reference-parity core (SURVEY §2 non-[EXT] keys): the subtotal
+    // comparable against BASELINE.md — the rest of the inventory is
+    // [EXT] capability the reference does not have.
+    val coreKeys = Set(
+      "q_scan_cast", "q_rename_project", "q_roundrobin_tag",
+      "q_ts_parse_format", "q_validate_filter", "q_invalid_rows",
+      "q_strict_file_flag", "q_route_valid_groups", "q_dropna",
+      "q_agg_metrics", "q_unpivot_agg", "q_empty_check",
+      "q_upsert_latest", "q_chunk_split")
+    val coreTotal = results.collect {
+      case (k, v, _) if coreKeys.contains(k) => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_ref_parity_sec":$coreTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
