@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Aggregate, AsOf, Prep, Validate}
-import graft.ext.{Contamination, Dedup, JsonOps, Multimodal, Sampling, Similarity, TextStats, Vocab}
+import graft.ext.{Contamination, Dedup, JsonOps, Multimodal, Olap, Sampling, Similarity, TextStats, Vocab}
 import graft.plans.{Ordinal, Prefix}
 
 /** Driver contract — the declared query inventory of SURVEY.md §2.8 plus
@@ -547,6 +547,40 @@ object SparkEntry {
         ev.select("event_id", "event_type", "ts", "value"), rates,
         Seq("event_type"), "ts", "hr", epochSeconds = 3600L)
     }),
+
+    // [EXT] OLAP: ROLLUP grouping sets — one Expand + one hash
+    // aggregate pass regardless of level count; gid is the standard
+    // GROUPING() bit vector.
+    "q_rollup_sales" -> ((s, dir) =>
+      Olap.rollupSum(
+        Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice")),
+
+    // [EXT] OLAP: pivot with pinned values (single hash aggregate, no
+    // collect-distinct pre-pass).
+    "q_pivot_status" -> ((s, dir) =>
+      Olap.pivotSum(
+        Tables.orders(s, dir),
+        date_format(col("o_orderdate"), "yyyy-MM"), "month",
+        "o_orderstatus", Seq("O", "F", "P"), "o_totalprice")),
+
+    // [EXT] OLAP: exact one-pass column profile (null/distinct/min/max
+    // per column) — the data-quality dashboard query.
+    "q_profile_columns" -> ((s, dir) =>
+      Olap.profile(
+        Tables.events(s, dir),
+        Seq(
+          "event_id" -> Olap.AsLong,
+          "ts" -> Olap.AsTimestamp,
+          "user_id" -> Olap.AsLong,
+          "event_type" -> Olap.AsString,
+          "value" -> Olap.AsDouble,
+          "props" -> Olap.AsString))),
+
+    // [EXT] OLAP: fixed-width histogram; power-of-two width makes bin
+    // assignment an exact binary scaling (cross-engine bit-identical).
+    "q_histogram" -> ((s, dir) =>
+      Olap.histogram(Tables.orders(s, dir), "o_totalprice", width = 16384L)),
   )
 
   // =====================================================================
@@ -1298,5 +1332,60 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT e.event_type, e.ts, e.event_id, e.value, r2.rate
         |FROM events e ASOF LEFT JOIN r2
         |  ON e.event_type = r2.event_type AND e.ts >= r2.hr""".stripMargin,
+
+    "q_rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_profile_columns" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name,
+        |    COUNT(*) - COUNT(event_id) AS n_nulls,
+        |    COUNT(DISTINCT event_id) AS n_distinct,
+        |    CAST(MIN(event_id) AS VARCHAR) AS min_val,
+        |    CAST(MAX(event_id) AS VARCHAR) AS max_val
+        |  FROM events
+        |  UNION ALL SELECT 'ts',
+        |    COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f'),
+        |    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')
+        |  FROM events
+        |  UNION ALL SELECT 'user_id',
+        |    COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+        |    CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL SELECT 'event_type',
+        |    COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+        |    MIN(event_type), MAX(event_type)
+        |  FROM events
+        |  UNION ALL SELECT 'value',
+        |    COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+        |    printf('%.4f', MIN(value)), printf('%.4f', MAX(value))
+        |  FROM events
+        |  UNION ALL SELECT 'props',
+        |    COUNT(*) - COUNT(props), COUNT(DISTINCT props),
+        |    MIN(props), MAX(props)
+        |  FROM events)
+        |SELECT * FROM p""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 16384.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |  CAST(CAST(FLOOR(o_totalprice / 16384.0) AS BIGINT) * 16384 AS DOUBLE) AS bin_lo
+        |FROM orders
+        |WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rollupSum emits detail, subtotal, and grand-total levels in one pass") {
+    val li = graft.Tables.lineitem(spark, dir)
+    val out = Olap.rollupSum(li, Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+    val rows = out.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // gid 0 = (flag, status) detail; 1 = per-flag subtotal; 3 = grand total
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    assert(byGid(3L).length == 1)
+    val grand = byGid(3L).head
+    assert(grand.isNullAt(grand.fieldIndex("l_returnflag")))
+    assert(grand.getAs[Long]("cnt") == li.count())
+    // detail counts roll up exactly to the grand total
+    assert(byGid(0).map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
+    // one Expand + one aggregate: no join, no second scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.toLowerCase.contains("join"))
+  }
+
+  test("pivotSum pins values at plan time and sums exactly") {
+    val orders = graft.Tables.orders(spark, dir)
+    val out = Olap.pivotSum(
+      orders, date_format(col("o_orderdate"), "yyyy-MM"), "month",
+      "o_orderstatus", Seq("O", "F", "P"), "o_totalprice")
+    assert(out.columns.toSeq == Seq("month", "sum_o", "sum_f", "sum_p"))
+    // total across pivot cells == straight sum (decimal-exact, so ==)
+    val cells = out.agg(
+      sum(coalesce(col("sum_o"), lit(0.0)) +
+        coalesce(col("sum_f"), lit(0.0)) +
+        coalesce(col("sum_p"), lit(0.0))).as("t")).head.getDouble(0)
+    val direct = orders
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(cells - direct) < 1e-6)
+  }
+
+  test("profile reports nulls, exact NDV, and native-typed min/max rendering") {
+    val df = Seq(
+      (1L, Some(3.5), "b"), (2L, None, "a"), (3L, Some(10.25), "a")
+    ).toDF("id", "v", "s")
+    val out = Olap.profile(df, Seq(
+      "id" -> Olap.AsLong, "v" -> Olap.AsDouble, "s" -> Olap.AsString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("v").getAs[Long]("n_nulls") == 1L)
+    assert(out("v").getAs[Long]("n_distinct") == 2L)
+    // numeric max is 10.25 — a string-ordered max would have picked "3.5000"
+    assert(out("v").getAs[String]("max_val") == "10.2500")
+    assert(out("s").getAs[String]("min_val") == "a")
+    assert(out("id").getAs[String]("max_val") == "3")
+  }
+
+  test("histogram bins by exact binary scaling and keeps partial aggregation") {
+    val df = Seq(0.0, 1.0, 16383.999, 16384.0, 40000.0).toDF("v")
+    val out = Olap.histogram(df, "v", width = 16384L)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt"))).toSeq ==
+      Seq((0L, 3L), (1L, 1L), (2L, 1L)))
+    assert(out.head.getAs[Double]("bin_lo") == 0.0)
+    // plan is scan → project → hash aggregate: no shuffle-by-row window
+    val plan = Olap.histogram(df, "v", 16384L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Window"))
+  }
+}
