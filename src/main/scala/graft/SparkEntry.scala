@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Aggregate, AsOf, Prep, Validate}
-import graft.ext.{Contamination, Dedup, JsonOps, Multimodal, Olap, Sampling, Similarity, TextStats, Vocab}
+import graft.ops.{Aggregate, AsOf, Prep, RangeJoin, Validate}
+import graft.ext.{Behavior, Contamination, Dedup, JsonOps, Multimodal, Olap, Sampling, Similarity, TextStats, Vocab}
 import graft.plans.{Ordinal, Prefix}
 
 /** Driver contract — the declared query inventory of SURVEY.md §2.8 plus
@@ -581,6 +581,30 @@ object SparkEntry {
     // assignment an exact binary scaling (cross-engine bit-identical).
     "q_histogram" -> ((s, dir) =>
       Olap.histogram(Tables.orders(s, dir), "o_totalprice", width = 16384L)),
+
+    // [EXT] Behavior: weekly retention cohorts — one shuffle on the
+    // user key (window-min cohort assignment, no join back).
+    "q_retention_cohort" -> ((s, dir) =>
+      Behavior.retentionWeekly(Tables.events(s, dir), "user_id", "ts")),
+
+    // [EXT] Behavior: strictly-ordered funnel (view → click →
+    // purchase), sequential-min semantics.
+    "q_funnel" -> ((s, dir) =>
+      Behavior.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // [EXT] Interval join via time binning: lineitems shipped inside
+    // each order's first 24 h, as a hash equi-join on day bins — the
+    // scale path where a raw range predicate would plan a broadcast
+    // nested loop.
+    "q_range_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      RangeJoin.intervalPointCount(
+        Tables.lineitem(s, dir), "l_shipdate",
+        orders, "o_orderkey", "o_orderdate", "o_end",
+        binSeconds = 86400L)
+    }),
   )
 
   // =====================================================================
@@ -1386,6 +1410,41 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(CAST(FLOOR(o_totalprice / 16384.0) AS BIGINT) * 16384 AS DOUBLE) AS bin_lo
         |FROM orders
         |WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST(datediff('day', f.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage_name,
+        |  (SELECT COUNT(*) FROM s0) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s2)""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o.o_orderkey, COUNT(l.l_orderkey) AS cnt
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
   )
 }

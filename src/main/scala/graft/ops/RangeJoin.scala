@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join via time binning — the scale path for
+  * point-in-interval joins.
+  *
+  * A raw `p.ts >= i.start AND p.ts < i.end` predicate has no equality
+  * component, so Spark can only plan a broadcast nested loop — O(|P|·|I|)
+  * pair evaluations, the classic 100 TB killer. Binning restores an
+  * equi-join: every interval explodes to the fixed-width time bins it
+  * overlaps (⌈len/bin⌉+1 rows, a small constant when bin width ≈
+  * interval length), points map to exactly one bin, and the join runs
+  * as a shuffled/broadcast HASH join on the bin id with the exact range
+  * predicate as a post-filter. Same answer, linear shuffle.
+  *
+  * Bin ids are epoch-microsecond integer divisions — exact arithmetic,
+  * no float rounding at bucket boundaries.
+  */
+object RangeJoin {
+
+  /** Join `points` rows onto every `intervals` row whose
+    * `[startTs, endTs)` half-open window contains the point's `tsCol`.
+    * Output: all interval columns + all point columns (inner join —
+    * aggregate and re-join for left semantics, keeping the wide join
+    * lean).
+    */
+  def binnedIntervalJoin(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, startTs: String, endTs: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    // Integer `div`, never float `/`: epoch-micros (~1.7e15) sit close
+    // enough to 2^53 that double division can misround a bin boundary.
+    // The timestamp cast lifts TIMESTAMP_NTZ columns (parquet "local"
+    // timestamps) into the session zone — sessions run UTC
+    // (Tables.prepare), so the mapping is deterministic.
+    def epochMicros(c: String) = s"unix_micros(cast($c as timestamp))"
+    val p = points.withColumn(
+      "__bin", expr(s"${epochMicros(tsCol)} div ${binMicros}L"))
+    // Half-open end: the last covered bin is the one holding end-1µs,
+    // so an interval ending exactly on a bin boundary does not explode
+    // into a bin it cannot match.
+    val i = intervals.withColumn(
+      "__bin",
+      explode(sequence(
+        expr(s"${epochMicros(startTs)} div ${binMicros}L"),
+        expr(s"(${epochMicros(endTs)} - 1) div ${binMicros}L"))))
+    i.join(p,
+        i("__bin") === p("__bin") &&
+          p(tsCol) >= i(startTs) && p(tsCol) < i(endTs))
+      .drop("__bin")
+  }
+
+  /** Per-interval point count with left semantics (intervals matching
+    * nothing report 0): the heavy binned join stays inner and partial-
+    * aggregates down to one row per interval key BEFORE the cheap
+    * left join back onto the interval table.
+    */
+  def intervalPointCount(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, keyCol: String, startTs: String, endTs: String,
+      binSeconds: Long): DataFrame = {
+    val joined = binnedIntervalJoin(
+      points.select(tsCol), tsCol,
+      intervals.select(keyCol, startTs, endTs), startTs, endTs, binSeconds)
+    val counts = joined.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    intervals.select(keyCol)
+      .join(counts, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retentionWeekly cohorts by first-event week with exact offsets") {
+    val ev = Seq(
+      // u1: first event Tue 2024-01-02 (cohort Mon 01-01), active wk0 + wk2
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      // u2: same cohort week, only wk0
+      (2L, ts("2024-01-07 23:00:00")),
+      // u3: cohort Mon 01-15
+      (3L, ts("2024-01-15 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.retentionWeekly(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 2L, 1L),
+      ("2024-01-15", 0L, 1L)))
+  }
+
+  test("retentionWeekly plans one shuffle: window + aggregate, no join") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = Behavior.retentionWeekly(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      "cohort assignment must reuse the user partitioning, not join back")
+  }
+
+  test("funnel enforces strict event ordering per user") {
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: purchase BEFORE click — must not count as stage 3
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-01 00:30:00")),
+      (2L, "click", ts("2024-01-01 01:00:00")),
+      // u3: click only — no view, not even stage 1
+      (3L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "view", 2L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel equals the SQL sequential-min oracle on real data") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.createOrReplaceTempView("ev_funnel")
+    val got = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val want = spark.sql(
+      """WITH s0 AS (SELECT user_id, MIN(ts) t0 FROM ev_funnel WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) t1 FROM ev_funnel e JOIN s0 USING (user_id)
+        |       WHERE e.event_type='click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM ev_funnel e JOIN s1 USING (user_id)
+        |       WHERE e.event_type='purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s0) v, (SELECT COUNT(*) FROM s1) c,
+        |       (SELECT COUNT(*) FROM s2) p""".stripMargin).head
+    assert(got("view") == want.getLong(0))
+    assert(got("click") == want.getLong(1))
+    assert(got("purchase") == want.getLong(2))
+  }
+}
