@@ -605,6 +605,55 @@ object SparkEntry {
         orders, "o_orderkey", "o_orderdate", "o_end",
         binSeconds = 86400L)
     }),
+
+    // [EXT] Text: PII redaction — emails/IPs/SSN-shapes/phone-shapes
+    // to typed tokens. PII is synthesized deterministically from
+    // doc_id (both engines build the identical input string).
+    "q_pii_redact" -> ((s, dir) => {
+      val synth = concat(
+        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.2."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 ssn 123-45-6789 call 415-555-"),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ext.Redact.redactPii(synth).as("clean"))
+    }),
+
+    // [EXT] Text: Unicode NFC canonicalization + accent stripping
+    // (custom codegen'd expressions) — hash-before-normalize is the
+    // classic silent dedup killer.
+    "q_text_nfc" -> ((s, dir) => {
+      // decomposed on purpose ("e" + combining acute U+0301):
+      // NFC must compose it into the single code point \u00e9.
+      val synth = concat(col("text"), lit(" cafe\u0301"))
+      val nfc = graft.functions.NormalizeExprs.nfc(synth)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nfc.as("nfc"),
+        graft.functions.NormalizeExprs.stripAccents(nfc).as("ascii"),
+        length(synth).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"))
+    }),
+
+    // [EXT] Text: character-level Shannon entropy quality signal
+    // (exact log2(n) - sum(c*log2(c))/n form, fixed-order summation).
+    "q_char_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(graft.functions.NormalizeExprs.charEntropy(col("text")), 6)
+          .as("entropy"))),
+
+    // [EXT] Dedup: Bloom-prefiltered incremental exact dedup — same
+    // answer as q_dedup_incremental (shared oracle), but only
+    // bloom-positive digests reach the history anti-join.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.bloomPrefilteredIncremental(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Dedup.textDigests(d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
+        expectedItems = 100000L, fpp = 0.03)
+    }),
   )
 
   // =====================================================================
@@ -791,6 +840,22 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) >= 0.4"""
   }
 
+  /** Incremental exact dedup contract, shared by the plain anti-join
+    * (q_dedup_incremental) and the bloom-prefiltered plan
+    * (q_dedup_bloom) — the driver gate proves them equivalent.
+    */
+  private val incrementalOracleSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, text, lang, source, n_chars, md5(text) AS fp
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+      |batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+      |surv AS (
+      |  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      |  FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+      |  WHERE h.fp IS NULL)
+      |SELECT doc_id, text, lang, source, n_chars FROM surv WHERE rn = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_dedup_embed_lsh" -> embedLshOracleSql,
@@ -799,17 +864,11 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
 
     "q_dedup_minhash" -> minHashOracleSql,
 
-    "q_dedup_incremental" ->
-      """WITH fp AS (
-        |  SELECT doc_id, text, lang, source, n_chars, md5(text) AS fp
-        |  FROM documents),
-        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
-        |batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
-        |surv AS (
-        |  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
-        |  FROM batch b LEFT JOIN hist h ON b.fp = h.fp
-        |  WHERE h.fp IS NULL)
-        |SELECT doc_id, text, lang, source, n_chars FROM surv WHERE rn = 1""".stripMargin,
+    "q_dedup_incremental" -> incrementalOracleSql,
+
+    // Different plan (bloom prefilter), same contract — the oracle IS
+    // the plain incremental anti-join.
+    "q_dedup_bloom" -> incrementalOracleSql,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
@@ -1446,5 +1505,45 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  ON l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
+
+    // Patterns interpolated from the Redact constants so the Spark
+    // chain and the oracle can never drift.
+    "q_pii_redact" ->
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com ip 10.2.'
+         |      || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.7 ssn 123-45-6789 call 415-555-'
+         |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS x
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+         |    '${graft.ext.Redact.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${graft.ext.Redact.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${graft.ext.Redact.SsnPattern}', '<ID>', 'g'),
+         |    '${graft.ext.Redact.PhonePattern}', '<PHONE>', 'g') AS clean
+         |FROM synth""".stripMargin,
+
+    "q_text_nfc" ->
+      """WITH s AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) AS x FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(x) AS nfc,
+        |  strip_accents(nfc_normalize(x)) AS ascii,
+        |  length(x) AS n_raw,
+        |  length(nfc_normalize(x)) AS n_nfc
+        |FROM s""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |f AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |      FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s
+        |      FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
+        |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
   )
 }

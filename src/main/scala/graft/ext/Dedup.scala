@@ -175,6 +175,50 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** [[incrementalExactByDigest]] with a Bloom-filter prefilter: the
+    * history digest set is aggregated once into a compact sketch
+    * (distributed build, driver holds only the merged bitset), and
+    * batch rows whose digest the sketch definitely does not contain
+    * skip the anti-join entirely — only bloom-positive candidates
+    * (true dups + ~fpp false positives) shuffle against history. Same
+    * answer as the plain anti-join: the bloom has no false negatives,
+    * and every positive is verified by the exact join.
+    *
+    * Scale math: ~7.3 bits/item at fpp=3% → 10^8 history digests ≈
+    * 91 MB of sketch — broadcastable. Beyond ~10^9 items, shard the
+    * history by digest prefix and run one sketch per shard (same
+    * operator, partitioned), or raise fpp: correctness never depends
+    * on the sketch, only the anti-join's input volume does.
+    */
+  def bloomPrefilteredIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      historyDigests: DataFrame, digestCol: String = "digest",
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val spark = newDocs.sparkSession
+    // The sketch keys on the hex rendering (stat.bloomFilter hashes
+    // strings); the verifying join stays on the compact binary digest.
+    val bf = historyDigests
+      .select(hex(col(digestCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bfBc.value.mightContainString(h))
+    val withFp = newDocs
+      .withColumn("__fp", textDigest(col(textCol)))
+      .withColumn("__maybe", mightContain(hex(col("__fp"))))
+    // Same-digest rows get the same bloom verdict, so the two branches
+    // partition the batch BY DIGEST — the final within-batch dedup
+    // window sees every copy of a digest on one side or the other.
+    val definiteNew = withFp.filter(!col("__maybe"))
+    val verifiedNew = withFp.filter(col("__maybe"))
+      .join(historyDigests.select(col(digestCol).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    definiteNew.unionByName(verifiedNew)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__maybe", "__rn")
+  }
+
   /** Incremental MinHash candidates: pairs involving at least one NEW
     * document, probed against a PERSISTED signature table — the
     * historical corpus is never re-shingled or re-signed, and old×old

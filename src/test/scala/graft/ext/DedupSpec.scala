@@ -38,6 +38,33 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 5L))
   }
 
+  test("bloomPrefilteredIncremental matches the plain anti-join exactly") {
+    val history = Seq((100L, "seen before"), (101L, "also known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"), (2L, "brand new"), (3L, "brand new"),
+      (4L, "also known"), (5L, "another fresh"))
+      .toDF("doc_id", "text")
+    val hd = Dedup.textDigests(history, "doc_id", "text")
+    val plain = Dedup.incrementalExactByDigest(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomPrefilteredIncremental(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === plain && bloom === Set(2L, 5L))
+  }
+
+  test("bloom prefilter stays exact even when the sketch saturates (all false positives)") {
+    // 2 expected items but fpp forced high by inserting many: with a
+    // tiny sketch every probe reads positive, so every batch row takes
+    // the verify-join path — the answer must not change.
+    val history = (0L until 200L).map(i => (i + 1000L, s"hist doc $i")).toDF("doc_id", "text")
+    val batch = Seq((1L, "hist doc 7"), (2L, "genuinely new")).toDF("doc_id", "text")
+    val hd = Dedup.textDigests(history, "doc_id", "text")
+    val out = Dedup.bloomPrefilteredIncremental(
+      batch, "doc_id", "text", hd, expectedItems = 2L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L))
+  }
+
   test("incremental MinHash candidates == full candidates minus old-old pairs") {
     val history = docs.filter(col("doc_id") < 3)
     val batch = docs.filter(col("doc_id") >= 3)
