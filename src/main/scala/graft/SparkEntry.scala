@@ -644,6 +644,36 @@ object SparkEntry {
         round(graft.functions.NormalizeExprs.charEntropy(col("text")), 6)
           .as("entropy"))),
 
+    // [EXT] Analytics: clickstream transition matrix — one lead()
+    // shuffle on the user key, then a partial-aggregatable pair count.
+    "q_event_transitions" -> ((s, dir) =>
+      graft.ext.Analytics.eventTransitions(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")),
+
+    // [EXT] Analytics: per-type z-score outliers; moments are
+    // decimal-exact sums so z is bit-identical cross-engine, and the
+    // moment table broadcast-joins back (no hot-group window).
+    "q_zscore_outliers" -> ((s, dir) =>
+      graft.ext.Analytics.zscoreOutliers(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", threshold = 2.5)),
+
+    // [EXT] Scale-safe global NTILE: standard ntile semantics from the
+    // distributed ordinal, not a single-partition window.
+    "q_ntile_deciles" -> ((s, dir) =>
+      Ordinal.withNtile(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice"), col("o_orderkey")), k = 10,
+        outCol = "decile")),
+
+    // [EXT] Z-order (Morton) clustering key for data-skipping layouts;
+    // the oracle recomputes the interleave with plain SQL bit ops.
+    "q_zorder_key" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.BitExprs.zOrder2(
+          col("l_partkey"), col("l_suppkey"), bits = 16).as("zval"))),
+
     // [EXT] Dedup: Bloom-prefiltered incremental exact dedup — same
     // answer as q_dedup_incremental (shared oracle), but only
     // bloom-positive digests reach the history anti-join.
@@ -1534,6 +1564,46 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  length(x) AS n_raw,
         |  length(nfc_normalize(x)) AS n_nfc
         |FROM s""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    ROUND((e.value - m.s1 / m.n)
+        |      / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS z
+        |  FROM events e JOIN m USING (event_type))
+        |SELECT * FROM z WHERE ABS(z) > 2.5""".stripMargin,
+
+    "q_ntile_deciles" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |FROM orders""".stripMargin,
+
+    "q_zorder_key" -> {
+      val x = "(l_partkey & 65535)"
+      val y = "(l_suppkey & 65535)"
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((($x >> $i) & 1) << ${2 * i})",
+          s"((($y >> $i) & 1) << ${2 * i + 1})")
+      }
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${terms.mkString(" | ")} AS zval
+         |FROM lineitem""".stripMargin
+    },
 
     "q_char_entropy" ->
       """WITH ch AS (

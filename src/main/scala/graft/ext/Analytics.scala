@@ -147,4 +147,59 @@ object Analytics {
       .agg(approx_percentile(col(valueCol), ps, lit(accuracy)).as("__qs"))
       .select(outCols: _*)
   }
+
+  /** First-order transition counts of the per-user event sequence (the
+    * Markov-chain / clickstream matrix): for each user's events in
+    * (`tsCol`, `tieCol`) order, count (state → next state) pairs.
+    *
+    * One shuffle on the user key (the lead window), then a standard
+    * partial-aggregatable count on the (from, to) pair — no
+    * self-join-on-sequence-number, which would shuffle the table twice.
+    * `tieCol` must make the per-user order total, or lead() is
+    * placement-dependent.
+    */
+  def eventTransitions(
+      df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group z-score outliers: rows whose value sits more than
+    * `threshold` sample standard deviations from the group mean.
+    *
+    * Scale + determinism shape: the per-group moments (n, Σv, Σv²) are
+    * DECIMAL-exact sums — float partial aggregation order cannot
+    * perturb them, so mean/std/z are bit-identical on any engine and
+    * any partitioning. The tiny moment table broadcast-joins back onto
+    * the stream; no Window (a per-group window would shuffle every row
+    * of a hot group to one task).
+    */
+  def zscoreOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val moments = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(v).cast("double").as("__s1"),
+        sum(v * v).cast("double").as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__n"))
+      .withColumn("__var",
+        (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+          (col("__n") - 1))
+      .withColumn("__std", sqrt(col("__var")))
+    df.join(broadcast(moments), groupCols, "inner")
+      .withColumn("z",
+        round((col(valueCol) - col("__mean")) / col("__std"), 6))
+      .filter(abs(col("z")) > threshold)
+      .drop("__n", "__s1", "__s2", "__mean", "__var", "__std")
+  }
 }

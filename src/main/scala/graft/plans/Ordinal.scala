@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.functions.{col, floor, lit, when}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.types.LongType
@@ -68,5 +69,31 @@ object Ordinal {
         }
       }
     GraftExpressionBridge.internalCreateDataFrame(spark, numbered, schema)
+  }
+
+  /** Global NTILE(k) without the single-partition window: standard SQL
+    * ntile semantics (first n mod k tiles get one extra row) computed
+    * arithmetically from the distributed global row number. `order`
+    * must be unique, as for [[withGlobalRowNumber]].
+    *
+    * The total row count is taken in a separate count-only job (cheap:
+    * no sort, no zipWithIndex) and folded in as a literal; everything
+    * after the Ordinal shuffle is a pure projection.
+    */
+  def withNtile(
+      df: DataFrame, order: Seq[Column], k: Int,
+      outCol: String): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1: $k")
+    val n = df.count()
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // rows in the first r (larger) tiles
+    val numbered = withGlobalRowNumber(df, order, "__rn")
+    val off = col("__rn") - 1
+    val tile =
+      if (q == 0) off + 1 // more tiles than rows: row i -> tile i+1
+      else when(off < cut, floor(off / (q + 1)) + 1)
+        .otherwise(lit(r) + floor((off - cut) / q) + 1)
+    numbered.withColumn(outCol, tile.cast("long")).drop("__rn")
   }
 }

@@ -55,4 +55,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx._2 - exact._2) <= 2.0)
     assert(math.abs(approx._3 - exact._3) <= 2.0)
   }
+
+  test("eventTransitions counts ordered per-user bigrams, ties broken by id") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 00:01:00"), 2L),
+      (1L, "a", ts("2024-01-01 00:02:00"), 3L),
+      // u2: same-timestamp tie — event_id order decides a->b, not b->a
+      (2L, "a", ts("2024-01-01 00:00:00"), 4L),
+      (2L, "b", ts("2024-01-01 00:00:00"), 5L),
+      // u3: single event, no transitions
+      (3L, "a", ts("2024-01-01 00:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Analytics.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("zscoreOutliers flags exactly the rows beyond the threshold, deterministically") {
+    // group g: 100 values at 10.0 + one at 1000 -> the 1000 is >> 3 sd out
+    val base = (1L to 100L).map(i => (i, "g", 10.0 + (i % 3) * 0.5))
+    val ev = (base :+ ((999L, "g", 1000.0))).toDF("event_id", "event_type", "value")
+    val out = Analytics.zscoreOutliers(ev, Seq("event_type"), "value", 3.0)
+    assert(out.select("event_id").as[Long].collect().toSet == Set(999L))
+    // broadcast-join shape: no Window operator in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
