@@ -674,6 +674,19 @@ object SparkEntry {
         graft.functions.BitExprs.zOrder2(
           col("l_partkey"), col("l_suppkey"), bits = 16).as("zval"))),
 
+    // [EXT] Analytics: market-basket co-occurrence — co-partitioned
+    // self-join on the basket key, normalized pairs, support filter.
+    "q_copurchase" -> ((s, dir) =>
+      graft.ext.Analytics.coOccurrencePairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minCount = 2L)),
+
+    // [EXT] TimeSeries: dense gap-filled hourly series + trailing 24 h
+    // moving average per type (windows run over the dense spine, not
+    // the raw events).
+    "q_gapfill_rolling" -> ((s, dir) =>
+      graft.ext.TimeSeries.rollingHourlyAverage(
+        Tables.events(s, dir), "event_type", "ts", frameHours = 24)),
+
     // [EXT] Dedup: Bloom-prefiltered incremental exact dedup — same
     // answer as q_dedup_incremental (shared oracle), but only
     // bloom-positive digests reach the history anti-join.
@@ -1564,6 +1577,32 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  length(x) AS n_raw,
         |  length(nfc_normalize(x)) AS n_nfc
         |FROM s""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH a AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+        |SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_baskets
+        |FROM a x JOIN a y USING (b)
+        |WHERE x.i < y.i
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_gapfill_rolling" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c),
+        |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |g AS (
+        |  SELECT t.event_type, h.hr, COALESCE(c.cnt, 0) AS cnt
+        |  FROM t CROSS JOIN h
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr)
+        |SELECT event_type, hr, cnt,
+        |  ROUND(CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS avg_frame
+        |FROM g
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_event_transitions" ->
       """WITH s AS (

@@ -170,6 +170,28 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Basket co-occurrence pairs (market-basket / co-purchase matrix):
+    * normalized (item_a < item_b) pair counts across baskets, kept
+    * when seen in at least `minCount` baskets.
+    *
+    * The self-join keys on the basket id, so both sides hash to the
+    * SAME partitioning — one shuffle each, joined co-located. Pair
+    * fan-out is k²/2 per basket (k = basket size): bounded for retail
+    * baskets; for power-law baskets cap k upstream (quotaCap) before
+    * the join, which no join strategy can do for you.
+    */
+  def coOccurrencePairs(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val a = df.select(col(basketCol).as("__b"), col(itemCol).as("item_a")).distinct()
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("item_b")).distinct()
+    a.join(b, "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+  }
+
   /** Per-group z-score outliers: rows whose value sits more than
     * `threshold` sample standard deviations from the group mean.
     *

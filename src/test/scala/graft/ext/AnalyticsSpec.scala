@@ -72,6 +72,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
 
+  test("coOccurrencePairs normalizes pairs, dedups within basket, applies support") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // dup item in basket counts once
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 10L),            // reversed insert order, same pair
+      (4L, 30L), (4L, 40L)             // support 1 -> filtered
+    ).toDF("order_id", "part_id")
+    val out = Analytics.coOccurrencePairs(li, "order_id", "part_id", minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 20L, 3L)))
+  }
+
   test("zscoreOutliers flags exactly the rows beyond the threshold, deterministically") {
     // group g: 100 values at 10.0 + one at 1000 -> the 1000 is >> 3 sd out
     val base = (1L to 100L).map(i => (i, "g", 10.0 + (i % 3) * 0.5))
