@@ -39,7 +39,14 @@ object Bench {
     Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter for A/B timing; the driver leaves it
+    // unset and always times the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else
+        SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every projected column to be computed (a bare
       // count() would let Catalyst prune the projections away and time

@@ -63,10 +63,18 @@ object RangeJoin {
       points: DataFrame, tsCol: String,
       intervals: DataFrame, keyCol: String, startTs: String, endTs: String,
       binSeconds: Long): DataFrame = {
+    // Pre-aggregate the point side to (distinct ts -> multiplicity)
+    // BEFORE the join: the range predicate only sees the timestamp, so
+    // duplicate timestamps are pure fan-out in the pair join. On dense
+    // event streams (many points per instant — here: date-grain
+    // timestamps) this shrinks the joined side by orders of magnitude;
+    // the same fact-side pre-aggregation shape as the revenue join.
+    val distinctPts = points
+      .groupBy(col(tsCol)).agg(count(lit(1)).as("__mult"))
     val joined = binnedIntervalJoin(
-      points.select(tsCol), tsCol,
+      distinctPts, tsCol,
       intervals.select(keyCol, startTs, endTs), startTs, endTs, binSeconds)
-    val counts = joined.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val counts = joined.groupBy(col(keyCol)).agg(sum(col("__mult")).as("cnt"))
     intervals.select(keyCol)
       .join(counts, Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("cnt"), lit(0L)).as("cnt"))
