@@ -91,4 +91,25 @@ object DocSources {
       .option("mode", "DROPMALFORMED")
       .option("pathGlobFilter", "*.jsonl")
       .json(path)
+
+  /** Columnar ORC corpus (the other splittable columnar lake format;
+    * Spark ships native ORC support). Predicate pushdown and column
+    * pruning work exactly as for parquet — the reader is
+    * interchangeable with `spark.read.parquet` for all downstream
+    * operators.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC writer with optional hive-style partition columns.
+    * `zstd`: best size/speed on text-heavy corpora; partitioning by a
+    * low-cardinality column (lang, source, date) turns matching
+    * filters into partition PRUNING — files never opened, the cheapest
+    * scan there is.
+    */
+  def writeOrc(
+      df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class DocSourcesSpec extends SparkSpec {
@@ -67,5 +68,24 @@ class DocSourcesSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(out(1L) === "comma, inside text")
     assert(out(2L) === "plain text")
+  }
+
+  test("orc round-trips the documents table with partition pruning and pushdown") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    DocSources.writeOrc(d, dir, partitionBy = Seq("lang"))
+    val back = DocSources.orc(spark, dir)
+    // same rows (column order differs: partition cols move last)
+    assert(back.count() == d.count())
+    val a = d.select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    val b = back.select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // a lang filter becomes partition pruning: the pruned scan reads
+    // fewer files than the full one, and the filter reaches the source
+    val pruned = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$pruned")
+    // and a data-column predicate is pushed into the ORC reader
+    val pushed = back.filter(col("n_chars") > 100L).queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars"), s"no pushdown:\n$pushed")
   }
 }
