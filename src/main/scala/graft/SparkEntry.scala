@@ -674,6 +674,29 @@ object SparkEntry {
         graft.functions.BitExprs.zOrder2(
           col("l_partkey"), col("l_suppkey"), bits = 16).as("zval"))),
 
+    // [EXT] Lakehouse MERGE semantics: update/insert/delete arms from
+    // one full-outer join (change set derived deterministically from
+    // the key so both engines build the identical source).
+    "q_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val k = col("o_orderkey")
+      val target = o.filter(k % 10 =!= 9)
+      val source = o
+        .filter(k % 5 === 0 || k % 7 === 3 || k % 10 === 9)
+        .withColumn("o_totalprice",
+          when(k % 5 === 0 && k % 7 =!= 3, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")))
+        .withColumn("is_delete", k % 7 === 3)
+      graft.ops.Merge.mergeInto(target, source, Seq("o_orderkey"), "is_delete")
+    }),
+
+    // [EXT] Analytics: per-type winsorization (outlier clipping to the
+    // [p05, p95] band; exact percentiles, broadcast bounds).
+    "q_winsorize" -> ((s, dir) =>
+      graft.ext.Analytics.winsorize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)),
+
     // [EXT] Analytics: market-basket co-occurrence — co-partitioned
     // self-join on the basket key, normalized pairs, support filter.
     "q_copurchase" -> ((s, dir) =>
@@ -1577,6 +1600,36 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  length(x) AS n_raw,
         |  length(nfc_normalize(x)) AS n_nfc
         |FROM s""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 9),
+        |s AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 3
+        |         THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority,
+        |    (o_orderkey % 7 = 3) AS del
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 3 OR o_orderkey % 10 = 9)
+        |SELECT
+        |  COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.del IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN s.del IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN s.del IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN s.del IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |  CASE WHEN s.del IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |WHERE NOT COALESCE(s.del, false)""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.05), 6) AS lo,
+        |    ROUND(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  LEAST(GREATEST(e.value, b.lo), b.hi) AS value_clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     "q_copurchase" ->
       """WITH a AS (

@@ -170,6 +170,33 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [`pLo`, `pHi`] percentile band — the outlier-clipping step before
+    * any scale-sensitive training statistic.
+    *
+    * Exact percentiles (DuckDB `quantile_cont` definition), rounded to
+    * 6 dp BEFORE clipping so the band edges are cross-engine
+    * deterministic; unclipped values pass through bit-exact. The tiny
+    * per-group bound table broadcast-joins back (same no-hot-window
+    * shape as [[zscoreOutliers]]).
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double, outCol: String = "value_clipped"): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad band: [$pLo, $pHi]")
+    val bounds = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__qs"))
+      .select(groupCols.map(col) :+
+        round(element_at(col("__qs"), 1), 6).as("__lo") :+
+        round(element_at(col("__qs"), 2), 6).as("__hi"): _*)
+    df.join(broadcast(bounds), groupCols, "inner")
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Basket co-occurrence pairs (market-basket / co-purchase matrix):
     * normalized (item_a < item_b) pair counts across baskets, kept
     * when seen in at least `minCount` baskets.

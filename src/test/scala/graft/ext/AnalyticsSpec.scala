@@ -72,6 +72,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
 
+  test("winsorize clips to the group percentile band, passes inliers bit-exact") {
+    // group g: values 1..100 -> p05/p95 interpolate to 5.95 / 95.05
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = Analytics.winsorize(df, Seq("event_type"), "value", 0.05, 0.95)
+      .select("event_id", "value_clipped").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 5.95)    // clipped up
+    assert(out(100L) == 95.05) // clipped down
+    assert(out(50L) == 50.0)   // inlier untouched
+  }
+
   test("coOccurrencePairs normalizes pairs, dedups within basket, applies support") {
     val li = Seq(
       (1L, 10L), (1L, 20L), (1L, 20L), // dup item in basket counts once
