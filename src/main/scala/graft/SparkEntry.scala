@@ -636,6 +636,22 @@ object SparkEntry {
         length(nfc).cast("long").as("n_nfc"))
     }),
 
+    // [EXT] Text: guarded mojibake repair — Latin-1-misread UTF-8 is
+    // reinterpreted only when provably lossless; real accents and
+    // ASCII pass through untouched. Injections are synthesized from
+    // doc_id so both engines agree on the input.
+    "q_fix_mojibake" -> ((s, dir) => {
+      val k = col("doc_id") % 10
+      // %10==0: mojibake 'cafÃ©' (U+00C3 U+00A9 — must be repaired);
+      // %10==5: genuine 'café' (U+00E9 — must NOT be touched)
+      val synth = when(k === 0, concat(col("text"), lit(" caf\u00c3\u00a9")))
+        .when(k === 5, concat(col("text"), lit(" caf\u00e9")))
+        .otherwise(col("text"))
+      val fixed = graft.functions.NormalizeExprs.fixMojibake(synth)
+      Tables.documents(s, dir).select(
+        col("doc_id"), fixed.as("fixed"), (fixed =!= synth).as("was_fixed"))
+    }),
+
     // [EXT] Text: character-level Shannon entropy quality signal
     // (exact log2(n) - sum(c*log2(c))/n form, fixed-order summation).
     "q_char_entropy" -> ((s, dir) =>
@@ -1696,6 +1712,15 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  ${terms.mkString(" | ")} AS zval
          |FROM lineitem""".stripMargin
     },
+
+    // chr(233) = é: the repaired form for the %10=0 injection and the
+    // untouched genuine accent for %10=5 coincide by construction.
+    "q_fix_mojibake" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 IN (0, 5) THEN text || ' caf' || chr(233)
+        |       ELSE text END AS fixed,
+        |  (doc_id % 10 = 0) AS was_fixed
+        |FROM documents""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (

@@ -33,6 +33,41 @@ object NormalizeOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Repair double-encoded UTF-8 ("mojibake": UTF-8 bytes read back as
+    * Latin-1, the classic `cafÃ©`). The reinterpretation (re-encode as
+    * Latin-1, re-decode as UTF-8) is applied ONLY when it is provably
+    * lossless: every char fits Latin-1 AND the resulting bytes decode
+    * as strict UTF-8. Pure ASCII round-trips to itself; genuine
+    * accented text (e.g. a real `é`) fails strict UTF-8 decode and is
+    * left untouched — the guard makes the fix idempotent and safe to
+    * run corpus-wide.
+    */
+  def fixMojibake(input: UTF8String): UTF8String = {
+    val s = input.toString
+    // fast path: nothing above ASCII -> nothing to reinterpret
+    var i = 0
+    var hasHigh = false
+    while (i < s.length && !hasHigh) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return input
+    // chars beyond Latin-1 cannot be a Latin-1 misread; leave as-is
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) > 0xFF) return input
+      i += 1
+    }
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) { bytes(i) = s.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => input }
+  }
+
   /** Shannon entropy in bits over Unicode code points. The exact
     * `log2(n) - sum(c*log2(c))/n` form needs one log per DISTINCT
     * character; terms are accumulated in ascending code-point order so
@@ -96,6 +131,21 @@ case class StripAccents(child: Expression) extends StringKernelExpr {
     copy(child = newChild)
 }
 
+/** Guarded repair of Latin-1-misread UTF-8 (see
+  * [[NormalizeOps.fixMojibake]]) — run before hashing/dedup or the
+  * same document in clean and mojibake forms dedups apart.
+  */
+case class FixMojibake(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NormalizeOps.fixMojibake(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeOps.fixMojibake($c);")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** Per-document character-level Shannon entropy (bits) — a cheap
   * quality signal: machine-generated or binary-ish junk sits far from
   * natural-language entropy bands. One flat pass per document.
@@ -117,4 +167,5 @@ object NormalizeExprs {
   def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
   def stripAccents(c: Column): Column = column(StripAccents(expression(c)))
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def fixMojibake(c: Column): Column = column(FixMojibake(expression(c)))
 }

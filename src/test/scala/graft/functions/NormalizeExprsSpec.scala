@@ -49,6 +49,18 @@ class NormalizeExprsSpec extends SparkSpec {
     assert(math.abs(e - 1.0) < 1e-12)
   }
 
+  test("fixMojibake repairs double-encoded UTF-8 and only that") {
+    val mojibake = "cafÃ©"     // UTF-8 é read back as Latin-1
+    val genuine = "café"            // real é
+    assert(one(mojibake, NormalizeExprs.fixMojibake) == genuine)
+    assert(one(genuine, NormalizeExprs.fixMojibake) == genuine)  // untouched
+    assert(one("plain ascii", NormalizeExprs.fixMojibake) == "plain ascii")
+    // beyond Latin-1 (λ) cannot be a Latin-1 misread: untouched
+    assert(one("λ calculus", NormalizeExprs.fixMojibake) == "λ calculus")
+    // idempotent: repairing a repaired string changes nothing
+    assert(one(one(mojibake, NormalizeExprs.fixMojibake), NormalizeExprs.fixMojibake) == genuine)
+  }
+
   test("normalization expressions stay inside whole-stage codegen") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = d.select(
