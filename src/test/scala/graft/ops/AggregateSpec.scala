@@ -83,4 +83,22 @@ class AggregateSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out === builtin)
   }
+
+  test("countDistinctApprox tracks the exact count within the rsd bound") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Aggregate.countDistinctScalable(ev, Seq("event_type"), "user_id")
+      .as[(String, Long)].collect().toMap
+    val approx = Aggregate.countDistinctApprox(ev, Seq("event_type"), "user_id", rsd = 0.02)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(3, (n * 0.10).toLong),
+        s"approx $a too far from exact $n for $k")
+    }
+    // sketch plan: ONE aggregate pass, no distinct-expansion shuffle
+    val plan = Aggregate.countDistinctApprox(ev, Seq("event_type"), "user_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
 }
