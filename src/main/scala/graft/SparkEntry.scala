@@ -660,6 +660,19 @@ object SparkEntry {
         round(graft.functions.NormalizeExprs.charEntropy(col("text")), 6)
           .as("entropy"))),
 
+    // [EXT] Embeddings: PCA — one mergeable covariance-aggregate pass
+    // (constant ~17 KB state), driver-side 64x64 eigen-math, then a
+    // shuffle-free codegen'd projection. Rows-only by declared design:
+    // no SQL engine reproduces the eigendecomposition, and the model's
+    // float moments are partial-order dependent (spec-verified instead:
+    // planted-axis recovery, orthonormality, variance ordering).
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ext.Embeddings.fitPca(emb, "embedding", dim = 64, k = 3)
+      graft.ext.Embeddings.project(emb, "embedding", model)
+        .select("vec_id", "pc1", "pc2", "pc3")
+    }),
+
     // [EXT] Analytics: clickstream transition matrix — one lead()
     // shuffle on the user key, then a partial-aggregatable pair count.
     "q_event_transitions" -> ((s, dir) =>

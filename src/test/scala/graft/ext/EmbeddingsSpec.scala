@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CovAgg moments match a driver-side computation exactly in structure") {
+    val vecs = Seq(
+      Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 0.0f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val s = df.agg(graft.functions.CovAgg.covState(col("v"), 2))
+      .head().getSeq[Double](0).toArray
+    assert(s(0) == 3.0)              // n
+    assert(s(1) == 9.0 && s(2) == 6.0) // Σx, Σy
+    // upper triangle: Σxx=1+9+25, Σxy=2+12+0, Σyy=4+16
+    assert(s(3) == 35.0 && s(4) == 14.0 && s(5) == 20.0)
+  }
+
+  test("PCA on planted anisotropic 2D data recovers the dominant axis") {
+    // full factorial grid: wide spread along the diagonal, tiny
+    // orthogonal jitter, EXACTLY zero cross-covariance by symmetry
+    val pts = for {
+      m <- -10 to 10
+      o <- -2 to 2
+    } yield {
+      val tMain = m * 1.0
+      val tOff = o * 0.05
+      Array(((tMain - tOff) / math.sqrt(2)).toFloat,
+        ((tMain + tOff) / math.sqrt(2)).toFloat)
+    }
+    val df = pts.map(Tuple1(_)).toDF("v")
+    val model = Embeddings.fitPca(df, "v", dim = 2, k = 2)
+    // dominant axis ≈ ±(1,1)/√2
+    val pc1 = model.components(0)
+    assert(math.abs(math.abs(pc1(0)) - math.abs(pc1(1))) < 1e-6)
+    assert(math.abs(math.abs(pc1(0)) - 1.0 / math.sqrt(2)) < 1e-6)
+    // components orthonormal
+    val dot = model.components(0).zip(model.components(1))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-9)
+    assert(model.explainedVariance(1) > 0.99)
+  }
+
+  test("projection variance is ordered by eigenvalue and plan stays shuffle-free") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Embeddings.fitPca(emb, "embedding", dim = 64, k = 3)
+    assert(model.eigenvalues(0) >= model.eigenvalues(1))
+    assert(model.eigenvalues(1) >= model.eigenvalues(2))
+    val proj = Embeddings.project(emb, "embedding", model)
+    val stats = proj.agg(
+      var_samp(col("pc1")), var_samp(col("pc2")), var_samp(col("pc3")),
+      abs(avg(col("pc1")))).head()
+    // projection onto PC i has variance = eigenvalue i (centered data)
+    assert(math.abs(stats.getDouble(0) - model.eigenvalues(0)) / model.eigenvalues(0) < 1e-6)
+    assert(stats.getDouble(0) >= stats.getDouble(1))
+    assert(stats.getDouble(1) >= stats.getDouble(2))
+    assert(stats.getDouble(3) < 1e-9) // centered: mean projection 0
+    // projection is a pure scan+project: no Exchange
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
