@@ -673,6 +673,18 @@ object SparkEntry {
         .select("vec_id", "pc1", "pc2", "pc3")
     }),
 
+    // [EXT] Embeddings: Lloyd's k-means (farthest-point init, one
+    // mergeable aggregate per pass). Rows-only by declared design —
+    // learned centroids inherit float-moment partial-order wobble
+    // (fixed-centroid assignment IS oracled, as q_sim_ivf).
+    "q_kmeans_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, assigned) = graft.ext.Embeddings.kmeans(
+        emb, "vec_id", "embedding", dim = 64, k = 8, iters = 3)
+      assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"))
+    }),
+
     // [EXT] Analytics: clickstream transition matrix — one lead()
     // shuffle on the user key, then a partial-aggregatable pair count.
     "q_event_transitions" -> ((s, dir) =>

@@ -132,6 +132,95 @@ object Embeddings {
     PcaModel(mean, evecs.take(k), evals)
   }
 
+  /** Nearest-centroid id for a vector column against literal
+    * `centroids`: squared-L2 argmin via `least` over
+    * (−2·v·c_j + |c_j|², j) structs — |v|² is constant across j and
+    * drops out. Codegen'd dot products; ties break to the lower id.
+    */
+  def nearestCentroid(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (VectorExprs.dot(vecCol, array(c.map(lit): _*)) * -2.0 + lit(c2))
+          .as("d"),
+        lit(j).as("j"))
+    }
+    (if (cands.length == 1) cands.head else least(cands: _*)).getField("j")
+  }
+
+  /** Squared L2 distance of a vector column to the nearest literal
+    * centroid (the value twin of [[nearestCentroid]]; needs the |v|²
+    * term the argmin could drop).
+    */
+  def nearestCentroidDist(
+      vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val v2 = VectorExprs.dot(vecCol, vecCol)
+    val dists = centroids.map { c =>
+      val c2 = c.map(x => x * x).sum
+      v2 - VectorExprs.dot(vecCol, array(c.map(lit): _*)) * 2.0 + lit(c2)
+    }
+    if (dists.length == 1) dists.head else least(dists: _*)
+  }
+
+  /** Deterministic farthest-point init: seed with the lowest-id
+    * vector, then k-1 times take the vector farthest from its nearest
+    * chosen seed (ties by id). One TakeOrdered pass per seed — k scans
+    * total, each a top-1, no shuffle of the data. First-k-by-id init
+    * is a trap: adjacent ids often share a source/cluster, and Lloyd's
+    * cannot split a blob that got every seed.
+    */
+  private def farthestPointInit(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
+    val first = df.orderBy(col(idCol)).limit(1)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(first.nonEmpty, "kmeans init on an empty frame")
+    var seeds = Array(first(0).getSeq[Double](0).toArray)
+    while (seeds.length < k) {
+      val next = df
+        .orderBy(
+          nearestCentroidDist(col(vecCol), seeds).desc, col(idCol).asc)
+        .limit(1)
+        .select(col(vecCol).cast("array<double>")).collect()
+      seeds = seeds :+ next(0).getSeq[Double](0).toArray
+    }
+    seeds
+  }
+
+  /** Lloyd's k-means over an embedding column. Deterministic
+    * farthest-point init, `iters` full passes; each pass is ONE hash
+    * aggregate over the data with constant per-cluster state
+    * ([[graft.functions.VecSumAgg]]) — assignments are never
+    * materialized between passes, and only k (d+1)-vectors reach the
+    * driver per pass. Empty clusters keep their previous centroid.
+    * Returns (final centroids, assignment frame with `cluster`).
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
+    require(k >= 1 && iters >= 1, s"bad kmeans params: k=$k iters=$iters")
+    var centroids: Array[Array[Double]] =
+      farthestPointInit(df, idCol, vecCol, k)
+    require(centroids.length == k, s"need >= $k vectors for init")
+    var it = 0
+    while (it < iters) {
+      val states = df
+        .groupBy(nearestCentroid(col(vecCol), centroids).as("cluster"))
+        .agg(graft.functions.VecSumAgg.vecSum(col(vecCol), dim).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        states.get(j) match {
+          case Some(s) if s(0) > 0 => Array.tabulate(dim)(i => s(1 + i) / s(0))
+          case _ => old
+        }
+      }
+      it += 1
+    }
+    (centroids, df.withColumn("cluster",
+      nearestCentroid(col(vecCol), centroids)))
+  }
+
   /** Project the embedding column onto the model's axes: for each
     * component, one codegen'd dot product against a literal axis minus
     * the (precomputed scalar) centered offset. Pure projection — no

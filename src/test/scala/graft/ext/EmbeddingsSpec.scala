@@ -43,6 +43,41 @@ class EmbeddingsSpec extends SparkSpec {
     assert(model.explainedVariance(1) > 0.99)
   }
 
+  test("kmeans recovers well-separated planted clusters") {
+    // three tight 2D blobs around (0,0), (10,0), (0,10)
+    val blobs = for {
+      (cx, cy) <- Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+      dx <- -1 to 1; dy <- -1 to 1
+    } yield (cx, cy, Array((cx + dx * 0.1).toFloat, (cy + dy * 0.1).toFloat))
+    val df = blobs.zipWithIndex
+      .map { case ((_, _, v), i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val (centroids, assigned) =
+      Embeddings.kmeans(df, "vec_id", "embedding", dim = 2, k = 3, iters = 5)
+    // every planted center has a recovered centroid within 0.1
+    Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0)).foreach { case (cx, cy) =>
+      assert(centroids.exists(c =>
+        math.abs(c(0) - cx) < 0.1 && math.abs(c(1) - cy) < 0.1),
+        s"no centroid near ($cx,$cy): ${centroids.map(_.mkString("[", ",", "]")).mkString}")
+    }
+    // each blob lands in exactly one cluster (9 points per cluster)
+    val sizes = assigned.groupBy("cluster").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(9L, 9L, 9L))
+  }
+
+  test("kmeans centroid pass is one aggregate — no window, no join, no explode") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val pass = emb
+      .groupBy(Embeddings.nearestCentroid(col("embedding"), init).as("c"))
+      .agg(graft.functions.VecSumAgg.vecSum(col("embedding"), 64))
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("join")
+      && !plan.contains("Generate"), s"unexpected operators:\n$plan")
+  }
+
   test("projection variance is ordered by eigenvalue and plan stays shuffle-free") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val model = Embeddings.fitPca(emb, "embedding", dim = 64, k = 3)
