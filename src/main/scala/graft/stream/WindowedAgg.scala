@@ -103,4 +103,26 @@ object WindowedAgg {
           }
       }
   }
+
+  /** Declarative event-time sessionization: Spark's native
+    * `session_window` (gap-merged windows) + watermark. Prefer this
+    * over [[sessionize]] when the per-session result is expressible as
+    * standard aggregates — sessions close by EVENT time (watermark),
+    * not a processing-time timeout, so results are replayable and
+    * backfill-safe; the state store merges overlapping windows
+    * per (key, session) and evicts on watermark passage.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
 }

@@ -35,6 +35,36 @@ class WindowedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows merges gap-connected events and splits across the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+
+    val q = WindowedAgg.sessionWindows(events, gap = "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, 2.0),  // same session (gap 5m)
+        (ts("2024-01-01 10:30:00"), 1L, 4.0),  // new session (gap 25m)
+        (ts("2024-01-01 10:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      // advance the watermark past every open session's close
+      mem.addData((ts("2024-01-01 12:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:30:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sesswin_out")
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(out.contains((1L, ts("2024-01-01 10:00:00"), 2L, 3.0)))
+      assert(out.contains((1L, ts("2024-01-01 10:30:00"), 1L, 4.0)))
+      assert(out.contains((2L, ts("2024-01-01 10:00:00"), 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("late event beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
