@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full bench inventory at local[32] accumulates
+  // broadcast + shuffle buffers across ~80 queries; an 8g heap showed
+  // multi-second full-GC stalls that polluted per-query timings
+  // (round-5 bench: 31 s on a 1.3 s rollup).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -66,8 +66,6 @@ object Bench {
       spark.catalog.clearCache()
       (name, dt, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
     val errJson = errs.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -83,7 +81,30 @@ object Bench {
     val coreTotal = results.collect {
       case (k, v, _) if coreKeys.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_ref_parity_sec":$coreTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The harness that consumes this line keeps only a bounded tail of
+    // stdout (~2 KB observed): an unbounded per-query map silently
+    // overflowed it once the inventory passed ~75 queries, losing the
+    // whole report. `total`/`errors` always cover the FULL inventory;
+    // the per-query detail map is emitted slowest-first at millisecond
+    // precision and truncated (fastest queries dropped, count noted in
+    // "queries_omitted") if the line would exceed the budget.
+    def fmt(v: Double) = f"$v%.3f"
+    val bySlowest = results.sortBy(-_._2)
+    val fixed =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
+        s""""sf":"$sfDir","queries_omitted":NNN,"queries":{}}"""
+    val budget = 1850 - fixed.length
+    val entries = bySlowest.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1)
+    val keep = sizes.tail.count(_ <= budget)
+    val qs = entries.take(keep).mkString("{", ",", "}")
+    val omitted = results.size - keep
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
+        s""""sf":"$sfDir","queries_omitted":$omitted,"queries":$qs}""")
+    System.out.flush()
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
