@@ -32,14 +32,16 @@ object SparkEntry {
     col("value").isNotNull && col("value").between(ValueLo, ValueHi)
 
   /** Reference-format error string for the events analog
-    * (`pipeline.py:129-137` shape, `%.2f` rendering on both engines).
+    * (`pipeline.py:129-137` shape, `%.2f` rendering on both engines —
+    * round(2) first so a binary-exact half rounds the same way in
+    * Spark and DuckDB; see Olap.render for the full rationale).
     */
   private def valueError(lineNo: Column): Column =
     when(col("value").isNull,
       concat(lit("Row "), lineNo, lit(": 'value' is null.")))
       .when(!col("value").between(ValueLo, ValueHi),
         concat(lit("Row "), lineNo, lit(": 'value' ("),
-          format_string("%.2f", col("value")),
+          format_string("%.2f", round(col("value"), 2)),
           lit(s") out of range [$ValueLo, $ValueHi].")))
 
   /** events + distributed global line number (1 header line + 1-based
@@ -1038,7 +1040,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM events)
         |SELECT event_id, line_no,
         |  CASE WHEN value IS NULL THEN 'Row ' || line_no || ': ''value'' is null.'
-        |       ELSE 'Row ' || line_no || ': ''value'' (' || printf('%.2f', value)
+        |       ELSE 'Row ' || line_no || ': ''value'' (' || printf('%.2f', ROUND(value, 2))
         |            || ') out of range [0.0, 200.0].' END AS row_errors
         |FROM n
         |WHERE value IS NULL OR value < 0.0 OR value > 200.0""".stripMargin,
@@ -1051,7 +1053,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  SELECT *, (value IS NULL OR value < 0.0 OR value > 200.0) AS bad,
         |    CASE WHEN value IS NULL THEN 'Row ' || line_no || ': ''value'' is null.'
         |         WHEN value < 0.0 OR value > 200.0
-        |           THEN 'Row ' || line_no || ': ''value'' (' || printf('%.2f', value)
+        |           THEN 'Row ' || line_no || ': ''value'' (' || printf('%.2f', ROUND(value, 2))
         |                || ') out of range [0.0, 200.0].' END AS err
         |  FROM n),
         |g AS (
@@ -1561,7 +1563,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM events
         |  UNION ALL SELECT 'value',
         |    COUNT(*) - COUNT(value), COUNT(DISTINCT value),
-        |    printf('%.4f', MIN(value)), printf('%.4f', MAX(value))
+        |    printf('%.4f', ROUND(MIN(value), 4)), printf('%.4f', ROUND(MAX(value), 4))
         |  FROM events
         |  UNION ALL SELECT 'props',
         |    COUNT(*) - COUNT(props), COUNT(DISTINCT props),

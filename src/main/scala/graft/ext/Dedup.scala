@@ -197,11 +197,17 @@ object Dedup {
     val spark = newDocs.sparkSession
     // The sketch keys on the hex rendering (stat.bloomFilter hashes
     // strings); the verifying join stays on the compact binary digest.
+    // Null digests (null text rows) match incrementalExactByDigest's
+    // join semantics: they are excluded from the sketch build (a null
+    // would NPE stat.bloomFilter's string hasher) and treated as
+    // definitely-new below (a null key never equi-joins history).
     val bf = historyDigests
       .select(hex(col(digestCol)).as("__h"))
+      .filter(col("__h").isNotNull)
       .stat.bloomFilter("__h", expectedItems, fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => bfBc.value.mightContainString(h))
+    val mightContain = udf((h: String) =>
+      h != null && bfBc.value.mightContainString(h))
     val withFp = newDocs
       .withColumn("__fp", textDigest(col(textCol)))
       .withColumn("__maybe", mightContain(hex(col("__fp"))))

@@ -74,7 +74,14 @@ object Olap {
   private def render(c: Column, kind: ColKind): Column = kind match {
     case AsString => c
     case AsLong => c.cast("string")
-    case AsDouble => format_string("%.4f", c)
+    // round() first, then format: Java's %.4f rounds HALF_UP while C
+    // printf (DuckDB et al.) rounds half-to-even, so a value landing
+    // exactly on a binary-representable half (0.0625-style) renders
+    // differently across engines. round(c, 4) resolves the half-way
+    // case identically on both sides (away-from-zero in Spark and
+    // DuckDB), after which the formatter sees a value ~1 ulp from a
+    // 4-decimal point — no half-way ambiguity left to disagree on.
+    case AsDouble => format_string("%.4f", round(c, 4))
     case AsTimestamp => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   }
 

@@ -40,10 +40,18 @@ object Merge {
     // — the small change set, not the snapshot.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
+    // A null delete flag would silently corrupt the merge downstream
+    // (null __del doubles as the "no source row" sentinel after the
+    // outer join: the update arm would be skipped and an insert would
+    // emit all-null data columns) — fail fast like a duplicate key.
     val guardedDel = when(count(lit(1)).over(w) > 1,
       raise_error(concat(lit("duplicate merge-source key: "),
         concat_ws("/", keyCols.map(c => col(c).cast("string")): _*)))
         .cast("boolean"))
+      .when(col(deleteCol).isNull,
+        raise_error(concat(lit(s"null $deleteCol in merge source for key: "),
+          concat_ws("/", keyCols.map(c => col(c).cast("string")): _*)))
+          .cast("boolean"))
       .otherwise(col(deleteCol))
     val src = source
       .withColumn("__del", guardedDel)

@@ -43,11 +43,20 @@ object RangeJoin {
     // Half-open end: the last covered bin is the one holding end-1µs,
     // so an interval ending exactly on a bin boundary does not explode
     // into a bin it cannot match.
-    val i = intervals.withColumn(
-      "__bin",
-      explode(sequence(
-        expr(s"${epochMicros(startTs)} div ${binMicros}L"),
-        expr(s"(${epochMicros(endTs)} - 1) div ${binMicros}L"))))
+    //
+    // Empty/inverted intervals (end <= start) are dropped BEFORE the
+    // explode: they can match nothing under the half-open predicate,
+    // but sequence(start, stop) with stop < start would count DOWN
+    // (default step -1) — one badly-inverted row (end years before
+    // start) fans out into millions of spurious bin rows, exactly the
+    // blow-up this operator exists to avoid.
+    val i = intervals
+      .filter(col(endTs) > col(startTs))
+      .withColumn(
+        "__bin",
+        explode(sequence(
+          expr(s"${epochMicros(startTs)} div ${binMicros}L"),
+          expr(s"(${epochMicros(endTs)} - 1) div ${binMicros}L"))))
     i.join(p,
         i("__bin") === p("__bin") &&
           p(tsCol) >= i(startTs) && p(tsCol) < i(endTs))

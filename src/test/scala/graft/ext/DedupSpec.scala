@@ -52,6 +52,25 @@ class DedupSpec extends SparkSpec {
     assert(bloom === plain && bloom === Set(2L, 5L))
   }
 
+  test("bloom prefilter tolerates null text on both sides like the plain anti-join") {
+    // Null digests must neither NPE the sketch build/probe nor change
+    // the contract: same answer as incrementalExactByDigest.
+    val history = Seq((100L, "seen before"), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),               // in history -> dropped
+      (2L, null.asInstanceOf[String]),   // null text: survives (one rep)
+      (3L, null.asInstanceOf[String]),   // second null -> deduped in-batch
+      (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val hd = Dedup.textDigests(history, "doc_id", "text")
+    val plain = Dedup.incrementalExactByDigest(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomPrefilteredIncremental(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === plain && bloom === Set(2L, 4L))
+  }
+
   test("bloom prefilter stays exact even when the sketch saturates (all false positives)") {
     // 2 expected items but fpp forced high by inserting many: with a
     // tiny sketch every probe reads positive, so every batch row takes

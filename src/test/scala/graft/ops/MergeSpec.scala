@@ -37,6 +37,20 @@ class MergeSpec extends SparkSpec {
       || e.getCause != null && e.getCause.getMessage.contains("duplicate merge-source key"))
   }
 
+  test("mergeInto fails fast on a null delete flag") {
+    // A null flag must not silently turn an update into a no-op (null
+    // __del doubles as the "no source row" sentinel post-join).
+    val source = Seq(
+      (2L, "b2", 99.0, Some(false)),
+      (4L, "d", 40.0, None)
+    ).toDF("k", "name", "v", "del")
+    val e = intercept[Exception] {
+      Merge.mergeInto(target, source, Seq("k"), "del").collect()
+    }
+    assert(e.getMessage.contains("null del")
+      || e.getCause != null && e.getCause.getMessage.contains("null del"))
+  }
+
   test("mergeInto rejects a source whose schema drifts from the target") {
     val source = Seq((2L, "b2", false)).toDF("k", "name", "del") // missing v
     val e = intercept[IllegalArgumentException] {

@@ -24,6 +24,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(ts("2024-01-01 00:00:00"), ts("2024-01-01 23:59:59")))
   }
 
+  test("inverted and empty intervals are dropped, not exploded downward") {
+    // sequence(start, stop) with stop < start counts DOWN by default —
+    // one badly-inverted interval must not fan out into spurious bins.
+    val points = Seq(ts("2024-01-01 12:00:00")).toDF("ts")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")), // valid
+      (2L, ts("2024-06-01 00:00:00"), ts("2020-01-01 00:00:00")), // inverted (years)
+      (3L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))  // empty
+    ).toDF("k", "lo", "hi")
+    val out = RangeJoin.binnedIntervalJoin(points, "ts", intervals, "lo", "hi", 86400L)
+    assert(out.select("k").as[Long].collect().toSeq == Seq(1L))
+    // and the exploded bin volume stays O(interval days), not O(years)
+    val counted = RangeJoin.intervalPointCount(
+      points, "ts", intervals, "k", "lo", "hi", 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counted == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("intervals spanning bin boundaries still match every covered point") {
     // interval 18:00 → 06:00 next day crosses a day-bin edge
     val points = Seq(

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--only q1,q2]
+
+Pass --only with the same list given to Verify via SPARK_GRAFT_ONLY
+when checking a subset dump; without it a missing result directory is
+a FAIL (a query that crashed in Verify writes no dir — it must not
+vanish from a full-run gate).
 
 For each query in <verifyOutDir>/oracle_sql.json: run the oracle SQL in
 DuckDB (tables = views over <sfDir>/*.parquet), load the Spark result
@@ -18,7 +23,7 @@ def canon(con, rel_sql):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -26,9 +31,16 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for q, sql in sorted(oracle.items()):
+        if only is not None and q not in only:
+            continue
         spark_dir = f"{out_dir}/{q}"
         if not os.path.isdir(spark_dir):
-            continue  # subset run (SPARK_GRAFT_ONLY): only check what was dumped
+            # In a FULL run a missing dir means the query crashed in
+            # Verify (its catch block writes nothing) — that is a FAIL,
+            # not a skip; only an explicit --only subset may omit dirs.
+            print(f"FAIL {q}: no result directory (query crashed in Verify?)")
+            n_fail += 1
+            continue
         try:
             got = canon(con, f"SELECT * FROM '{spark_dir}/*.parquet'")
             want = canon(con, sql)
@@ -80,4 +92,10 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], only))
