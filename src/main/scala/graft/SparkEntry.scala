@@ -763,6 +763,28 @@ object SparkEntry {
         Dedup.textDigests(d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
         expectedItems = 100000L, fpp = 0.03)
     }),
+
+    // [EXT] SCD Type-2 dimension history from the event changelog:
+    // per-user tier (event_type) versions with half-open validity
+    // ranges; run-collapse + both windows on ONE key shuffle.
+    "q_scd2_history" -> ((s, dir) =>
+      graft.ops.Scd.scd2FromChangelog(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))),
+
+    // [EXT] CDC snapshot diff: insert/update/delete classification from
+    // one full-outer join (both snapshots derived deterministically
+    // from orders so the oracle builds the identical inputs).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val k = col("o_orderkey")
+      val oldSnap = o.filter(k % 10 =!= 0)
+      val newSnap = o.filter(k % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(k % 5 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+      graft.ops.Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    }),
   )
 
   // =====================================================================
@@ -1759,5 +1781,69 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // LAG cannot distinguish "no previous row" from "previous value was
+    // null", so the first-row guard is an explicit ROW_NUMBER() = 1 —
+    // the same null-safe boundary rule as the Spark side's lag-struct
+    // IS NULL check.
+    "q_scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |o AS (
+        |  SELECT user_id, event_type, ts AS effective_from, event_id
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type, effective_from,
+        |    LEAD(effective_from) OVER
+        |      (PARTITION BY user_id ORDER BY effective_from, event_id)
+        |      AS effective_to
+        |  FROM o)
+        |SELECT user_id, event_type, effective_from, effective_to,
+        |  (effective_to IS NULL) AS is_current
+        |FROM v""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    o.o_custkey AS old_custkey, o.o_orderstatus AS old_status,
+        |    o.o_totalprice AS old_price, o.o_orderdate AS old_date,
+        |    o.o_orderpriority AS old_prio,
+        |    n.o_custkey AS new_custkey, n.o_orderstatus AS new_status,
+        |    n.o_totalprice AS new_price, n.o_orderdate AS new_date,
+        |    n.o_orderpriority AS new_prio
+        |  FROM old o FULL OUTER JOIN new n USING (o_orderkey)),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN NOT in_old THEN 'insert'
+        |         WHEN NOT in_new THEN 'delete'
+        |         WHEN old_custkey IS DISTINCT FROM new_custkey
+        |           OR old_status IS DISTINCT FROM new_status
+        |           OR old_price IS DISTINCT FROM new_price
+        |           OR old_date IS DISTINCT FROM new_date
+        |           OR old_prio IS DISTINCT FROM new_prio THEN 'update'
+        |    END AS change_type
+        |  FROM j)
+        |SELECT o_orderkey,
+        |  CASE WHEN change_type = 'delete' THEN old_custkey ELSE new_custkey END AS o_custkey,
+        |  CASE WHEN change_type = 'delete' THEN old_status ELSE new_status END AS o_orderstatus,
+        |  CASE WHEN change_type = 'delete' THEN old_price ELSE new_price END AS o_totalprice,
+        |  CASE WHEN change_type = 'delete' THEN old_date ELSE new_date END AS o_orderdate,
+        |  CASE WHEN change_type = 'delete' THEN old_prio ELSE new_prio END AS o_orderpriority,
+        |  change_type
+        |FROM t WHERE change_type IS NOT NULL""".stripMargin,
   )
 }
