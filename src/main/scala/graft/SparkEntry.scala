@@ -764,6 +764,12 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Dedup: Levenshtein-1 fuzzy key pairs via the FastSS
+    // deletion neighborhood — complete equi-join candidates, exact
+    // verify, never an all-pairs product.
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")),
+
     // [EXT] SCD Type-2 dimension history from the event changelog:
     // per-user tier (event_type) versions with half-open validity
     // ranges; run-collapse + both windows on ONE key shuffle.
@@ -1781,6 +1787,18 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // Brute-force all-pairs with a length prefilter: tiny at the gate
+    // SF; the Spark side's deletion-neighborhood join must produce the
+    // identical pair set (completeness for d <= 1 is the FastSS lemma).
+    "q_dedup_edit" ->
+      """WITH n AS (
+        |  SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  levenshtein(a.s, b.s) AS dist
+        |FROM n a JOIN n b
+        |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
 
     // LAG cannot distinguish "no previous row" from "previous value was
     // null", so the first-row guard is an explicit ROW_NUMBER() = 1 —

@@ -781,4 +781,54 @@ object Dedup {
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col(idCol))
       .drop("cluster_rep")
   }
+
+  // ---- Edit-distance (typo) dedup -----------------------------------
+
+  /** Distinct-string pairs within Levenshtein distance 1 — the fuzzy
+    * key dedup (typo'd titles, OCR'd names, near-identical SKUs) that
+    * token-set Jaccard cannot see (one char flip in a single-token key
+    * is invisible to shingles, fatal to exact matching).
+    *
+    * Candidate generation is the FastSS deletion neighborhood (Bocek
+    * et al., 2007): every string s generates {s} ∪ {s minus one char}.
+    * Two strings within edit distance 1 ALWAYS share a variant —
+    *   - substitution at i: deleting i from both sides coincides;
+    *   - insertion/deletion: deleting the inserted char from the longer
+    *     side yields the shorter one, which is its own variant —
+    * so an equi-join on the variant string is a COMPLETE candidate
+    * generator for d ≤ 1 (a superset: distance-2 pairs can also
+    * collide; the exact `levenshtein` verify prunes them).
+    *
+    * Scale shape: dedup to distinct strings first (typo domains are
+    * far smaller than corpora), explode ×(len+1), one shuffled
+    * equi-join on the variant — never an all-pairs product, no
+    * broadcast, AQE free to handle variant-key skew. Output:
+    * (name_a, name_b, dist), name_a < name_b.
+    */
+  def editDistancePairs(
+      df: DataFrame, strCol: String): DataFrame = {
+    val s = col("__s")
+    val names = df.select(col(strCol).as("__s"))
+      .filter(s.isNotNull).distinct()
+    // variants = s plus each single-char deletion; array_distinct
+    // because deleting either of two equal adjacent chars coincides.
+    // Empty-string guard: sequence(1, 0) would generate a DESCENDING
+    // [1, 0] run (default step -1 — the inverted-interval trap), not an
+    // empty one.
+    val deletions = when(length(s) > 0,
+      transform(
+        sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val variants = names.select(
+      s, explode(array_distinct(concat(array(s), deletions))).as("__v"))
+    val a = variants.select(s.as("name_a"), col("__v"))
+    val b = variants.select(s.as("name_b"), col("__v"))
+    a.join(b, Seq("__v"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b")
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -264,4 +264,49 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(fast.nonEmpty && fast === brute)
   }
+
+  test("editDistancePairs finds substitution, insertion, and deletion typos") {
+    val names = Seq(
+      "red widget", "rad widget",  // substitution
+      "blue bolt", "blue boltt",   // insertion
+      "gear", "ger",               // deletion
+      "unrelated thing"
+    ).toDF("name")
+    val out = Dedup.editDistancePairs(names, "name")
+      .as[(String, String, Int)].collect().toSet
+    assert(out == Set(
+      ("rad widget", "red widget", 1),
+      ("blue bolt", "blue boltt", 1),
+      ("gear", "ger", 1)))
+  }
+
+  test("editDistancePairs matches brute-force levenshtein on a dense domain") {
+    // Dense single-digit-distance domain: every pair of 2-digit strings.
+    val names = (0 until 100).map(i => f"k$i%02d").toDF("name")
+    val fast = Dedup.editDistancePairs(names, "name")
+      .as[(String, String, Int)].collect().toSet
+    val n = names.select(col("name").as("a"))
+    val brute = n.join(names.select(col("name").as("b")), col("a") < col("b"))
+      .withColumn("d", levenshtein(col("a"), col("b")))
+      .filter(col("d") <= 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(fast.size > 100 && fast == brute)
+  }
+
+  test("editDistancePairs dedups, ignores nulls, and survives empty strings") {
+    val names = Seq(Some("ab"), Some("ab"), Some("b"), Some(""), None)
+      .toDF("name")
+    val out = Dedup.editDistancePairs(names, "name")
+      .as[(String, String, Int)].collect().toSet
+    // "" <-> "b" (insertion), "b" <-> "ab" (insertion); "" <-> "ab" is d=2
+    assert(out == Set(("", "b", 1), ("ab", "b", 1)))
+  }
+
+  test("editDistancePairs plans an equi-join, not a pair scan") {
+    val names = Seq("a", "b").toDF("name")
+    val plan = Dedup.editDistancePairs(names, "name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+  }
 }
