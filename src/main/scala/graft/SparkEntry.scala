@@ -764,6 +764,13 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Deterministic A-ES weighted sampling (weight = document
+    // length): pure projection + bounded-heap top-k, reproducible and
+    // auditable cross-engine.
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSample(
+        Tables.documents(s, dir), "doc_id", "n_chars", k = 100)),
+
     // [EXT] Dedup: Levenshtein-1 fuzzy key pairs via the FastSS
     // deletion neighborhood — complete equi-join candidates, exact
     // verify, never an all-pairs product.
@@ -1787,6 +1794,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0) / n_chars, 9) AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, priority, rank FROM (
+        |  SELECT doc_id, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rank
+        |  FROM p) WHERE rank <= 100""".stripMargin,
 
     // Brute-force all-pairs with a length prefilter: tiny at the gate
     // SF; the Spark side's deletion-neighborhood join must produce the

@@ -110,4 +110,48 @@ object Sampling {
           col("__e.score").as(scoreCol),
           (col("__p") + 1).cast("long").as("rank")): _*)
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a reproducible uniform u from the
+    * portable hash of its key and competes with priority ln(u)/w —
+    * the k largest priorities are EXACTLY a weighted sample without
+    * replacement with per-row weight `weightCol` (u^(1/w) order,
+    * logged for numeric range). Corpus mixing by quality score or
+    * length happens here: weight = quality ⇒ high-quality documents
+    * are proportionally more likely to survive, and a re-run selects
+    * the SAME rows.
+    *
+    * Priorities are rounded to 9 dp before ranking (u has 6 digits of
+    * entropy, |priority| < 15 — rounding collisions are ties, broken
+    * by key asc) so the selection is decidable identically in any
+    * engine that computes md5 and ln: auditable cross-engine like
+    * [[hashGate]].
+    *
+    * Scale shape: priority is a pure projection; the global top-k is
+    * the bounded-heap [[graft.functions.TopKAgg]] — each map task
+    * ships ≤ k rows, the single reduce task merges ≤ k·partitions
+    * heap entries. No global sort, no single-partition window, no
+    * full-corpus shuffle. Rows with null or non-positive weight are
+    * excluded (they have zero selection mass).
+    *
+    * Output: (`idCol`, priority, rank) with rank 1-based in priority
+    * order.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    val u = (HashExprs.md5Prefix60(col(idCol).cast("string")) % 1000000L +
+      lit(0.5)) / lit(1000000.0)
+    val priority = round(log(u) / col(weightCol).cast("double"), 9)
+    val scored = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), priority.as("__pri"))
+    val topk = graft.functions.TopKAgg.topK(
+      col("__pri"), col(idCol).cast("long"), k)
+    scored.agg(topk.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(
+        col("__e.id").as(idCol),
+        col("__e.score").as("priority"),
+        (col("__p") + 1).cast("long").as("rank"))
+  }
 }

@@ -118,4 +118,45 @@ class SamplingSpec extends SparkSpec {
     assert(got === Set((96L, 96.0, 1L), (193L, 96.0, 2L),
       (290L, 96.0, 3L), (387L, 96.0, 4L), (484L, 96.0, 5L)))
   }
+
+  test("weightedSample is reproducible and matches the window-rank contract") {
+    val df = spark.range(0, 500)
+      .select($"id", (($"id" % 7) + 1).cast("double").as("w"))
+    val fast = Sampling.weightedSample(df, "id", "w", 50)
+      .as[(Long, Double, Long)].collect().toSet
+    val again = Sampling.weightedSample(df, "id", "w", 50)
+      .as[(Long, Double, Long)].collect().toSet
+    // brute force: same priority formula, ranked by a global window
+    val u = (graft.functions.HashExprs.md5Prefix60($"id".cast("string"))
+      % 1000000L + lit(0.5)) / lit(1000000.0)
+    val brute = df
+      .withColumn("priority", round(log(u) / $"w", 9))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"priority".desc, $"id".asc)))
+      .filter($"rank" <= 50)
+      .select($"id", $"priority", $"rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(fast == again && fast == brute && fast.size == 50)
+  }
+
+  test("weightedSample favors heavy rows and excludes zero/null weights") {
+    val df = spark.range(0, 100).select($"id",
+      when($"id" < 40, 1000.0)            // heavy: priority ~ -1e-5
+        .when($"id" < 80, 0.001)          // light: priority ~ -1e4
+        .when($"id" < 90, 0.0)            // zero mass: excluded
+        .otherwise(lit(null).cast("double")) // null: excluded
+        .as("w"))
+    val got = Sampling.weightedSample(df, "id", "w", 40)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    // all 40 heavy rows outrank every light row; excluded rows never appear
+    assert(got == (0L until 40L).toSet)
+  }
+
+  test("weightedSample aggregates (map-side bounded) instead of windowing") {
+    val df = spark.range(0, 100).select($"id", lit(1.0).as("w"))
+    val plan = Sampling.weightedSample(df, "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
