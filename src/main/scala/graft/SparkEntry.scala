@@ -764,6 +764,26 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] URL canonicalization + dedup-by-URL: three deterministic
+    // spellings of the same page (tracking params, fragment, case,
+    // trailing slash, query order) must collapse to one canonical row.
+    "q_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = (id % 50).cast("string")
+      val qid = (id % 25).cast("string")
+      val url = when(id % 3 === 0,
+          concat(lit("HTTPS://Example.COM/"), col("source"), lit("/page"),
+            page, lit("/?utm_source=feed&id="), qid, lit("&utm_campaign=x#frag")))
+        .when(id % 3 === 1,
+          concat(lit("https://example.com/"), col("source"), lit("/page"),
+            page, lit("?id="), qid))
+        .otherwise(
+          concat(lit("https://example.com/"), col("source"), lit("/page"),
+            page, lit("?ref=tw&id="), qid))
+      graft.ext.UrlOps.dedupByCanonicalUrl(
+        Tables.documents(s, dir).select(id, url.as("url")), "doc_id", "url")
+    }),
+
     // [EXT] Deterministic A-ES weighted sampling (weight = document
     // length): pure projection + bounded-heap top-k, reproducible and
     // auditable cross-engine.
@@ -1794,6 +1814,53 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // The same canonicalization steps, verbatim, in DuckDB (RE2 + list
+    // lambdas): fragment drop, lowercased scheme://host, trailing-slash
+    // strip, tracking-param filter + sort.
+    "q_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 3 = 0 THEN
+        |        'HTTPS://Example.COM/' || source || '/page' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |        CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x#frag'
+        |      WHEN doc_id % 3 = 1 THEN
+        |        'https://example.com/' || source || '/page' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' ||
+        |        CAST(doc_id % 25 AS VARCHAR)
+        |      ELSE
+        |        'https://example.com/' || source || '/page' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?ref=tw&id=' ||
+        |        CAST(doc_id % 25 AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS nofrag
+        |  FROM raw),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    regexp_extract(nofrag, '^([^?]*)', 1) AS pre,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS qs
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(pre, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', 0)) AS head,
+        |    regexp_replace(regexp_replace(pre, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+        |      '/+$', '') AS path,
+        |    list_sort(list_filter(string_split(qs, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)='))) AS kept
+        |  FROM s2),
+        |canon AS (
+        |  SELECT doc_id,
+        |    head || path ||
+        |    CASE WHEN len(kept) > 0
+        |         THEN '?' || array_to_string(kept, '&') ELSE '' END AS url_canon
+        |  FROM s3)
+        |SELECT url_canon, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM canon GROUP BY 1""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH p AS (
