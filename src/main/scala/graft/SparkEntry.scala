@@ -764,6 +764,21 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] OLAP: CUBE grouping sets — all 2^n levels from one Expand
+    // pass, same shape as q_rollup_sales.
+    "q_cube_sales" -> ((s, dir) =>
+      Olap.cubeSum(
+        Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice")),
+
+    // [EXT] Distributed global PERCENT_RANK (quality-percentile
+    // normalization) — no single-partition window; prefix-sum over
+    // distinct values.
+    "q_quality_pct" -> ((s, dir) =>
+      graft.ext.Analytics.percentRank(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "pct_rank")),
+
     // [EXT] URL canonicalization + dedup-by-URL: three deterministic
     // spellings of the same page (tracking params, fragment, case,
     // trailing slash, query order) must collapse to one canonical row.
@@ -1814,6 +1829,19 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_cube_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_quality_pct" ->
+      """SELECT doc_id, n_chars,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY n_chars), 6) AS pct_rank
+        |FROM documents WHERE n_chars IS NOT NULL""".stripMargin,
 
     // The same canonicalization steps, verbatim, in DuckDB (RE2 + list
     // lambdas): fragment drop, lowercased scheme://host, trailing-slash

@@ -251,4 +251,39 @@ object Analytics {
       .filter(abs(col("z")) > threshold)
       .drop("__n", "__s1", "__s2", "__mean", "__var", "__std")
   }
+
+  /** Global PERCENT_RANK over `valueCol` (SQL semantics: ties share
+    * the rank of their first row; (rank-1)/(N-1); 0.0 when N = 1),
+    * WITHOUT the single-partition global window that
+    * `percent_rank().over(Window.orderBy(v))` plans — the quality-
+    * percentile normalization step of a curation pipeline, over a
+    * corpus where one task cannot hold the data.
+    *
+    * Shape: aggregate to one row per DISTINCT value (hash shuffle —
+    * the only pass over the full corpus), run the distributed prefix
+    * sum [[graft.plans.Prefix.withRunningSum]] over the value order
+    * (range-partitioned, bounded per-task), and hash-join the tiny
+    * rank table back. rank(v) = 1 + count of rows with smaller value
+    * = cum(v) − count(v) + 1. Null values are excluded (engines
+    * disagree on null placement in rank order).
+    */
+  def percentRank(
+      df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val counts = rows
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val summed = graft.plans.Prefix.withRunningSum(
+      counts, Seq(col(valueCol)), "__c", "__cum")
+    // One-row total, broadcast via a literal-free cross join.
+    val total = summed.agg(sum(col("__c")).as("__n"))
+    val ranks = summed.crossJoin(broadcast(total))
+      .withColumn(outCol,
+        when(col("__n") > 1,
+          round((col("__cum") - col("__c")).cast("double") /
+            (col("__n") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select(col(valueCol), col(outCol))
+    rows.join(ranks, Seq(valueCol))
+  }
 }

@@ -41,6 +41,18 @@ object Olap {
         exactSum(col(sumCol)).as("sum_val"),
         count(lit(1)).as("cnt"))
 
+  /** CUBE over `groupCols` — all 2^n grouping sets, still ONE Expand +
+    * one hash aggregate pass (the Expand multiplier is 2^n, the
+    * documented cost; keep n small).
+    */
+  def cubeSum(
+      df: DataFrame, groupCols: Seq[String], sumCol: String): DataFrame =
+    df.cube(groupCols.map(col): _*)
+      .agg(
+        grouping_id().as("gid"),
+        exactSum(col(sumCol)).as("sum_val"),
+        count(lit(1)).as("cnt"))
+
   /** Pivot `pivotCol` over the pinned `values` (no collect-distinct
     * pre-pass — the value list is part of the query contract), exact
     * sum of `sumCol` per (`keyCol`, value). Output columns are

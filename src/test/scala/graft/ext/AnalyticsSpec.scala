@@ -104,4 +104,28 @@ class AnalyticsSpec extends SparkSpec {
     // broadcast-join shape: no Window operator in the plan
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("percentRank matches SQL PERCENT_RANK semantics including ties") {
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)),
+      (4L, Some(30L)), (5L, None)).toDF("id", "v")
+    val out = Analytics.percentRank(df, "v", "pr")
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    // N=4 non-null rows: ranks 1, 2, 2, 4 -> (r-1)/3
+    assert(out == Map(
+      1L -> 0.0, 2L -> 0.333333, 3L -> 0.333333, 4L -> 1.0))
+  }
+
+  test("percentRank returns 0.0 for a single-row input") {
+    val df = Seq((1L, 42L)).toDF("id", "v")
+    val out = Analytics.percentRank(df, "v", "pr")
+      .select("pr").as[Double].collect().toSeq
+    assert(out == Seq(0.0))
+  }
+
+  test("percentRank plans no single-partition global window") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val plan = Analytics.percentRank(df, "v", "pr")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
 }

@@ -60,6 +60,24 @@ class OlapSpec extends SparkSpec {
     assert(out("id").getAs[String]("max_val") == "3")
   }
 
+  test("cubeSum emits all 2^n grouping sets from one Expand pass") {
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
+      .toDF("f", "s", "v")
+    val out = Olap.cubeSum(df, Seq("f", "s"), "v")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (Some("A"), Some("x"), 0L, 1.0), (Some("A"), Some("y"), 0L, 2.0),
+      (Some("B"), Some("x"), 0L, 4.0),
+      (Some("A"), None, 1L, 3.0), (Some("B"), None, 1L, 4.0),
+      (None, Some("x"), 2L, 5.0), (None, Some("y"), 2L, 2.0),
+      (None, None, 3L, 7.0)))
+    val plan = Olap.cubeSum(df, Seq("f", "s"), "v")
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("histogram bins by exact binary scaling and keeps partial aggregation") {
     val df = Seq(0.0, 1.0, 16383.999, 16384.0, 40000.0).toDF("v")
     val out = Olap.histogram(df, "v", width = 16384L)
