@@ -764,6 +764,47 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Incremental view maintenance: merge a materialized
+    // aggregate state with a delta's state — associativity makes the
+    // merged result identical to the direct full aggregate, which IS
+    // the oracle (base table never re-scanned at production scale).
+    "q_agg_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val prev = graft.ops.Aggregate.aggState(
+        ev.filter(col("event_id") % 4 =!= 0), Seq("event_type"), "value")
+      val delta = graft.ops.Aggregate.aggState(
+        ev.filter(col("event_id") % 4 === 0), Seq("event_type"), "value")
+      graft.ops.Aggregate.mergeAggStates(prev, delta, Seq("event_type"))
+        .withColumn("sum_val", col("sum_val").cast("double"))
+    }),
+
+    // [EXT] OLAP: exact Pearson correlation matrix (decimal-exact
+    // moments — partition order cannot perturb the coefficients).
+    "q_corr_matrix" -> ((s, dir) =>
+      Olap.correlationMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // [EXT] HTML -> text boilerplate strip (web-crawl extraction):
+    // deterministic markup wrapped around each document in both
+    // engines, then the same regex pipeline.
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red; }</style></head><body><h1>"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit(" &amp; \"quotes\" &lt;tag&gt;</p><!-- note -->" +
+          "<script type=\"text/js\">var x = 1;</script></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ext.TextClean.stripHtml(html).as("clean"))
+    }),
+
+    // [EXT] BM25 lexical retrieval: exact-count inputs, 6-dp-rounded
+    // scores, bounded-heap global top-k (no global sort).
+    "q_bm25_search" -> ((s, dir) =>
+      Vocab.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "query", "merge"), k = 50)),
+
     // [EXT] OLAP: CUBE grouping sets — all 2^n levels from one Expand
     // pass, same shape as q_rollup_sales.
     "q_cube_sales" -> ((s, dir) =>
@@ -1829,6 +1870,100 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // The oracle is the DIRECT aggregate over the full table — passing
+    // proves the state merge is lossless.
+    "q_agg_merge" ->
+      """SELECT event_type,
+        |  COUNT(value) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+        |  MIN(value) AS min_val,
+        |  MAX(value) AS max_val
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // DECIMAL(19,6), not (18,6): DuckDB's decimal multiply keeps the
+    // max INPUT precision when both operands fit int64 (18,6 × 18,6 →
+    // DECIMAL(18,12) — overflows on real prices); precision 19 forces
+    // the hugeint path (→ DECIMAL(38,12), exact). The values are
+    // identical to Spark's decimal(18,6) products — both are exact.
+    "q_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(19,6)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(19,6)) AS e,
+        |    CAST(l_discount AS DECIMAL(19,6)) AS d,
+        |    CAST(l_tax AS DECIMAL(19,6)) AS t
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(e) AS DOUBLE) AS se,
+        |    CAST(SUM(d) AS DOUBLE) AS sd, CAST(SUM(t) AS DOUBLE) AS st,
+        |    CAST(SUM(q*q) AS DOUBLE) AS pqq, CAST(SUM(q*e) AS DOUBLE) AS pqe,
+        |    CAST(SUM(q*d) AS DOUBLE) AS pqd, CAST(SUM(q*t) AS DOUBLE) AS pqt,
+        |    CAST(SUM(e*e) AS DOUBLE) AS pee, CAST(SUM(e*d) AS DOUBLE) AS ped,
+        |    CAST(SUM(e*t) AS DOUBLE) AS pet, CAST(SUM(d*d) AS DOUBLE) AS pdd,
+        |    CAST(SUM(d*t) AS DOUBLE) AS pdt, CAST(SUM(t*t) AS DOUBLE) AS ptt
+        |  FROM c)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  ROUND((n*pqe - sq*se) / sqrt((n*pqq - sq*sq) * (n*pee - se*se)), 6) AS corr FROM a
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  ROUND((n*pqd - sq*sd) / sqrt((n*pqq - sq*sq) * (n*pdd - sd*sd)), 6) FROM a
+        |UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  ROUND((n*pqt - sq*st) / sqrt((n*pqq - sq*sq) * (n*ptt - st*st)), 6) FROM a
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  ROUND((n*ped - se*sd) / sqrt((n*pee - se*se) * (n*pdd - sd*sd)), 6) FROM a
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  ROUND((n*pet - se*st) / sqrt((n*pee - se*se) * (n*ptt - st*st)), 6) FROM a
+        |UNION ALL SELECT 'l_discount', 'l_tax',
+        |  ROUND((n*pdt - sd*st) / sqrt((n*pdd - sd*sd) * (n*ptt - st*st)), 6) FROM a""".stripMargin,
+
+    "q_html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style></head><body><h1>'
+        |    || source || '</h1><p>' || text ||
+        |    ' &amp; "quotes" &lt;tag&gt;</p><!-- note --><script type="text/js">var x = 1;</script></body></html>'
+        |    AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s2)
+        |SELECT doc_id, TRIM(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS clean
+        |FROM s3""".stripMargin,
+
+    "q_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS tot
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'query', 'merge') GROUP BY 1, 2),
+        |dfr AS (
+        |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM tf),
+        |sc AS (
+        |  SELECT f.doc_id,
+        |    ROUND(SUM(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * f.tf * 2.2
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n)))), 6) AS score
+        |  FROM dfr f JOIN dl d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 50""".stripMargin,
 
     "q_cube_sales" ->
       """SELECT l_returnflag, l_linestatus,

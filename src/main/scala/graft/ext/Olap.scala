@@ -123,6 +123,50 @@ object Olap {
     one.select(explode(rows).as("p")).select("p.*")
   }
 
+  /** Exact Pearson correlation matrix over the listed numeric columns:
+    * one row per unordered pair (col_a < col_b in list order) with the
+    * 6-dp-rounded coefficient.
+    *
+    * NOT `corr()`: both engines' built-ins accumulate running double
+    * moments whose value depends on partition order. Here every input
+    * to the closed form
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σxx − (Σx)²)(n·Σyy − (Σy)²))
+    * is a DECIMAL-exact sum (the q_revenue_monthly/zscore convention),
+    * so the double formula — and the rounded coefficient — is
+    * bit-identical cross-engine and under any partitioning.
+    *
+    * One aggregate job over one scan: n + |cols| sums + |cols|·(|cols|
+    * +1)/2 product sums, all map-side combinable. Rows with a null in
+    * ANY listed column are dropped (one consistent n for every pair —
+    * pairwise-complete deletion would give each pair its own n).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    val clean = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def dec(c: String) = col(c).cast("decimal(18,6)")
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (i, j)
+    val aggs = (count(lit(1)).as("__n") +:
+      cols.map(c => sum(dec(c)).cast("double").as(s"__s_$c"))) ++
+      pairs.map { case (i, j) =>
+        sum(dec(cols(i)) * dec(cols(j))).cast("double").as(s"__p_${i}_$j")
+      }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    def p(i: Int, j: Int) = col(s"__p_${i}_$j")
+    def s(i: Int) = col(s"__s_${cols(i)}")
+    val n = col("__n")
+    val rows = array((for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield struct(
+      lit(cols(i)).as("col_a"),
+      lit(cols(j)).as("col_b"),
+      round((n * p(i, j) - s(i) * s(j)) /
+        sqrt((n * p(i, i) - s(i) * s(i)) * (n * p(j, j) - s(j) * s(j))), 6)
+        .as("corr"))): _*)
+    one.select(explode(rows).as("r")).select("r.*")
+  }
+
   /** Fixed-width histogram of `valCol` with bin width `width` starting
     * at 0. The bin id is `floor(v / width)` — with a power-of-two
     * width the division is an exact binary scaling, so bin assignment

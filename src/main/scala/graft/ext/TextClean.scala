@@ -49,4 +49,32 @@ object TextClean {
     */
   def scrub(text: Column): Column =
     collapseWhitespace(scrubUrls(scrubEmails(stripControl(text))))
+
+  /** HTML → text extraction (the boilerplate-strip step of a web-crawl
+    * pipeline), as a pure regex projection:
+    *   1. drop <script>/<style> elements WITH their contents (code and
+    *     CSS are not prose; `(?s)` so the body may span newlines);
+    *   2. drop all remaining tags and comments — `<[^>]*>` covers
+    *     `<!-- ... -->` too, unless the comment body itself contains
+    *     '>' (documented approximation: a regex pass, not an HTML5
+    *     parser — crawl-scale extraction accepts that trade);
+    *   3. decode the five standard entities + nbsp (amp LAST, so
+    *     `&amp;lt;` decodes to the literal `&lt;` and not `<`);
+    *   4. collapse whitespace.
+    * Tags are replaced by a space — block boundaries must separate
+    * words ("<p>a</p><p>b</p>" → "a b", never "ab").
+    *
+    * RE2-compatible like the rest of this module (lazy quantifiers
+    * and `(?s)`/`(?i)` flags are RE2 features; no lookaround).
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    collapseWhitespace(decoded)
+  }
 }

@@ -113,4 +113,66 @@ object Vocab {
       .filter(col("__r") === 1)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** BM25 keyword retrieval: score every document against a fixed
+    * bag-of-terms query, return the global top `k` by score. The
+    * classic lexical-search ranking (Robertson–Spärck Jones; the
+    * Lucene-style `ln(1 + (N - df + 0.5)/(df + 0.5))` idf, which is
+    * never negative), computable exactly from corpus counts:
+    *
+    *   score(d, Q) = Σ_{t ∈ Q} idf(t) · tf(t,d)·(k1+1)
+    *                   / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Every input to the formula (tf, df, N, |d|, Σ|d|) is an exact
+    * integer aggregate, so the double-math score is reproducible
+    * cross-engine; it is rounded to 6 dp BEFORE ranking (ties break by
+    * doc id) — the same decide-on-rounded convention as the LSH/IVF
+    * pipelines.
+    *
+    * Scale shape: one tokenize pass; per-doc length and per-(doc,
+    * query-term) tf are map-side-combinable aggregates; df rides a
+    * window over the tiny tf frame (≤ |Q| terms per doc); N/avgdl is a
+    * one-row broadcast; the final top-k is the bounded-heap
+    * [[graft.functions.TopKAgg]] — no global sort, ≤ k rows per map
+    * task through the shuffle.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val tf = toks
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val df_ = count(lit(1)).over(Window.partitionBy(col("term")))
+    val scored = tf
+      .withColumn("__df", df_)
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__tot").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("__score"))
+    val topk = graft.functions.TopKAgg.topK(
+      col("__score"), col(idCol).cast("long"), k)
+    scored.agg(topk.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(
+        col("__e.id").as(idCol),
+        col("__e.score").as("score"),
+        (col("__p") + 1).cast("long").as("rank"))
+  }
 }

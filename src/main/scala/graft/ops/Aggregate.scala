@@ -114,4 +114,42 @@ object Aggregate {
       rsd: Double = 0.05, outCol: String = "n_distinct_approx"): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as(outCol))
+
+  /** Mergeable per-group aggregate STATE over `valueCol` — the unit of
+    * incremental view maintenance: (n, sum, min, max), i.e. exactly
+    * the fields a later [[mergeAggStates]] can combine associatively.
+    * Non-mergeable forms (avg) are DERIVED at read time (`sum/n`),
+    * never stored. The sum is decimal-exact so merge order cannot
+    * perturb it.
+    */
+  def aggState(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("sum_val"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"))
+
+  /** Merge two aggregate-state tables (e.g. yesterday's materialized
+    * state + today's delta): re-aggregating the UNION of states with
+    * the states' own merge functions (sum of n/sum, min of min, max of
+    * max) — by associativity, identical to aggregating the raw union.
+    * This is how a 100 TB nightly rollup stays O(delta): the base
+    * table is never re-scanned, only the two small state tables meet
+    * in one hash aggregate.
+    */
+  def mergeAggStates(
+      prev: DataFrame, delta: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    require(prev.columns.toSeq == delta.columns.toSeq,
+      "aggregate states must share one schema")
+    prev.unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_val")).as("sum_val"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"))
+  }
 }

@@ -60,6 +60,39 @@ class OlapSpec extends SparkSpec {
     assert(out("id").getAs[String]("max_val") == "3")
   }
 
+  test("correlationMatrix computes exact Pearson coefficients per pair") {
+    // y = 2x (r = 1), z = -x (r = -1), w uncorrelated-ish
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 9.0), (4.0, 8.0, -4.0, 2.0)
+    ).toDF("x", "y", "z", "w")
+    val out = Olap.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(out(("y", "z")) == -1.0)
+    val expectedXw = {
+      val x = Seq(1.0, 2.0, 3.0, 4.0); val w = Seq(5.0, 1.0, 9.0, 2.0)
+      val n = 4.0
+      val r = (n * x.zip(w).map(p => p._1 * p._2).sum - x.sum * w.sum) /
+        math.sqrt((n * x.map(v => v * v).sum - x.sum * x.sum) *
+          (n * w.map(v => v * v).sum - w.sum * w.sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    assert(out(("x", "w")) == expectedXw)
+  }
+
+  test("correlationMatrix drops rows with a null in any listed column") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), Some(6.0)), (Some(9.0), None), (None, Some(7.0))
+    ).toDF("x", "y")
+    val out = Olap.correlationMatrix(df, Seq("x", "y")).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
   test("cubeSum emits all 2^n grouping sets from one Expand pass") {
     val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("f", "s", "v")

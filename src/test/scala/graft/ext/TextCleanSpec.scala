@@ -41,4 +41,31 @@ class TextCleanSpec extends SparkSpec {
     val s = "already clean single spaced text"
     assert(scrubOne(s) === s)
   }
+
+  private def stripOne(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(TextClean.stripHtml(col("t"))).as[String].head()
+
+  test("stripHtml drops tags but keeps word boundaries between blocks") {
+    assert(stripOne("<p>alpha</p><p>beta</p>") === "alpha beta")
+    assert(stripOne("<div class=\"x\">one <b>two</b> three</div>") ===
+      "one two three")
+  }
+
+  test("stripHtml removes script and style elements with their contents") {
+    assert(stripOne(
+      "before<script type=\"t\">var x = '<p>';\nalert(1)</script>after") ===
+      "before after")
+    assert(stripOne("<style>p { color: red; }</style>visible") === "visible")
+    // case-insensitive tag match
+    assert(stripOne("<SCRIPT>junk</SCRIPT>kept") === "kept")
+  }
+
+  test("stripHtml drops comments and decodes standard entities") {
+    assert(stripOne("a<!-- hidden note -->b") === "a b")
+    assert(stripOne("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; y") ===
+      "x <tag> \"q\" 's' y")
+    // &amp; decodes LAST: double-encoded &amp;lt; yields literal &lt;
+    assert(stripOne("a &amp; b &amp;lt; c") === "a & b &lt; c")
+  }
 }

@@ -59,4 +59,32 @@ class VocabSpec extends SparkSpec {
       .filter($"doc_id" === 0L).select("tfidf").as[Double].head()
     assert(math.abs(score - 3.0 * math.log(3.0 / 2.0)) < 1e-6)
   }
+
+  test("bm25TopK ranks by the exact formula and skips query-free docs") {
+    val corpus = Seq(
+      (0L, "spark spark spark filter"),  // tf=3, short
+      (1L, "spark join group order sort window table line batch"), // tf=1, long
+      (2L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val out = Vocab.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L)) // doc 2 absent, 0 outranks 1
+    // hand-check doc 0: N=3, df=2, dl=4, avgdl = (4+9+5)/3 = 6
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val s0 = idf * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 4.0 / 6.0))
+    assert(math.abs(out.head._2 - s0) < 2e-6)
+    assert(out.map(_._3).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25TopK keeps k bounded and ties deterministic") {
+    // 20 identical docs: identical scores, ties broken by doc_id asc
+    val corpus = (0L until 20L).map(i => (i, "spark query")).toDF("doc_id", "text")
+    val out = Vocab.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 5)
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // aggregation-shaped plan: bounded heap, no global-order window
+    val plan = Vocab.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }

@@ -101,4 +101,39 @@ class AggregateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"))
   }
+
+  test("mergeAggStates(prev, delta) equals the direct full aggregate") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sum_val", col("sum_val").cast("double"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val prev = Aggregate.aggState(
+      ev.filter(col("event_id") % 4 =!= 0), Seq("event_type"), "value")
+    val delta = Aggregate.aggState(
+      ev.filter(col("event_id") % 4 === 0), Seq("event_type"), "value")
+    val merged = canon(
+      Aggregate.mergeAggStates(prev, delta, Seq("event_type")))
+    val direct = canon(Aggregate.aggState(ev, Seq("event_type"), "value"))
+    assert(merged.nonEmpty && merged == direct)
+  }
+
+  test("mergeAggStates merges a group present on only one side") {
+    val prev = Aggregate.aggState(
+      Seq(("a", 1.0), ("a", 3.0)).toDF("g", "v"), Seq("g"), "v")
+    val delta = Aggregate.aggState(
+      Seq(("b", 5.0)).toDF("g", "v"), Seq("g"), "v")
+    val out = Aggregate.mergeAggStates(prev, delta, Seq("g"))
+      .withColumn("sum_val", col("sum_val").cast("double"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(out == Set(("a", 2L, 4.0, 1.0, 3.0), ("b", 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("mergeAggStates rejects drifted state schemas") {
+    val prev = Aggregate.aggState(
+      Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), "v")
+    val e = intercept[IllegalArgumentException] {
+      Aggregate.mergeAggStates(prev, prev.drop("max_val"), Seq("g"))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
 }
