@@ -764,6 +764,27 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] SCD2 point-in-time lookup: every event joined to the
+    // dimension version in force at its timestamp — Scd history
+    // composed with the union-merge as-of join. The changelog is
+    // pre-collapsed to one change per (user, tick) (max_by event_id)
+    // so version opens are unique per timestamp and the as-of fill is
+    // deterministic.
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val chg = ev.groupBy(col("user_id"), col("ts"))
+        .agg(
+          max(col("event_id")).as("event_id"),
+          expr("max_by(event_type, event_id)").as("event_type"))
+      val hist = graft.ops.Scd.scd2FromChangelog(
+          chg, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("tier"),
+          col("effective_from"))
+      graft.ops.AsOf.asOfJoin(
+        ev.select("user_id", "ts", "event_id", "value"), hist,
+        Seq("user_id"), "ts", "effective_from")
+    }),
+
     // [EXT] Incremental view maintenance: merge a materialized
     // aggregate state with a delta's state — associativity makes the
     // merged result identical to the direct full aggregate, which IS
@@ -1870,6 +1891,22 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_scd2_lookup" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, MAX(event_id) AS event_id,
+        |    arg_max(event_type, event_id) AS event_type
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+        |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |o AS (
+        |  SELECT user_id, event_type AS tier, ts AS effective_from
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT e.user_id, e.ts, e.event_id, e.value, o.tier
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.effective_from""".stripMargin,
 
     // The oracle is the DIRECT aggregate over the full table — passing
     // proves the state merge is lossless.

@@ -63,6 +63,27 @@ class ScdSpec extends SparkSpec {
       s"run-collapse filter must reuse the key partitioning:\n$plan")
   }
 
+  test("scd2 history composes with the as-of join for point-in-time lookup") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "bronze"),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "silver")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val hist = Scd.scd2FromChangelog(
+        log, Seq("user_id"), "ts", "event_id", Seq("tier"))
+      .select($"user_id", $"tier", $"effective_from")
+    val probes = Seq(
+      (1L, ts("2023-12-31 00:00:00"), 100L), // before any version
+      (1L, ts("2024-01-01 00:00:00"), 101L), // exactly at the open tick
+      (1L, ts("2024-01-02 00:00:00"), 102L), // inside version 1
+      (1L, ts("2024-01-04 00:00:00"), 103L)  // current version
+    ).toDF("user_id", "ts", "probe_id")
+    val out = AsOf.asOfJoin(probes, hist, Seq("user_id"), "ts", "effective_from")
+      .collect().map(r => (r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out == Map(
+      100L -> None, 101L -> Some("bronze"),
+      102L -> Some("bronze"), 103L -> Some("silver")))
+  }
+
   test("snapshotDiff classifies insert/update/delete and drops unchanged") {
     val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
