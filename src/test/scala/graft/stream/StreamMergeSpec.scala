@@ -1,0 +1,77 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class StreamMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (k, name, v, del, seq)
+  private type Chg = (Long, String, Double, Boolean, Long)
+
+  private def snapshot(root: String): Set[(Long, String, Double)] =
+    StreamMerge.currentSnapshotDir(root) match {
+      case Some(dir) => spark.read.parquet(dir)
+        .as[(Long, String, Double)].collect().toSet
+      case None => Set.empty
+    }
+
+  test("streaming CDC apply maintains the snapshot across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("smerge").toString
+    val ckpt = Files.createTempDirectory("smerge-ckpt").toString
+    val mem = MemoryStream[Chg]
+    val q = StreamMerge.start(
+      mem.toDF().toDF("k", "name", "v", "del", "seq"),
+      Seq("k"), "del", "seq", root, ckpt)
+    try {
+      // batch 1: two inserts + an intra-batch overwrite of k=1
+      // (seq 11 beats seq 10: last-write-wins collapse)
+      mem.addData(
+        (1L, "a-stale", 1.0, false, 10L),
+        (1L, "a", 1.5, false, 11L),
+        (2L, "b", 2.0, false, 12L))
+      q.processAllAvailable()
+      assert(snapshot(root) == Set((1L, "a", 1.5), (2L, "b", 2.0)))
+
+      // batch 2: update k=2, delete k=1, insert k=3
+      mem.addData(
+        (2L, "b2", 2.5, false, 20L),
+        (1L, "a", 0.0, true, 21L),
+        (3L, "c", 3.0, false, 22L))
+      q.processAllAvailable()
+      assert(snapshot(root) ==
+        Set((2L, "b2", 2.5), (3L, "c", 3.0)))
+
+      // batch 3: delete of a missing key is a no-op
+      mem.addData((9L, "x", 0.0, true, 30L))
+      q.processAllAvailable()
+      assert(snapshot(root) ==
+        Set((2L, "b2", 2.5), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
+  test("delete + reinsert of a key in one tick resolves deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("smerge2").toString
+    val ckpt = Files.createTempDirectory("smerge2-ckpt").toString
+    val mem = MemoryStream[Chg]
+    val q = StreamMerge.start(
+      mem.toDF().toDF("k", "name", "v", "del", "seq"),
+      Seq("k"), "del", "seq", root, ckpt)
+    try {
+      // same seq for delete and reinsert: the delete-flag tiebreak
+      // picks the delete — a full tick is (delete, then reinsert at a
+      // LATER seq), which survives
+      mem.addData(
+        (1L, "gone", 1.0, true, 10L),
+        (1L, "gone", 1.0, false, 10L),
+        (2L, "kept", 2.0, true, 20L),
+        (2L, "kept-v2", 2.5, false, 21L))
+      q.processAllAvailable()
+      assert(snapshot(root) == Set((2L, "kept-v2", 2.5)))
+    } finally q.stop()
+  }
+}
