@@ -764,6 +764,16 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Distribution drift (PSI) between the purchase segment and
+    // the rest of the corpus: exact bin counts, decimal-summed terms.
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.psi(
+        ev.filter(col("event_type") =!= "purchase"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", width = 32L)
+    }),
+
     // [EXT] SCD2 point-in-time lookup: every event joined to the
     // dimension version in force at its timestamp — Scd history
     // composed with the union-merge as-of join. The changelog is
@@ -1891,6 +1901,33 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS n_ref
+        |  FROM events WHERE value IS NOT NULL AND event_type <> 'purchase'
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS n_cur
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(r.n_ref, 0) AS br, COALESCE(c.n_cur, 0) AS bc
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |t AS (
+        |  SELECT SUM(br) AS n_ref, SUM(bc) AS n_cur, COUNT(*) AS n_bins FROM j),
+        |terms AS (
+        |  SELECT CAST(ROUND(
+        |    (CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
+        |     - CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END)
+        |    * ln(CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
+        |       / CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END),
+        |    12) AS DECIMAL(24,12)) AS term
+        |  FROM j CROSS JOIN t)
+        |SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+        |  t.n_bins, t.n_ref, t.n_cur
+        |FROM terms CROSS JOIN t
+        |GROUP BY t.n_bins, t.n_ref, t.n_cur""".stripMargin,
 
     "q_scd2_lookup" ->
       """WITH chg AS (

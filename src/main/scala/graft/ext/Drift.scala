@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distribution-drift monitoring between two corpus snapshots
+  * (reference window vs current window) — the check a training-data
+  * pipeline runs before a new crawl batch is allowed into the mix.
+  * No reference equivalent (north-star extension per BASELINE.json).
+  *
+  * Population Stability Index over fixed-width bins:
+  *   PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+  * with the standard zero-bin fix (an empty bin's proportion is
+  * replaced by `eps` — PSI is undefined at 0). Rule-of-thumb read:
+  * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Determinism contract (cross-engine oracle-able): bin counts are
+  * exact; proportions are one double division each; each bin's term
+  * is rounded to 12 dp and summed as DECIMAL(24,12) — float addition
+  * order CANNOT perturb the total (same convention as the decimal
+  * revenue/moment sums) — then the PSI rounds to 6 dp.
+  *
+  * Scale shape: one hash aggregate per side keyed on the bin id
+  * (map-side combinable, shuffle carries ≤ #bins rows per task), one
+  * tiny full-outer join on bin ids, one single-row reduce. The raw
+  * corpora are each scanned once and never joined row-to-row.
+  */
+object Drift {
+
+  /** Single-row frame: (psi, n_bins, n_ref, n_cur). Bins are
+    * `floor(value / width)` — use a power-of-two width for bit-exact
+    * binning (see [[Olap.histogram]]). Null values are excluded.
+    */
+  def psi(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      width: Long, eps: Double = 1e-6): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / lit(width.toDouble)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as(n))
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    def prop(n: Column, total: Column): Column =
+      when(coalesce(n, lit(0L)) === 0, lit(eps))
+        .otherwise(n.cast("double") / total.cast("double"))
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .agg(
+        sum(coalesce(col("n_ref"), lit(0L))).as("n_ref"),
+        sum(coalesce(col("n_cur"), lit(0L))).as("n_cur"),
+        count(lit(1)).as("n_bins"),
+        collect_list(struct(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("br"),
+          coalesce(col("n_cur"), lit(0L)).as("bc"))).as("__bins"))
+    // Per-bin terms from the collected (tiny: #bins) struct list, so
+    // totals and terms come out of ONE pass without a second join.
+    val term = {
+      val p = prop(col("b.br"), col("n_ref"))
+      val q = prop(col("b.bc"), col("n_cur"))
+      round((q - p) * log(q / p), 12).cast("decimal(24,12)")
+    }
+    joined
+      .select(
+        explode(col("__bins")).as("b"),
+        col("n_ref"), col("n_cur"), col("n_bins"))
+      .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
+      .agg(round(sum(term).cast("double"), 6).as("psi"))
+      .select("psi", "n_bins", "n_ref", "n_cur")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi is zero for identical distributions") {
+    val a = (1L to 100L).map(i => (i % 10) * 10.0).toDF("v")
+    val out = Drift.psi(a, a, "v", width = 16L)
+      .as[(Double, Long, Long, Long)].head()
+    assert(out == ((0.0, 6L, 100L, 100L)))
+  }
+
+  test("psi matches the hand-computed value on a two-bin shift") {
+    // ref: 80/20 across bins 0/1; cur: 20/80
+    val ref = (Seq.fill(80)(1.0) ++ Seq.fill(20)(20.0)).toDF("v")
+    val cur = (Seq.fill(20)(1.0) ++ Seq.fill(80)(20.0)).toDF("v")
+    val out = Drift.psi(ref, cur, "v", width = 16L)
+      .as[(Double, Long, Long, Long)].head()
+    val expected = {
+      val t0 = (0.2 - 0.8) * math.log(0.2 / 0.8)
+      val t1 = (0.8 - 0.2) * math.log(0.8 / 0.2)
+      math.rint((math.rint(t0 * 1e12) / 1e12 +
+        math.rint(t1 * 1e12) / 1e12) * 1e6) / 1e6
+    }
+    assert(out._1 == expected && out._2 == 2L)
+  }
+
+  test("psi survives a bin present on only one side via the eps floor") {
+    val ref = Seq(1.0, 1.0, 1.0, 1.0).toDF("v")
+    val cur = Seq(1.0, 1.0, 100.0, 100.0).toDF("v") // bin 6 unseen in ref
+    val out = Drift.psi(ref, cur, "v", width = 16L)
+      .as[(Double, Long, Long, Long)].head()
+    // (0.5 - 1.0)ln(0.5) + (0.5 - 1e-6)ln(0.5/1e-6), each rounded 12dp
+    val t0 = math.rint((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12) / 1e12
+    val t1 = math.rint((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12) / 1e12
+    assert(out._1 == math.rint((t0 + t1) * 1e6) / 1e6)
+    assert(out._1 > 0.25) // reads as "shifted" on the rule-of-thumb scale
+  }
+
+  test("psi aggregates bins, never joining corpora row-to-row") {
+    val a = (1L to 50L).map(_.toDouble).toDF("v")
+    val plan = Drift.psi(a, a, "v", width = 16L)
+      .queryExecution.executedPlan.toString
+    // the only join is the tiny bin-table full-outer
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size == 1, plan)
+  }
+}
