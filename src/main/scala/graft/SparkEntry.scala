@@ -764,6 +764,13 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Per-type quality trend: least-squares slope of value over
+    // event time from decimal-exact regression moments.
+    "q_trend_slope" -> ((s, dir) =>
+      graft.ext.Analytics.linearTrend(
+        Tables.events(s, dir), Seq("event_type"), "ts", "value",
+        refEpochUs = 1704067200000000L)), // 2024-01-01 00:00:00 UTC
+
     // [EXT] Distribution drift (PSI) between the purchase segment and
     // the rest of the corpus: exact bin counts, decimal-summed terms.
     "q_psi_drift" -> ((s, dir) => {
@@ -1901,6 +1908,29 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // DECIMAL(19,*) casts: force DuckDB's hugeint multiply (see
+    // q_corr_matrix). epoch_us matches Spark's unix_micros exactly
+    // (BIGINT microseconds; date_part('epoch') is a fractional DOUBLE).
+    "q_trend_slope" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0)) AS x,
+        |    CAST(value AS DECIMAL(19,6)) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000000.0, 6)
+        |  END AS slope_per_day,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |  END AS intercept
+        |FROM m""".stripMargin,
 
     "q_psi_drift" ->
       """WITH r AS (

@@ -252,6 +252,46 @@ object Analytics {
       .drop("__n", "__s1", "__s2", "__mean", "__var", "__std")
   }
 
+  /** Per-group least-squares linear trend of `yCol` over event time —
+    * "is this source's quality drifting?" as one aggregate pass.
+    * Output: (groupCols..., n, slope_per_day, intercept), where
+    * slope_per_day is the fitted change in y per 24 h and intercept is
+    * the fitted y at `refEpochUs`.
+    *
+    * Same determinism contract as [[zscoreOutliers]] /
+    * `Olap.correlationMatrix`: every regression moment (Σx, Σy, Σxx,
+    * Σxy) is a DECIMAL-exact sum over integer microseconds (x is
+    * re-based to `refEpochUs` — conditioning AND headroom: rebased
+    * x² sums stay far inside decimal(38) at any corpus size) and the
+    * closed form runs in double on those exact sums — partition order
+    * cannot perturb the fit. Groups with a singular system (n < 2 or
+    * zero time variance) yield null slope/intercept rather than NaN.
+    */
+  def linearTrend(
+      df: DataFrame, groupCols: Seq[String], tsCol: String, yCol: String,
+      refEpochUs: Long): DataFrame = {
+    val x = (unix_micros(col(tsCol)) - lit(refEpochUs)).cast("decimal(18,0)")
+    val y = col(yCol).cast("decimal(18,6)")
+    val usPerDay = 86400e6
+    val m = df
+      .filter(col(tsCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(x * y).cast("double").as("__sxy"))
+    val denom = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom
+    m.withColumn("slope_per_day",
+        when(denom =!= 0.0, round(slope * lit(usPerDay), 6)))
+      .withColumn("intercept",
+        when(denom =!= 0.0,
+          round((col("__sy") - slope * col("__sx")) / col("n"), 6)))
+      .drop("__sx", "__sy", "__sxx", "__sxy")
+  }
+
   /** Global PERCENT_RANK over `valueCol` (SQL semantics: ties share
     * the rank of their first row; (rank-1)/(N-1); 0.0 when N = 1),
     * WITHOUT the single-partition global window that

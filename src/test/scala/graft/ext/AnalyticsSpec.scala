@@ -105,6 +105,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("linearTrend recovers an exact linear relationship per group") {
+    val ref = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val usPerDay = 86400000000L
+    // g1: y = 5 + 2*day (exact fit); g2: constant time -> singular
+    val rows =
+      (0 to 4).map { k =>
+        ("g1", new java.sql.Timestamp((ref + k * usPerDay) / 1000L),
+          5.0 + 2.0 * k)
+      } ++ Seq(
+        ("g2", new java.sql.Timestamp(ref / 1000L), 1.0),
+        ("g2", new java.sql.Timestamp(ref / 1000L), 9.0))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = Analytics.linearTrend(
+        df, Seq("event_type"), "ts", "value", ref)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("g1") == ((5L, Some(2.0), Some(5.0))))
+    // zero time variance: null fit, not NaN
+    assert(out("g2") == ((2L, None, None)))
+  }
+
+  test("linearTrend is one aggregate pass — no window, no join") {
+    val df = Seq(("a", new java.sql.Timestamp(0L), 1.0))
+      .toDF("event_type", "ts", "value")
+    val plan = Analytics.linearTrend(df, Seq("event_type"), "ts", "value", 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
   test("percentRank matches SQL PERCENT_RANK semantics including ties") {
     val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)),
       (4L, Some(30L)), (5L, None)).toDF("id", "v")
