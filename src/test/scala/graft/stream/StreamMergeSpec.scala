@@ -53,6 +53,35 @@ class StreamMergeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint applies only unseen change files and converges") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("smerge3").toString
+    val ckpt = Files.createTempDirectory("smerge3-ckpt").toString
+    val in = Files.createTempDirectory("smerge3-in").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("v", DoubleType), StructField("del", BooleanType),
+      StructField("seq", LongType)))
+    def changeStream = spark.readStream.schema(schema)
+      .json(in).toDF("k", "name", "v", "del", "seq")
+    def run(): Unit = {
+      val q = StreamMerge.start(changeStream, Seq("k"), "del", "seq", root, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Files.writeString(java.nio.file.Paths.get(in, "c1.json"),
+      """{"k":1,"name":"a","v":1.0,"del":false,"seq":10}
+        |{"k":2,"name":"b","v":2.0,"del":false,"seq":11}""".stripMargin)
+    run()
+    assert(snapshot(root) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    // second generation, same checkpoint: c1 must NOT be re-consumed,
+    // c2 updates k=1 and deletes k=2
+    Files.writeString(java.nio.file.Paths.get(in, "c2.json"),
+      """{"k":1,"name":"a2","v":1.5,"del":false,"seq":20}
+        |{"k":2,"name":"b","v":0.0,"del":true,"seq":21}""".stripMargin)
+    run()
+    assert(snapshot(root) == Set((1L, "a2", 1.5)))
+  }
+
   test("delete + reinsert of a key in one tick resolves deterministically") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("smerge2").toString
