@@ -1963,7 +1963,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       """WITH chg AS (
         |  SELECT user_id, ts, MAX(event_id) AS event_id,
         |    arg_max(event_type, event_id) AS event_type
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         |c AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
@@ -2162,6 +2162,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    LAG(event_type) OVER w AS prev,
         |    ROW_NUMBER() OVER w AS rn
         |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |o AS (
         |  SELECT user_id, event_type, ts AS effective_from, event_id

@@ -45,25 +45,24 @@ object Drift {
     def prop(n: Column, total: Column): Column =
       when(coalesce(n, lit(0L)) === 0, lit(eps))
         .otherwise(n.cast("double") / total.cast("double"))
-    val joined = r.join(c, Seq("bin"), "full_outer")
-      .agg(
-        sum(coalesce(col("n_ref"), lit(0L))).as("n_ref"),
-        sum(coalesce(col("n_cur"), lit(0L))).as("n_cur"),
-        count(lit(1)).as("n_bins"),
-        collect_list(struct(col("bin"),
-          coalesce(col("n_ref"), lit(0L)).as("br"),
-          coalesce(col("n_cur"), lit(0L)).as("bc"))).as("__bins"))
-    // Per-bin terms from the collected (tiny: #bins) struct list, so
-    // totals and terms come out of ONE pass without a second join.
+    // Totals are a one-row aggregate broadcast back over the bin
+    // table — NEVER a collect of the bins themselves, whose count is
+    // value-range / width and not bounded by design. The bin-join
+    // subtree feeds both passes; Spark reuses its exchange.
+    val binTable = r.join(c, Seq("bin"), "full_outer")
+      .select(
+        coalesce(col("n_ref"), lit(0L)).as("br"),
+        coalesce(col("n_cur"), lit(0L)).as("bc"))
+    val totals = binTable.agg(
+      sum(col("br")).as("n_ref"),
+      sum(col("bc")).as("n_cur"),
+      count(lit(1)).as("n_bins"))
     val term = {
-      val p = prop(col("b.br"), col("n_ref"))
-      val q = prop(col("b.bc"), col("n_cur"))
+      val p = prop(col("br"), col("n_ref"))
+      val q = prop(col("bc"), col("n_cur"))
       round((q - p) * log(q / p), 12).cast("decimal(24,12)")
     }
-    joined
-      .select(
-        explode(col("__bins")).as("b"),
-        col("n_ref"), col("n_cur"), col("n_bins"))
+    binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
       .agg(round(sum(term).cast("double"), 6).as("psi"))
       .select("psi", "n_bins", "n_ref", "n_cur")

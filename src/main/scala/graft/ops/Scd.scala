@@ -34,13 +34,19 @@ object Scd {
     * one (standard SCD2 semantics).
     */
   def scd2FromChangelog(
-      changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      changes0: DataFrame, keyCols: Seq[String], tsCol: String,
       tieCol: String, trackedCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && trackedCols.nonEmpty,
       "scd2 needs key and tracked columns")
     val byKey = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val tracked = struct(trackedCols.map(col): _*)
+    // A change with no timestamp (or no tiebreaker) has no place on
+    // the timeline — and engines DISAGREE on where nulls sort (Spark
+    // windows put them first, most SQL engines last), so keeping them
+    // would make history engine-dependent. Dropped, by contract.
+    val changes = changes0
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull)
     // Version boundaries: first row of a key, or tracked values changed
     // vs the previous row (null-safe, so null -> value and value ->
     // null both open a new version).

@@ -44,8 +44,9 @@ class DriftSpec extends SparkSpec {
     val a = (1L to 50L).map(_.toDouble).toDF("v")
     val plan = Drift.psi(a, a, "v", width = 16L)
       .queryExecution.executedPlan.toString
-    // the only join is the tiny bin-table full-outer
-    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin".r
-      .findAllIn(plan).size == 1, plan)
+    // shuffled joins: ONLY the bin-table full-outer (the corpora are
+    // aggregated before any join); the totals row rides a broadcast
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 }

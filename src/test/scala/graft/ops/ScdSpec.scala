@@ -53,6 +53,17 @@ class ScdSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("scd2FromChangelog drops un-placeable (null-ts) changes by contract") {
+    val log = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00")), 1L, "a"),
+      (1L, Option.empty[Timestamp], 2L, "b") // no place on the timeline
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val out = Scd.scd2FromChangelog(
+        log, Seq("user_id"), "ts", "event_id", Seq("tier"))
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
+    assert(out == Set(("a", true)))
+  }
+
   test("scd2FromChangelog plans exactly one Exchange for both window passes") {
     val log = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a"))
       .toDF("user_id", "ts", "event_id", "tier")
