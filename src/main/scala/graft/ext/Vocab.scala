@@ -141,12 +141,16 @@ object Vocab {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // |d| is size(tokens) — a projection, NOT a second explode +
+    // count-per-doc aggregate (which would shuffle the whole token
+    // stream a second time). Null-text docs carry no tokens on either
+    // path: explode emits nothing, and the filter drops them here.
+    val dl = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("__dl"))
     val stats = dl.agg(
       count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
-    val tf = toks
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"))
