@@ -764,6 +764,19 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Time-series similarity search: top-10 day-windows of the
+    // hourly click-value series most correlated with a linear ramp —
+    // decimal-exact sliding moments keyed on window start.
+    "q_ts_motif" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "click" &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("t"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+      graft.ext.TimeSeries.slidingCorrelation(
+        series, "t", "v", (1 to 24).map(_.toDouble), k = 10)
+    }),
+
     // [EXT] Per-type quality trend: least-squares slope of value over
     // event time from decimal-exact regression moments.
     "q_trend_slope" -> ((s, dir) =>
@@ -1908,6 +1921,34 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // Ramp query pattern q_i = i+1, i in 0..23: Σq = 300, Σq² = 4900
+    // exactly; the query-variance term folds to 27600.0 in both
+    // engines. `//` is DuckDB integer division = Spark's `div`.
+    "q_ts_motif" ->
+      """WITH s AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS t,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |q AS (SELECT i, CAST(1.0 + i AS DECIMAL(18,6)) AS q
+        |      FROM range(24) r(i)),
+        |e AS (
+        |  SELECT s.t - q.i AS start,
+        |    CAST(s.v AS DECIMAL(19,4)) AS v, CAST(q.q AS DECIMAL(19,6)) AS q
+        |  FROM s CROSS JOIN q),
+        |g AS (
+        |  SELECT start, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS sv,
+        |    CAST(SUM(v*v) AS DOUBLE) AS svv,
+        |    CAST(SUM(v*q) AS DOUBLE) AS svq
+        |  FROM e GROUP BY 1 HAVING COUNT(*) = 24)
+        |SELECT start,
+        |  ROUND((24 * svq - sv * 300.0)
+        |    / sqrt((24 * svv - sv * sv) * (24 * 4900.0 - 300.0 * 300.0)), 6)
+        |    AS corr
+        |FROM g ORDER BY corr DESC, start LIMIT 10""".stripMargin,
 
     // DECIMAL(19,*) casts: force DuckDB's hugeint multiply (see
     // q_corr_matrix). epoch_us matches Spark's unix_micros exactly

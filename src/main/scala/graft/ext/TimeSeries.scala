@@ -54,4 +54,59 @@ object TimeSeries {
       round(sum(col("cnt")).over(w).cast("double") /
         count(lit(1)).over(w), 6))
   }
+
+  /** Time-series similarity search: the `k` windows of an (hour-index,
+    * value) series most Pearson-correlated with a fixed query pattern
+    * — the distributed core of a matrix-profile/MASS-style motif scan
+    * ("where does activity ramp like THIS?").
+    *
+    * Each point (t, v) is exploded to the `|query|` windows that
+    * contain it (start = t − offset), tagged with the query weight at
+    * its offset; one hash aggregate per window start then computes the
+    * sliding moments. That is an equi-join-shaped shuffle keyed on the
+    * window start — never a per-window re-scan, never a
+    * single-partition global window; ×|query| fan-out is the
+    * documented cost (the classic time × window-length trade).
+    *
+    * Determinism contract (same as `Olap.correlationMatrix`): the
+    * query is quantized to 6 dp and all moments (Σv, Σv², Σv·q) are
+    * DECIMAL-exact; the query-side constants (Σq, the query variance
+    * term) are computed EXACTLY in BigDecimal here and the closed form
+    * runs in double — bit-identical under any partitioning, and in any
+    * engine that can sum decimals. Incomplete edge windows (fewer than
+    * |query| points — the series is assumed dense; gap-fill upstream)
+    * are dropped. Output: (start, corr) top-k by (corr desc, start) —
+    * a TakeOrdered, each partition keeps k.
+    */
+  def slidingCorrelation(
+      series: DataFrame, tCol: String, vCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    require(query.size >= 2, "query pattern needs at least 2 points")
+    require(k >= 1, s"k must be positive: $k")
+    val w = query.size
+    val q6 = query.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val sq = q6.sum.toDouble
+    val sqq = q6.map(x => x * x).sum.toDouble
+    val qArr = array(q6.map(x => lit(x.toDouble).cast("decimal(18,6)")): _*)
+    val v = col(vCol).cast("decimal(18,4)")
+    val exploded = series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"), v.as("__v"),
+        posexplode(qArr).as(Seq("__i", "__q")))
+      .withColumn("__start", col("__t") - col("__i"))
+    val g = exploded.groupBy(col("__start").as("start"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v")).cast("double").as("__sv"),
+        sum(col("__v") * col("__v")).cast("double").as("__svv"),
+        sum(col("__v") * col("__q")).cast("double").as("__svq"))
+      .filter(col("__n") === w)
+    val corr = (lit(w) * col("__svq") - col("__sv") * lit(sq)) /
+      sqrt((lit(w) * col("__svv") - col("__sv") * col("__sv")) *
+        (lit(w) * lit(sqq) - lit(sq) * lit(sq)))
+    g.withColumn("corr", round(corr, 6))
+      .select("start", "corr")
+      .orderBy(col("corr").desc, col("start").asc)
+      .limit(k)
+  }
 }

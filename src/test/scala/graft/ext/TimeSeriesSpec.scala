@@ -49,4 +49,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"spine join not broadcast:\n$plan")
   }
+
+  test("slidingCorrelation finds the perfect match and anti-match windows") {
+    // windows of length 4 over t=0..11; [10,20,30,40] at t=2 is a
+    // perfect ramp match, [40,30,20,10] at t=7 a perfect anti-match
+    val vals = Seq(5.0, 5.0, 10.0, 20.0, 30.0, 40.0, 5.0,
+      40.0, 30.0, 20.0, 10.0, 5.0)
+    val series = vals.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "v")
+    val out = TimeSeries.slidingCorrelation(
+        series, "t", "v", Seq(1.0, 2.0, 3.0, 4.0), k = 12)
+      .as[(Long, Double)].collect()
+    assert(out.head == ((2L, 1.0)))
+    assert(out.last == ((7L, -1.0)))
+    // edge windows with fewer than |query| points are dropped:
+    // valid starts are exactly 0..8
+    assert(out.map(_._1).toSet == (0L to 8L).toSet)
+  }
+
+  test("slidingCorrelation ranks by (corr desc, start) deterministically") {
+    // constant-multiple windows tie at corr 1.0; earlier start wins
+    val vals = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0)
+    val series = vals.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "v")
+    val out = TimeSeries.slidingCorrelation(
+        series, "t", "v", Seq(1.0, 2.0), k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 2L, 4L))
+    assert(out.forall(_._2 == 1.0))
+  }
 }
