@@ -764,6 +764,17 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Graph analytics: 3-iteration PageRank over the undirected
+    // co-purchase item graph — 12-dp-rounded contributions summed as
+    // decimals, so the ranking is partition-order-independent.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = graft.ext.Analytics.coOccurrencePairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minCount = 2L)
+      val edges = pairs.select(col("item_a").as("s"), col("item_b").as("d"))
+        .union(pairs.select(col("item_b").as("s"), col("item_a").as("d")))
+      graft.ext.Graph.pageRank(edges, "s", "d", iters = 3)
+    }),
+
     // [EXT] Time-series similarity search: top-10 day-windows of the
     // hourly click-value series most correlated with a linear ramp —
     // decimal-exact sliding moments keyed on window start.
@@ -1127,7 +1138,50 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       |  WHERE h.fp IS NULL)
       |SELECT doc_id, text, lang, source, n_chars FROM surv WHERE rn = 1""".stripMargin
 
+  /** DuckDB oracle for q_pagerank: the SAME fixed iterations unrolled
+    * as CTEs — mirrored double shapes, decimal contribution sums.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH co AS (
+        |  SELECT x.i AS item_a, y.i AS item_b
+        |  FROM (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem) y USING (b)
+        |  WHERE x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (
+        |  SELECT item_a AS src, item_b AS dst FROM co
+        |  UNION ALL SELECT item_b, item_a FROM co),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |pr0 AS (
+        |  SELECT node,
+        |    CAST(FLOOR(1.0 / cnt.n * 1000000000000.0) AS DOUBLE)
+        |      / 1000000000000.0 AS pr
+        |  FROM nodes CROSS JOIN cnt)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(FLOOR(p.pr / o.outdeg * 1000000000000.0) AS BIGINT)) AS s
+         |  FROM edges e
+         |  JOIN pr${k - 1} p ON e.src = p.node
+         |  JOIN outd o ON e.src = o.src
+         |  GROUP BY 1),
+         |pr$k AS (
+         |  SELECT n.node,
+         |    CAST(FLOOR(((1 - 0.85) / cnt.n
+         |        + 0.85 * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1000000000000.0))
+         |      * 1000000000000.0) AS DOUBLE) / 1000000000000.0 AS pr
+         |  FROM nodes n LEFT JOIN c$k c USING (node) CROSS JOIN cnt)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, pr FROM pr$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_pagerank" -> pageRankOracleSql(3),
 
     "q_dedup_embed_lsh" -> embedLshOracleSql,
 

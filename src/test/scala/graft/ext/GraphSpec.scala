@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank fixes a symmetric 2-cycle at 1/2 each") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.pageRank(edges, "s", "d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("pageRank decays dangling mass and matches the hand-rolled recursion") {
+    // a -> b only: b is dangling (its mass leaks, by documented design)
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    // same floor-quantization chain as the operator
+    def q12(v: Double) = math.floor(v * 1e12) / 1e12
+    var pa = q12(1.0 / 2); var pb = q12(1.0 / 2)
+    (1 to 3).foreach { _ =>
+      val contribB = math.floor(pa / 1 * 1e12)
+      val na = q12((1 - 0.85) / 2)
+      val nb = q12((1 - 0.85) / 2 + 0.85 * (contribB / 1e12))
+      pa = na; pb = nb
+    }
+    val out = Graph.pageRank(edges, "s", "d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> pa, 2L -> pb))
+  }
+
+  test("pageRank ranks the hub of a star above its spokes") {
+    val spokes = (2L to 6L)
+    val edges = (spokes.map(s => (s, 1L)) ++ spokes.map(s => (1L, s)))
+      .toDF("s", "d")
+    val out = Graph.pageRank(edges, "s", "d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(spokes.forall(s => out(1L) > out(s)))
+    // spokes are symmetric: identical ranks
+    assert(spokes.map(out).toSet.size == 1)
+  }
+
+  test("pageRank is invariant to input partitioning (decimal contribution sums)") {
+    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
+    val one = Graph.pageRank(edges.toDF("s", "d").repartition(1), "s", "d", 3)
+      .as[(Long, Double)].collect().toMap
+    val many = Graph.pageRank(edges.toDF("s", "d").repartition(16), "s", "d", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(one == many && one.size > 100)
+  }
+}
