@@ -764,6 +764,33 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Record linkage: match customers against a deterministically
+    // perturbed snapshot (typo'd names, drifted balances) — blocked
+    // equi-join candidates, weighted similarity score.
+    "q_record_link" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val k = col("c_custkey")
+      val right = c.select(
+        k.as("r_custkey"),
+        concat(substring(col("c_name"), 1, 17),
+          when(k % 3 === 0, lit("X"))
+            .otherwise(substring(col("c_name"), 18, 1))).as("r_name"),
+        col("c_nationkey").as("r_nationkey"),
+        when(k % 5 === 0, col("c_acctbal") + lit(0.5))
+          .otherwise(col("c_acctbal")).as("r_acctbal"),
+        col("c_mktsegment").as("r_mktsegment"))
+      graft.ops.Linkage.scoredLink(
+        c, right,
+        Seq("c_nationkey" -> "r_nationkey", "c_mktsegment" -> "r_mktsegment"),
+        "c_custkey", "r_custkey",
+        Seq(
+          0.7 -> graft.ops.Linkage.nameSimilarity(
+            col("c_name"), col("r_name"), maxDist = 2),
+          0.3 -> when(abs(col("c_acctbal") - col("r_acctbal")) < 1.0, lit(1.0))
+            .otherwise(lit(0.0))),
+        threshold = 0.9)
+    }),
+
     // [EXT] Graph analytics: 3-iteration PageRank over the undirected
     // co-purchase item graph — 12-dp-rounded contributions summed as
     // decimals, so the ranking is partition-order-independent.
@@ -1975,6 +2002,35 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    // The unbanded levenshtein + "> 2 -> 0" CASE is equivalent to the
+    // Spark side's banded levenshtein(a, b, 2) (-1 beyond the band).
+    "q_record_link" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS r_custkey,
+        |    substr(c_name, 1, 17) ||
+        |      CASE WHEN c_custkey % 3 = 0 THEN 'X'
+        |           ELSE substr(c_name, 18, 1) END AS r_name,
+        |    c_nationkey AS r_nationkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+        |         ELSE c_acctbal END AS r_acctbal,
+        |    c_mktsegment AS r_mktsegment
+        |  FROM customer),
+        |j AS (
+        |  SELECT l.c_custkey, r.r_custkey,
+        |    ROUND(
+        |      0.7 * (CASE
+        |        WHEN GREATEST(length(l.c_name), length(r.r_name)) = 0 THEN 1.0
+        |        WHEN levenshtein(l.c_name, r.r_name) > 2 THEN 0.0
+        |        ELSE 1.0 - CAST(levenshtein(l.c_name, r.r_name) AS DOUBLE)
+        |          / CAST(GREATEST(length(l.c_name), length(r.r_name)) AS DOUBLE)
+        |        END)
+        |      + 0.3 * (CASE WHEN ABS(l.c_acctbal - r.r_acctbal) < 1.0
+        |               THEN 1.0 ELSE 0.0 END), 6) AS score
+        |  FROM customer l JOIN r
+        |    ON l.c_nationkey = r.r_nationkey
+        |   AND l.c_mktsegment = r.r_mktsegment)
+        |SELECT c_custkey, r_custkey, score FROM j WHERE score >= 0.9""".stripMargin,
 
     // Ramp query pattern q_i = i+1, i in 0..23: Σq = 300, Σq² = 4900
     // exactly; the query-variance term folds to 27600.0 in both

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) between two snapshots of the
+  * same logical entities — "which rows of the vendor feed are the
+  * same customer as ours, despite typos and drifted balances?".
+  * Extends the reference's exact-key upsert world (K2) to the fuzzy
+  * world every real master-data pipeline lives in.
+  *
+  * Design is the standard blocking architecture: candidate pairs come
+  * ONLY from an equi-join on the blocking key (never a cross
+  * product), then a weighted similarity score — computed as one
+  * codegen'd projection over the joined stream — gates the emitted
+  * links. Blocking is the scale lever: pairs per block are
+  * (|L_b|·|R_b|), so pick keys that cut the corpus into many small
+  * blocks; a row whose true match lands in another block is lost
+  * (recall trade, documented — run multiple passes with different
+  * blocking keys and union when that matters).
+  */
+object Linkage {
+
+  /** 1 − levenshtein/maxlen similarity in [0, 1] (1 = equal), via the
+    * banded DP: `maxDist` caps the edit distance actually computed —
+    * strings further apart than the cap score 0, and the per-pair
+    * cost is O(len·maxDist), not O(len²).
+    */
+  def nameSimilarity(a: Column, b: Column, maxDist: Int): Column = {
+    val lev = levenshtein(a, b, maxDist)
+    val maxLen = greatest(length(a), length(b))
+    when(maxLen === 0, lit(1.0))
+      .when(lev < 0, lit(0.0))
+      .otherwise(lit(1.0) - lev.cast("double") / maxLen.cast("double"))
+  }
+
+  /** Blocked scored link. Emits (left row id, right row id, score)
+    * for every same-block pair whose
+    *   score = round(Σ_i weight_i · sim_i, 6) ≥ threshold,
+    * where each `sims` entry gives (output weight, similarity Column
+    * in [0,1] over the joined pair). Column names on the two sides
+    * must be disjoint for the sim expressions to reference both
+    * (alias upstream).
+    */
+  def scoredLink(
+      left: DataFrame, right: DataFrame, blockCols: Seq[(String, String)],
+      leftId: String, rightId: String,
+      sims: Seq[(Double, Column)], threshold: Double): DataFrame = {
+    require(blockCols.nonEmpty, "linkage needs at least one blocking key")
+    require(sims.nonEmpty, "linkage needs at least one similarity")
+    val cond = blockCols
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    val score = round(
+      sims.map { case (w, sim) => lit(w) * sim }.reduce(_ + _), 6)
+    left.join(right, cond)
+      .withColumn("score", score)
+      .filter(col("score") >= threshold)
+      .select(col(leftId), col(rightId), col("score"))
+  }
+}
