@@ -764,6 +764,27 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Dataset-card dashboard: per-source corpus report composing
+    // token stats, decimal-exact mean quality, exact-dup rate, and
+    // language spread in ONE aggregate pass (the multi-distinct Expand
+    // is the documented cost, as in q_profile_columns).
+    "q_corpus_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = TextStats.qualityScore(col("text")).cast("decimal(9,6)")
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          round(sum(q).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_quality"),
+          countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double"), 6))
+    }),
+
     // [EXT] Record linkage: match customers against a deterministically
     // perturbed snapshot (typo'd names, drifted balances) — blocked
     // equi-join candidates, weighted similarity score.
@@ -2002,6 +2023,21 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+        |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
+        |  ROUND(CAST(SUM(CAST(
+        |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
+        |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |           t -> t IN $stopwordSqlList)) AS DOUBLE)
+        |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6)
+        |    AS DECIMAL(9,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // The unbanded levenshtein + "> 2 -> 0" CASE is equivalent to the
     // Spark side's banded levenshtein(a, b, 2) (-1 beyond the band).
