@@ -1,0 +1,46 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** [EXT] Streaming distribution-drift monitor: every micro-batch is
+  * scored against a STATIC reference corpus with [[graft.ext.Drift
+  * .psi]] and the per-batch index is appended to a parquet log — the
+  * "is today's crawl shaped like the corpus we trained on?" alarm,
+  * running continuously. No reference equivalent.
+  *
+  * The reference frame is bound once at start (the standard
+  * stream-static pattern); the batch side is whatever arrived in the
+  * trigger. An EMPTY batch still logs a row — every reference bin
+  * scores against the eps floor, i.e. maximal drift, which is the
+  * right monitoring read for "input went dark" (a silent gap and a
+  * broken upstream must not look alike in the log).
+  *
+  * Scale shape: per batch this inherits [[graft.ext.Drift.psi]]'s
+  * shape — two bin aggregates and a tiny bin join; the parquet append
+  * is one row per trigger.
+  */
+object StreamDrift {
+
+  def monitor(
+      stream: DataFrame, reference: DataFrame, valueCol: String,
+      width: Long, outDir: String, checkpointDir: String,
+      triggerMs: Long = 1000L): StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Drift
+          .psi(reference, batch, valueCol, width)
+          .select(
+            lit(batchId).as("batch_id"), col("psi"),
+            col("n_bins"), col("n_ref"), col("n_cur"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+}

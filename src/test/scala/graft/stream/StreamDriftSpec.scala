@@ -1,0 +1,37 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class StreamDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-batch PSI matches the batch operator; stable batches score 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("sdrift").toString
+    val ckpt = Files.createTempDirectory("sdrift-ckpt").toString
+    val reference = (Seq.fill(80)(1.0) ++ Seq.fill(20)(20.0)).toDF("v")
+    val mem = MemoryStream[Double]
+    val q = StreamDrift.monitor(
+      mem.toDF().toDF("v"), reference, "v", width = 16L, out, ckpt)
+    try {
+      // batch 0: same 80/20 shape as the reference -> psi 0
+      mem.addData(Seq.fill(8)(1.0) ++ Seq.fill(2)(20.0): _*)
+      q.processAllAvailable()
+      // batch 1: inverted 20/80 shape -> the known two-bin PSI
+      mem.addData(Seq.fill(2)(1.0) ++ Seq.fill(8)(20.0): _*)
+      q.processAllAvailable()
+      val log = spark.read.parquet(out)
+        .select("batch_id", "psi").as[(Long, Double)].collect().toMap
+      assert(log(0L) == 0.0)
+      val expected = graft.ext.Drift.psi(
+          reference,
+          (Seq.fill(2)(1.0) ++ Seq.fill(8)(20.0)).toDF("v"),
+          "v", width = 16L)
+        .select("psi").as[Double].head()
+      assert(log(1L) == expected && expected > 0.25)
+    } finally q.stop()
+  }
+}
