@@ -65,6 +65,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(sizes == Seq(9L, 9L, 9L))
   }
 
+  test("kmeans assignments are invariant to input partitioning") {
+    // the declared no-oracle reason is CROSS-ENGINE float wobble;
+    // within Spark the decimal-exact centroid moments must make the
+    // result partition-independent — pin that stronger property
+    val pts = (0 until 120).map { i =>
+      (i.toLong, Array(((i % 7) * 3.0).toFloat, ((i % 11) * 2.0).toFloat))
+    }
+    def run(parts: Int) = {
+      val df = pts.toDF("vec_id", "embedding").repartition(parts)
+      val (cs, assigned) = Embeddings.kmeans(
+        df, "vec_id", "embedding", dim = 2, k = 4, iters = 3)
+      (cs.map(_.toSeq).toSeq,
+        assigned.select("vec_id", "cluster")
+          .as[(Long, Int)].collect().toMap)
+    }
+    val (c1, a1) = run(1)
+    val (c16, a16) = run(16)
+    assert(c1 == c16 && a1 == a16)
+  }
+
   test("kmeans centroid pass is one aggregate — no window, no join, no explode") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val init = emb.orderBy("vec_id").limit(4)
