@@ -764,6 +764,13 @@ object SparkEntry {
         expectedItems = 100000L, fpp = 0.03)
     }),
 
+    // [EXT] Per-source weighted sampling: independent A-ES draw per
+    // stratum, bounded-heap per group (corpus mixing).
+    "q_sample_weighted_strata" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSampleByGroup(
+        Tables.documents(s, dir), Seq("source"), "doc_id", "n_chars",
+        k = 5)),
+
     // [EXT] Dataset-card dashboard: per-source corpus report composing
     // token stats, decimal-exact mean quality, exact-dup rate, and
     // language spread in ONE aggregate pass (the multi-distinct Expand
@@ -2023,6 +2030,18 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT d.doc_id,
         |  ROUND(COALESCE(log2(t.n) - t.s / t.n, 0.0), 6) AS entropy
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
+
+    "q_sample_weighted_strata" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0) / n_chars, 9) AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT source, doc_id, priority, rank FROM (
+        |  SELECT source, doc_id, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY priority DESC, doc_id) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin,
 
     "q_corpus_report" ->
       s"""SELECT source, COUNT(*) AS n_docs,

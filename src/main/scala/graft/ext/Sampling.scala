@@ -139,12 +139,9 @@ object Sampling {
     */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
-    val u = (HashExprs.md5Prefix60(col(idCol).cast("string")) % 1000000L +
-      lit(0.5)) / lit(1000000.0)
-    val priority = round(log(u) / col(weightCol).cast("double"), 9)
     val scored = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(idCol), priority.as("__pri"))
+      .select(col(idCol), aesPriority(idCol, weightCol).as("__pri"))
     val topk = graft.functions.TopKAgg.topK(
       col("__pri"), col(idCol).cast("long"), k)
     scored.agg(topk.as("__top"))
@@ -154,4 +151,28 @@ object Sampling {
         col("__e.score").as("priority"),
         (col("__p") + 1).cast("long").as("rank"))
   }
+
+  /** The A-ES competition key shared by [[weightedSample]] and
+    * [[weightedSampleByGroup]]: ln(u)/w from the portable-hash uniform,
+    * rounded for cross-engine decidability.
+    */
+  private def aesPriority(idCol: String, weightCol: String): Column = {
+    val u = (HashExprs.md5Prefix60(col(idCol).cast("string")) % 1000000L +
+      lit(0.5)) / lit(1000000.0)
+    round(log(u) / col(weightCol).cast("double"), 9)
+  }
+
+  /** Per-stratum weighted sampling without replacement: `k` rows per
+    * group, each group an independent A-ES draw — the corpus-mixing
+    * move ("10 best-weighted docs per source") with [[quotaCap]]'s
+    * scale shape (bounded heap per group per map task; a hot stratum
+    * ships ≤ k·partitions rows, never its whole population).
+    */
+  def weightedSampleByGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, k: Int): DataFrame =
+    quotaCap(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .withColumn("priority", aesPriority(idCol, weightCol)),
+      groupCols, "priority", idCol, k)
 }

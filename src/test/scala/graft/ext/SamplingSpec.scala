@@ -152,6 +152,22 @@ class SamplingSpec extends SparkSpec {
     assert(got == (0L until 40L).toSet)
   }
 
+  test("weightedSampleByGroup draws independently per stratum") {
+    val df = spark.range(0, 300).select($"id",
+      concat(lit("s"), ($"id" % 3).cast("string")).as("src"),
+      (($"id" % 5) + 1).cast("double").as("w"))
+    val out = Sampling.weightedSampleByGroup(df, Seq("src"), "id", "w", 7)
+      .as[(String, Long, Double, Long)].collect()
+    assert(out.length == 21)
+    // per-group result equals the global weightedSample run on just
+    // that stratum (independence of the draws)
+    val s0 = df.filter($"src" === "s0")
+    val solo = Sampling.weightedSample(s0, "id", "w", 7)
+      .as[(Long, Double, Long)].collect().toSet
+    val grouped = out.filter(_._1 == "s0").map(t => (t._2, t._3, t._4)).toSet
+    assert(grouped == solo)
+  }
+
   test("weightedSample aggregates (map-side bounded) instead of windowing") {
     val df = spark.range(0, 100).select($"id", lit(1.0).as("w"))
     val plan = Sampling.weightedSample(df, "id", "w", 10)
