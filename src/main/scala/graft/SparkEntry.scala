@@ -488,6 +488,11 @@ object SparkEntry {
     "q_unigram_surprisal" -> ((s, dir) =>
       Vocab.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] Bigram-LM conditional surprisal (one model order up: catches
+    // shuffled-word junk that unigram statistics cannot see).
+    "q_bigram_lm" -> ((s, dir) =>
+      Vocab.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
+
     // Per-document top TF-IDF term (rank on the 6dp-rounded score in
     // BOTH engines so cross-engine ln() ulps can't flip the argmax).
     "q_tfidf_top" -> ((s, dir) =>
@@ -700,6 +705,13 @@ object SparkEntry {
       graft.ext.Analytics.zscoreOutliers(
         Tables.events(s, dir).select("event_id", "event_type", "value"),
         Seq("event_type"), "value", threshold = 2.5)),
+
+    // [EXT] Analytics: robust (median/MAD) outliers — heavy-tail-safe
+    // sibling of q_zscore_outliers; decide-on-rounded robust-z.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ext.Analytics.madOutliers(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", threshold = 3.0)),
 
     // [EXT] Scale-safe global NTILE: standard ntile semantics from the
     // distributed ordinal, not a single-partition window.
@@ -1739,6 +1751,27 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    AS DOUBLE) / SUM(tf), 6) AS surprisal
         |FROM w GROUP BY doc_id""".stripMargin,
 
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |tf AS (
+        |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT doc_id, tf,
+        |    ROUND(-ln(CAST(SUM(tf) OVER (PARTITION BY w1, w2) AS DOUBLE)
+        |            / CAST(SUM(tf) OVER (PARTITION BY w1) AS DOUBLE)), 6) AS nll
+        |  FROM tf)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
+        |    AS DOUBLE) / SUM(tf), 6) AS bigram_surprisal
+        |FROM w GROUP BY doc_id""".stripMargin,
+
     "q_tfidf_top" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1993,6 +2026,25 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS z
         |  FROM events e JOIN m USING (event_type))
         |SELECT * FROM z WHERE ABS(z) > 2.5""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS group_median
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    ROUND(quantile_cont(ABS(e.value - m.group_median), 0.5), 6) AS group_mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.group_median, d.group_mad,
+        |    CASE WHEN d.group_mad > 0
+        |      THEN ROUND(ABS(e.value - m.group_median) / (1.4826 * d.group_mad), 6)
+        |    END AS robust_z
+        |  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type))
+        |SELECT * FROM s
+        |WHERE (group_mad > 0 AND robust_z > 3.0)
+        |   OR (group_mad <= 0 AND value <> group_median)""".stripMargin,
 
     "q_ntile_deciles" ->
       """SELECT o_orderkey, o_totalprice,

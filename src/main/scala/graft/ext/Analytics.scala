@@ -252,6 +252,53 @@ object Analytics {
       .drop("__n", "__s1", "__s2", "__mean", "__var", "__std")
   }
 
+  /** Per-group robust (MAD) outliers — the heavy-tail-safe sibling of
+    * [[zscoreOutliers]]: mean/stddev are themselves dragged by the
+    * outliers they're meant to find, while the median and the median
+    * absolute deviation have a 50% breakdown point. A row is flagged
+    * when |v − median| / (1.4826 · MAD) > `threshold` (1.4826 scales
+    * MAD to σ-equivalents under normality, so `threshold` means the
+    * same thing in both detectors).
+    *
+    * Determinism: median and MAD are exact interpolated percentiles
+    * rounded to 6 dp (the [[winsorize]] convention), and the
+    * robust-z score is rounded to 6 dp BEFORE the threshold compare —
+    * the decide-on-rounded rule, so a boundary row lands the same side
+    * in every engine. Groups with MAD = 0 (a majority-constant group:
+    * any deviation is "infinitely" surprising) flag every row off the
+    * median rather than dividing by zero — `robust_z` is null there.
+    *
+    * Scale shape: two grouped exact-percentile passes (medians, then
+    * deviation medians) over group-keyed shuffles, each output one row
+    * per group; both tiny tables broadcast back. No per-group Window —
+    * a hot group would otherwise serialize through one task.
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double): DataFrame = {
+    val med = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("__med"))
+    val mad = df
+      .filter(col(valueCol).isNotNull)
+      .join(broadcast(med), groupCols, "inner")
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(abs(col(valueCol) - col("__med")), lit(0.5)), 6)
+        .as("__mad"))
+    df.join(broadcast(med), groupCols, "inner")
+      .join(broadcast(mad), groupCols, "inner")
+      .withColumn("robust_z",
+        when(col("__mad") > 0,
+          round(abs(col(valueCol) - col("__med")) /
+            (lit(1.4826) * col("__mad")), 6)))
+      .filter(
+        when(col("__mad") > 0, col("robust_z") > threshold)
+          .otherwise(col(valueCol) =!= col("__med")))
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+  }
+
   /** Per-group least-squares linear trend of `yCol` over event time —
     * "is this source's quality drifting?" as one aggregate pass.
     * Output: (groupCols..., n, slope_per_day, intercept), where

@@ -179,4 +179,58 @@ object Vocab {
         col("__e.score").as("score"),
         (col("__p") + 1).cast("long").as("rank"))
   }
+
+  /** Bigram-LM surprisal per document — one model order up from
+    * [[unigramSurprisal]], and a materially sharper quality filter:
+    * boilerplate has predictable next-tokens (low conditional
+    * surprisal) even when its unigrams are rare, and shuffled-word
+    * junk has high conditional surprisal even when its unigrams are
+    * common. Score = mean over the document's bigram positions of
+    *   −ln P(w₂|w₁),  P(w₂|w₁) = C(w₁,w₂) / C(w₁·)
+    * with counts estimated from the corpus itself (MLE). No smoothing
+    * is needed: every scored bigram occurs in the corpus at least once
+    * (the document being scored contributes it), so P > 0 always.
+    *
+    * Determinism: same decimal-sum discipline as [[unigramSurprisal]]
+    * — each bigram's −ln p is rounded to 6 dp first, the per-doc
+    * accumulation is exact DECIMAL(18,6), so partial-aggregation order
+    * cannot drift the result.
+    *
+    * Scale shape: one tokenize+explode pass keyed on (doc, w₁, w₂)
+    * with map-side combine; C(w₁,w₂) and the context total C(w₁·) are
+    * two sum-windows over that tf frame — the w₁-window is planned
+    * FIRST so its hash exchange (on w₁ alone) also satisfies the
+    * (w₁,w₂) window's clustering and Catalyst runs both on a single
+    * shuffle (sort-only between them); then one doc-keyed aggregate.
+    * Documents with fewer than two tokens have no bigram positions
+    * and drop out (mirroring the oracle).
+    */
+  def bigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
+    val tf = docs
+      .filter(col(textCol).isNotNull && size(t) >= 2)
+      .select(col(idCol), explode(bigrams).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val byCtx = Window.partitionBy(col("w1"))
+    val byBigram = Window.partitionBy(col("w1"), col("w2"))
+    tf
+      .withColumn("__c1", sum(col("tf")).over(byCtx))
+      .withColumn("__c2", sum(col("tf")).over(byBigram))
+      .withColumn("__nll",
+        round(-log(col("__c2").cast("double") / col("__c1").cast("double")), 6))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("decimal(18,6)") *
+          col("__nll").cast("decimal(18,6)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6)
+          .as("bigram_surprisal"))
+  }
 }

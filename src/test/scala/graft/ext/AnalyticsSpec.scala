@@ -158,4 +158,34 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
   }
+
+  test("madOutliers flags far points the z-score detector would mask") {
+    // median 5.5, MAD 2.5 -> robust_z(100) = 94.5/(1.4826*2.5) ~ 25.5
+    val df = ((1 to 9).map(i => (i.toLong, "a", Some(i.toDouble))) :+
+      (10L, "a", Some(100.0)) :+ (11L, "a", None))
+      .toDF("event_id", "event_type", "value")
+    val out = Analytics.madOutliers(df, Seq("event_type"), "value", 3.0)
+      .select("event_id", "group_median", "group_mad", "robust_z")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(10L))
+    val (_, med, mad, z) = out.head
+    assert(med === 5.5 && mad === 2.5)
+    assert(math.abs(z - 94.5 / (1.4826 * 2.5)) < 1e-5)
+  }
+
+  test("madOutliers MAD=0 group: any off-median value is flagged, z null") {
+    val df = Seq((1L, "b", 5.0), (2L, "b", 5.0), (3L, "b", 5.0),
+      (4L, "b", 5.0), (5L, "b", 7.0)).toDF("event_id", "event_type", "value")
+    val out = Analytics.madOutliers(df, Seq("event_type"), "value", 3.0)
+      .select("event_id", "robust_z").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(5L))
+    assert(out.head.isNullAt(1))
+  }
+
+  test("madOutliers broadcasts stats — no per-group window in the plan") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("event_id", "event_type", "value")
+    val plan = Analytics.madOutliers(df, Seq("event_type"), "value", 3.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
 }

@@ -87,4 +87,46 @@ class VocabSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("bigramSurprisal: conditional MLE negative log-likelihood") {
+    val tiny = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts: a=3, b=2
+    // nll(b|a) = -ln(1) = 0; nll(a|b) = nll(c|b) = round(ln 2, 6)
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    val out = Vocab.bigramSurprisal(tiny, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._1 === 3L) // "a b a b" has 3 bigram positions
+    assert(math.abs(out(0L)._2 - ln2 / 3) < 2e-6)
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - ln2 / 2) < 2e-6)
+  }
+
+  test("bigramSurprisal drops docs with fewer than two tokens") {
+    val tiny = Seq((0L, "solo"), (1L, ""), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Vocab.bigramSurprisal(tiny, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L))
+  }
+
+  test("bigramSurprisal shuffled-word junk scores above natural repetition") {
+    // Same unigram bag; doc 11's bigrams are corpus-rare
+    val corpus = (0L to 9L).map(i => (i, "the cat sat on the mat")) :+
+      (10L, "the cat sat on the mat") :+ (11L, "mat the on sat cat the")
+    val out = Vocab.bigramSurprisal(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "bigram_surprisal").as[(Long, Double)].collect().toMap
+    assert(out(11L) > out(10L))
+  }
+
+  test("bigramSurprisal runs both count-windows on one exchange") {
+    val tiny = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val plan = Vocab.bigramSurprisal(tiny, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // tf groupBy + shared window exchange + final doc groupBy = 3;
+    // an unshared (w1,w2) window would add a fourth
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 3, s"expected 3 hash exchanges, got $n:\n$plan")
+  }
 }
