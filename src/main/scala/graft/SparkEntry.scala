@@ -713,6 +713,37 @@ object SparkEntry {
         Tables.events(s, dir).select("event_id", "event_type", "value"),
         Seq("event_type"), "value", threshold = 3.0)),
 
+    // [EXT] Quality: Deequ-style dataset-promotion audit — row
+    // predicates in ONE aggregate pass, key uniqueness, FK orphans.
+    "q_constraint_audit" -> ((s, dir) => {
+      import graft.ops.Quality
+      val li = Tables.lineitem(s, dir)
+      Quality.audit(Seq(
+        Quality.rowChecks(li, Seq(
+          "lineitem.quantity_positive" ->
+            (col("l_quantity").isNull || col("l_quantity") <= 0),
+          "lineitem.discount_unit_range" ->
+            (col("l_discount").isNull || !col("l_discount").between(0.0, 1.0)),
+          "lineitem.price_positive" ->
+            (col("l_extendedprice").isNull || col("l_extendedprice") <= 0),
+          "lineitem.shipdate_present" -> col("l_shipdate").isNull)),
+        Quality.uniqueCheck(li, "lineitem.pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Quality.fkCheck(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem.fk_orders"),
+        Quality.fkCheck(li, "l_partkey",
+          Tables.part(s, dir), "p_partkey", "lineitem.fk_part"),
+        Quality.fkCheck(li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey", "lineitem.fk_supplier")))
+    }),
+
+    // [EXT] Analytics: join-key skew diagnostics — the pre-join
+    // "should I salt?" report over lineitem's three join keys.
+    "q_skew_profile" -> ((s, dir) =>
+      graft.ext.Analytics.keySkewProfile(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
     // [EXT] Scale-safe global NTILE: standard ntile semantics from the
     // distributed ordinal, not a single-partition window.
     "q_ntile_deciles" -> ((s, dir) =>
@@ -2045,6 +2076,53 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT * FROM s
         |WHERE (group_mad > 0 AND robust_z > 3.0)
         |   OR (group_mad <= 0 AND value <> group_median)""".stripMargin,
+
+    "q_constraint_audit" -> {
+      def row(name: String, viol: String) =
+        s"""SELECT '$name' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 6) AS pass_rate FROM lineitem""".stripMargin
+      def fk(name: String, ck: String, ptbl: String, pk: String) =
+        s"""SELECT '$name' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 6) AS pass_rate
+           |FROM lineitem l LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $ptbl) p
+           |  ON l.$ck = p.pk""".stripMargin
+      Seq(
+        row("lineitem.quantity_positive",
+          "l_quantity IS NULL OR l_quantity <= 0"),
+        row("lineitem.discount_unit_range",
+          "l_discount IS NULL OR l_discount < 0 OR l_discount > 1"),
+        row("lineitem.price_positive",
+          "l_extendedprice IS NULL OR l_extendedprice <= 0"),
+        row("lineitem.shipdate_present", "l_shipdate IS NULL"),
+        """SELECT 'lineitem.pk_unique' AS check_name,
+          |  CAST(SUM(c) AS BIGINT) AS n_rows,
+          |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_violations,
+          |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS pass_rate
+          |FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+          |      FROM lineitem GROUP BY 1, 2)""".stripMargin,
+        fk("lineitem.fk_orders", "l_orderkey", "orders", "o_orderkey"),
+        fk("lineitem.fk_part", "l_partkey", "part", "p_partkey"),
+        fk("lineitem.fk_supplier", "l_suppkey", "supplier", "s_suppkey")
+      ).mkString("", "\nUNION ALL\n", "")
+    },
+
+    "q_skew_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+         |  ROUND(quantile_cont(c, 0.99), 6) AS p99_cnt,
+         |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_cnt,
+         |  ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS skew_ratio,
+         |  (SELECT CAST(k AS VARCHAR) FROM (SELECT $k AS k, COUNT(*) AS c
+         |     FROM lineitem GROUP BY 1) ORDER BY c DESC, CAST(k AS VARCHAR) DESC
+         |   LIMIT 1) AS top_key
+         |FROM (SELECT $k AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM lineitem GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
 
     "q_ntile_deciles" ->
       """SELECT o_orderkey, o_totalprice,

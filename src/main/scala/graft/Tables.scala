@@ -48,6 +48,12 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark); read(spark, dir, "customer")
   }
+  def part(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "part")
+  }
+  def supplier(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark); read(spark, dir, "supplier")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark); read(spark, dir, "documents")
   }

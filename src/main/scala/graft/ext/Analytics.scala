@@ -299,6 +299,51 @@ object Analytics {
       .withColumnRenamed("__mad", "group_mad")
   }
 
+  /** Join-key skew profile — the "should I salt this join?" diagnostic,
+    * one row per candidate key column: distinct-key count, max / p99 /
+    * mean per-key row counts, and skew_ratio = max/mean. A ratio near 1
+    * means hash partitioning will balance; a large ratio means the top
+    * key serializes a shuffle task and the join wants salting
+    * ([[graft.ops.SkewJoin]]) or AQE skew splitting. Run it BEFORE
+    * committing a 100 TB join strategy, not after the straggler.
+    *
+    * top_key ties break on the largest key STRING (max over (cnt,
+    * key-as-string) structs — a total order, so partial-aggregation
+    * order can't flip it; the report column is a string anyway).
+    *
+    * Scale shape per column: one map-side-combinable count aggregate
+    * keyed on the column, then a one-row aggregate over the per-key
+    * counts (exact p99 percentile over n_keys values — bounded by key
+    * cardinality, not row count). Profiles union at the end; each
+    * column is an independent pass (they need different shuffle keys —
+    * no single pass can share them).
+    */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val profiles = keyCols.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("__c"))
+        .agg(
+          sum(col("__c")).as("__n"),
+          count(lit(1)).as("n_keys"),
+          max(col("__c")).as("max_cnt"),
+          round(percentile(col("__c"), lit(0.99)), 6).as("p99_cnt"),
+          max(struct(col("__c").as("c"), col(k).cast("string").as("k")))
+            .as("__top"))
+        .select(
+          lit(k).as("key_col"),
+          col("__n").cast("long").as("n_rows"),
+          col("n_keys").cast("long").as("n_keys"),
+          col("max_cnt").cast("long").as("max_cnt"),
+          col("p99_cnt"),
+          round(col("__n").cast("double") / col("n_keys").cast("double"), 6)
+            .as("avg_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("__n").cast("double"), 6).as("skew_ratio"),
+          col("__top.k").as("top_key"))
+    }
+    profiles.reduce(_ unionByName _)
+  }
+
   /** Per-group least-squares linear trend of `yCol` over event time —
     * "is this source's quality drifting?" as one aggregate pass.
     * Output: (groupCols..., n, slope_per_day, intercept), where

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Declarative data-quality audit — the Deequ-style constraint
+  * suite a production lake runs before promoting a batch: row-level
+  * predicates, key uniqueness, and referential integrity, each reported
+  * as one row of (constraint, n_rows, n_violations, pass_rate). No
+  * reference equivalent (the reference validates row-by-row and routes
+  * files; this is the dataset-level gate a 100 TB promotion pipeline
+  * needs on top).
+  *
+  * Scale shape: every auditor is aggregate-only — row checks fold into
+  * ONE map-side-combinable pass regardless of how many predicates are
+  * declared (each is a conditional sum in the same agg); uniqueness is
+  * a two-level aggregate (key counts, then one row); FK orphans are a
+  * left join against the DISTINCT parent keys (never a fan-out, AQE
+  * free to broadcast small dims). Reports are one-row frames; a suite
+  * is their union — the union of k tiny frames costs nothing next to
+  * the k passes, and each pass is independently Catalyst-optimal.
+  *
+  * Determinism: counts are exact integers; pass_rate is the only float
+  * and is rounded to 6 dp (cross-engine convention).
+  */
+object Quality {
+
+  private def report(
+      name: Column, nRows: Column, nViolations: Column): Seq[Column] = Seq(
+    name.as("check_name"),
+    nRows.cast("long").as("n_rows"),
+    nViolations.cast("long").as("n_violations"),
+    round((nRows - nViolations).cast("double") / nRows.cast("double"), 6)
+      .as("pass_rate"))
+
+  /** Row-predicate checks: one aggregate pass over `df`, one output row
+    * per named violation predicate (`true` = the row violates).
+    */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, viol), i) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(report(lit(name), col("__n"), col(s"__v$i")): _*)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** Key-uniqueness check: violations = rows in excess of one per
+    * distinct key (0 ⇔ the key is unique).
+    */
+  def uniqueCheck(
+      df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__k"))
+      .select(report(lit(name), col("__n"), col("__n") - col("__k")): _*)
+
+  /** Referential-integrity check: child rows whose `childKey` has no
+    * match among the distinct `parentKey` values (null child keys are
+    * orphans too — a null FK can't reference anything).
+    */
+  def fkCheck(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("__v"))
+      .select(report(lit(name), col("__n"), col("__v")): _*)
+  }
+
+  /** A full audit = union of the individual reports. */
+  def audit(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "empty audit")
+    reports.reduce(_ unionByName _)
+  }
+}

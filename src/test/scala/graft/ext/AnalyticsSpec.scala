@@ -182,6 +182,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.isNullAt(1))
   }
 
+  test("keySkewProfile: exact skew stats with deterministic top key") {
+    // key 7 has 3 rows, keys 1,2 have 1 each: max=3, n=5, k=3
+    val df = Seq(7L, 7L, 7L, 1L, 2L).toDF("k")
+    val out = Analytics.keySkewProfile(df, Seq("k"))
+      .as[(String, Long, Long, Long, Double, Double, Double, String)].head()
+    val (kc, n, nk, mx, _, avg, ratio, top) = out
+    assert(kc === "k" && n === 5L && nk === 3L && mx === 3L)
+    assert(avg === 1.666667) // round(5/3, 6)
+    assert(ratio === 1.8)    // 3 / (5/3)
+    assert(top === "7")
+  }
+
+  test("keySkewProfile ties on count break by largest key string") {
+    val df = Seq(10L, 10L, 9L, 9L).toDF("k")
+    val top = Analytics.keySkewProfile(df, Seq("k"))
+      .select("top_key").as[String].head()
+    assert(top === "9") // string order: "9" > "10"
+  }
+
   test("madOutliers broadcasts stats — no per-group window in the plan") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("event_id", "event_type", "value")
     val plan = Analytics.madOutliers(df, Seq("event_type"), "value", 3.0)

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val child = Seq(
+    (1L, 1, Some(10.0)), (1L, 2, Some(-5.0)), (2L, 1, None),
+    (2L, 1, Some(3.0)), (3L, 1, Some(7.0)))
+    .toDF("k", "line", "v")
+
+  test("rowChecks: one row per predicate, exact counts, one agg pass") {
+    val out = Quality.rowChecks(child, Seq(
+      "v_present" -> col("v").isNull,
+      "v_positive" -> (col("v").isNull || col("v") <= 0)))
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (k, n, v, p) => k -> ((n, v, p)) }.toMap
+    assert(out("v_present") === ((5L, 1L, 0.8)))
+    assert(out("v_positive") === ((5L, 2L, 0.6)))
+  }
+
+  test("uniqueCheck counts rows in excess of one per key") {
+    val out = Quality.uniqueCheck(child, "pk", Seq("k", "line"))
+      .as[(String, Long, Long, Double)].head()
+    // (2,1) appears twice -> 1 excess row over 4 distinct keys
+    assert(out === (("pk", 5L, 1L, 0.8)))
+  }
+
+  test("fkCheck: unmatched and null child keys are orphans; no fan-out") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val orphans = Seq((Some(1L), 1, Some(1.0)), (Some(9L), 1, Some(1.0)),
+      (Option.empty[Long], 1, Some(1.0)))
+      .toDF("k", "line", "v")
+    val out = Quality.fkCheck(orphans, "k", parent, "pk", "fk")
+      .as[(String, Long, Long, Double)].head()
+    assert(out._2 === 3L && out._3 === 2L) // 9 and null are orphans
+    // duplicate parent keys must not multiply child rows
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val n = Quality.fkCheck(child, "k", dupParent, "pk", "fk")
+      .select("n_rows").as[Long].head()
+    assert(n === 5L)
+  }
+
+  test("audit unions reports; suite order preserved") {
+    val rep = Quality.audit(Seq(
+      Quality.rowChecks(child, Seq("a" -> col("v").isNull)),
+      Quality.uniqueCheck(child, "b", Seq("k", "line"))))
+    assert(rep.columns.toSeq ===
+      Seq("check_name", "n_rows", "n_violations", "pass_rate"))
+    assert(rep.count() === 2L)
+  }
+}
