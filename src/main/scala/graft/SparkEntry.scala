@@ -744,6 +744,19 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // [EXT] Behavior: daily new-user counts + cumulative audience size
+    // (running sum over the calendar-bounded daily frame only).
+    "q_running_distinct" -> ((s, dir) =>
+      Behavior.cumulativeDistinctUsers(
+        Tables.events(s, dir), "user_id", "ts")),
+
+    // [EXT] Behavior: last-touch attribution — purchases credited to
+    // the latest preceding click/view within 7 days, else "direct".
+    "q_attribution" -> ((s, dir) =>
+      Behavior.lastTouchAttribution(
+        Tables.events(s, dir), "event_id", "user_id", "event_type",
+        "ts", "value", "purchase", Seq("click", "view"), windowDays = 7)),
+
     // [EXT] Scale-safe global NTILE: standard ntile semantics from the
     // distributed ordinal, not a single-partition window.
     "q_ntile_deciles" -> ((s, dir) =>
@@ -2076,6 +2089,34 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT * FROM s
         |WHERE (group_mad > 0 AND robust_z > 3.0)
         |   OR (group_mad <= 0 AND value <> group_median)""".stripMargin,
+
+    "q_running_distinct" ->
+      """WITH fs AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |nd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+        |       FROM fs GROUP BY 1)
+        |SELECT day, n_new_users,
+        |  CAST(SUM(n_new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_cumulative_users
+        |FROM nd""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN struct_pack(ts := ts, ch := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT event_id, user_id, ts AS conv_ts, value AS conv_value,
+        |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
+        |    THEN touch.ch ELSE 'direct' END AS channel,
+        |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
+        |    THEN touch.ts END AS touch_ts
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
 
     "q_constraint_audit" -> {
       def row(name: String, viol: String) =

@@ -77,4 +77,78 @@ object Behavior {
     }: _*)
     counts.select(explode(stageRows).as("s")).select("s.*")
   }
+
+  /** Daily audience growth: per day, how many users were seen for the
+    * FIRST time, and the cumulative distinct-user count to date. The
+    * classic "DAU is flat — are we acquiring or churning?" curve, and
+    * a corpus-growth counter when `userCol` is a source/author id.
+    *
+    * Scale shape: first-seen is a user-keyed min aggregate (one
+    * shuffle, map-side combinable), day counts collapse that to ≤ one
+    * row per DAY — after which the running sum's single-partition
+    * ordered window is over a calendar-bounded frame (years of daily
+    * rows ≈ thousands), not over users or events. That bound is why
+    * this window is acceptable where a per-row global window is not
+    * (cf. [[graft.plans.Ordinal]] for the unbounded case).
+    */
+  def cumulativeDistinctUsers(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("day"))
+    val daily = firstSeen.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    daily
+      .withColumn("n_cumulative_users",
+        sum(col("n_new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's most recent PRECEDING touch event within `windowDays`
+    * (channel = that touch's type), or to "direct" when no touch
+    * qualifies. One row per conversion:
+    * (conversion id, user, conv_ts, value, channel, touch_ts).
+    *
+    * Determinism: events are ordered by (ts, id) inside each user —
+    * simultaneous-timestamp rows cannot flip the "latest touch" across
+    * engines or partitionings; the credited touch is a conditional
+    * last-non-null over ROWS … 1 PRECEDING, so a conversion at the
+    * same instant as a touch does NOT credit it (strictly-preceding
+    * row semantics, mirrored in the oracle).
+    *
+    * Scale shape: ONE user-keyed shuffle; the window walks each user's
+    * history in ts order. Per-user history is the natural bound — for
+    * pathological hot users cap upstream ([[graft.ext.Sampling]]
+    * quotaCap), which no window strategy can do for you.
+    */
+  def lastTouchAttribution(
+      df: DataFrame, idCol: String, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowDays > 0, s"windowDays must be positive: $windowDays")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("ts"), col(typeCol).as("ch")))
+    df
+      .withColumn("__touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("__qualified",
+        col("__touch").isNotNull &&
+          col("__touch.ts") >= col(tsCol) - expr(s"INTERVAL $windowDays DAYS"))
+      .select(
+        col(idCol),
+        col(userCol),
+        col(tsCol).as("conv_ts"),
+        col(valueCol).as("conv_value"),
+        when(col("__qualified"), col("__touch.ch"))
+          .otherwise(lit("direct")).as("channel"),
+        when(col("__qualified"), col("__touch.ts")).as("touch_ts"))
+  }
 }

@@ -73,4 +73,56 @@ class BehaviorSpec extends SparkSpec {
     assert(got("click") == want.getLong(1))
     assert(got("purchase") == want.getLong(2))
   }
+
+  test("cumulativeDistinctUsers: first-seen day counts and running total") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
+      (2L, "2024-01-01 12:00:00"), (3L, "2024-01-02 09:00:00"),
+      (3L, "2024-01-01 23:59:59")) // user 3's first day is Jan 1
+      .toDF("user_id", "s").withColumn("ts", $"s".cast("timestamp"))
+    val out = Behavior.cumulativeDistinctUsers(df, "user_id", "ts")
+      .orderBy("day")
+      .select($"day".cast("string"), $"n_new_users", $"n_cumulative_users")
+      .as[(String, Long, Long)].collect().toList
+    // Jan 1: users 1,2,3 all first seen; Jan 2/3 add nobody new
+    assert(out === List(("2024-01-01", 3L, 3L)))
+  }
+
+  test("cumulativeDistinctUsers accumulates across days") {
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+      (1L, "2024-01-03"), (4L, "2024-01-04"))
+      .toDF("user_id", "s").withColumn("ts", $"s".cast("timestamp"))
+    val out = Behavior.cumulativeDistinctUsers(df, "user_id", "ts")
+      .orderBy("day").select("n_new_users", "n_cumulative_users")
+      .as[(Long, Long)].collect().toList
+    assert(out === List((1L, 1L), (2L, 3L), (1L, 4L)))
+  }
+
+  test("lastTouchAttribution credits latest preceding touch inside window") {
+    val df = Seq(
+      (1L, 10L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, 10L, "view", "2024-01-01 11:00:00", 0.0),
+      (3L, 10L, "purchase", "2024-01-01 12:00:00", 99.0), // → view (latest)
+      (4L, 10L, "purchase", "2024-01-10 12:00:00", 50.0), // 9 days later → direct
+      (5L, 20L, "purchase", "2024-01-01 08:00:00", 10.0)) // no touch → direct
+      .toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = Behavior.lastTouchAttribution(df, "event_id", "user_id",
+      "event_type", "ts", "value", "purchase", Seq("click", "view"), 7)
+      .select("event_id", "channel").as[(Long, String)].collect().toMap
+    assert(out === Map(3L -> "view", 4L -> "direct", 5L -> "direct"))
+  }
+
+  test("lastTouchAttribution: same-instant touch is not credited; id breaks ts ties") {
+    val df = Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "purchase", "2024-01-01 10:00:00", 5.0)) // same ts, click id < purchase id
+      .toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = Behavior.lastTouchAttribution(df, "event_id", "user_id",
+      "event_type", "ts", "value", "purchase", Seq("click"), 7)
+      .select("channel").as[String].head()
+    // click sorts before the purchase (same ts, smaller id) -> credited
+    assert(out === "click")
+  }
 }
