@@ -757,6 +757,24 @@ object SparkEntry {
         Tables.events(s, dir), "event_id", "user_id", "event_type",
         "ts", "value", "purchase", Seq("click", "view"), windowDays = 7)),
 
+    // [EXT] Hashing-trick featurization: fixed 64-bucket space via the
+    // portable md5-prefix hash; sparse (doc, bucket, cnt) rows.
+    "q_feature_hash" -> ((s, dir) =>
+      Vocab.hashedFeatures(Tables.documents(s, dir), "doc_id", "text", 64)),
+
+    // [EXT] Interval×interval overlap self-join (binned equi-join,
+    // first-live-bin reporting — no BNLJ, no pair-dedup shuffle):
+    // which of a customer's 7-day order windows collide?
+    "q_interval_overlap" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      RangeJoin.intervalOverlapPairs(
+        o, "o_custkey", "o_orderkey", "w_start", "w_end",
+        binSeconds = 7L * 86400L)
+    }),
+
     // [EXT] Scale-safe global NTILE: standard ntile semantics from the
     // distributed ordinal, not a single-partition window.
     "q_ntile_deciles" -> ((s, dir) =>
@@ -2117,6 +2135,27 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
         |    THEN touch.ts END AS touch_ts
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS BIGINT)
+        |    AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS token
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS ws,
+        |    o_orderdate + INTERVAL 7 DAY AS we
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+        |  greatest(a.ws, b.ws) AS overlap_start,
+        |  least(a.we, b.we) AS overlap_end
+        |FROM w a JOIN w b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND a.ws < b.we AND b.ws < a.we""".stripMargin,
 
     "q_constraint_audit" -> {
       def row(name: String, viol: String) =

@@ -180,6 +180,37 @@ object Vocab {
         (col("__p") + 1).cast("long").as("rank"))
   }
 
+  /** Hashing-trick featurization (HashingVectorizer / Vowpal-Wabbit
+    * style): every token maps to `hash(token) mod numBuckets` — a
+    * FIXED feature space with no vocabulary table, no fit step, no
+    * driver state, which is what makes it the featurizer that
+    * survives 100 TB (a learned vocab of a trillion-token corpus is
+    * itself a big-data problem; the hash needs nothing). Output is the
+    * sparse form (id, bucket, cnt) — one row per document × live
+    * bucket, ready for a pivot or a sparse-vector assembler.
+    *
+    * The hash is the portable md5-prefix ([[graft.ext.Sampling]]'s
+    * gate convention): bit-identically computable in any engine with
+    * md5, so the bucketing is auditable cross-engine — unlike
+    * xxhash/murmur whose seeds are engine-internal.
+    *
+    * Scale shape: explode → one (id, bucket)-keyed count aggregate,
+    * map-side combinable; the shuffle key is bounded by
+    * |docs| × numBuckets, not token count.
+    */
+  def hashedFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        (graft.functions.HashExprs.md5Prefix60(col("__t")) % numBuckets)
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Bigram-LM surprisal per document — one model order up from
     * [[unigramSurprisal]], and a materially sharper quality filter:
     * boilerplate has predictable next-tokens (low conditional

@@ -63,6 +63,57 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval×interval overlap pairs within a partition key — "which
+    * of this customer's promotion windows collide?", session-overlap
+    * detection, double-booking audits. Output one row per unordered
+    * pair (id_a < id_b) of same-key intervals whose half-open windows
+    * intersect, with the intersection bounds.
+    *
+    * Scale shape: both sides explode to fixed-width bins and equi-join
+    * on (key, bin) — co-partitioned self-join, never a nested loop. A
+    * pair overlapping several bins would surface once per shared bin;
+    * instead of a distinct (a second full shuffle of the pair stream),
+    * each pair is emitted ONLY in the bin containing the later of the
+    * two starts — the first bin where both are live. One copy per
+    * pair, zero dedup shuffle (the standard reporting trick from
+    * spatial grid joins).
+    *
+    * Inverted/empty intervals are dropped before the explode (see
+    * [[binnedIntervalJoin]] — descending `sequence` blow-up).
+    */
+  def intervalOverlapPairs(
+      intervals: DataFrame, keyCol: String, idCol: String,
+      startTs: String, endTs: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    def side(tag: String) = {
+      val d = intervals
+        .filter(col(endTs) > col(startTs))
+        .select(
+          col(keyCol).as("__k"),
+          col(idCol).as(s"id_$tag"),
+          expr(s"unix_micros(cast($startTs as timestamp))").as(s"__s_$tag"),
+          expr(s"unix_micros(cast($endTs as timestamp))").as(s"__e_$tag"))
+      d.withColumn("__bin",
+        explode(sequence(
+          expr(s"__s_$tag div ${binMicros}L"),
+          expr(s"(__e_$tag - 1) div ${binMicros}L"))))
+    }
+    side("a").join(side("b"), Seq("__k", "__bin"))
+      .filter(
+        col("id_a") < col("id_b") &&
+          col("__s_a") < col("__e_b") && col("__s_b") < col("__e_a") &&
+          col("__bin") === expr(
+            s"greatest(__s_a, __s_b) div ${binMicros}L"))
+      .select(
+        col("__k").as(keyCol),
+        col("id_a"), col("id_b"),
+        timestamp_micros(greatest(col("__s_a"), col("__s_b")))
+          .as("overlap_start"),
+        timestamp_micros(least(col("__e_a"), col("__e_b")))
+          .as("overlap_end"))
+  }
+
   /** Per-interval point count with left semantics (intervals matching
     * nothing report 0): the heavy binned join stays inner and partial-
     * aggregates down to one row per interval key BEFORE the cheap

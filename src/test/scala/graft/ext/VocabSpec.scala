@@ -120,6 +120,20 @@ class VocabSpec extends SparkSpec {
     assert(out(11L) > out(10L))
   }
 
+  test("hashedFeatures: stable buckets in range, counts preserved") {
+    val tiny = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val out = Vocab.hashedFeatures(tiny, "doc_id", "text", 64)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 64 })
+    // token counts survive the bucketing (5 tokens total)
+    assert(out.map(_._3).sum === 5L)
+    // same token -> same bucket in every doc
+    val aBuckets = Vocab.hashedFeatures(
+      Seq((0L, "a"), (1L, "a")).toDF("doc_id", "text"), "doc_id", "text", 64)
+      .select("bucket").as[Long].collect().toSet
+    assert(aBuckets.size === 1)
+  }
+
   test("bigramSurprisal runs both count-windows on one exchange") {
     val tiny = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
     val plan = Vocab.bigramSurprisal(tiny, "doc_id", "text")

@@ -85,4 +85,59 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join degenerated to a nested loop:\n$plan")
   }
+
+  private def iv(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "id", "s", "e")
+      .withColumn("s", $"s".cast("timestamp"))
+      .withColumn("e", $"e".cast("timestamp"))
+  }
+
+  test("intervalOverlapPairs: same-key overlaps with intersection bounds") {
+    import spark.implicits._
+    val df = iv(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+      (1L, 2L, "2024-01-05 00:00:00", "2024-01-15 00:00:00"),
+      (1L, 3L, "2024-01-20 00:00:00", "2024-01-30 00:00:00"),
+      (2L, 4L, "2024-01-05 00:00:00", "2024-01-15 00:00:00"))) // other key
+    val out = RangeJoin.intervalOverlapPairs(df, "k", "id", "s", "e", 86400L)
+      .select($"id_a", $"id_b", $"overlap_start".cast("string"),
+        $"overlap_end".cast("string"))
+      .as[(Long, Long, String, String)].collect().toList
+    assert(out === List(
+      (1L, 2L, "2024-01-05 00:00:00", "2024-01-10 00:00:00")))
+  }
+
+  test("intervalOverlapPairs emits one row per pair across many shared bins") {
+    val df = iv(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+      (1L, 2L, "2024-01-02 00:00:00", "2024-02-28 00:00:00")))
+    // 57 shared day-bins; first-live-bin reporting must emit exactly one
+    assert(RangeJoin.intervalOverlapPairs(df, "k", "id", "s", "e", 86400L)
+      .count() === 1L)
+  }
+
+  test("intervalOverlapPairs: touching half-open intervals do not overlap") {
+    val df = iv(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "2024-01-05 00:00:00"),
+      (1L, 2L, "2024-01-05 00:00:00", "2024-01-09 00:00:00")))
+    assert(RangeJoin.intervalOverlapPairs(df, "k", "id", "s", "e", 86400L)
+      .count() === 0L)
+  }
+
+  test("intervalOverlapPairs drops inverted intervals instead of fanning out") {
+    val df = iv(Seq(
+      (1L, 1L, "2030-01-01 00:00:00", "2024-01-01 00:00:00"), // inverted
+      (1L, 2L, "2024-01-01 00:00:00", "2024-01-05 00:00:00")))
+    assert(RangeJoin.intervalOverlapPairs(df, "k", "id", "s", "e", 86400L)
+      .count() === 0L)
+  }
+
+  test("intervalOverlapPairs plans as an equi-join") {
+    val df = iv(Seq((1L, 1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00")))
+    val plan = RangeJoin.intervalOverlapPairs(df, "k", "id", "s", "e", 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
