@@ -757,6 +757,27 @@ object SparkEntry {
         Tables.events(s, dir), "event_id", "user_id", "event_type",
         "ts", "value", "purchase", Seq("click", "view"), windowDays = 7)),
 
+    // [EXT] Zone map over the Morton curve: the data-skipping stats
+    // table (per-cell min/max/count of both dims), quad-tree level 18.
+    "q_zone_map" -> ((s, dir) =>
+      graft.sink.ZOrderedLake.zoneMap(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+        bits = 16, zoneBits = 18)),
+
+    // [EXT] Graph: degree-oriented triangle count on the co-purchase
+    // graph (compact-forward; wedge fan-out O(m^1.5), no nested loop).
+    "q_triangles" -> ((s, dir) =>
+      graft.ext.Graph.triangleCount(
+        graft.ext.Analytics.coOccurrencePairs(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minCount = 2L),
+        "item_a", "item_b")),
+
+    // [EXT] Portable HyperLogLog distinct estimate (b=9, 512 registers)
+    // — exact-integer register summary, bit-identical sketch in DuckDB.
+    "q_approx_distinct" -> ((s, dir) =>
+      graft.ext.Sketches.approxDistinct(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_orderkey", b = 9)),
+
     // [EXT] Hashing-trick featurization: fixed 64-bucket space via the
     // portable md5-prefix hash; sparse (doc, bucket, cnt) rows.
     "q_feature_hash" -> ((s, dir) =>
@@ -2135,6 +2156,54 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
         |    THEN touch.ts END AS touch_ts
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_zone_map" -> {
+      val x = "(l_partkey & 65535)"
+      val y = "(l_suppkey & 65535)"
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((($x >> $i) & 1) << ${2 * i})",
+          s"((($y >> $i) & 1) << ${2 * i + 1})")
+      }
+      s"""SELECT (${terms.mkString(" | ")}) >> 14 AS zone,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
+         |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
+         |FROM lineitem GROUP BY 1""".stripMargin
+    },
+
+    "q_triangles" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |           FROM lineitem),
+        |e AS (SELECT x.i AS u, y.i AS v
+        |      FROM a x JOIN a y ON x.b = y.b AND x.i < y.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+
+    "q_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |r AS (
+        |  SELECT g, h // 2251799813685248 AS bucket,
+        |    CASE WHEN h % 2251799813685248 = 0 THEN 52
+        |         ELSE 52 - length(bin(h % 2251799813685248)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT g, bucket, MAX(rank) AS M FROM r GROUP BY 1, 2),
+        |s AS (SELECT g, SUM(1::BIGINT << (52 - M)) AS s_live,
+        |        COUNT(*) AS live
+        |      FROM regs GROUP BY 1)
+        |SELECT g AS l_returnflag,
+        |  ROUND(CASE WHEN raw <= 1280.0 AND V > 0
+        |    THEN 512.0 * ln(512.0 / V) ELSE raw END, 4) AS approx_distinct
+        |FROM (SELECT g, (512 - live) AS V,
+        |    (0.7213/(1.0 + 1.079/512.0))*512.0*512.0*4503599627370496.0
+        |      / CAST(s_live + (512 - live) * 4503599627370496 AS DOUBLE)
+        |      AS raw
+        |  FROM s)""".stripMargin,
 
     "q_feature_hash" ->
       """SELECT doc_id,

@@ -88,4 +88,57 @@ object Graph {
     outdeg.unpersist(blocking = false)
     pr
   }
+
+  /** Global triangle count over an undirected edge list — the
+    * clustering-coefficient numerator, the classic "is this graph
+    * community-shaped or star-shaped?" statistic (and a spam signal on
+    * co-occurrence graphs: organic neighborhoods close triangles,
+    * scripted ones don't).
+    *
+    * Algorithm: compact-forward with DEGREE orientation. Each
+    * undirected edge becomes one directed edge low→high in the total
+    * order (degree, node) — so every wedge is generated exactly once,
+    * at its lowest-degree corner. Wedges (u→v, u→w) equi-join edges on
+    * the source; a second equi-join checks the closing edge v→w.
+    * Degree orientation is what survives power-law graphs: a hub of
+    * degree d contributes wedges only toward HIGHER-degree nodes, so
+    * the join fan-out is Σ d_out² = O(m^1.5) instead of the Σ d² =
+    * O(m·d_max) of id-ordering — on a 100 TB co-occurrence graph with
+    * million-degree hubs, that exponent is the whole ballgame.
+    *
+    * Input edges may carry duplicates, self-loops, or both directions;
+    * they are normalized away first. Output: one row, `n_triangles`.
+    */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient low→high in the (degree, node) total order.
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // Wedge corners pair in VALUE order (any strict order dedupes the
+    // pair); the closing-edge probe then hits the value-canonical
+    // `und` as a single equi-join — an OR over both degree-orientation
+    // directions would degenerate to a nested loop.
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("w1"), col("e2.v").as("w2"))
+    wedges
+      .join(und, col("a") === col("w1") && col("b") === col("w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

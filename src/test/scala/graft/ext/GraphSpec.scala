@@ -49,4 +49,32 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(one == many && one.size > 100)
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+      .as[Long].head()
+
+  test("triangleCount on known graphs") {
+    // K4: every 3-subset closes -> C(4,3) = 4
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === 4L)
+    // path graph: no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === 0L)
+    // square + one diagonal: two triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))) === 2L)
+  }
+
+  test("triangleCount normalizes duplicates, reverses, and self-loops") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L),
+      (1L, 3L), (3L, 3L), (1L, 1L))
+    assert(tri(noisy) === 1L)
+  }
+
+  test("triangleCount plans equi-joins only — no nested loop") {
+    val plan = Graph.triangleCount(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -56,4 +56,31 @@ class ZOrderedLakeSpec extends SparkSpec {
     // and z-order still bounds the leading dim usefully (not all files)
     assert(zA < probes.size.toLong * files)
   }
+
+  test("zoneMap: counts partition the table, bounds contain the data") {
+    import spark.implicits._
+    val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("a", "b")
+    val zm = graft.sink.ZOrderedLake.zoneMap(df, "a", "b",
+      bits = 16, zoneBits = 26) // shift 6: fine cells on small dims
+    val rows = zm.collect()
+    assert(rows.map(_.getLong(1)).sum === 4096L)
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // a_min <= a_max
+      assert(r.getLong(4) <= r.getLong(5)) // b_min <= b_max
+    }
+  }
+
+  test("zoneMap cells are tight on BOTH dims (the z-order payoff)") {
+    import spark.implicits._
+    // 64x64 grid; level-26 zones (shift 6) = 64-point quad cells: each
+    // must span at most an 8-wide box in each dim (quad-tree locality)
+    val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("a", "b")
+    val zm = graft.sink.ZOrderedLake.zoneMap(df, "a", "b",
+      bits = 16, zoneBits = 26).collect()
+    zm.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 8, r.toString)
+      assert(r.getLong(5) - r.getLong(4) < 8, r.toString)
+    }
+  }
 }
