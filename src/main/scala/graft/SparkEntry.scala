@@ -757,6 +757,11 @@ object SparkEntry {
         Tables.events(s, dir), "event_id", "user_id", "event_type",
         "ts", "value", "purchase", Seq("click", "view"), windowDays = 7)),
 
+    // [EXT] Zipf fit: OLS slope of ln(freq) vs ln(rank) over the top
+    // vocabulary — corpus-health number for the dataset card.
+    "q_zipf_fit" -> ((s, dir) =>
+      Vocab.zipfFit(Tables.documents(s, dir), "doc_id", "text", k = 100)),
+
     // [EXT] Zone map over the Morton curve: the data-skipping stats
     // table (per-cell min/max/count of both dims), quad-tree level 18.
     "q_zone_map" -> ((s, dir) =>
@@ -2156,6 +2161,34 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
         |    THEN touch.ts END AS touch_ts
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH v AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences
+        |  FROM (SELECT unnest(str_split(trim(lower(text)), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100),
+        |r AS (SELECT occurrences AS occ,
+        |        ROW_NUMBER() OVER (ORDER BY occurrences DESC, token ASC)
+        |          AS rank
+        |      FROM v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))) AS sx,
+        |  SUM(CAST(ROUND(ln(occ), 6) AS DECIMAL(18,6))) AS sy,
+        |  SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))
+        |    * CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))) AS sxx,
+        |  SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))
+        |    * CAST(ROUND(ln(occ), 6) AS DECIMAL(18,6))) AS sxy
+        |  FROM r)
+        |SELECT n AS n_terms,
+        |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        |    6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM m""".stripMargin,
 
     "q_zone_map" -> {
       val x = "(l_partkey & 65535)"

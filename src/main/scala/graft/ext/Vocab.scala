@@ -180,6 +180,56 @@ object Vocab {
         (col("__p") + 1).cast("long").as("rank"))
   }
 
+  /** Zipf fit — OLS slope of ln(frequency) against ln(rank) over the
+    * top-`k` vocabulary. Natural language sits near slope ≈ −1
+    * (Zipf's law); a corpus that drifts toward 0 is template/boiler-
+    * plate-heavy, one that steepens far past −1 has had its tail
+    * amputated (over-aggressive dedup or filtering). One number per
+    * corpus for the dataset card, like [[graft.ext.Drift.psi]] is for
+    * distributions.
+    *
+    * Determinism: ranks come from the deterministic (occurrences desc,
+    * token asc) order; each ln() is rounded to 6 dp and the regression
+    * moments are exact DECIMAL sums of those rounded values (the
+    * [[Analytics.linearTrend]] discipline), so the closed-form fit is
+    * bit-identical cross-engine. The rank window runs over k rows —
+    * bounded by the parameter, not the corpus.
+    *
+    * Output: one row (n_terms, slope, intercept), 6 dp.
+    */
+  def zipfFit(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val ranked = topVocabulary(docs, idCol, textCol, k)
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("occurrences").desc, col("token").asc)))
+    val x = round(log(col("__rank").cast("double")), 6)
+      .cast("decimal(18,6)")
+    val y = round(log(col("occurrences").cast("double")), 6)
+      .cast("decimal(18,6)")
+    ranked
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .select(
+        col("n_terms"),
+        round(
+          (col("n_terms") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            (col("n_terms") * col("__sxx").cast("double") -
+              col("__sx").cast("double") * col("__sx").cast("double")), 6)
+          .as("slope"),
+        round(
+          (col("__sy").cast("double") -
+            ((col("n_terms") * col("__sxy").cast("double") -
+              col("__sx").cast("double") * col("__sy").cast("double")) /
+              (col("n_terms") * col("__sxx").cast("double") -
+                col("__sx").cast("double") * col("__sx").cast("double"))) *
+              col("__sx").cast("double")) / col("n_terms"), 6)
+          .as("intercept"))
+  }
+
   /** Hashing-trick featurization (HashingVectorizer / Vowpal-Wabbit
     * style): every token maps to `hash(token) mod numBuckets` — a
     * FIXED feature space with no vocabulary table, no fit step, no

@@ -120,6 +120,24 @@ class VocabSpec extends SparkSpec {
     assert(out(11L) > out(10L))
   }
 
+  test("zipfFit recovers the exponent of a constructed Zipfian corpus") {
+    // token t_i appears floor(1000/i) times -> ln f = ln 1000 - 1.0 ln r
+    val text = (1 to 50).flatMap(i => Seq.fill(1000 / i)(f"t$i%03d"))
+    val corpus = Seq((0L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = Vocab.zipfFit(corpus, "doc_id", "text", k = 50)
+      .select("n_terms", "slope").as[(Long, Double)].head()
+    assert(out._1 === 50L)
+    assert(math.abs(out._2 - (-1.0)) < 0.05, s"slope=${out._2}")
+  }
+
+  test("zipfFit flat frequencies give slope ~ 0") {
+    val corpus = Seq((0L, (1 to 30).map(i => s"w$i w$i w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val slope = Vocab.zipfFit(corpus, "doc_id", "text", k = 30)
+      .select("slope").as[Double].head()
+    assert(math.abs(slope) < 1e-9, s"slope=$slope")
+  }
+
   test("hashedFeatures: stable buckets in range, counts preserved") {
     val tiny = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
     val out = Vocab.hashedFeatures(tiny, "doc_id", "text", 64)
