@@ -757,6 +757,26 @@ object SparkEntry {
         Tables.events(s, dir), "event_id", "user_id", "event_type",
         "ts", "value", "purchase", Seq("click", "view"), windowDays = 7)),
 
+    // [EXT] Per-group top-k via WindowGroupLimit (map-side k-prune):
+    // top-3 parts per supplier by decimal-exact revenue.
+    "q_topk_per_group" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))).as("__rev"))
+      graft.ext.Analytics.topKPerGroup(
+        rev, Seq("l_suppkey"), "__rev", Seq("l_partkey"), k = 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("__rev").cast("double").as("revenue"), col("rank"))
+    }),
+
+    // [EXT] Benford first-digit audit on order totals (fraud/quality
+    // signal; exact integer-string digit extraction).
+    "q_benford" -> ((s, dir) =>
+      graft.ops.Quality.benfordAudit(
+        Tables.orders(s, dir), "o_totalprice")),
+
     // [EXT] Zipf fit: OLS slope of ln(freq) vs ln(rank) over the top
     // vocabulary — corpus-health number for the dataset card.
     "q_zipf_fit" -> ((s, dir) =>
@@ -2161,6 +2181,37 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CASE WHEN touch IS NOT NULL AND touch.ts >= ts - INTERVAL 7 DAY
         |    THEN touch.ts END AS touch_ts
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |k AS (SELECT l_suppkey, l_partkey, rev,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY rev DESC, l_partkey ASC) AS rank
+        |      FROM r)
+        |SELECT l_suppkey, l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM k WHERE rank <= 3""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n_obs) AS n FROM c)
+        |SELECT digit, n_obs,
+        |  ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+        |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford,
+        |  ROUND(ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    - ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6)
+        |    AS deviation
+        |FROM c CROSS JOIN t""".stripMargin,
 
     "q_zipf_fit" ->
       """WITH v AS (

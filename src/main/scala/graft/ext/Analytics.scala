@@ -87,6 +87,33 @@ object Analytics {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Per-GROUP top-k: the k best rows of every group by
+    * (`orderCol` desc, tie columns asc), with a dense 1-based `rank`.
+    *
+    * Deliberately a `row_number` window + rank filter, NOT a manual
+    * heap: Spark ≥3.5 plans this as WindowGroupLimit, which keeps ≤ k
+    * rows per group in each MAP task before the shuffle and again
+    * after it — bounded-heap semantics for free, inside whole-stage
+    * codegen (the plan shape is asserted in the spec; the global-top-k
+    * [[graft.functions.TopKAgg]] remains for the no-group case where
+    * there is no partition key to limit by). Ties must be broken by
+    * `tieCols` into a total order or cross-engine ranks are undefined.
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(groupCols.nonEmpty, "topKPerGroup needs group columns")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc +: tieCols.map(col(_).asc): _*)
+    // Note: InferWindowGroupLimit consults child.maxRows and skips the
+    // pushdown when k cannot prune (tiny known-size inputs) — absent on
+    // real scans, so production plans always get the map-side k-prune.
+    df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k keys by aggregated value: aggregate (partial+final), then
     * `orderBy.limit` → TakeOrderedAndProject: each partition keeps k
     * rows, the driver merges k·parts — no global sort at any scale.

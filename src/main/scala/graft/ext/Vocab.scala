@@ -278,23 +278,24 @@ object Vocab {
     * cannot drift the result.
     *
     * Scale shape: one tokenize+explode pass keyed on (doc, w₁, w₂)
-    * with map-side combine; C(w₁,w₂) and the context total C(w₁·) are
-    * two sum-windows over that tf frame — the w₁-window is planned
-    * FIRST so its hash exchange (on w₁ alone) also satisfies the
-    * (w₁,w₂) window's clustering and Catalyst runs both on a single
-    * shuffle (sort-only between them); then one doc-keyed aggregate.
-    * Documents with fewer than two tokens have no bigram positions
-    * and drop out (mirroring the oracle).
+    * with map-side combine — bigram generation is the codegen'd
+    * [[graft.functions.WordBigrams]] kernel (ONE tokenize per doc; the
+    * composable transform/sequence/element_at form is an interpreted
+    * HOF that re-splits the text three times per row); C(w₁,w₂) and
+    * the context total C(w₁·) are two sum-windows over that tf frame —
+    * the w₁-window is planned FIRST so its hash exchange (on w₁ alone)
+    * also satisfies the (w₁,w₂) window's clustering and Catalyst runs
+    * both on a single shuffle (sort-only between them); then one
+    * doc-keyed aggregate. Documents with fewer than two tokens have no
+    * bigram positions and drop out (mirroring the oracle).
     */
   def bigramSurprisal(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val bigrams = transform(
-      sequence(lit(1), size(t) - 1),
-      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
     val tf = docs
-      .filter(col(textCol).isNotNull && size(t) >= 2)
-      .select(col(idCol), explode(bigrams).as("__bg"))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.TextExprs.wordBigrams(col(textCol)))
+          .as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))

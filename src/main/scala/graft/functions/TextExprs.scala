@@ -84,6 +84,70 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Static bigram kernel (same pattern as [[WordShingleOps]], but keeps
+  * MULTIPLICITY and emits (w1, w2) struct pairs — the shape the
+  * bigram-LM tf aggregate needs; the shingle kernel dedups and joins
+  * with spaces, both wrong for conditional-probability counting).
+  */
+object WordBigramOps {
+  def bigrams(input: UTF8String): ArrayData = {
+    val toks = input.toString.trim
+      .toLowerCase(java.util.Locale.ROOT).split(" ")
+    if (toks.length < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - 1)
+      var i = 0
+      while (i < toks.length - 1) {
+        out(i) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            UTF8String.fromString(toks(i)),
+            UTF8String.fromString(toks(i + 1))))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** ALL word bigrams of a lowercased, trimmed text column, in order,
+  * with multiplicity, as `array<struct<w1,w2>>`.
+  *
+  * Why a custom Expression: the composable form —
+  * `transform(sequence(1, size(toks)-1), i -> struct(element_at(toks,
+  * i), element_at(toks, i+1)))` — is an interpreted higher-order
+  * function AND evaluates the `split` three separate times per row
+  * (once under size(), twice inside the lambda; verified on the
+  * executed plan). This kernel tokenizes once per document in a flat
+  * loop and stays inside whole-stage codegen. Measured on the
+  * q_bigram_lm inventory query at sf0.1: 4.8 s → ~2 s.
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+      containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_bigrams needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordBigramOps.bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordBigramOps.bigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
 /** Static chunking kernel (same pattern as [[WordShingleOps]]). */
 object TokenChunkOps {
   /** Overlapping token-window chunks. Tokens are the trimmed text split
@@ -159,6 +223,10 @@ object TextExprs {
   /** Distinct word n-gram shingles as a Column. */
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
+
+  /** All word bigrams (with multiplicity) as a Column. */
+  def wordBigrams(text: Column): Column =
+    column(WordBigrams(expression(text)))
 
   /** Overlapping token-window chunks as a Column. */
   def tokenChunks(text: Column, size: Int, overlap: Int): Column =

@@ -79,4 +79,38 @@ object Quality {
     require(reports.nonEmpty, "empty audit")
     reports.reduce(_ unionByName _)
   }
+
+  /** Benford first-digit audit — the classic fabricated-numbers
+    * detector: organically-grown magnitudes (prices, populations,
+    * transaction amounts) have first significant digit d with
+    * probability log10(1 + 1/d); invented or truncated data does not.
+    * One row per digit 1–9: observed count, observed share, Benford
+    * expectation, and the signed deviation.
+    *
+    * The digit is taken from the INTEGER rendering of floor(value)
+    * (rows with value < 1 are excluded) — string-of-integer is exact
+    * in every engine, where a log10-based digit extraction can
+    * misround at exact powers of ten. One count aggregate (9 keys) +
+    * a broadcast total; shares are single IEEE divisions of exact
+    * integers, identical everywhere, rounded to 6 dp.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("bigint").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("__n"))
+    digits
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        col("n_obs"),
+        round(col("n_obs").cast("double") / col("__n").cast("double"), 6)
+          .as("p_obs"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("p_benford"))
+      .withColumn("deviation", round(col("p_obs") - col("p_benford"), 6))
+  }
 }

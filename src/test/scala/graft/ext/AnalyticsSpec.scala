@@ -182,6 +182,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.isNullAt(1))
   }
 
+  test("topKPerGroup keeps k rows per group with deterministic tie-break") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0), ("g1", 4L, 30.0),
+      ("g2", 5L, 1.0))
+      .toDF("g", "id", "v")
+    val out = Analytics.topKPerGroup(df, Seq("g"), "v", Seq("id"), 2)
+      .select("g", "id", "rank").as[(String, Long, Long)].collect().toSet
+    // g1: 30.0 tie between id 2 and 4 -> id asc wins rank 1
+    assert(out === Set(("g1", 2L, 1L), ("g1", 4L, 2L), ("g2", 5L, 1L)))
+  }
+
+  test("topKPerGroup plans a WindowGroupLimit (map-side k-prune)") {
+    // needs maxRows > k: InferWindowGroupLimit skips unprunable inputs
+    val df = (1 to 20).map(i => (s"g${i % 3}", i.toLong, i * 1.0))
+      .toDF("g", "id", "v")
+    val plan = Analytics.topKPerGroup(df, Seq("g"), "v", Seq("id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$plan")
+  }
+
   test("keySkewProfile: exact skew stats with deterministic top key") {
     // key 7 has 3 rows, keys 1,2 have 1 each: max=3, n=5, k=3
     val df = Seq(7L, 7L, 7L, 1L, 2L).toDF("k")

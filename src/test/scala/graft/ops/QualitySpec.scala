@@ -43,6 +43,22 @@ class QualitySpec extends SparkSpec {
     assert(n === 5L)
   }
 
+  test("benfordAudit: exact digit extraction, Benford expectations") {
+    import org.apache.spark.sql.functions.col
+    // digits: 1 x4 (1.5, 10, 150, 1999.99), 9 x1 (900); 0.5 excluded
+    val df = Seq(1.5, 10.0, 150.0, 1999.99, 900.0, 0.5).toDF("v")
+    val out = Quality.benfordAudit(df, "v")
+      .select("digit", "n_obs", "p_obs", "p_benford")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1, 9))
+    assert(out(1)._1 === 4L && out(1)._2 === 0.8)
+    assert(out(9)._1 === 1L && out(9)._2 === 0.2)
+    assert(out(1)._3 === math.rint(math.log10(2.0) * 1e6) / 1e6) // 0.30103
+    // digit 9 expectation: log10(10/9)
+    assert(math.abs(out(9)._3 - math.log10(10.0 / 9.0)) < 1e-6)
+  }
+
   test("audit unions reports; suite order preserved") {
     val rep = Quality.audit(Seq(
       Quality.rowChecks(child, Seq("a" -> col("v").isNull)),
