@@ -744,6 +744,13 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // [EXT] Behavior: cohort LTV — revenue by (acquisition week, age);
+    // one user-key shuffle, decimal-exact sums.
+    "q_cohort_ltv" -> ((s, dir) =>
+      Behavior.cohortLtv(
+        Tables.events(s, dir), "user_id", "event_type", "ts",
+        "value", revenueType = "purchase")),
+
     // [EXT] Behavior: daily new-user counts + cumulative audience size
     // (running sum over the calendar-bounded daily frame only).
     "q_running_distinct" -> ((s, dir) =>
@@ -2001,6 +2008,19 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST(datediff('day', f.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT e.user_id) AS n_buyers
+        |FROM events e JOIN f USING (user_id)
+        |WHERE e.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin,
 
     "q_funnel" ->

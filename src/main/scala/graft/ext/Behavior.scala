@@ -78,6 +78,38 @@ object Behavior {
     counts.select(explode(stageRows).as("s")).select("s.*")
   }
 
+  /** Cohort lifetime value: users cohorted by the ISO week of their
+    * first event (ANY type — acquisition week), then `valueCol` over
+    * `revenueType` events summed per (cohort_week, week_offset). Read
+    * along a row: how a cohort's spend decays with age; down a column
+    * offset: whether newer cohorts monetize better — the revenue
+    * companion to [[retentionWeekly]]'s activity curve.
+    *
+    * Scale + determinism shape: same ONE user-key shuffle as retention
+    * (cohort assignment is a window-min over the user partition the
+    * final aggregate reuses); revenue sums are exact DECIMAL(18,4), so
+    * partial-aggregation order cannot drift them; the double cast
+    * happens once at output.
+    */
+  def cohortLtv(
+      df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      valueCol: String, revenueType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    df
+      .withColumn("__cohort",
+        to_date(date_trunc("week", min(col(tsCol)).over(w))))
+      .filter(col(typeCol) === revenueType)
+      .withColumn("__week", to_date(date_trunc("week", col(tsCol))))
+      .groupBy(
+        col("__cohort").as("cohort_week"),
+        (datediff(col("__week"), col("__cohort")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("revenue"),
+        countDistinct(col(userCol)).as("n_buyers"))
+  }
+
   /** Daily audience growth: per day, how many users were seen for the
     * FIRST time, and the cumulative distinct-user count to date. The
     * classic "DAU is flat — are we acquiring or churning?" curve, and

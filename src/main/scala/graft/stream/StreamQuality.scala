@@ -1,0 +1,71 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** [EXT] Streaming data-quality gate — the dataset-level analog of the
+  * reference's per-file quarantine routing ([[Ingest]]): every
+  * micro-batch is audited against a declarative constraint suite
+  * ([[graft.ops.Quality.rowChecks]]) and COMMITTED or QUARANTINED as a
+  * unit, with the audit report itself durably appended. This is the
+  * promotion gate a continuous training-data pipeline needs: a bad
+  * upstream deploy poisons one batch, not the lake.
+  *
+  * Scale shape: the audit is one map-side-combinable aggregate pass
+  * over the batch (however many predicates are declared), and the
+  * routing decision is a driver-side fold over the ≤ |checks|-row
+  * report — the batch data itself is never collected. foreachBatch
+  * gives exactly-once sink semantics per the checkpoint, the same
+  * contract as [[StreamMerge]].
+  */
+object StreamQuality {
+
+  /** One batch's verdict: batch id, overall pass, and the report rows
+    * (check_name, n_rows, n_violations, pass_rate).
+    */
+  final case class BatchVerdict(
+      batchId: Long, pass: Boolean, report: Seq[Row])
+
+  /** Gate `stream` on the constraint suite: a batch where EVERY check's
+    * pass_rate is ≥ `minPassRate` goes to `commit`, otherwise whole to
+    * `quarantine` (the strict whole-file routing posture, lifted to
+    * batches). Each batch's verdict is fed to `onReport` (append it to
+    * an audit table, page an operator, ...). Empty batches commit
+    * vacuously (no rows, no violations — mirroring the audit's n_rows
+    * = 0 ⇒ no check can fail).
+    *
+    * Returns the started query (caller owns lifecycle).
+    */
+  def gatedIngest(
+      stream: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      minPassRate: Double,
+      commit: DataFrame => Unit,
+      quarantine: DataFrame => Unit,
+      onReport: BatchVerdict => Unit = _ => (),
+      checkpointDir: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    require(minPassRate >= 0.0 && minPassRate <= 1.0,
+      s"minPassRate in [0,1]: $minPassRate")
+    val writer: DataStreamWriter[Row] = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.isEmpty) {
+          onReport(BatchVerdict(batchId, pass = true, Seq.empty))
+        } else {
+          // One aggregate pass; ≤ |checks| rows reach the driver.
+          val report = graft.ops.Quality.rowChecks(batch, checks).collect()
+          val pass = report.forall { r =>
+            r.getAs[Double]("pass_rate") >= minPassRate
+          }
+          if (pass) commit(batch) else quarantine(batch)
+          onReport(BatchVerdict(batchId, pass, report.toSeq))
+        }
+        ()
+      }
+    val withCp = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+    trigger.fold(withCp)(t => withCp.trigger(t)).start()
+  }
+}

@@ -74,6 +74,29 @@ class BehaviorSpec extends SparkSpec {
     assert(got("purchase") == want.getLong(2))
   }
 
+  test("cohortLtv: acquisition-week cohorts, revenue by age") {
+    val df = Seq(
+      // user 1: first seen Mon Jan 1 week (signup), buys week 0 and week 1
+      (1L, "signup", "2024-01-01 10:00:00", 0.0),
+      (1L, "purchase", "2024-01-03 10:00:00", 10.0),
+      (1L, "purchase", "2024-01-10 10:00:00", 20.0),
+      // user 2: same cohort, buys week 0 twice
+      (2L, "purchase", "2024-01-02 09:00:00", 5.0),
+      (2L, "purchase", "2024-01-04 09:00:00", 7.0),
+      // user 3: next week's cohort
+      (3L, "purchase", "2024-01-08 12:00:00", 100.0))
+      .toDF("user_id", "event_type", "s", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = Behavior.cohortLtv(df, "user_id", "event_type", "ts",
+      "value", "purchase")
+      .select($"cohort_week".cast("string"), $"week_offset", $"revenue", $"n_buyers")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 22.0, 2L), // 10 + 5 + 7, buyers 1 and 2
+      ("2024-01-01", 1L, 20.0, 1L),
+      ("2024-01-08", 0L, 100.0, 1L)))
+  }
+
   test("cumulativeDistinctUsers: first-seen day counts and running total") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
