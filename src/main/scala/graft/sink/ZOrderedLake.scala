@@ -63,6 +63,25 @@ object ZOrderedLake {
         max(col(dimB)).as(s"${dimB}_max"))
   }
 
+  /** Merge zone-map states ([[zoneMap]] outputs over disjoint row
+    * sets) into the zone map of their union — count sums, bounds
+    * min/max: all three mergeable, so the skipping index maintains
+    * incrementally per ingested batch instead of rescanning the lake
+    * (spec asserts merge(zoneMap(A), zoneMap(B)) == zoneMap(A ∪ B)).
+    */
+  def mergeZoneMaps(maps: Seq[DataFrame]): DataFrame = {
+    require(maps.nonEmpty, "mergeZoneMaps needs at least one input")
+    val all = maps.reduce(_ unionByName _)
+    val Seq(zone, n, aMin, aMax, bMin, bMax) = all.columns.toSeq
+    all.groupBy(col(zone))
+      .agg(
+        sum(col(n)).as(n),
+        min(col(aMin)).as(aMin),
+        max(col(aMax)).as(aMax),
+        min(col(bMin)).as(bMin),
+        max(col(bMax)).as(bMax))
+  }
+
   /** Write `df` parquet, clustered on the Z-curve of the (integral)
     * `dimA`/`dimB` columns. `files` controls layout granularity: more
     * files → tighter per-file bounds → better skipping, at the price

@@ -71,6 +71,17 @@ class ZOrderedLakeSpec extends SparkSpec {
     }
   }
 
+  test("zone maps merge: batch-incremental equals full recompute") {
+    import spark.implicits._
+    val df = (0L until 2048L).map(i => (i % 64, i / 32)).toDF("a", "b")
+    val (h1, h2) = (df.filter($"a" < 32), df.filter($"a" >= 32))
+    val merged = graft.sink.ZOrderedLake.mergeZoneMaps(Seq(
+      graft.sink.ZOrderedLake.zoneMap(h1, "a", "b", 16, 26),
+      graft.sink.ZOrderedLake.zoneMap(h2, "a", "b", 16, 26)))
+    val full = graft.sink.ZOrderedLake.zoneMap(df, "a", "b", 16, 26)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+  }
+
   test("zoneMap cells are tight on BOTH dims (the z-order payoff)") {
     import spark.implicits._
     // 64x64 grid; level-26 zones (shift 6) = 64-point quad cells: each
