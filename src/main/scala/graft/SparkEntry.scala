@@ -744,6 +744,24 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // [EXT] Drift: exact two-sample KS statistic — both empirical CDFs
+    // in ONE distributed prefix pass (no single-partition window).
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.ksStatistic(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        "value")
+    }),
+
+    // [EXT] OLAP: mutual information (leakage/redundancy detector)
+    // between event type and day-of-week.
+    "q_mutual_info" -> ((s, dir) =>
+      graft.ext.Olap.mutualInformation(
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")),
+
     // [EXT] Behavior: cohort LTV — revenue by (acquisition week, age);
     // one user-key shuffle, decimal-exact sums.
     "q_cohort_ltv" -> ((s, dir) =>
@@ -2009,6 +2027,47 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH t AS (
+        |  SELECT value AS v, 1 AS a, 0 AS b FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT value, 0, 1 FROM events
+        |  WHERE event_type = 'error' AND value IS NOT NULL),
+        |pv AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+        |         CAST(SUM(b) AS BIGINT) AS cb FROM t GROUP BY 1),
+        |c AS (SELECT
+        |        SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cuma,
+        |        SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cumb
+        |      FROM pv),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |          CAST(SUM(cb) AS BIGINT) AS n_b FROM pv)
+        |SELECT n_a, n_b,
+        |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / n_a
+        |    - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks_d
+        |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x, dayofweek(ts) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT nxy,
+        |    SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |    SUM(nxy) OVER (PARTITION BY y) AS ny
+        |  FROM cells),
+        |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |          CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+        |SELECT n, n_cells,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    CAST(nxy AS DOUBLE) / n *
+        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))),
+        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi_nats
+        |FROM m CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH f AS (

@@ -67,4 +67,49 @@ object Drift {
       .agg(round(sum(term).cast("double"), 6).as("psi"))
       .select("psi", "n_bins", "n_ref", "n_cur")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic
+    * D = sup_x |F_a(x) − F_b(x)| — the binning-free drift test: PSI
+    * needs a bin design and misses shape changes inside a bin; KS
+    * compares the full empirical CDFs. Output one row:
+    * (n_a, n_b, ks_d).
+    *
+    * Scale shape: both samples collapse to per-distinct-value counts
+    * (one value-keyed aggregate — map-side combinable), then BOTH
+    * cumulative counts accumulate over the value order in ONE
+    * distributed prefix pass ([[graft.plans.Prefix.withRunningSums]] —
+    * range partition + carry offsets, never a single-partition
+    * window; the naive `Window.orderBy(v)` form is the classic
+    * 100 TB killer this engine refuses everywhere). D is a plain max
+    * aggregate over the per-value |ΔCDF|.
+    *
+    * Determinism: cumulative counts are exact integers; each CDF
+    * difference is one IEEE divide/subtract from exact integers —
+    * identical in any engine — and D is rounded to 6 dp.
+    */
+  def ksStatistic(
+      a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val tagged = a.select(col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionAll(
+        b.select(col(valueCol).as("__v"))
+          .filter(col("__v").isNotNull)
+          .select(col("__v"), lit(0L).as("__a"), lit(1L).as("__b")))
+    val perValue = tagged
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val cum = graft.plans.Prefix.withRunningSums(
+      perValue, Seq(col("__v")),
+      Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val totals = perValue.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(max(abs(
+        col("__cuma").cast("double") / col("n_a").cast("double") -
+          col("__cumb").cast("double") / col("n_b").cast("double"))), 6)
+        .as("ks_d"))
+      .select(col("n_a"), col("n_b"), col("ks_d"))
+  }
 }

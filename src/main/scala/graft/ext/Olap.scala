@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Warehouse-style OLAP operators over the star schema: grouping
@@ -180,4 +181,45 @@ object Olap {
         count(lit(1)).as("cnt"),
         exactSum(col(valCol)).as("sum_val"))
       .withColumn("bin_lo", (col("bin") * lit(width)).cast("double"))
+
+  /** Mutual information between two categorical columns, in nats:
+    *   I(X;Y) = Σ_xy p(xy) · ln( p(xy) / (p(x)·p(y)) )
+    * The feature-redundancy / leakage detector: I ≈ 0 ⇒ independent
+    * (a candidate feature adds signal), I ≈ min(H(X),H(Y)) ⇒ one
+    * column is a function of the other (drop it, or it's leaking the
+    * label). Output one row: (n, n_cells, mi_nats).
+    *
+    * Determinism: every probability is a ratio of exact integer
+    * counts; each cell's term is computed in double from those
+    * integers identically in any engine, rounded to 12 dp, and summed
+    * as exact DECIMAL — the [[psi]] discipline — then rounded to 6.
+    *
+    * Scale shape: one (x,y)-keyed count aggregate (map-side
+    * combinable; cell count bounded by |X|·|Y|, not rows), marginals
+    * as two sum-windows OVER THE CELL FRAME (never re-scanning the
+    * stream), one-row output. Null categories participate as their
+    * own level — nullability is often the leak.
+    */
+  def mutualInformation(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val byX = Window.partitionBy(col("__x"))
+    val byY = Window.partitionBy(col("__y"))
+    val withMargins = cells
+      .withColumn("__nx", sum(col("__nxy")).over(byX))
+      .withColumn("__ny", sum(col("__nxy")).over(byY))
+    val totals = cells.agg(
+      sum(col("__nxy")).as("n"), count(lit(1)).as("n_cells"))
+    val term = round(
+      col("__nxy").cast("double") / col("n").cast("double") *
+        log(col("__nxy").cast("double") * col("n").cast("double") /
+          (col("__nx").cast("double") * col("__ny").cast("double"))),
+      12).cast("decimal(24,12)")
+    withMargins.crossJoin(broadcast(totals))
+      .groupBy(col("n"), col("n_cells"))
+      .agg(round(sum(term).cast("double"), 6).as("mi_nats"))
+      .select(col("n"), col("n_cells"), col("mi_nats"))
+  }
 }

@@ -36,36 +36,65 @@ object Prefix {
       order: Seq[Column],
       valueCol: String,
       outCol: String,
+      numPartitions: Option[Int] = None): DataFrame =
+    withRunningSums(df, order, Seq(valueCol -> outCol), numPartitions)
+
+  /** N running sums in ONE range shuffle + one carry pass — the
+    * multi-measure form (e.g. both empirical CDFs of a two-sample
+    * comparison accumulate over the same value order; two
+    * single-measure calls would pay the range shuffle twice).
+    */
+  def withRunningSums(
+      df: DataFrame,
+      order: Seq[Column],
+      valueOutCols: Seq[(String, String)],
       numPartitions: Option[Int] = None): DataFrame = {
+    require(valueOutCols.nonEmpty, "at least one (value, out) pair")
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     val sorted = df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    require(sorted.schema(valueCol).dataType == LongType,
-      s"$valueCol must be LongType, got ${sorted.schema(valueCol).dataType}")
-    val vIdx = sorted.schema.fieldIndex(valueCol)
+    valueOutCols.foreach { case (v, _) =>
+      require(sorted.schema(v).dataType == LongType,
+        s"$v must be LongType, got ${sorted.schema(v).dataType}")
+    }
+    val vIdxs = valueOutCols.map { case (v, _) =>
+      sorted.schema.fieldIndex(v)
+    }.toArray
+    val k = vIdxs.length
     val rdd = GraftExpressionBridge.toInternalRdd(sorted)
-    // Pass 1: per-partition totals (driver gets one Long per partition).
-    val partTotals: Array[Long] = rdd
+    // Pass 1: per-partition totals (driver gets k Longs per partition).
+    val partTotals: Array[Array[Long]] = rdd
       .mapPartitions { iter =>
-        var s = 0L
-        iter.foreach(r => s += r.getLong(vIdx))
+        val s = new Array[Long](k)
+        iter.foreach { r =>
+          var i = 0
+          while (i < k) { s(i) += r.getLong(vIdxs(i)); i += 1 }
+        }
         Iterator.single(s)
       }
       .collect()
-    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val offsets = partTotals.scanLeft(new Array[Long](k)) { (acc, t) =>
+      Array.tabulate(k)(i => acc(i) + t(i))
+    }
     // Pass 2: sequential scan per partition, carry-in from offsets.
-    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val schema = valueOutCols.foldLeft(sorted.schema) { case (s, (_, o)) =>
+      s.add(o, LongType, nullable = false)
+    }
     val summed = rdd.mapPartitionsWithIndex { (pid, iter) =>
       val proj = UnsafeProjection.create(schema)
-      val extra = new GenericInternalRow(1)
+      val extra = new GenericInternalRow(k)
       val joined = new JoinedRow
-      var running = offsets(pid)
+      val running = offsets(pid).clone()
       iter.map { row =>
-        running += row.getLong(vIdx)
-        extra.setLong(0, running)
+        var i = 0
+        while (i < k) {
+          running(i) += row.getLong(vIdxs(i))
+          extra.setLong(i, running(i))
+          i += 1
+        }
         proj(joined(row, extra)): InternalRow
       }
     }

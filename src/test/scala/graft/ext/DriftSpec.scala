@@ -53,4 +53,41 @@ class DriftSpec extends SparkSpec {
     assert(smj.nonEmpty && smj.forall(_.contains("[bin")), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("ksStatistic: identical samples give D = 0") {
+    val a = Seq(1.0, 2.0, 3.0, 3.0, 7.5).toDF("v")
+    val out = Drift.ksStatistic(a, a, "v")
+      .as[(Long, Long, Double)].head()
+    assert(out === ((5L, 5L, 0.0)))
+  }
+
+  test("ksStatistic: disjoint supports give D = 1") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(10.0, 11.0).toDF("v")
+    val out = Drift.ksStatistic(a, b, "v")
+      .as[(Long, Long, Double)].head()
+    assert(out === ((3L, 2L, 1.0)))
+  }
+
+  test("ksStatistic hand case: D at the widest CDF gap") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: at v=2, F_a=0.5, F_b=0 -> D=0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val d = Drift.ksStatistic(a, b, "v")
+      .select("ks_d").as[Double].head()
+    assert(d === 0.5)
+  }
+
+  test("ksStatistic is partition-invariant and window-free") {
+    val a = (1 to 500).map(_.toDouble * 3 % 97).toDF("v")
+    val b = (1 to 400).map(_.toDouble * 7 % 89).toDF("v")
+    val one = Drift.ksStatistic(a.repartition(1), b.repartition(1), "v")
+      .select("ks_d").as[Double].head()
+    val many = Drift.ksStatistic(a.repartition(13), b.repartition(7), "v")
+      .select("ks_d").as[Double].head()
+    assert(one === many)
+    val plan = Drift.ksStatistic(a, b, "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"single-partition window:\n$plan")
+  }
 }

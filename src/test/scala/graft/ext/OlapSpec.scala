@@ -124,4 +124,32 @@ class OlapSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("Window"))
   }
+
+  test("mutualInformation: independent columns give ~0 nats") {
+    // perfectly balanced independent grid: p(xy) = p(x)p(y) exactly
+    val df = (for { x <- 1 to 4; y <- 1 to 3; _ <- 1 to 5 }
+      yield (s"x$x", s"y$y")).toDF("x", "y")
+    val out = Olap.mutualInformation(df, "x", "y")
+      .as[(Long, Long, Double)].head()
+    assert(out._1 === 60L && out._2 === 12L)
+    assert(out._3 === 0.0)
+  }
+
+  test("mutualInformation: Y a function of X gives H(X)") {
+    // X uniform over 4 levels, Y = X -> I = H(X) = ln 4
+    val df = (for { x <- 1 to 4; _ <- 1 to 10 }
+      yield (s"x$x", s"y$x")).toDF("x", "y")
+    val mi = Olap.mutualInformation(df, "x", "y")
+      .select("mi_nats").as[Double].head()
+    assert(math.abs(mi - math.log(4.0)) < 1e-5, s"mi=$mi")
+  }
+
+  test("mutualInformation counts null categories as levels") {
+    val df = Seq(("a", Some("p")), ("a", None), ("b", Some("p")),
+      ("b", None)).toDF("x", "y")
+    val out = Olap.mutualInformation(df, "x", "y")
+      .as[(Long, Long, Double)].head()
+    assert(out._1 === 4L && out._2 === 4L) // null y is its own level
+    assert(out._3 === 0.0) // and independent of x here
+  }
 }
