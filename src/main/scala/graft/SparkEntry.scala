@@ -744,6 +744,16 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // [EXT] Analytics: Gini concentration of per-customer revenue
+    // (corpus/source-balance metric; distributed ordinal ranks).
+    "q_gini" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double").as("rev"))
+      graft.ext.Analytics.gini(perCust, "rev", "o_custkey")
+    }),
+
     // [EXT] Drift: exact two-sample KS statistic — both empirical CDFs
     // in ONE distributed prefix pass (no single-partition window).
     "q_ks_drift" -> ((s, dir) => {
@@ -2027,6 +2037,22 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS DECIMAL(18,4)) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, o_custkey ASC)
+        |        AS i FROM pc),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s,
+        |        SUM(CAST(i AS DECIMAL(20,0)) * v) AS ws
+        |      FROM r)
+        |SELECT n, CAST(s AS DOUBLE) AS total,
+        |  ROUND(2.0 * CAST(ws AS DOUBLE) / (n * CAST(s AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM m""".stripMargin,
 
     "q_ks_drift" ->
       """WITH t AS (

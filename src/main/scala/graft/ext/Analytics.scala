@@ -371,6 +371,42 @@ object Analytics {
     profiles.reduce(_ unionByName _)
   }
 
+  /** Gini coefficient of `valueCol` — the one-number concentration
+    * check: 0 = perfectly even, →1 = one key holds everything. Run it
+    * on per-source document counts before training (is the corpus
+    * dominated by one crawl?), on per-customer revenue, on per-key row
+    * counts (a continuous sibling of [[keySkewProfile]]'s max/mean).
+    *
+    *   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n,  x ascending, i = 1..n
+    *
+    * Scale + determinism shape: the rank comes from the distributed
+    * global ordinal ([[graft.plans.Ordinal]] — range partition, never
+    * a single-partition window; ties broken by `tieCol` into a total
+    * order), and both Σx and Σi·x are exact DECIMAL sums (rank·value
+    * products in DECIMAL(38,4) — overflow headroom to ~10¹⁸ rank·value
+    * mass, far past any real corpus), so the closed form runs once on
+    * exact integers/decimals and rounds to 6 dp. Nulls are excluded.
+    */
+  def gini(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,4)")
+    val ranked = graft.plans.Ordinal.withGlobalRowNumber(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(tieCol).as("__tie"), v.as("__v")),
+      Seq(col("__v").asc, col("__tie").asc), "__i")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("__s"),
+      sum(col("__i").cast("decimal(20,0)") * col("__v")).as("__ws"))
+      .select(
+        col("n"),
+        col("__s").cast("double").as("total"),
+        round(
+          lit(2.0) * col("__ws").cast("double") /
+            (col("n").cast("double") * col("__s").cast("double")) -
+            (col("n") + lit(1)).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Per-group least-squares linear trend of `yCol` over event time —
     * "is this source's quality drifting?" as one aggregate pass.
     * Output: (groupCols..., n, slope_per_day, intercept), where

@@ -182,6 +182,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.isNullAt(1))
   }
 
+  test("gini: perfectly even values give 0, extreme concentration near 1") {
+    val even = (1L to 10L).map(i => (i, 5.0)).toDF("id", "v")
+    val g0 = Analytics.gini(even, "v", "id").select("gini").as[Double].head()
+    assert(g0 === 0.0)
+    // one key holds everything: G = (n-1)/n = 0.9
+    val conc = ((1L to 9L).map(i => (i, 0.0)) :+ (10L, 100.0)).toDF("id", "v")
+    val g1 = Analytics.gini(conc, "v", "id").select("gini").as[Double].head()
+    assert(g1 === 0.9)
+  }
+
+  test("gini hand case and partition invariance") {
+    // x = {1,2,3,4}: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    assert(Analytics.gini(df, "v", "id")
+      .select("gini").as[Double].head() === 0.25)
+    val big = (1L to 999L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "v")
+    val one = Analytics.gini(big.repartition(1), "v", "id")
+      .select("gini").as[Double].head()
+    val many = Analytics.gini(big.repartition(16), "v", "id")
+      .select("gini").as[Double].head()
+    assert(one === many)
+  }
+
   test("topKPerGroup keeps k rows per group with deterministic tie-break") {
     val df = Seq(
       ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0), ("g1", 4L, 30.0),
