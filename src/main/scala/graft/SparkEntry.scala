@@ -744,6 +744,24 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // [EXT] Drift: Jensen–Shannon divergence of the event-type mix,
+    // first half of the month vs the rest (categorical drift, bounded
+    // by ln 2, defined even with absent categories).
+    "q_js_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val split = lit("2024-01-16").cast("timestamp")
+      graft.ext.Drift.jsDivergence(
+        ev.filter(col("ts") < split),
+        ev.filter(col("ts") >= split),
+        "event_type")
+    }),
+
+    // [EXT] OLAP: per-source language-diversity entropy (dataset-card
+    // monoculture check).
+    "q_cat_entropy" -> ((s, dir) =>
+      graft.ext.Olap.categoricalEntropy(
+        Tables.documents(s, dir), Seq("source"), "lang")),
+
     // [EXT] Analytics: Gini concentration of per-customer revenue
     // (corpus/source-balance metric; distributed ordinal ranks).
     "q_gini" -> ((s, dir) => {
@@ -2037,6 +2055,49 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_js_drift" ->
+      """WITH t AS (
+        |  SELECT event_type AS c, 1 AS r, 0 AS q FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16'
+        |  UNION ALL
+        |  SELECT event_type, 0, 1 FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16'),
+        |pc AS (SELECT c, CAST(SUM(r) AS BIGINT) AS cr,
+        |         CAST(SUM(q) AS BIGINT) AS cq FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+        |          CAST(SUM(cq) AS BIGINT) AS n_cur,
+        |          CAST(COUNT(*) AS BIGINT) AS n_cats FROM pc),
+        |w AS (
+        |  SELECT n_ref, n_cur, n_cats,
+        |    CAST(ROUND(
+        |      CASE WHEN cr > 0 THEN (CAST(cr AS DOUBLE) / n_ref) *
+        |        ln((CAST(cr AS DOUBLE) / n_ref) /
+        |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
+        |        / 2.0 ELSE 0.0 END +
+        |      CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / n_cur) *
+        |        ln((CAST(cq AS DOUBLE) / n_cur) /
+        |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
+        |        / 2.0 ELSE 0.0 END,
+        |      12) AS DECIMAL(24,12)) AS term
+        |  FROM pc CROSS JOIN tot)
+        |SELECT n_ref, n_cur, n_cats,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_cat_entropy" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT source, nc,
+        |        SUM(nc) OVER (PARTITION BY source) AS n
+        |      FROM cells)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    -(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n),
+        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy_nats
+        |FROM m GROUP BY source""".stripMargin,
 
     "q_gini" ->
       """WITH pc AS (

@@ -68,6 +68,50 @@ object Drift {
       .select("psi", "n_bins", "n_ref", "n_cur")
   }
 
+  /** Jensen–Shannon divergence between two CATEGORICAL distributions,
+    * in nats — the drift test for label/source/language mixes where
+    * PSI's log-ratio blows up on empty categories: JSD is defined for
+    * any pair of distributions (a category absent on one side
+    * contributes only the other side's half-KL term), symmetric, and
+    * bounded by ln 2. Output one row: (n_ref, n_cur, n_cats, jsd).
+    *
+    *   JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = ½(P+Q)
+    *
+    * Determinism: P, Q, M are ratios of exact integer counts; each
+    * category's term is double math on those integers (identical in
+    * any engine), rounded to 12 dp and summed as exact DECIMAL — the
+    * [[psi]] discipline — then rounded to 6.
+    *
+    * Scale shape: both sides collapse to per-category counts in ONE
+    * union-tagged aggregate (map-side combinable, keyed on the
+    * category — bounded by distinct categories, not rows); totals ride
+    * a one-row broadcast; the term sum is a second tiny aggregate.
+    */
+  def jsDivergence(
+      ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val tagged = ref.select(col(catCol).as("__c"),
+      lit(1L).as("__r"), lit(0L).as("__q"))
+      .unionAll(cur.select(col(catCol).as("__c"),
+        lit(0L).as("__r"), lit(1L).as("__q")))
+    val perCat = tagged.groupBy(col("__c"))
+      .agg(sum(col("__r")).as("__cr"), sum(col("__q")).as("__cq"))
+    val totals = perCat.agg(
+      sum(col("__cr")).as("n_ref"), sum(col("__cq")).as("n_cur"),
+      count(lit(1)).as("n_cats"))
+    val p = col("__cr").cast("double") / col("n_ref").cast("double")
+    val q = col("__cq").cast("double") / col("n_cur").cast("double")
+    val m = (p + q) / lit(2.0)
+    // 0·ln(0/m) := 0 — the when-guards keep the absent side silent.
+    val term = round(
+      when(col("__cr") > 0, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
+        when(col("__cq") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0)),
+      12).cast("decimal(24,12)")
+    perCat.crossJoin(broadcast(totals))
+      .groupBy(col("n_ref"), col("n_cur"), col("n_cats"))
+      .agg(round(sum(term).cast("double"), 6).as("jsd"))
+      .select(col("n_ref"), col("n_cur"), col("n_cats"), col("jsd"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic
     * D = sup_x |F_a(x) − F_b(x)| — the binning-free drift test: PSI
     * needs a bin design and misses shape changes inside a bin; KS

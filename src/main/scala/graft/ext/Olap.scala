@@ -182,6 +182,39 @@ object Olap {
         exactSum(col(valCol)).as("sum_val"))
       .withColumn("bin_lo", (col("bin") * lit(width)).cast("double"))
 
+  /** Per-group Shannon entropy of a categorical column, in nats — the
+    * diversity number for the dataset card: per source, how varied are
+    * its languages/labels? H = 0 ⇒ monoculture, H = ln(n_cats) ⇒
+    * uniform. Output per group: (groupCols..., n, n_cats, entropy).
+    *
+    * Determinism: probabilities are exact integer-count ratios; each
+    * category term is rounded to 12 dp and summed as exact DECIMAL
+    * ([[mutualInformation]]'s discipline), rounded to 6 at the end.
+    *
+    * Scale shape: one (group, category)-keyed count (map-side
+    * combinable), group totals as a sum-window over that cell frame
+    * (never re-scanning the stream), one aggregate down to a row per
+    * group.
+    */
+  def categoricalEntropy(
+      df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "categoricalEntropy needs group columns")
+    val gs = groupCols.map(col)
+    val cells = df
+      .groupBy(gs :+ col(catCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val byGroup = Window.partitionBy(gs: _*)
+    val p = col("__nc").cast("double") / col("__n").cast("double")
+    val term = round(-p * log(p), 12).cast("decimal(24,12)")
+    cells
+      .withColumn("__n", sum(col("__nc")).over(byGroup))
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("n_cats"),
+        round(sum(term).cast("double"), 6).as("entropy_nats"))
+  }
+
   /** Mutual information between two categorical columns, in nats:
     *   I(X;Y) = Σ_xy p(xy) · ln( p(xy) / (p(x)·p(y)) )
     * The feature-redundancy / leakage detector: I ≈ 0 ⇒ independent

@@ -54,6 +54,26 @@ class DriftSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("jsDivergence: identical mixes give 0, disjoint give ln 2") {
+    val a = Seq("x", "x", "y").toDF("c")
+    assert(Drift.jsDivergence(a, a, "c")
+      .select("jsd").as[Double].head() === 0.0)
+    val b = Seq("z", "w").toDF("c")
+    val jsd = Drift.jsDivergence(a, b, "c")
+      .select("jsd").as[Double].head()
+    assert(math.abs(jsd - math.log(2.0)) < 1e-6, s"jsd=$jsd")
+  }
+
+  test("jsDivergence stays defined when a category is absent on one side") {
+    // PSI's failure mode: q has a category p lacks entirely
+    val p = Seq("a", "a", "b").toDF("c")
+    val q = Seq("a", "b", "NEW").toDF("c")
+    val out = Drift.jsDivergence(p, q, "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._3 === 3L) // union of categories
+    assert(out._4 > 0.0 && out._4 < math.log(2.0))
+  }
+
   test("ksStatistic: identical samples give D = 0") {
     val a = Seq(1.0, 2.0, 3.0, 3.0, 7.5).toDF("v")
     val out = Drift.ksStatistic(a, a, "v")

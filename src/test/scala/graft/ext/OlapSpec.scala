@@ -125,6 +125,18 @@ class OlapSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("categoricalEntropy: uniform gives ln k, monoculture gives 0") {
+    val df = (Seq.fill(5)("en") ++ Seq.fill(5)("fr") ++ Seq.fill(5)("de"))
+      .map(("balanced", _)) ++ Seq.fill(9)(("mono", "en"))
+    val out = Olap.categoricalEntropy(df.toDF("source", "lang"),
+      Seq("source"), "lang")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("balanced")._1 === 15L && out("balanced")._2 === 3L)
+    assert(math.abs(out("balanced")._3 - math.log(3.0)) < 1e-6)
+    assert(out("mono") === ((9L, 1L, 0.0)))
+  }
+
   test("mutualInformation: independent columns give ~0 nats") {
     // perfectly balanced independent grid: p(xy) = p(x)p(y) exactly
     val df = (for { x <- 1 to 4; y <- 1 to 3; _ <- 1 to 5 }
