@@ -790,6 +790,24 @@ object SparkEntry {
           .select(col("event_type"), dayofweek(col("ts")).as("dow")),
         "event_type", "dow")),
 
+    // [EXT] Behavior: top first-3-step user journeys (WindowGroupLimit
+    // prefix prune, rank-pivot path assembly, bounded path keys).
+    "q_event_paths" -> ((s, dir) =>
+      Behavior.topPaths(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
+        depth = 3, k = 25)),
+
+    // [EXT] Behavior: two-proportion conversion z-test over the
+    // deterministic 50/50 hash split (experimentation primitive).
+    "q_ab_ztest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("variant",
+        when(graft.functions.HashExprs
+          .md5Prefix60(col("user_id").cast("string")) % 2 === 0, "A")
+          .otherwise("B"))
+      Behavior.conversionZTest(ev, "user_id", "variant",
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
     // [EXT] Behavior: cohort LTV — revenue by (acquisition week, age);
     // one user-key shuffle, decimal-exact sums.
     "q_cohort_ltv" -> ((s, dir) =>
@@ -2155,6 +2173,47 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))),
         |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi_nats
         |FROM m CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS r
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN r = 1 THEN event_type END) AS s1,
+        |    MAX(CASE WHEN r = 2 THEN event_type END) AS s2,
+        |    MAX(CASE WHEN r = 3 THEN event_type END) AS s3
+        |  FROM r WHERE r <= 3 GROUP BY 1)
+        |SELECT concat_ws(' > ', s1, s2, s3) AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path ASC LIMIT 25""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events),
+        |u AS (SELECT variant, user_id,
+        |        MAX(CASE WHEN event_type = 'purchase' AND value > 150
+        |          THEN 1 ELSE 0 END) AS conv
+        |      FROM e GROUP BY 1, 2),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1),
+        |a AS (SELECT variant AS variant_a, n AS n_a, c AS conv_a FROM v
+        |      ORDER BY variant ASC LIMIT 1),
+        |b AS (SELECT variant AS variant_b, n AS n_b, c AS conv_b FROM v
+        |      ORDER BY variant DESC LIMIT 1)
+        |SELECT variant_a, n_a, conv_a, variant_b, n_b, conv_b,
+        |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        |FROM a CROSS JOIN b""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH f AS (

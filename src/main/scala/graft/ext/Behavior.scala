@@ -78,6 +78,89 @@ object Behavior {
     counts.select(explode(stageRows).as("s")).select("s.*")
   }
 
+  /** Top user-journey prefixes: each user's first `depth` events in
+    * (ts, id) order become a " > "-joined path string; paths are
+    * counted and the `k` most common returned — the product-analytics
+    * "where do users actually go first?" table, and a behavioral
+    * fingerprint for bot-cohort detection (scripted accounts share one
+    * path; organic ones spread).
+    *
+    * Scale shape: the per-user prefix is a row_number rank filter —
+    * WindowGroupLimit prunes to ≤ depth rows per user on BOTH sides of
+    * the user shuffle ([[graft.ext.Analytics.topKPerGroup]]'s plan);
+    * the ordered path assembles via a rank pivot in one user-keyed
+    * aggregate (no collect_list ordering hazards — collect_list order
+    * is partition-dependent); path counts are bounded by |types|^depth
+    * keys; the final top-k is orderBy.limit → TakeOrderedAndProject.
+    * Ties on (ts) break by `idCol` — total order, engine-stable.
+    */
+  def topPaths(
+      df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, depth: Int, k: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8]: $depth")
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = (1 to depth).map(i =>
+      max(when(col("__r") === i, col(typeCol))).as(s"__s$i"))
+    df
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= depth)
+      .groupBy(col(userCol))
+      .agg(steps.head, steps.tail: _*)
+      .groupBy(concat_ws(" > ",
+        (1 to depth).map(i => col(s"__s$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Two-proportion conversion z-test between variants — the
+    * experimentation primitive: did variant B's conversion rate move,
+    * and is the move bigger than chance? Input is the raw event
+    * stream plus a variant column (e.g. the deterministic hash gate
+    * [[graft.ext.Sampling.splitAssign]] produces); a user converts if
+    * ANY of their rows satisfies the `conversion` predicate (a Column,
+    * so "purchase over $150" is as easy as "purchase"). Output one row
+    * for the variant pair (first two variants in lexicographic order):
+    * (variant_a, n_a, conv_a, rate_a, variant_b, n_b, conv_b, rate_b,
+    * z_score), z from the pooled-proportion normal approximation.
+    *
+    * Determinism: all counts are exact integers; rates and z are a
+    * fixed double formula over them (identical cross-engine), rounded
+    * to 6 dp. Scale shape: one user-keyed aggregate (converted =
+    * max(is-conversion) — map-side combinable), one variant-keyed
+    * count aggregate (≤ |variants| rows), driver-free pivot of the
+    * two variant rows via a self-join on the one-row frames.
+    */
+  def conversionZTest(
+      df: DataFrame, userCol: String, variantCol: String,
+      conversion: Column): DataFrame = {
+    val perUser = df
+      .groupBy(col(variantCol).as("__variant"), col(userCol))
+      .agg(max(when(conversion, 1L).otherwise(0L)).as("__conv"))
+    val perVariant = perUser
+      .groupBy(col("__variant"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    val a = perVariant.orderBy(col("__variant").asc).limit(1)
+      .select(col("__variant").as("variant_a"),
+        col("__n").as("n_a"), col("__c").as("conv_a"))
+    val b = perVariant.orderBy(col("__variant").desc).limit(1)
+      .select(col("__variant").as("variant_b"),
+        col("__n").as("n_b"), col("__c").as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    a.crossJoin(b)
+      .withColumn("rate_a", round(ra, 6))
+      .withColumn("rate_b", round(rb, 6))
+      .withColumn("z_score", round(
+        (ra - rb) / sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double"))), 6))
+  }
+
   /** Cohort lifetime value: users cohorted by the ISO week of their
     * first event (ANY type — acquisition week), then `valueCol` over
     * `revenueType` events summed per (cohort_week, week_offset). Read

@@ -74,6 +74,52 @@ class BehaviorSpec extends SparkSpec {
     assert(got("purchase") == want.getLong(2))
   }
 
+  test("topPaths: ordered prefixes, short journeys, deterministic ties") {
+    val df = Seq(
+      (1L, 10L, "view", "2024-01-01 10:00:00"),
+      (2L, 10L, "click", "2024-01-01 10:01:00"),
+      (3L, 10L, "purchase", "2024-01-01 10:02:00"),
+      (4L, 10L, "error", "2024-01-01 10:03:00"), // beyond depth: ignored
+      (5L, 20L, "view", "2024-01-01 09:00:00"),
+      (6L, 20L, "click", "2024-01-01 09:01:00"),
+      (7L, 20L, "purchase", "2024-01-01 09:02:00"),
+      (8L, 30L, "signup", "2024-01-01 08:00:00")) // 1-step journey
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = Behavior.topPaths(df, "user_id", "event_type", "ts",
+      "event_id", depth = 3, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(out === List(("view > click > purchase", 2L), ("signup", 1L)))
+  }
+
+  test("topPaths plans the prefix prune as a WindowGroupLimit") {
+    val df = (1 to 40).map(i => (i.toLong, (i % 5).toLong, "view",
+      new java.sql.Timestamp(i * 1000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val plan = Behavior.topPaths(df, "user_id", "event_type", "ts",
+      "event_id", 3, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("conversionZTest: exact counts, pooled z, predicate conversions") {
+    // A: 2 of 3 users convert; B: 1 of 3 (conversion = value >= 50)
+    val df = Seq(
+      ("A", 1L, 60.0), ("A", 1L, 10.0), ("A", 2L, 70.0), ("A", 3L, 5.0),
+      ("B", 4L, 55.0), ("B", 5L, 8.0), ("B", 6L, 9.0))
+      .toDF("variant", "user_id", "value")
+    val out = Behavior.conversionZTest(df, "user_id", "variant",
+      $"value" >= 50.0)
+      .as[(String, Long, Long, String, Long, Long, Double, Double, Double)]
+      .head()
+    assert(out._1 === "A" && out._2 === 3L && out._3 === 2L)
+    assert(out._4 === "B" && out._5 === 3L && out._6 === 1L)
+    val (ra, rb, p) = (2.0 / 3, 1.0 / 3, 3.0 / 6)
+    val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / 3 + 1.0 / 3))
+    assert(math.abs(out._7 - 0.666667) < 1e-6)
+    assert(math.abs(out._9 - z) < 1e-5)
+  }
+
   test("cohortLtv: acquisition-week cohorts, revenue by age") {
     val df = Seq(
       // user 1: first seen Mon Jan 1 week (signup), buys week 0 and week 1
