@@ -790,6 +790,12 @@ object SparkEntry {
           .select(col("event_type"), dayofweek(col("ts")).as("dow")),
         "event_type", "dow")),
 
+    // [EXT] Behavior: RFM customer-value segmentation — three quintile
+    // passes on the distributed global ntile, entity-id tie-breaks.
+    "q_rfm" -> ((s, dir) =>
+      Behavior.rfm(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "o_totalprice", anchor = "2001-09-01")),
+
     // [EXT] Behavior: top first-3-step user journeys (WindowGroupLimit
     // prefix prune, rank-pivot path assembly, bounded path keys).
     "q_event_paths" -> ((s, dir) =>
@@ -2173,6 +2179,28 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))),
         |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi_nats
         |FROM m CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE),
+        |      DATE '2001-09-01') AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT *,
+        |    CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey ASC)
+        |      AS BIGINT) AS r_score,
+        |    CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+        |      AS BIGINT) AS f_score,
+        |    CAST(NTILE(5) OVER (ORDER BY monetary ASC, o_custkey ASC)
+        |      AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |  || CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin,
 
     "q_event_paths" ->
       """WITH r AS (

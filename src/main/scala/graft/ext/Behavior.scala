@@ -193,6 +193,45 @@ object Behavior {
         countDistinct(col(userCol)).as("n_buyers"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per entity,
+    * Recency (days since last activity, against `anchor`), Frequency
+    * (activity count) and Monetary (decimal-exact value sum), each
+    * scored into quintiles 1..5 with 5 = best (most recent / most
+    * frequent / highest spend), plus the concatenated segment code
+    * ("555" = champions, "111" = lost).
+    *
+    * Scale + determinism shape: one entity-keyed aggregate, then three
+    * quintile passes on the DISTRIBUTED global ntile
+    * ([[graft.plans.Ordinal.withNtile]] — range partition, never a
+    * single-partition window; tile semantics identical to SQL
+    * NTILE, proven by q_ntile_deciles). Every ordering carries the
+    * entity id as tie-break — a total order, so scores are
+    * partition- and engine-stable. Recency is whole days
+    * (date-difference — exact integers).
+    */
+  def rfm(
+      df: DataFrame, entityCol: String, tsCol: String, valueCol: String,
+      anchor: String): DataFrame = {
+    val base = df
+      .groupBy(col(entityCol))
+      .agg(
+        datediff(lit(anchor).cast("date"), to_date(max(col(tsCol))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("monetary"))
+    val id = col(entityCol)
+    val r = graft.plans.Ordinal.withNtile(
+      base, Seq(col("recency_days").desc, id.asc), 5, "r_score")
+    val f = graft.plans.Ordinal.withNtile(
+      r, Seq(col("frequency").asc, id.asc), 5, "f_score")
+    val m = graft.plans.Ordinal.withNtile(
+      f, Seq(col("monetary").asc, id.asc), 5, "m_score")
+    m.withColumn("segment",
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")))
+  }
+
   /** Daily audience growth: per day, how many users were seen for the
     * FIRST time, and the cumulative distinct-user count to date. The
     * classic "DAU is flat — are we acquiring or churning?" curve, and

@@ -74,6 +74,24 @@ class BehaviorSpec extends SparkSpec {
     assert(got("purchase") == want.getLong(2))
   }
 
+  test("rfm: quintile scores with 5 = best on every dimension") {
+    // 5 customers, one order each, strictly increasing on all dims
+    val df = (1 to 5).map { i =>
+      (i.toLong, s"2024-01-0$i 00:00:00", i * 100.0)
+    }.toDF("cust", "s", "amount")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = Behavior.rfm(df, "cust", "ts", "amount", "2024-02-01")
+      .select("cust", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // cust 5: most recent, highest spend -> r=5, m=5 (f ties -> id asc)
+    assert(out(5L)._2 === 5L && out(5L)._4 === 5L)
+    assert(out(1L)._2 === 1L && out(1L)._4 === 1L)
+    assert(out(1L)._5.length === 3)
+    // frequency all equal: tie-break by id gives each its own tile
+    assert(out.values.map(_._3).toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("topPaths: ordered prefixes, short journeys, deterministic ties") {
     val df = Seq(
       (1L, 10L, "view", "2024-01-01 10:00:00"),
