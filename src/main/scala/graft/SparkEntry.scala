@@ -377,6 +377,21 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
         "id_a", "id_b")),
 
+    // [EXT] Dedup diagnostics: the cluster-SIZE distribution — how
+    // duplicated is the corpus? A few huge clusters ⇒ boilerplate
+    // storm; many pairs ⇒ organic near-dups. Two tiny aggregates over
+    // the cluster table.
+    "q_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.portableMinHashNearDuplicates(
+          Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     // End-to-end dedup deliverable: the SURVIVING corpus after cluster
     // collapse (one representative per near-dup cluster + singletons).
     "q_dedup_collapse" -> ((s, dir) => {
@@ -1457,6 +1472,23 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+         |  FROM reach GROUP BY s),
+         |sizes AS (
+         |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY 1""".stripMargin,
 
     "q_dedup_collapse" ->
       s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
