@@ -377,6 +377,13 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
         "id_a", "id_b")),
 
+    // [EXT] Dedup diagnostics: per-doc duplicated-shingle share — the
+    // boilerplate filter signal pair mining can't see (a doc can be
+    // 60% recycled without one near-dup partner).
+    "q_dup_share" -> ((s, dir) =>
+      Dedup.crossDocShingleShare(
+        Tables.documents(s, dir), "doc_id", "text", shingleN = 3)),
+
     // [EXT] Dedup diagnostics: the cluster-SIZE distribution — how
     // duplicated is the corpus? A few huge clusters ⇒ boilerplate
     // storm; many pairs ⇒ organic near-dups. Two tiny aggregates over
@@ -1472,6 +1479,24 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_dup_share" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles
+        |  FROM toks),
+        |e AS (SELECT doc_id, unnest(shingles) AS sh FROM t),
+        |d AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  ROUND(CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_share
+        |FROM e JOIN d USING (sh) GROUP BY 1""".stripMargin,
 
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),

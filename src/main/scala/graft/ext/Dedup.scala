@@ -524,6 +524,40 @@ object Dedup {
     withCleanup(result, Seq(sigs))
   }
 
+  /** Per-document cross-corpus duplication share: the fraction of a
+    * document's distinct n-gram shingles that ALSO appear in at least
+    * one other document. The document-granular complement of the pair
+    * miners: a doc can be 60% recycled boilerplate without having any
+    * single near-duplicate partner — pair mining misses it, this
+    * catches it. Standard filter signal in web-corpus curation
+    * ("drop docs whose duplicated-ngram share exceeds x").
+    *
+    * Output per doc (docs with ≥ n tokens): (id, n_shingles, n_shared,
+    * dup_share 6 dp).
+    *
+    * Scale shape: one shingle explode (the codegen'd
+    * [[graft.functions.WordShingles]] kernel, distinct per doc), a
+    * shingle-keyed document-frequency aggregate (map-side combinable),
+    * a co-keyed join back, one doc-keyed aggregate. Everything joins
+    * on the shingle or the doc id — never a pair space.
+    */
+  def crossDocShingleShare(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ex = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val docFreq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    ex.join(docFreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_share",
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6))
+  }
+
   /** Token-set Jaccard near-dup pairs via a prefix-filtered
     * set-similarity join (the PPJoin/AllPairs family — Xiao et al.,
     * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).

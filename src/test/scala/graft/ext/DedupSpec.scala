@@ -309,4 +309,27 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin")
       && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("crossDocShingleShare: shared-shingle fraction per document") {
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c x y"), // shingles: abc bcx cxy -> shares abc with doc 1
+      (3L, "p q r s"))   // shingles: pqr qrs -> isolated
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocShingleShare(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, 0.333333)))
+    assert(out(2L) === ((3L, 1L, 0.333333)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("crossDocShingleShare: repeated shingle within ONE doc is not shared") {
+    // doc 1 contains "a b c" twice -> shingles() dedups per doc, so the
+    // duplicate cannot self-count as cross-doc shared
+    val docs = Seq((1L, "a b c z a b c"), (2L, "q r s t")).toDF("doc_id", "text")
+    val shared = Dedup.crossDocShingleShare(docs, "doc_id", "text", 3)
+      .filter($"doc_id" === 1L).select("n_shared").as[Long].head()
+    assert(shared === 0L)
+  }
 }
