@@ -377,6 +377,11 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
         "id_a", "id_b")),
 
+    // [EXT] Dedup design aid: LSH banding S-curves — candidate
+    // probability vs similarity for each (bands, rows) configuration.
+    "q_lsh_curve" -> ((s, dir) =>
+      Dedup.lshCandidateCurve(s, Seq((4, 4), (8, 2), (2, 8)))),
+
     // [EXT] Dedup diagnostics: per-doc duplicated-shingle share — the
     // boilerplate filter signal pair mining can't see (a doc can be
     // 60% recycled without one near-dup partner).
@@ -1479,6 +1484,16 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_lsh_curve" ->
+      """WITH cfg(bands, rows_per_band) AS (VALUES (4, 4), (8, 2), (2, 8)),
+        |g AS (SELECT i FROM generate_series(1, 19) AS t(i))
+        |SELECT bands, rows_per_band,
+        |  ROUND(i * (1.0 / 20), 6) AS s,
+        |  ROUND(1.0 - pow(1.0 - pow(ROUND(i * (1.0 / 20), 6),
+        |    CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 6)
+        |    AS p_candidate
+        |FROM cfg CROSS JOIN g""".stripMargin,
 
     "q_dup_share" ->
       """WITH toks AS (

@@ -524,6 +524,33 @@ object Dedup {
     withCleanup(result, Seq(sigs))
   }
 
+  /** LSH banding S-curves: P(candidate | jaccard = s) = 1 − (1 − s^r)^b
+    * for each (bands b, rows-per-band r) configuration, tabulated over
+    * a similarity grid — the design aid for choosing MinHash banding
+    * (where does the curve's knee sit vs the dedup threshold?). The
+    * knee lives near (1/b)^(1/r); steeper r ⇒ fewer false candidates,
+    * more bands ⇒ higher recall. Pure closed-form math (no data), but
+    * shipped as a DataFrame so it joins/plots like any other table and
+    * cross-checks bit-identically against the oracle's formula.
+    */
+  def lshCandidateCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], gridSteps: Int = 19): DataFrame = {
+    require(configs.nonEmpty, "at least one (bands, rows) config")
+    require(gridSteps >= 1, s"gridSteps must be >= 1: $gridSteps")
+    import spark.implicits._
+    val cfg = configs.toDF("bands", "rows_per_band")
+    cfg
+      .crossJoin(spark.range(1, gridSteps + 1).toDF("__i"))
+      .select(
+        col("bands"), col("rows_per_band"),
+        round(col("__i") * lit(1.0 / (gridSteps + 1)), 6).as("s"))
+      .withColumn("p_candidate",
+        round(lit(1.0) -
+          pow(lit(1.0) - pow(col("s"), col("rows_per_band").cast("double")),
+            col("bands").cast("double")), 6))
+  }
+
   /** Per-document cross-corpus duplication share: the fraction of a
     * document's distinct n-gram shingles that ALSO appear in at least
     * one other document. The document-granular complement of the pair

@@ -310,6 +310,17 @@ class DedupSpec extends SparkSpec {
       && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("lshCandidateCurve: monotone S-curve with the knee near (1/b)^(1/r)") {
+    val curve = Dedup.lshCandidateCurve(spark, Seq((4, 4)))
+      .orderBy("s").select("s", "p_candidate")
+      .as[(Double, Double)].collect()
+    // monotone non-decreasing in similarity
+    assert(curve.sliding(2).forall { case Array(lo, hi) => lo._2 <= hi._2 })
+    // knee ~ (1/4)^(1/4) = 0.707: well below 50% at s=0.5, high at s=0.9
+    val at = curve.toMap
+    assert(at(0.5) < 0.25 && at(0.9) > 0.9, at.toString)
+  }
+
   test("crossDocShingleShare: shared-shingle fraction per document") {
     val docs = Seq(
       (1L, "a b c d e"), // shingles: abc bcd cde

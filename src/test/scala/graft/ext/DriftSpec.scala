@@ -54,6 +54,26 @@ class DriftSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ksStatistic equals the brute-force D on random samples") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      a <- Gen.listOfN(80, Gen.chooseNum(0, 50))
+      b <- Gen.listOfN(60, Gen.chooseNum(10, 60))
+    } yield (a.map(_ / 2.0), b.map(_ / 2.0))
+    (1 to 6).foreach { i =>
+      val (a, b) = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = Drift.ksStatistic(a.toDF("v"), b.toDF("v"), "v")
+        .select("ks_d").as[Double].head()
+      val pooled = (a ++ b).distinct.sorted
+      val want = pooled.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size -
+          b.count(_ <= x).toDouble / b.size)
+      }.max
+      assert(math.abs(got - want) < 1e-6, s"seed $i: got $got want $want")
+    }
+  }
+
   test("jsDivergence: identical mixes give 0, disjoint give ln 2") {
     val a = Seq("x", "x", "y").toDF("c")
     assert(Drift.jsDivergence(a, a, "c")
