@@ -377,6 +377,14 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
         "id_a", "id_b")),
 
+    // [EXT] TimeSeries: rolling anomaly flags — each hour z-scored
+    // against its key's trailing-24h baseline (self excluded) on the
+    // dense spine; the diurnal-safe volume monitor.
+    "q_rolling_anomaly" -> ((s, dir) =>
+      graft.ext.TimeSeries.rollingAnomalies(
+        Tables.events(s, dir), "event_type", "ts",
+        frameHours = 24, threshold = 3.0)),
+
     // [EXT] Dedup design aid: LSH banding S-curves — candidate
     // probability vs similarity for each (bands, rows) configuration.
     "q_lsh_curve" -> ((s, dir) =>
@@ -1484,6 +1492,35 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c),
+        |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |      FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |g AS (
+        |  SELECT t.event_type, h.hr, COALESCE(c.cnt, 0) AS cnt
+        |  FROM t CROSS JOIN h
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr),
+        |m AS (
+        |  SELECT event_type, hr, cnt,
+        |    COUNT(*) OVER w AS n, SUM(cnt) OVER w AS s1,
+        |    SUM(cnt * cnt) OVER w AS s2
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, hr, cnt, CAST(n AS BIGINT) AS baseline_hours,
+        |    CASE WHEN n >= 2 AND
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0
+        |      THEN ROUND((cnt - CAST(s1 AS DOUBLE) / n)
+        |        / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+        |          / (n - 1)), 6)
+        |    END AS z
+        |  FROM m)
+        |SELECT * FROM z WHERE ABS(z) > 3.0""".stripMargin,
 
     "q_lsh_curve" ->
       """WITH cfg(bands, rows_per_band) AS (VALUES (4, 4), (8, 2), (2, 8)),

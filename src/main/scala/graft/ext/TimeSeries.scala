@@ -55,6 +55,52 @@ object TimeSeries {
         count(lit(1)).over(w), 6))
   }
 
+  /** Rolling anomaly detection on the dense hourly series: each hour's
+    * count is z-scored against the TRAILING `frameHours` window
+    * (excluding itself — an anomaly must not raise its own baseline),
+    * and hours with |z| > `threshold` are flagged. The ops monitor for
+    * traffic collapses and ingestion storms: "is this hour's volume
+    * abnormal for this key, given ITS recent history?" — per-key
+    * baselines where the global [[graft.ext.Analytics.zscoreOutliers]]
+    * would wash out diurnal keys.
+    *
+    * Determinism: baseline moments are exact integer sums over the
+    * dense frame (counts are integers; the frame is ROWS-based over
+    * the gap-filled spine, so its width is exact); mean/std/z run in
+    * double on those integers identically cross-engine; z is
+    * decide-on-rounded (6 dp) before the threshold compare. Warm-up
+    * rows (fewer than 2 trailing cells) and zero-variance baselines
+    * yield null z and are never flagged.
+    *
+    * Scale shape: the per-key ordered window walks the DENSE spine —
+    * bounded by key-count × hours-of-history, not by event volume;
+    * everything upstream is the gap-fill's one aggregate + spine join.
+    */
+  def rollingAnomalies(
+      df: DataFrame, keyCol: String, tsCol: String,
+      frameHours: Int = 24, threshold: Double = 3.0): DataFrame = {
+    require(frameHours >= 2, s"baseline needs >= 2 hours: $frameHours")
+    val dense = gapFillHourlyCounts(df, keyCol, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hr"))
+      .rowsBetween(-frameHours, -1)
+    dense
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("cnt")).over(w))
+      .withColumn("__s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("__var",
+        (col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") /
+            col("__n").cast("double")) / (col("__n") - 1).cast("double"))
+      .withColumn("z",
+        when(col("__n") >= 2 && col("__var") > 0,
+          round((col("cnt").cast("double") -
+            col("__s1").cast("double") / col("__n").cast("double")) /
+            sqrt(col("__var")), 6)))
+      .filter(abs(col("z")) > threshold)
+      .select(col(keyCol), col("hr"), col("cnt"),
+        col("__n").cast("long").as("baseline_hours"), col("z"))
+  }
+
   /** Time-series similarity search: the `k` windows of an (hour-index,
     * value) series most Pearson-correlated with a fixed query pattern
     * — the distributed core of a matrix-profile/MASS-style motif scan

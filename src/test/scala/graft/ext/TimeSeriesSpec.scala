@@ -67,6 +67,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._1).toSet == (0L to 8L).toSet)
   }
 
+  test("rollingAnomalies flags a spike against the trailing baseline only") {
+    // key "a": 10 calm hours of ~2 events, then a 40-event storm hour
+    val calm = (0 until 10).flatMap(h => Seq.fill(2 + h % 2)(
+      ("a", s"2024-01-01 ${"%02d".format(h)}:15:00")))
+    val storm = Seq.fill(40)(("a", "2024-01-01 10:30:00"))
+    val df = (calm ++ storm).toDF("k", "s")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val out = TimeSeries.rollingAnomalies(df, "k", "ts",
+      frameHours = 24, threshold = 3.0)
+      .select($"hr".cast("string"), $"cnt", $"z")
+      .as[(String, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out.head._1 === "2024-01-01 10:00:00" && out.head._2 === 40L)
+    assert(out.head._3 > 3.0)
+  }
+
+  test("rollingAnomalies: warm-up and zero-variance hours never flag") {
+    // constant series: every baseline has zero variance -> no flags
+    val df = (0 until 8).map(h => ("a", s"2024-01-01 ${"%02d".format(h)}:00:00"))
+      .toDF("k", "s").withColumn("ts", $"s".cast("timestamp")).drop("s")
+    assert(TimeSeries.rollingAnomalies(df, "k", "ts", 24, 1.0).count() === 0L)
+  }
+
   test("slidingCorrelation ranks by (corr desc, start) deterministically") {
     // constant-multiple windows tie at corr 1.0; earlier start wins
     val vals = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0)
