@@ -797,6 +797,12 @@ object SparkEntry {
       graft.ext.Olap.categoricalEntropy(
         Tables.documents(s, dir), Seq("source"), "lang")),
 
+    // [EXT] Analytics: top-k categories + "(other)" rollup — the tail
+    // stays visible instead of silently dropping (reporting honesty).
+    "q_topk_other" -> ((s, dir) =>
+      graft.ext.Analytics.topKWithOther(
+        Tables.documents(s, dir), "source", k = 5)),
+
     // [EXT] Analytics: Gini concentration of per-customer revenue
     // (corpus/source-balance metric; distributed ordinal ranks).
     "q_gini" -> ((s, dir) => {
@@ -2231,6 +2237,18 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    -(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n),
         |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy_nats
         |FROM m GROUP BY source""".stripMargin,
+
+    "q_topk_other" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+        |        category ASC) AS rk FROM c)
+        |SELECT CASE WHEN rk <= 5 THEN category ELSE '(other)' END AS category,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  rk > 5 AS is_other
+        |FROM r GROUP BY 1, 3""".stripMargin,
 
     "q_gini" ->
       """WITH pc AS (

@@ -371,6 +371,36 @@ object Analytics {
     profiles.reduce(_ unionByName _)
   }
 
+  /** Top-k categories with an "(other)" rollup — the honest version of
+    * every pie chart: the k biggest categories by exact count keep
+    * their names, the long tail collapses into one labeled remainder
+    * instead of silently vanishing (the no-silent-caps rule applied to
+    * reporting). Output ≤ k+1 rows: (category, n_rows, is_other).
+    *
+    * Determinism: rank over the AGGREGATED category frame (bounded by
+    * category cardinality, not row count — the only global window
+    * here) with (count desc, category asc) total order.
+    */
+  def topKWithOther(
+      df: DataFrame, catCol: String, k: Int,
+      otherLabel: String = "(other)"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val counts = df.groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_rows"))
+    val ranked = counts.withColumn("__r",
+      row_number().over(
+        Window.orderBy(col("n_rows").desc, col("category").asc)))
+    ranked
+      .select(
+        when(col("__r") <= k, col("category"))
+          .otherwise(lit(otherLabel)).as("category"),
+        col("n_rows"),
+        (col("__r") > k).as("is_other"))
+      .groupBy(col("category"), col("is_other"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .select("category", "n_rows", "is_other")
+  }
+
   /** Gini coefficient of `valueCol` — the one-number concentration
     * check: 0 = perfectly even, →1 = one key holds everything. Run it
     * on per-source document counts before training (is the corpus

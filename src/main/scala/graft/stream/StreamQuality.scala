@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{coalesce, lit, not}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
@@ -62,6 +62,52 @@ object StreamQuality {
           }
           if (pass) commit(batch) else quarantine(batch)
           onReport(BatchVerdict(batchId, pass, report.toSeq))
+        }
+        ()
+      }
+    val withCp = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+    trigger.fold(withCp)(t => withCp.trigger(t)).start()
+  }
+
+  /** Lenient variant — the row-level posture ([[Ingest]]'s lenient
+    * mode, lifted to batches): VALID rows (violating no check) commit,
+    * violating rows quarantine, every batch partially survives. The
+    * audit report still covers the whole batch. Use when upstream is
+    * known-noisy and dropping a whole batch per stray row would
+    * starve the lake; keep [[gatedIngest]] when a violation signals a
+    * systemic upstream fault.
+    *
+    * Scale shape: the split is ONE disjunction predicate evaluated
+    * twice (filter + its negation) over the batch — no join, no
+    * second audit pass; the report reuses the same aggregate as the
+    * strict gate.
+    */
+  def lenientIngest(
+      stream: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      commit: DataFrame => Unit,
+      quarantine: DataFrame => Unit,
+      onReport: BatchVerdict => Unit = _ => (),
+      checkpointDir: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    require(checks.nonEmpty, "at least one check")
+    val violates = checks.map(_._2).reduce(_ || _)
+    val writer: DataStreamWriter[Row] = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.isEmpty) {
+          onReport(BatchVerdict(batchId, pass = true, Seq.empty))
+        } else {
+          val report = graft.ops.Quality.rowChecks(batch, checks).collect()
+          val clean = report.forall(_.getAs[Long]("n_violations") == 0L)
+          // null-evaluating predicates count as NOT violating (a check
+          // that cares about nulls must say isNull explicitly) — the
+          // coalesce keeps the split a true partition of the batch.
+          val bad = batch.filter(coalesce(violates, lit(false)))
+          val good = batch.filter(!coalesce(violates, lit(false)))
+          commit(good)
+          if (!clean) quarantine(bad)
+          onReport(BatchVerdict(batchId, pass = clean, report.toSeq))
         }
         ()
       }

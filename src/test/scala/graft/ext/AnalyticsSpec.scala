@@ -182,6 +182,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.isNullAt(1))
   }
 
+  test("topKWithOther: tail collapses into a labeled remainder") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "f")).toDF("cat")
+    val out = Analytics.topKWithOther(df, "cat", k = 2)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out === Set(("a", 5L, false), ("b", 4L, false), ("(other)", 6L, true)))
+    // counts total preserved — nothing silently dropped
+    assert(out.toSeq.map(_._2).sum === 15L)
+  }
+
   test("gini: perfectly even values give 0, extreme concentration near 1") {
     val even = (1L to 10L).map(i => (i, 5.0)).toDF("id", "v")
     val g0 = Analytics.gini(even, "v", "id").select("gini").as[Double].head()

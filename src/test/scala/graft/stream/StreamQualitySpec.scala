@@ -49,6 +49,31 @@ class StreamQualitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lenientIngest splits each batch: valid rows commit, bad quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[Double])]
+    val committed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val quarantined = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[StreamQuality.BatchVerdict]
+    val q = StreamQuality.lenientIngest(
+      mem.toDF().toDF("id", "v"), checks,
+      commit = b => committed.synchronized {
+        committed ++= b.select("id").as[Long].collect() },
+      quarantine = b => quarantined.synchronized {
+        quarantined ++= b.select("id").as[Long].collect() },
+      onReport = v => verdicts.synchronized { verdicts += v })
+    try {
+      // rows 3 (null) and 4 (out of range) violate; 1, 2, 5 are valid
+      mem.addData((1L, Some(1.0)), (2L, Some(2.0)), (3L, None),
+        (4L, Some(999.0)), (5L, Some(3.0)))
+      q.processAllAvailable()
+      assert(committed.sorted.toSeq === Seq(1L, 2L, 5L))
+      assert(quarantined.sorted.toSeq === Seq(3L, 4L))
+      // batch verdict is still honest: the batch did NOT pass clean
+      assert(verdicts.exists(v => v.report.nonEmpty && !v.pass))
+    } finally q.stop()
+  }
+
   test("gatedIngest routes a whole batch on any failing check (strict)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Option[Double])]
