@@ -823,6 +823,14 @@ object SparkEntry {
         "value")
     }),
 
+    // [EXT] OLAP: chi-square independence statistic (MI's test
+    // sibling) over the full marginal grid incl. zero cells.
+    "q_chi_square" -> ((s, dir) =>
+      graft.ext.Olap.chiSquare(
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")),
+
     // [EXT] OLAP: mutual information (leakage/redundancy detector)
     // between event type and day-of-week.
     "q_mutual_info" -> ((s, dir) =>
@@ -2287,6 +2295,28 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / n_a
         |    - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks_d
         |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x, dayofweek(ts) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ys AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |          CAST(COUNT(DISTINCT x) AS BIGINT) AS kx,
+        |          CAST(COUNT(DISTINCT y) AS BIGINT) AS ky FROM cells),
+        |g AS (
+        |  SELECT xs.nx, ys.ny, COALESCE(c.nxy, 0) AS o
+        |  FROM xs CROSS JOIN ys
+        |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y)
+        |SELECT n, kx * ky AS n_cells, (kx - 1) * (ky - 1) AS dof,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |    * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n),
+        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2
+        |FROM g CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
 
     "q_mutual_info" ->
       """WITH cells AS (

@@ -215,6 +215,50 @@ object Olap {
         round(sum(term).cast("double"), 6).as("entropy_nats"))
   }
 
+  /** Pearson chi-square independence statistic over two categorical
+    * columns — [[mutualInformation]]'s hypothesis-test sibling: MI
+    * measures HOW MUCH dependence (nats), χ² with its degrees of
+    * freedom says whether the dependence is bigger than chance at this
+    * sample size. Output one row: (n, n_cells, dof, chi2), dof =
+    * (|X|−1)·(|Y|−1) over the OBSERVED levels.
+    *
+    * Determinism: [[mutualInformation]]'s discipline — exact integer
+    * counts, double terms rounded to 12 dp, exact DECIMAL sum, 6 dp
+    * output. Unlike MI (where empty cells contribute exactly 0), a
+    * ZERO-observed cell still contributes its (0−E)²/E mass, so the
+    * terms run over the full marginal grid: the bounded |X|-row ×
+    * |Y|-row marginal frames cross-join (≤ |X|·|Y| rows) and
+    * left-join the observed cells — never a window, never a second
+    * scan of the stream. n_cells reports the FULL grid size.
+    */
+  def chiSquare(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val xs = cells.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val ys = cells.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val grid = xs.crossJoin(ys)
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__nxy"), lit(0L)))
+    val totals = cells.agg(
+      sum(col("__nxy")).as("n"),
+      countDistinct(col("__x")).as("__kx"),
+      countDistinct(col("__y")).as("__ky"))
+    val expected = col("__nx").cast("double") * col("__ny").cast("double") /
+      col("n").cast("double")
+    val term = round(
+      (col("__o").cast("double") - expected) *
+        (col("__o").cast("double") - expected) / expected,
+      12).cast("decimal(24,12)")
+    grid.crossJoin(broadcast(totals))
+      .groupBy(col("n"),
+        (col("__kx") * col("__ky")).as("n_cells"),
+        ((col("__kx") - 1) * (col("__ky") - 1)).as("dof"))
+      .agg(round(sum(term).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
+  }
+
   /** Mutual information between two categorical columns, in nats:
     *   I(X;Y) = Σ_xy p(xy) · ln( p(xy) / (p(x)·p(y)) )
     * The feature-redundancy / leakage detector: I ≈ 0 ⇒ independent
