@@ -797,6 +797,19 @@ object SparkEntry {
       graft.ext.Olap.categoricalEntropy(
         Tables.documents(s, dir), Seq("source"), "lang")),
 
+    // [EXT] Analytics: quantile normalization — error-event values
+    // mapped onto the click-value distribution by rank (feature
+    // alignment; reference grid inlined like the IVF centroids).
+    "q_quantile_norm" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Analytics.quantileNormalize(
+        ev.filter(col("event_type") === "error")
+          .select("event_id", "value"),
+        "value",
+        ev.filter(col("event_type") === "click"), "value",
+        gridSteps = 20)
+    }),
+
     // [EXT] Analytics: top-k categories + "(other)" rollup — the tail
     // stays visible instead of silently dropping (reporting honesty).
     "q_topk_other" -> ((s, dir) =>
@@ -2245,6 +2258,31 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    -(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n),
         |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy_nats
         |FROM m GROUP BY source""".stripMargin,
+
+    "q_quantile_norm" -> {
+      val probs = (0 to 20).map(i => (i.toDouble / 20).toString).mkString(", ")
+      s"""WITH ref AS (
+         |  SELECT [CAST(ROUND(q, 4) AS DECIMAL(14,4)) FOR q IN
+         |    quantile_cont(value, [$probs])] AS qs
+         |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+         |t AS (SELECT event_id, value FROM events
+         |      WHERE event_type = 'error' AND value IS NOT NULL),
+         |p AS (SELECT event_id, value,
+         |        CAST(ROUND(PERCENT_RANK() OVER (ORDER BY value), 6)
+         |          AS DECIMAL(18,6)) AS pr
+         |      FROM t),
+         |i AS (
+         |  SELECT event_id, value, pr, qs,
+         |    pr * 20 AS idx,
+         |    CAST(FLOOR(pr * 20) AS INTEGER) AS lo,
+         |    LEAST(CAST(FLOOR(pr * 20) AS INTEGER) + 1, 20) AS hi
+         |  FROM p CROSS JOIN ref)
+         |SELECT event_id, value, CAST(pr AS DOUBLE) AS pr,
+         |  CAST(ROUND(qs[lo + 1] +
+         |    CAST(idx - FLOOR(idx) AS DECIMAL(18,6))
+         |      * (qs[hi + 1] - qs[lo + 1]), 6) AS DOUBLE) AS normalized
+         |FROM i""".stripMargin
+    },
 
     "q_topk_other" ->
       """WITH c AS (

@@ -511,4 +511,48 @@ object Analytics {
       .select(col(valueCol), col(outCol))
     rows.join(ranks, Seq(valueCol))
   }
+
+  /** Quantile normalization: map `valueCol`'s distribution onto a
+    * REFERENCE distribution by rank — each row's percent-rank is
+    * linearly interpolated into the reference's quantile grid. The
+    * batch-effect remover of bioinformatics and the train-time
+    * feature aligner ("score new data on last month's scale"):
+    * after normalization the target's marginal distribution matches
+    * the reference's, order preserved.
+    *
+    * Scale + determinism shape: the rank side is the distributed
+    * [[percentRank]] (distinct-value prefix sums, no global window);
+    * the reference collapses to a (gridSteps+1)-point exact-percentile
+    * array — one row, driver-inlined as literals (the IVF-centroid
+    * precedent: bounded by the parameter, never by data). The
+    * interpolation runs entirely in EXACT DECIMAL (4-dp grid points,
+    * 6-dp rank, exact products) — double interpolation was observed to
+    * land within an ulp of a 6-dp rounding half, where Spark's
+    * decimal-string ROUND and DuckDB's float-path ROUND disagree; with
+    * decimals there is no ulp and exact halves round HALF_UP in both
+    * engines. Output: input columns + percent-rank + normalized (6 dp).
+    */
+  def quantileNormalize(
+      target: DataFrame, valueCol: String,
+      ref: DataFrame, refValueCol: String,
+      gridSteps: Int = 20): DataFrame = {
+    require(gridSteps >= 1, s"gridSteps must be >= 1: $gridSteps")
+    val probs = (0 to gridSteps).map(_.toDouble / gridSteps)
+    val qRow = ref.filter(col(refValueCol).isNotNull)
+      .agg(percentile(col(refValueCol),
+        array(probs.map(lit(_)): _*)).as("__qs"))
+      .head().getSeq[Double](0)
+    val qs = qRow.map(q =>
+      BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    val grid = array(qs.map(q =>
+      lit(q.underlying).cast("decimal(14,4)")): _*)
+    val ranked = percentRank(target, valueCol, "pr")
+    val idx = col("pr").cast("decimal(18,6)") * lit(gridSteps)
+    val lo = floor(idx).cast("int")
+    val hi = least(lo + 1, lit(gridSteps))
+    val frac = (idx - floor(idx)).cast("decimal(18,6)")
+    def q(i: org.apache.spark.sql.Column) = element_at(grid, i + 1)
+    ranked.withColumn("normalized",
+      round(q(lo) + frac * (q(hi) - q(lo)), 6).cast("double"))
+  }
 }

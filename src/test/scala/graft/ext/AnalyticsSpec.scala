@@ -182,6 +182,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.isNullAt(1))
   }
 
+  test("quantileNormalize maps a shifted distribution onto the reference") {
+    // target = reference + 100: after normalization the marginal must
+    // match the reference's scale (order preserved, ends pinned)
+    val ref = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val tgt = (1 to 200).map(i => (i.toLong, i.toDouble + 100)).toDF("id", "v")
+    val out = Analytics.quantileNormalize(tgt, "v", ref, "v")
+      .select("v", "normalized").as[(Double, Double)].collect().sortBy(_._1)
+    // monotone in the input
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+    // ends land on the reference's ends, not the target's
+    assert(math.abs(out.head._2 - 1.0) < 1.1)
+    assert(math.abs(out.last._2 - 200.0) < 1.1)
+    // mid-range within one grid cell (range/20) of the identity map
+    out.foreach { case (v, n) =>
+      assert(math.abs(n - (v - 100)) <= 200.0 / 20 + 1e-6, s"$v -> $n") }
+  }
+
   test("topKWithOther: tail collapses into a labeled remainder") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
       Seq("d", "e", "f")).toDF("cat")
