@@ -2353,8 +2353,16 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
         |    * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
         |    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n),
-        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2
-        |FROM g CROSS JOIN tot GROUP BY 1, 2, 3""".stripMargin,
+        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN LEAST(kx, ky) > 1 THEN
+        |    ROUND(sqrt(ROUND(CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |      * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n),
+        |      12) AS DECIMAL(24,12))) AS DOUBLE), 6)
+        |      / (CAST(n AS DOUBLE) * CAST(LEAST(kx, ky) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM g CROSS JOIN tot GROUP BY 1, 2, 3, LEAST(kx, ky)""".stripMargin,
 
     "q_mutual_info" ->
       """WITH cells AS (

@@ -254,9 +254,19 @@ object Olap {
     grid.crossJoin(broadcast(totals))
       .groupBy(col("n"),
         (col("__kx") * col("__ky")).as("n_cells"),
-        ((col("__kx") - 1) * (col("__ky") - 1)).as("dof"))
+        ((col("__kx") - 1) * (col("__ky") - 1)).as("dof"),
+        least(col("__kx"), col("__ky")).as("__kmin"))
       .agg(round(sum(term).cast("double"), 6).as("chi2"))
-      .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
+      // Cramér's V = √(χ²/(n·(min(k)−1))) ∈ [0,1]: the effect size
+      // that stays comparable across table shapes and sample sizes
+      // (χ² itself grows with n). Degenerate 1-level tables ⇒ null.
+      .withColumn("cramers_v",
+        when(col("__kmin") > 1,
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") * (col("__kmin") - 1).cast("double"))),
+            6)))
+      .select(col("n"), col("n_cells"), col("dof"), col("chi2"),
+        col("cramers_v"))
   }
 
   /** Mutual information between two categorical columns, in nats:

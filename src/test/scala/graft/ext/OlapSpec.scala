@@ -139,20 +139,20 @@ class OlapSpec extends SparkSpec {
 
   test("chiSquare: hand 2x2 case where a zero cell must contribute") {
     // obs: (a,p)=4, (a,q)=0, (b,p)=0, (b,q)=4 -> perfect association
-    // E = 2 everywhere; chi2 = 4 * (2^2/2) = 8; dof = 1
+    // E = 2 everywhere; chi2 = 4 * (2^2/2) = 8; dof = 1; V = sqrt(8/8) = 1
     val df = (Seq.fill(4)(("a", "p")) ++ Seq.fill(4)(("b", "q")))
       .toDF("x", "y")
     val out = Olap.chiSquare(df, "x", "y")
-      .as[(Long, Long, Long, Double)].head()
-    assert(out === ((8L, 4L, 1L, 8.0)))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((8L, 4L, 1L, 8.0, 1.0)))
   }
 
   test("chiSquare: exactly balanced independence gives 0") {
     val df = (for { x <- 1 to 3; y <- 1 to 4; _ <- 1 to 2 }
       yield (s"x$x", s"y$y")).toDF("x", "y")
     val out = Olap.chiSquare(df, "x", "y")
-      .as[(Long, Long, Long, Double)].head()
-    assert(out === ((24L, 12L, 6L, 0.0)))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((24L, 12L, 6L, 0.0, 0.0)))
   }
 
   test("mutualInformation: independent columns give ~0 nats") {
