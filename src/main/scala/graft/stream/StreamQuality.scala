@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, lit, not}
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
