@@ -1031,9 +1031,16 @@ object SparkEntry {
         k = 5)),
 
     // [EXT] Dataset-card dashboard: per-source corpus report composing
-    // token stats, decimal-exact mean quality, exact-dup rate, and
+    // token stats, integer-exact mean quality, exact-dup rate, and
     // language spread in ONE aggregate pass (the multi-distinct Expand
     // is the documented cost, as in q_profile_columns).
+    // Determinism: avg_quality and dup_rate are 6-dp HALF_UP of exact
+    // rationals computed ENTIRELY in integer space —
+    // round_half_up(a/b, 6dp) = (2·a·10⁶ + b) div (2·b) micro-units —
+    // because round()-on-double diverges cross-engine on half-boundary
+    // values (the r06 hash-fail on this very query). The per-doc
+    // quality score is already an exact DECIMAL(9,6), so its 10⁶-scaled
+    // sum is an exact integer.
     "q_corpus_report" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val q = TextStats.qualityScore(col("text")).cast("decimal(9,6)")
@@ -1042,13 +1049,17 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(TextStats.tokenCount(col("text")).cast("long"))
             .as("total_tokens"),
-          round(sum(q).cast("double") / count(lit(1)).cast("double"), 6)
-            .as("avg_quality"),
+          sum((q * lit(1000000)).cast("long")).as("__qsum"),
           countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"),
           countDistinct(col("lang")).as("n_langs"))
+        .withColumn("avg_quality",
+          expr("CAST((2 * __qsum + n_docs) div (2 * n_docs) AS DOUBLE)") /
+            lit(1e6))
         .withColumn("dup_rate",
-          round((col("n_docs") - col("n_unique")).cast("double") /
-            col("n_docs").cast("double"), 6))
+          expr("CAST((2 * (n_docs - n_unique) * 1000000 + n_docs) " +
+            "div (2 * n_docs) AS DOUBLE)") / lit(1e6))
+        .select("source", "n_docs", "total_tokens", "avg_quality",
+          "n_unique", "n_langs", "dup_rate")
     }),
 
     // [EXT] Record linkage: match customers against a deterministically
@@ -2230,7 +2241,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |          CAST(COUNT(*) AS BIGINT) AS n_cats FROM pc),
         |w AS (
         |  SELECT n_ref, n_cur, n_cats,
-        |    CAST(ROUND(
+        |    CAST(FLOOR((
         |      CASE WHEN cr > 0 THEN (CAST(cr AS DOUBLE) / n_ref) *
         |        ln((CAST(cr AS DOUBLE) / n_ref) /
         |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
@@ -2238,11 +2249,11 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / n_cur) *
         |        ln((CAST(cq AS DOUBLE) / n_cur) /
         |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
-        |        / 2.0 ELSE 0.0 END,
-        |      12) AS DECIMAL(24,12)) AS term
+        |        / 2.0 ELSE 0.0 END)
+        |      * 1e12) AS DECIMAL(20,0)) AS term
         |  FROM pc CROSS JOIN tot)
         |SELECT n_ref, n_cur, n_cats,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+        |  CAST(SUM(term) AS DOUBLE) / 1e12 AS jsd
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
     "q_cat_entropy" ->
@@ -2330,8 +2341,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
         |          CAST(SUM(cb) AS BIGINT) AS n_b FROM pv)
         |SELECT n_a, n_b,
-        |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / n_a
-        |    - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks_d
+        |  CAST(FLOOR(MAX(ABS(CAST(cuma AS DOUBLE) / n_a
+        |    - CAST(cumb AS DOUBLE) / n_b)) * 1e6) AS DOUBLE) / 1e6 AS ks_d
         |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
 
     "q_chi_square" ->
@@ -2865,16 +2876,17 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_corpus_report" ->
       s"""SELECT source, COUNT(*) AS n_docs,
         |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
-        |  ROUND(CAST(SUM(CAST(
+        |  CAST((2 * SUM(CAST(CAST(
         |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
         |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
         |           t -> t IN $stopwordSqlList)) AS DOUBLE)
         |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6)
-        |    AS DECIMAL(9,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality,
+        |    AS DECIMAL(9,6)) * 1000000 AS BIGINT)) + COUNT(*))
+        |    // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS avg_quality,
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(DISTINCT lang) AS n_langs,
-        |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        |  CAST((2 * (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 + COUNT(*))
+        |    // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS dup_rate
         |FROM documents GROUP BY 1""".stripMargin,
 
     // The unbanded levenshtein + "> 2 -> 0" CASE is equivalent to the
@@ -2972,14 +2984,14 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |t AS (
         |  SELECT SUM(br) AS n_ref, SUM(bc) AS n_cur, COUNT(*) AS n_bins FROM j),
         |terms AS (
-        |  SELECT CAST(ROUND(
-        |    (CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
+        |  SELECT CAST(FLOOR(
+        |    ((CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
         |     - CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END)
         |    * ln(CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
-        |       / CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END),
-        |    12) AS DECIMAL(24,12)) AS term
+        |       / CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END))
+        |    * 1e12) AS DECIMAL(20,0)) AS term
         |  FROM j CROSS JOIN t)
-        |SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+        |SELECT CAST(SUM(term) AS DOUBLE) / 1e12 AS psi,
         |  t.n_bins, t.n_ref, t.n_cur
         |FROM terms CROSS JOIN t
         |GROUP BY t.n_bins, t.n_ref, t.n_cur""".stripMargin,

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (cross-engine oracle-able): bin counts are
   * exact; proportions are one double division each; each bin's term
-  * is rounded to 12 dp and summed as DECIMAL(24,12) — float addition
-  * order CANNOT perturb the total (same convention as the decimal
-  * revenue/moment sums) — then the PSI rounds to 6 dp.
+  * is TRUNCATED to 12 dp (⌊x·10¹²⌋, the [[Graph.pageRank]] floor
+  * quantization — floor has no tie to break, so identical doubles
+  * quantize identically in any engine, where round()-on-double hits
+  * the Spark-HALF_UP-vs-DuckDB divergence observed in r06) and summed
+  * as exact DECIMAL integers — float addition order CANNOT perturb
+  * the total. The PSI is the integer sum ÷ 10¹² (one IEEE divide, no
+  * further rounding).
   *
   * Scale shape: one hash aggregate per side keyed on the bin id
   * (map-side combinable, shuffle carries ≤ #bins rows per task), one
@@ -60,11 +64,11 @@ object Drift {
     val term = {
       val p = prop(col("br"), col("n_ref"))
       val q = prop(col("bc"), col("n_cur"))
-      round((q - p) * log(q / p), 12).cast("decimal(24,12)")
+      floor((q - p) * log(q / p) * lit(1e12)).cast("decimal(20,0)")
     }
     binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
-      .agg(round(sum(term).cast("double"), 6).as("psi"))
+      .agg((sum(term).cast("double") / lit(1e12)).as("psi"))
       .select("psi", "n_bins", "n_ref", "n_cur")
   }
 
@@ -79,8 +83,10 @@ object Drift {
     *
     * Determinism: P, Q, M are ratios of exact integer counts; each
     * category's term is double math on those integers (identical in
-    * any engine), rounded to 12 dp and summed as exact DECIMAL — the
-    * [[psi]] discipline — then rounded to 6.
+    * any engine), floor-quantized to 12 dp (⌊x·10¹²⌋ — a JSD half-KL
+    * term can be negative; floor is still tie-free and engine-exact)
+    * and summed as exact DECIMAL integers — the [[psi]] discipline —
+    * then the JSD is the integer sum ÷ 10¹².
     *
     * Scale shape: both sides collapse to per-category counts in ONE
     * union-tagged aggregate (map-side combinable, keyed on the
@@ -102,13 +108,13 @@ object Drift {
     val q = col("__cq").cast("double") / col("n_cur").cast("double")
     val m = (p + q) / lit(2.0)
     // 0·ln(0/m) := 0 — the when-guards keep the absent side silent.
-    val term = round(
+    val term = floor((
       when(col("__cr") > 0, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
-        when(col("__cq") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0)),
-      12).cast("decimal(24,12)")
+        when(col("__cq") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0))
+      ) * lit(1e12)).cast("decimal(20,0)")
     perCat.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_cats"))
-      .agg(round(sum(term).cast("double"), 6).as("jsd"))
+      .agg((sum(term).cast("double") / lit(1e12)).as("jsd"))
       .select(col("n_ref"), col("n_cur"), col("n_cats"), col("jsd"))
   }
 
@@ -129,7 +135,9 @@ object Drift {
     *
     * Determinism: cumulative counts are exact integers; each CDF
     * difference is one IEEE divide/subtract from exact integers —
-    * identical in any engine — and D is rounded to 6 dp.
+    * identical in any engine — and D is floor-quantized to 6 dp
+    * (⌊x·10⁶⌋ ÷ 10⁶, tie-free; round()-on-double is the cross-engine
+    * HALF_UP trap).
     */
   def ksStatistic(
       a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
@@ -148,12 +156,12 @@ object Drift {
       Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
     val totals = perValue.agg(
       sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val dMax = max(abs(
+      col("__cuma").cast("double") / col("n_a").cast("double") -
+        col("__cumb").cast("double") / col("n_b").cast("double")))
     cum.crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(round(max(abs(
-        col("__cuma").cast("double") / col("n_a").cast("double") -
-          col("__cumb").cast("double") / col("n_b").cast("double"))), 6)
-        .as("ks_d"))
+      .agg((floor(dMax * lit(1e6)).cast("double") / lit(1e6)).as("ks_d"))
       .select(col("n_a"), col("n_b"), col("ks_d"))
   }
 }

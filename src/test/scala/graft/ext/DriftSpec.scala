@@ -19,11 +19,12 @@ class DriftSpec extends SparkSpec {
     val cur = (Seq.fill(20)(1.0) ++ Seq.fill(80)(20.0)).toDF("v")
     val out = Drift.psi(ref, cur, "v", width = 16L)
       .as[(Double, Long, Long, Long)].head()
+    // mirrors the floor-quantization contract: ⌊term·10¹²⌋ summed
+    // exactly, psi = sum / 10¹²
     val expected = {
       val t0 = (0.2 - 0.8) * math.log(0.2 / 0.8)
       val t1 = (0.8 - 0.2) * math.log(0.8 / 0.2)
-      math.rint((math.rint(t0 * 1e12) / 1e12 +
-        math.rint(t1 * 1e12) / 1e12) * 1e6) / 1e6
+      (math.floor(t0 * 1e12) + math.floor(t1 * 1e12)) / 1e12
     }
     assert(out._1 == expected && out._2 == 2L)
   }
@@ -33,10 +34,10 @@ class DriftSpec extends SparkSpec {
     val cur = Seq(1.0, 1.0, 100.0, 100.0).toDF("v") // bin 6 unseen in ref
     val out = Drift.psi(ref, cur, "v", width = 16L)
       .as[(Double, Long, Long, Long)].head()
-    // (0.5 - 1.0)ln(0.5) + (0.5 - 1e-6)ln(0.5/1e-6), each rounded 12dp
-    val t0 = math.rint((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12) / 1e12
-    val t1 = math.rint((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12) / 1e12
-    assert(out._1 == math.rint((t0 + t1) * 1e6) / 1e6)
+    // (0.5 - 1.0)ln(0.5) + (0.5 - 1e-6)ln(0.5/1e-6), each ⌊·10¹²⌋
+    val t0 = math.floor((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12)
+    val t1 = math.floor((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12)
+    assert(out._1 == (t0 + t1) / 1e12)
     assert(out._1 > 0.25) // reads as "shifted" on the rule-of-thumb scale
   }
 
