@@ -716,9 +716,10 @@ object SparkEntry {
     }),
 
     // [EXT] Embeddings: Lloyd's k-means (farthest-point init, one
-    // mergeable aggregate per pass). Rows-only by declared design —
-    // learned centroids inherit float-moment partial-order wobble
-    // (fixed-centroid assignment IS oracled, as q_sim_ivf).
+    // mergeable aggregate per pass). Oracled since r7: quantized
+    // distances + exact integer centroid sums make every iteration
+    // bit-reproducible, so the oracle unrolls init + 3 Lloyd passes
+    // in SQL (kmeansOracleSql), like the PageRank oracle.
     "q_kmeans_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (_, assigned) = graft.ext.Embeddings.kmeans(
@@ -1429,6 +1430,68 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 WHERE rnk <= 10"""
   }
 
+  /** DuckDB oracle for q_kmeans_assign: the full deterministic k-means
+    * unrolled in SQL — farthest-point init (k−1 argmax layers over
+    * ⌊minDist·10⁶⌋; floor commutes with MIN so per-seed floors + MIN
+    * equals the Spark side's floor-of-least), then `iters` Lloyd
+    * passes, each an argmin assignment over ⌊dist·10⁶⌋ (ties → lower
+    * cid, the struct-least order) and a centroid update from exact
+    * ⌊v_i·10⁶⌋ BIGINT sums — mirroring [[graft.ext.Embeddings.kmeans]]
+    * scalar for scalar. `list_inner_product` is bit-identical to the
+    * codegen'd [[graft.functions.DotProduct]].
+    */
+  private def kmeansOracleSql: String = {
+    val k = 8
+    val iters = 3
+    def qd(emb: String, cemb: String): String =
+      s"CAST(FLOOR((list_inner_product($emb, $emb) " +
+        s"- list_inner_product($emb, $cemb) * 2.0 " +
+        s"+ list_inner_product($cemb, $cemb)) * 1e6) AS BIGINT)"
+    val seedCtes = (1 until k).map { j =>
+      s"""s$j AS (
+  SELECT $j AS cid, any_value(e.emb) AS emb FROM e CROSS JOIN seeds$j s
+  GROUP BY e.vec_id
+  ORDER BY MIN(${qd("e.emb", "s.emb")}) DESC, e.vec_id ASC LIMIT 1),
+seeds${j + 1} AS (SELECT * FROM seeds$j UNION ALL SELECT * FROM s$j)"""
+    }.mkString(",\n")
+    val iterCtes = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""a$t AS (
+  SELECT vec_id, qemb, cid FROM (
+    SELECT e.vec_id, e.qemb, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
+    FROM e CROSS JOIN $prev c) WHERE r = 1),
+u$t AS (
+  SELECT a.cid, d.i, SUM(a.qemb[d.i]) AS s, COUNT(*) AS n
+  FROM a$t a CROSS JOIN dims d GROUP BY a.cid, d.i),
+c$t AS (
+  SELECT p.cid, COALESCE(nc.emb, p.emb) AS emb
+  FROM $prev p LEFT JOIN (
+    SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+      ORDER BY i) AS emb
+    FROM u$t GROUP BY cid) nc USING (cid))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS qemb
+  FROM embeddings),
+dims AS (SELECT UNNEST(range(1, 65)) AS i),
+s0 AS (SELECT 0 AS cid, emb FROM e ORDER BY vec_id LIMIT 1),
+seeds1 AS (SELECT * FROM s0),
+$seedCtes,
+c0 AS (SELECT * FROM seeds$k),
+$iterCtes,
+fin AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
+    FROM e CROSS JOIN c$iters c) WHERE r = 1)
+SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
+  }
+
   /** DuckDB oracle for q_dedup_embed_lsh: same bucket constants, same
     * equi-join + exact-cosine verification.
     */
@@ -1623,6 +1686,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_lsh" -> simLshOracleSql,
 
     "q_sim_ivf" -> simIvfOracleSql,
+
+    "q_kmeans_assign" -> kmeansOracleSql,
 
     "q_scan_cast" ->
       """SELECT event_id,

@@ -163,12 +163,44 @@ object Embeddings {
     if (dists.length == 1) dists.head else least(dists: _*)
   }
 
+  /** 10⁶-quantized squared-L2 distance to a literal centroid:
+    * ⌊(|v|² − 2·v·c + |c|²)·10⁶⌋ as LONG. All argmin/argmax decisions
+    * in [[kmeans]] compare these quantized integers (ties → lower
+    * cluster id), NOT raw doubles — raw-double comparisons are
+    * ulp-fragile across engines and round() half-ties are
+    * engine-specific, while floor has no tie to break and identical
+    * doubles floor identically everywhere (the [[Graph.pageRank]]
+    * discipline). The inner dot products are [[VectorExprs.dot]],
+    * bit-identical to DuckDB's `list_inner_product`.
+    */
+  private def quantizedDist(vecCol: Column, c: Array[Double]): Column = {
+    val c2 = c.map(x => x * x).sum
+    floor((VectorExprs.dot(vecCol, vecCol)
+      - VectorExprs.dot(vecCol, array(c.map(lit): _*)) * 2.0 + lit(c2))
+      * lit(1e6)).cast("long")
+  }
+
+  /** Nearest-centroid id by QUANTIZED distance (see [[quantizedDist]]),
+    * ties to the lower id — the cross-engine-reproducible sibling of
+    * [[nearestCentroid]].
+    */
+  def nearestCentroidQuantized(
+      vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      struct(quantizedDist(vecCol, c).as("d"), lit(j).as("j"))
+    }
+    (if (cands.length == 1) cands.head else least(cands: _*)).getField("j")
+  }
+
   /** Deterministic farthest-point init: seed with the lowest-id
     * vector, then k-1 times take the vector farthest from its nearest
     * chosen seed (ties by id). One TakeOrdered pass per seed — k scans
     * total, each a top-1, no shuffle of the data. First-k-by-id init
     * is a trap: adjacent ids often share a source/cluster, and Lloyd's
-    * cannot split a blob that got every seed.
+    * cannot split a blob that got every seed. The farthest-point
+    * ordering compares ⌊minDist·10⁶⌋ (floor commutes with min, so the
+    * oracle can floor per-seed distances and take MIN).
     */
   private def farthestPointInit(
       df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
@@ -179,7 +211,8 @@ object Embeddings {
     while (seeds.length < k) {
       val next = df
         .orderBy(
-          nearestCentroidDist(col(vecCol), seeds).desc, col(idCol).asc)
+          floor(nearestCentroidDist(col(vecCol), seeds) * lit(1e6)).desc,
+          col(idCol).asc)
         .limit(1)
         .select(col(vecCol).cast("array<double>")).collect()
       seeds = seeds :+ next(0).getSeq[Double](0).toArray
@@ -189,11 +222,22 @@ object Embeddings {
 
   /** Lloyd's k-means over an embedding column. Deterministic
     * farthest-point init, `iters` full passes; each pass is ONE hash
-    * aggregate over the data with constant per-cluster state
-    * ([[graft.functions.VecSumAgg]]) — assignments are never
-    * materialized between passes, and only k (d+1)-vectors reach the
-    * driver per pass. Empty clusters keep their previous centroid.
-    * Returns (final centroids, assignment frame with `cluster`).
+    * aggregate over the data with constant per-cluster state —
+    * assignments are never materialized between passes, and only
+    * k·(d+1) scalars reach the driver per pass. Empty clusters keep
+    * their previous centroid. Returns (final centroids, assignment
+    * frame with `cluster`).
+    *
+    * Determinism contract (cross-engine oracle-able): assignments
+    * compare ⌊dist·10⁶⌋ integers ([[quantizedDist]]); centroid updates
+    * sum ⌊v_i·10⁶⌋ as exact LONGs per dimension (map-side combinable,
+    * partial-aggregation order CANNOT perturb them — the bound is
+    * n·max|v|·10⁶ per cluster-dim, far inside 2⁶³ for unit-scale
+    * embeddings), and each new centroid coordinate is the one IEEE
+    * division sum / (n·10⁶). Every double any engine compares or
+    * emits is therefore derived from identical integer state by
+    * identical scalar ops — the 3-iteration unroll is SQL-expressible
+    * exactly like the [[Graph.pageRank]] oracle.
     */
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
@@ -202,23 +246,30 @@ object Embeddings {
     var centroids: Array[Array[Double]] =
       farthestPointInit(df, idCol, vecCol, k)
     require(centroids.length == k, s"need >= $k vectors for init")
+    val qsums = (0 until dim).map(i =>
+      sum(floor(col(vecCol).getItem(i).cast("double") * lit(1e6))
+        .cast("long")).as(s"__s$i"))
     var it = 0
     while (it < iters) {
       val states = df
-        .groupBy(nearestCentroid(col(vecCol), centroids).as("cluster"))
-        .agg(graft.functions.VecSumAgg.vecSum(col(vecCol), dim).as("s"))
+        .groupBy(nearestCentroidQuantized(col(vecCol), centroids)
+          .as("cluster"))
+        .agg(count(lit(1)).as("__n"), qsums: _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) -> r).toMap
       centroids = centroids.zipWithIndex.map { case (old, j) =>
         states.get(j) match {
-          case Some(s) if s(0) > 0 => Array.tabulate(dim)(i => s(1 + i) / s(0))
+          case Some(r) =>
+            val n = r.getLong(1)
+            Array.tabulate(dim)(i =>
+              r.getLong(2 + i).toDouble / (n.toDouble * 1e6))
           case _ => old
         }
       }
       it += 1
     }
     (centroids, df.withColumn("cluster",
-      nearestCentroid(col(vecCol), centroids)))
+      nearestCentroidQuantized(col(vecCol), centroids)))
   }
 
   /** Project the embedding column onto the model's axes: for each
