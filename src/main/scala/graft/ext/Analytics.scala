@@ -377,9 +377,14 @@ object Analytics {
     * instead of silently vanishing (the no-silent-caps rule applied to
     * reporting). Output ≤ k+1 rows: (category, n_rows, is_other).
     *
-    * Determinism: rank over the AGGREGATED category frame (bounded by
-    * category cardinality, not row count — the only global window
-    * here) with (count desc, category asc) total order.
+    * Determinism: top-k membership by the (count desc, category asc)
+    * total order — selected by the bounded-heap
+    * [[graft.functions.TopKAgg.topKStr]] aggregate (≤ k entries per
+    * map task) rather than a global rank window, so a HIGH-cardinality
+    * category column cannot turn the selection into the
+    * single-partition WindowExec straggler. Null categories always
+    * collapse into the other-bucket (the heap skips null ids; a null
+    * join key matches nothing).
     */
   def topKWithOther(
       df: DataFrame, catCol: String, k: Int,
@@ -387,15 +392,18 @@ object Analytics {
     require(k >= 1, s"k must be >= 1: $k")
     val counts = df.groupBy(col(catCol).cast("string").as("category"))
       .agg(count(lit(1)).as("n_rows"))
-    val ranked = counts.withColumn("__r",
-      row_number().over(
-        Window.orderBy(col("n_rows").desc, col("category").asc)))
-    ranked
+    // counts < 2^53, so the double score is exact.
+    val top = counts
+      .agg(graft.functions.TopKAgg.topKStr(
+        col("n_rows").cast("double"), col("category"), k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.id").as("category"), lit(false).as("__in_top"))
+    counts.join(broadcast(top), Seq("category"), "left")
       .select(
-        when(col("__r") <= k, col("category"))
+        when(col("__in_top").isNotNull, col("category"))
           .otherwise(lit(otherLabel)).as("category"),
         col("n_rows"),
-        (col("__r") > k).as("is_other"))
+        coalesce(col("__in_top"), lit(true)).as("is_other"))
       .groupBy(col("category"), col("is_other"))
       .agg(sum(col("n_rows")).as("n_rows"))
       .select("category", "n_rows", "is_other")

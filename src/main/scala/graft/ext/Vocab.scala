@@ -29,6 +29,15 @@ object Vocab {
     */
   def topVocabulary(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    vocabCounts(docs, idCol, textCol)
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+
+  /** Full vocabulary frame (token, occurrences, doc_freq) — the
+    * pre-selection stage shared by [[topVocabulary]] and [[zipfFit]].
+    */
+  private def vocabCounts(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("__id"))
@@ -36,8 +45,6 @@ object Vocab {
       .groupBy(col("token"))
       .agg(sum(col("__c")).as("occurrences"),
         count(lit(1)).as("doc_freq"))
-      .orderBy(col("occurrences").desc, col("token").asc)
-      .limit(k)
 
   /** Unigram-LM surprisal per document — the perplexity-proxy quality
     * filter of CCNet-style pipelines: score = mean over the document's
@@ -192,20 +199,26 @@ object Vocab {
     * token asc) order; each ln() is rounded to 6 dp and the regression
     * moments are exact DECIMAL sums of those rounded values (the
     * [[Analytics.linearTrend]] discipline), so the closed-form fit is
-    * bit-identical cross-engine. The rank window runs over k rows —
-    * bounded by the parameter, not the corpus.
+    * bit-identical cross-engine. The top-k selection + rank is the
+    * bounded-heap [[graft.functions.TopKAgg.topKStr]] (array position
+    * = rank − 1) — ≤ k entries per map task, NO rank window at all, so
+    * the selection survives any vocabulary cardinality.
     *
     * Output: one row (n_terms, slope, intercept), 6 dp.
     */
   def zipfFit(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 100): DataFrame = {
-    val ranked = topVocabulary(docs, idCol, textCol, k)
-      .withColumn("__rank", row_number().over(
-        Window.orderBy(col("occurrences").desc, col("token").asc)))
+    // occurrences < 2^53: the heap's double score is the exact count.
+    val ranked = vocabCounts(docs, idCol, textCol)
+      .agg(graft.functions.TopKAgg.topKStr(
+        col("occurrences").cast("double"), col("token"), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select((col("__p") + 1).cast("long").as("__rank"),
+        col("__e.score").as("__occ"))
     val x = round(log(col("__rank").cast("double")), 6)
       .cast("decimal(18,6)")
-    val y = round(log(col("occurrences").cast("double")), 6)
+    val y = round(log(col("__occ")), 6)
       .cast("decimal(18,6)")
     ranked
       .agg(

@@ -120,10 +120,119 @@ case class TopKAgg(
   override def prettyName: String = "graft_top_k"
 }
 
+/** String-id sibling of [[TopKAgg]]: bounded top-k (score, id) pairs
+  * by (score desc, id ASC — bytewise UTF8 order, matching Spark's and
+  * DuckDB's binary string comparison), partial-aggregated. Null ids
+  * and NaN scores are skipped. Output: array<struct<id: string,
+  * score: double>>, best-first.
+  */
+case class TopKStrAgg(
+    score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, org.apache.spark.unsafe.types.UTF8String)]] {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k > 0, s"k must be positive: $k")
+
+  // Worst-first: head is the entry to evict — LOWEST score, then
+  // HIGHEST id (rank order is score desc, id asc).
+  private val worstFirst: Ordering[(Double, UTF8String)] =
+    Ordering.fromLessThan { (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+    }
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKAgg.strResultType
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def insert(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      e: (Double, UTF8String)): Unit = {
+    if (buf.size < k) buf.enqueue(e)
+    else if (worstFirst.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+  }
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      input: InternalRow): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
+      // clone(): the evaluated UTF8String may point into a reused
+      // UnsafeRow buffer — storing it un-copied corrupts the heap.
+      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone()))
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      other: mutable.PriorityQueue[(Double, UTF8String)]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
+    // Sorted COPY — eval must not mutate the buffer (see TopKAgg.eval).
+    val best = buf.toArray.sortWith(worstFirst.lt)
+    new GenericArrayData(
+      best.map { case (s, d) => new GenericInternalRow(Array[Any](d, s)): Any })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String)]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream(8 + 32 * buf.size)
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) =>
+      out.writeDouble(s)
+      val b = i.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(storage: Array[Byte]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.enqueue((s, UTF8String.fromBytes(b)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrAgg =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "graft_top_k_str"
+}
+
 object TopKAgg {
   val resultType: ArrayType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  val strResultType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("id", StringType, nullable = false),
       StructField("score", DoubleType, nullable = false))),
     containsNull = false)
 
@@ -133,4 +242,8 @@ object TopKAgg {
     */
   def topK(score: Column, id: Column, k: Int): Column =
     column(TopKAgg(expression(score), expression(id), k).toAggregateExpression())
+
+  /** [[topK]] with STRING ids (categories, tokens). */
+  def topKStr(score: Column, id: Column, k: Int): Column =
+    column(TopKStrAgg(expression(score), expression(id), k).toAggregateExpression())
 }

@@ -209,6 +209,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq.map(_._2).sum === 15L)
   }
 
+  test("topKWithOther: boundary ties break by category asc") {
+    val df = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(3)("c") ++
+      Seq("z")).toDF("cat")
+    val out = Analytics.topKWithOther(df, "cat", k = 2)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out === Set(("a", 3L, false), ("b", 3L, false), ("(other)", 4L, true)))
+  }
+
+  test("topKWithOther plans NO window — heap selection survives high cardinality") {
+    // 3000 distinct categories: a global rank window would shuffle the
+    // whole aggregated frame to one task; the heap contract is ≤ k
+    // entries per map task regardless of cardinality.
+    val df = (1 to 3000).flatMap(i =>
+      Seq.fill(i % 7 + 1)(s"cat_$i")).toDF("cat")
+    val q = Analytics.topKWithOther(df, "cat", k = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window found:\n$plan")
+    // matches the brute-force reference
+    val counts = df.as[String].collect().groupBy(identity)
+      .map { case (c, xs) => (c, xs.length.toLong) }
+    val top = counts.toSeq.sortBy { case (c, n) => (-n, c) }.take(5)
+    val expectTop = top.map { case (c, n) => (c, n, false) }.toSet
+    val otherSum = counts.values.sum - top.map(_._2).sum
+    val got = q.as[(String, Long, Boolean)].collect().toSet
+    assert(got === expectTop + (("(other)", otherSum, true)))
+  }
+
   test("gini: perfectly even values give 0, extreme concentration near 1") {
     val even = (1L to 10L).map(i => (i, 5.0)).toDF("id", "v")
     val g0 = Analytics.gini(even, "v", "id").select("gini").as[Double].head()

@@ -138,6 +138,18 @@ class VocabSpec extends SparkSpec {
     assert(math.abs(slope) < 1e-9, s"slope=$slope")
   }
 
+  test("zipfFit plans NO window — heap rank survives vocabulary cardinality") {
+    // 2000 distinct tokens, k=20: the old row_number() form put the
+    // whole vocabulary through a single-partition WindowExec; the heap
+    // keeps ≤ k entries per map task and array position IS the rank.
+    val text = (1 to 2000).flatMap(i => Seq.fill(i % 5 + 1)(f"tok$i%04d"))
+    val corpus = Seq((0L, text.mkString(" "))).toDF("doc_id", "text")
+    val q = Vocab.zipfFit(corpus, "doc_id", "text", k = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window found:\n$plan")
+    assert(q.select("n_terms").as[Long].head() === 20L)
+  }
+
   test("hashedFeatures: stable buckets in range, counts preserved") {
     val tiny = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
     val out = Vocab.hashedFeatures(tiny, "doc_id", "text", 64)
