@@ -2418,12 +2418,13 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |xs AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
         |ys AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
         |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
-        |          CAST(COUNT(DISTINCT x) AS BIGINT) AS kx,
-        |          CAST(COUNT(DISTINCT y) AS BIGINT) AS ky FROM cells),
+        |          (SELECT CAST(COUNT(*) AS BIGINT) FROM xs) AS kx,
+        |          (SELECT CAST(COUNT(*) AS BIGINT) FROM ys) AS ky FROM cells),
         |g AS (
         |  SELECT xs.nx, ys.ny, COALESCE(c.nxy, 0) AS o
         |  FROM xs CROSS JOIN ys
-        |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y)
+        |  LEFT JOIN cells c ON c.x IS NOT DISTINCT FROM xs.x
+        |                   AND c.y IS NOT DISTINCT FROM ys.y)
         |SELECT n, kx * ky AS n_cells, (kx - 1) * (ky - 1) AS dof,
         |  ROUND(CAST(SUM(CAST(ROUND(
         |    (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
@@ -2511,7 +2512,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |        CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1),
         |a AS (SELECT variant AS variant_a, n AS n_a, c AS conv_a FROM v
         |      ORDER BY variant ASC LIMIT 1),
-        |b AS (SELECT variant AS variant_b, n AS n_b, c AS conv_b FROM v
+        |b AS (SELECT variant AS variant_b, n AS n_b, c AS conv_b FROM
+        |      (SELECT * FROM v ORDER BY variant ASC LIMIT 2)
         |      ORDER BY variant DESC LIMIT 1)
         |SELECT variant_a, n_a, conv_a, variant_b, n_b, conv_b,
         |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,

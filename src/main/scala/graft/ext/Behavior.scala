@@ -145,7 +145,11 @@ object Behavior {
     val a = perVariant.orderBy(col("__variant").asc).limit(1)
       .select(col("__variant").as("variant_a"),
         col("__n").as("n_a"), col("__c").as("conv_a"))
-    val b = perVariant.orderBy(col("__variant").desc).limit(1)
+    // Second-lowest variant: last of the ascending first two — NOT the
+    // lexicographic maximum, which silently paired A with Z when more
+    // than two variants were present.
+    val b = perVariant.orderBy(col("__variant").asc).limit(2)
+      .orderBy(col("__variant").desc).limit(1)
       .select(col("__variant").as("variant_b"),
         col("__n").as("n_b"), col("__c").as("conv_b"))
     val ra = col("conv_a").cast("double") / col("n_a").cast("double")

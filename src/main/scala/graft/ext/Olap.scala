@@ -238,13 +238,22 @@ object Olap {
       .agg(count(lit(1)).as("__nxy"))
     val xs = cells.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
     val ys = cells.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    // Null levels are REAL levels — [[mutualInformation]]'s convention.
+    // The grid join is null-safe (<=>, via re-aliased cell keys so the
+    // shared-lineage attributes can't collapse to a trivially-true
+    // condition) and kx/ky count marginal ROWS: countDistinct would
+    // drop a null level while its counts stayed in n and the opposing
+    // marginals, inflating chi2 with spurious (0−E)²/E mass and
+    // understating dof.
+    val cellsK = cells.select(
+      col("__x").as("__cx"), col("__y").as("__cy"), col("__nxy"))
     val grid = xs.crossJoin(ys)
-      .join(cells, Seq("__x", "__y"), "left")
+      .join(cellsK,
+        col("__x") <=> col("__cx") && col("__y") <=> col("__cy"), "left")
       .withColumn("__o", coalesce(col("__nxy"), lit(0L)))
-    val totals = cells.agg(
-      sum(col("__nxy")).as("n"),
-      countDistinct(col("__x")).as("__kx"),
-      countDistinct(col("__y")).as("__ky"))
+    val totals = cells.agg(sum(col("__nxy")).as("n"))
+      .crossJoin(xs.agg(count(lit(1)).as("__kx")))
+      .crossJoin(ys.agg(count(lit(1)).as("__ky")))
     val expected = col("__nx").cast("double") * col("__ny").cast("double") /
       col("n").cast("double")
     val term = round(

@@ -66,7 +66,13 @@ object Sketches {
       .agg(max(col("__rank")).as("__M"))
     // Exact-integer register summary: 2^(-M) scaled by 2^maxRank.
     val term = expr(s"shiftleft(1L, $maxRank - __M)")
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // b >= 7 constant
+    // Flajolet's bias-correction constant is m-specific below m=128
+    // (the asymptotic formula overshoots by a few percent at small m).
+    val alpha = m match {
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     regs
       .groupBy(gs: _*)
       .agg(

@@ -42,7 +42,13 @@ object StreamCardinality {
     * constants, same operation order — IEEE doubles agree exactly).
     */
   private[graft] def estimate(m: Int, maxRank: Int, regs: Array[Byte]): Double = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // m-specific Flajolet constants below m=128 — keep in sync with
+    // Sketches.approxDistinct (bit-equality is spec-asserted).
+    val alpha = m match {
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     var sScaled = 0L
     var zeros = 0
     var i = 0

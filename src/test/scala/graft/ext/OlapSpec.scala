@@ -155,6 +155,18 @@ class OlapSpec extends SparkSpec {
     assert(out === ((24L, 12L, 6L, 0.0, 0.0)))
   }
 
+  test("chiSquare: null categories are levels, consistent with MI") {
+    // y = null is its own level: the balanced grid over {a,b}×{p,null}
+    // must read as perfect independence — before the null-safe grid
+    // join, the null column's observed cells never matched, so the
+    // whole null level's mass entered as spurious (0−E)²/E.
+    val df = (Seq.fill(2)(("a", "p")) ++ Seq.fill(2)(("a", null)) ++
+      Seq.fill(2)(("b", "p")) ++ Seq.fill(2)(("b", null))).toDF("x", "y")
+    val out = Olap.chiSquare(df, "x", "y")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((8L, 4L, 1L, 0.0, 0.0)))
+  }
+
   test("mutualInformation: independent columns give ~0 nats") {
     // perfectly balanced independent grid: p(xy) = p(x)p(y) exactly
     val df = (for { x <- 1 to 4; y <- 1 to 3; _ <- 1 to 5 }
