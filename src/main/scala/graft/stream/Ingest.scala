@@ -234,8 +234,15 @@ object Ingest {
 
   /** Start the streaming query (T1: 5 s trigger; T2: initial backlog is
     * the file source's first batch; T3: checkpointed exactly-once).
+    *
+    * `onBatch` observes each micro-batch's per-file outcomes (driver
+    * side, AFTER routing) — a test/metrics hook; the default discards
+    * them. The outcome list is bounded by `maxFilesPerTrigger` when
+    * set, which is the backpressure contract the file-count-scale spec
+    * pins.
     */
-  def start(spark: SparkSession, conf: PipelineConf, sink: BatchSink): StreamingQuery = {
+  def start(spark: SparkSession, conf: PipelineConf, sink: BatchSink,
+      onBatch: Seq[FileOutcome] => Unit = _ => ()): StreamingQuery = {
     val reader = spark.readStream
       .option("header", "true")
       .option("pathGlobFilter", "*.csv")
@@ -252,7 +259,7 @@ object Ingest {
       .trigger(Trigger.ProcessingTime(s"${conf.monitorIntervalSec} seconds"))
       .option("checkpointLocation", conf.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(conf, sink, batch); ()
+        onBatch(processBatch(conf, sink, batch)); ()
       }
       .start()
   }

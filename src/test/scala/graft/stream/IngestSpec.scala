@@ -83,6 +83,49 @@ class IngestSpec extends SparkSpec {
     assert(dataBatches >= 3, s"expected >=3 capped batches, got $dataBatches")
   }
 
+  test("backpressure at file-count scale: 1k files drain under a bounded per-batch outcome list") {
+    val root = tmp("graft_1k")
+    val cap = 100
+    val conf = mkConf(root).copy(maxFilesPerTrigger = Some(cap))
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    (1 to 1000).foreach { i =>
+      writeCsv(dataDir, f"f$i%04d.csv",
+        f"2025-05-26 04:${i % 60}%02d:08,S${i % 7},25.5,0.65,1013.25")
+    }
+    // Counting sink that never materializes the frames: isolates the
+    // DRIVER cost of the per-file loop (verdict collect + routing)
+    // from sink IO, which is what this spec bounds.
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val countingSink = new graft.sink.BatchSink {
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean = {
+        committed.incrementAndGet(); true
+      }
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = Ingest.start(spark, conf, countingSink,
+      onBatch = o => batchSizes.synchronized { batchSizes += o.size })
+    try q.processAllAvailable() finally q.stop()
+
+    assert(committed.get() === 1000)
+    val sizes = batchSizes.synchronized(batchSizes.toSeq)
+    // The driver's per-batch state (collected verdicts + outcome list)
+    // is bounded by the trigger cap, NOT by the backlog depth: a
+    // restart against 1k pending files must not become one 1k-file
+    // batch/transaction.
+    assert(sizes.nonEmpty && sizes.max <= cap,
+      s"per-batch outcome list exceeded cap $cap: max=${sizes.max}")
+    assert(sizes.sum === 1000)
+    assert(sizes.count(_ > 0) >= 1000 / cap)
+    // every file landed in processed/ exactly once
+    val listing = Files.list(root.resolve("processed"))
+    val moved = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.count(_.toString.endsWith(".csv"))
+    } finally listing.close()
+    assert(moved === 1000)
+  }
+
   test("end-to-end routing: clean commits+moves, dirty quarantines with reason, empty sweeps") {
     val root = tmp("graft_ingest")
     val conf = mkConf(root)
