@@ -2330,9 +2330,9 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      FROM cells)
         |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
         |  CAST(COUNT(*) AS BIGINT) AS n_cats,
-        |  ROUND(CAST(SUM(CAST(ROUND(
-        |    -(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n),
-        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy_nats
+        |  CAST(SUM(CAST(FLOOR(
+        |    (-(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n))
+        |    * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12 AS entropy_nats
         |FROM m GROUP BY source""".stripMargin,
 
     "q_quantile_norm" -> {
@@ -2426,18 +2426,19 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  LEFT JOIN cells c ON c.x IS NOT DISTINCT FROM xs.x
         |                   AND c.y IS NOT DISTINCT FROM ys.y)
         |SELECT n, kx * ky AS n_cells, (kx - 1) * (ky - 1) AS dof,
-        |  ROUND(CAST(SUM(CAST(ROUND(
-        |    (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |  CAST(SUM(CAST(FLOOR(
+        |    ((CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
         |    * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
-        |    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n),
-        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2,
+        |    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n))
+        |    * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12 AS chi2,
         |  CASE WHEN LEAST(kx, ky) > 1 THEN
-        |    ROUND(sqrt(ROUND(CAST(SUM(CAST(ROUND(
-        |      (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
+        |    CAST(FLOOR(sqrt((CAST(SUM(CAST(FLOOR(
+        |      ((CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
         |      * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n)
-        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n),
-        |      12) AS DECIMAL(24,12))) AS DOUBLE), 6)
-        |      / (CAST(n AS DOUBLE) * CAST(LEAST(kx, ky) - 1 AS DOUBLE))), 6)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / n))
+        |      * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12)
+        |      / (CAST(n AS DOUBLE) * CAST(LEAST(kx, ky) - 1 AS DOUBLE)))
+        |      * 1e6) AS DOUBLE) / 1e6
         |  END AS cramers_v
         |FROM g CROSS JOIN tot GROUP BY 1, 2, 3, LEAST(kx, ky)""".stripMargin,
 
@@ -2454,10 +2455,10 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
         |          CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
         |SELECT n, n_cells,
-        |  ROUND(CAST(SUM(CAST(ROUND(
-        |    CAST(nxy AS DOUBLE) / n *
-        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))),
-        |    12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi_nats
+        |  CAST(SUM(CAST(FLOOR(
+        |    (CAST(nxy AS DOUBLE) / n *
+        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
+        |    * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12 AS mi_nats
         |FROM m CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
 
     "q_rfm" ->

@@ -243,11 +243,12 @@ object Behavior {
     *
     * Scale shape: first-seen is a user-keyed min aggregate (one
     * shuffle, map-side combinable), day counts collapse that to ≤ one
-    * row per DAY — after which the running sum's single-partition
-    * ordered window is over a calendar-bounded frame (years of daily
-    * rows ≈ thousands), not over users or events. That bound is why
-    * this window is acceptable where a per-row global window is not
-    * (cf. [[graft.plans.Ordinal]] for the unbounded case).
+    * row per DAY — and the running sum is the distributed prefix pass
+    * ([[graft.plans.Prefix.withRunningSum]]: range partition + carry
+    * offsets). The daily frame is calendar-bounded anyway, but using
+    * the prefix pass here removes the last single-partition
+    * `Window.orderBy` in the library — no operator keeps a "bounded
+    * in practice" exception a caller could violate.
     */
   def cumulativeDistinctUsers(
       df: DataFrame, userCol: String, tsCol: String): DataFrame = {
@@ -257,11 +258,8 @@ object Behavior {
       .agg(to_date(min(col(tsCol))).as("day"))
     val daily = firstSeen.groupBy(col("day"))
       .agg(count(lit(1)).as("n_new_users"))
-    daily
-      .withColumn("n_cumulative_users",
-        sum(col("n_new_users")).over(
-          Window.orderBy(col("day"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.plans.Prefix.withRunningSum(
+      daily, Seq(col("day")), "n_new_users", "n_cumulative_users")
   }
 
   /** Last-touch attribution: each conversion event is credited to the

@@ -188,8 +188,11 @@ object Olap {
     * uniform. Output per group: (groupCols..., n, n_cats, entropy).
     *
     * Determinism: probabilities are exact integer-count ratios; each
-    * category term is rounded to 12 dp and summed as exact DECIMAL
-    * ([[mutualInformation]]'s discipline), rounded to 6 at the end.
+    * category term is floor-quantized (⌊x·10¹²⌋ — tie-free, unlike
+    * round()-on-double whose half-boundary tie-break is
+    * engine-specific) and summed as exact DECIMAL integers
+    * ([[mutualInformation]]'s discipline); the entropy is the integer
+    * sum ÷ 10¹².
     *
     * Scale shape: one (group, category)-keyed count (map-side
     * combinable), group totals as a sum-window over that cell frame
@@ -205,14 +208,14 @@ object Olap {
       .agg(count(lit(1)).as("__nc"))
     val byGroup = Window.partitionBy(gs: _*)
     val p = col("__nc").cast("double") / col("__n").cast("double")
-    val term = round(-p * log(p), 12).cast("decimal(24,12)")
+    val term = floor(-p * log(p) * lit(1e12)).cast("decimal(20,0)")
     cells
       .withColumn("__n", sum(col("__nc")).over(byGroup))
       .groupBy(gs: _*)
       .agg(
         max(col("__n")).as("n"),
         count(lit(1)).as("n_cats"),
-        round(sum(term).cast("double"), 6).as("entropy_nats"))
+        (sum(term).cast("double") / lit(1e12)).as("entropy_nats"))
   }
 
   /** Pearson chi-square independence statistic over two categorical
@@ -223,8 +226,8 @@ object Olap {
     * (|X|−1)·(|Y|−1) over the OBSERVED levels.
     *
     * Determinism: [[mutualInformation]]'s discipline — exact integer
-    * counts, double terms rounded to 12 dp, exact DECIMAL sum, 6 dp
-    * output. Unlike MI (where empty cells contribute exactly 0), a
+    * counts, double terms floor-quantized (⌊x·10¹²⌋, tie-free), exact
+    * DECIMAL integer sum, chi2 = sum ÷ 10¹². Unlike MI (where empty cells contribute exactly 0), a
     * ZERO-observed cell still contributes its (0−E)²/E mass, so the
     * terms run over the full marginal grid: the bounded |X|-row ×
     * |Y|-row marginal frames cross-join (≤ |X|·|Y| rows) and
@@ -256,24 +259,25 @@ object Olap {
       .crossJoin(ys.agg(count(lit(1)).as("__ky")))
     val expected = col("__nx").cast("double") * col("__ny").cast("double") /
       col("n").cast("double")
-    val term = round(
+    val term = floor(
       (col("__o").cast("double") - expected) *
-        (col("__o").cast("double") - expected) / expected,
-      12).cast("decimal(24,12)")
+        (col("__o").cast("double") - expected) / expected
+        * lit(1e12)).cast("decimal(20,0)")
     grid.crossJoin(broadcast(totals))
       .groupBy(col("n"),
         (col("__kx") * col("__ky")).as("n_cells"),
         ((col("__kx") - 1) * (col("__ky") - 1)).as("dof"),
         least(col("__kx"), col("__ky")).as("__kmin"))
-      .agg(round(sum(term).cast("double"), 6).as("chi2"))
+      .agg((sum(term).cast("double") / lit(1e12)).as("chi2"))
       // Cramér's V = √(χ²/(n·(min(k)−1))) ∈ [0,1]: the effect size
       // that stays comparable across table shapes and sample sizes
       // (χ² itself grows with n). Degenerate 1-level tables ⇒ null.
+      // Floor-quantized to 6 dp — same tie-free contract as chi2.
       .withColumn("cramers_v",
         when(col("__kmin") > 1,
-          round(sqrt(col("chi2") /
-            (col("n").cast("double") * (col("__kmin") - 1).cast("double"))),
-            6)))
+          floor(sqrt(col("chi2") /
+            (col("n").cast("double") * (col("__kmin") - 1).cast("double")))
+            * lit(1e6)).cast("double") / lit(1e6)))
       .select(col("n"), col("n_cells"), col("dof"), col("chi2"),
         col("cramers_v"))
   }
@@ -287,8 +291,9 @@ object Olap {
     *
     * Determinism: every probability is a ratio of exact integer
     * counts; each cell's term is computed in double from those
-    * integers identically in any engine, rounded to 12 dp, and summed
-    * as exact DECIMAL — the [[psi]] discipline — then rounded to 6.
+    * integers identically in any engine, floor-quantized (⌊x·10¹²⌋ —
+    * tie-free, engine-exact), and summed as exact DECIMAL integers —
+    * the [[graft.ext.Drift.psi]] discipline — then ÷ 10¹².
     *
     * Scale shape: one (x,y)-keyed count aggregate (map-side
     * combinable; cell count bounded by |X|·|Y|, not rows), marginals
@@ -308,14 +313,14 @@ object Olap {
       .withColumn("__ny", sum(col("__nxy")).over(byY))
     val totals = cells.agg(
       sum(col("__nxy")).as("n"), count(lit(1)).as("n_cells"))
-    val term = round(
+    val term = floor(
       col("__nxy").cast("double") / col("n").cast("double") *
         log(col("__nxy").cast("double") * col("n").cast("double") /
-          (col("__nx").cast("double") * col("__ny").cast("double"))),
-      12).cast("decimal(24,12)")
+          (col("__nx").cast("double") * col("__ny").cast("double")))
+        * lit(1e12)).cast("decimal(20,0)")
     withMargins.crossJoin(broadcast(totals))
       .groupBy(col("n"), col("n_cells"))
-      .agg(round(sum(term).cast("double"), 6).as("mi_nats"))
+      .agg((sum(term).cast("double") / lit(1e12)).as("mi_nats"))
       .select(col("n"), col("n_cells"), col("mi_nats"))
   }
 }
