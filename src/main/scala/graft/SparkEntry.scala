@@ -340,6 +340,13 @@ object SparkEntry {
       ext.Analytics.valueQuantiles(
         Tables.events(s, dir), Seq("event_type"), "value")),
 
+    // [EXT] The oracle-able sketch path of q_quantiles: fixed-width
+    // histogram bins (bounded memory at any row count), distributed
+    // prefix-sum CDF, in-bin uniform interpolation on exact integers.
+    "q_quantile_hist" -> ((s, dir) =>
+      ext.Analytics.histogramQuantiles(
+        Tables.events(s, dir), "value", width = 32.0)),
+
     // ---- [EXT] no SQL oracle (rows-only check): LSH-family dedup ----
 
     // Oracle-checked MinHash: md5-derived hash family computable
@@ -1112,6 +1119,36 @@ object SparkEntry {
         .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
       graft.ext.TimeSeries.slidingCorrelation(
         series, "t", "v", (1 to 24).map(_.toDouble), k = 10)
+    }),
+
+    // [EXT] Seasonality diagnostic: sample autocorrelation of the
+    // daily order-revenue series at lags 1..7 — lag-aligned by
+    // self-equi-join (never an unpartitioned window), decimal-exact
+    // moments, floor-quantized coefficients.
+    "q_acf" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+        .select(
+          datediff(col("o_orderdate"),
+            lit(java.sql.Date.valueOf("1992-01-01"))).as("t"),
+          col("x"))
+      graft.ext.TimeSeries.autocorrelation(daily, "t", "x", maxLag = 7)
+    }),
+
+    // [EXT] Volume change-point: the day the event-stream level
+    // shifted, by the standardized two-segment contrast over exact
+    // integer daily counts — distributed prefix sums, one-row argmax.
+    "q_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          datediff(col("day"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("t"),
+          col("cnt"))
+      graft.ext.TimeSeries.changepoint(daily, "t", "cnt")
     }),
 
     // [EXT] Per-type quality trend: least-squares slope of value over
@@ -1993,6 +2030,27 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Histogram-quantile mirror: window prefix sum stands in for
+    // plans/Prefix; rank and interpolation are double ops on exact
+    // integer counts, FLOOR-quantized. p cast to DOUBLE (the VALUES
+    // literal is DECIMAL) so r = p*(n-1) is the identical IEEE product.
+    "q_quantile_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT SUM(cnt) AS n FROM b),
+        |q AS (SELECT label, CAST(p AS DOUBLE) AS p
+        |      FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+        |        AS v(label, p))
+        |SELECT q.label, c.bin,
+        |  FLOOR((CAST(c.bin AS DOUBLE) * 32.0 + 32.0 *
+        |    ((q.p * (t.n - 1) - (c.cum - c.cnt)) / c.cnt)) * 1e6) / 1e6
+        |    AS est
+        |FROM c CROSS JOIN t CROSS JOIN q
+        |WHERE (c.cum - c.cnt) <= q.p * (t.n - 1)
+        |  AND q.p * (t.n - 1) < c.cum""".stripMargin,
 
     "q_text_scrub" ->
       """SELECT doc_id,
@@ -3013,6 +3071,61 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    / sqrt((24 * svv - sv * sv) * (24 * 4900.0 - 300.0 * 300.0)), 6)
         |    AS corr
         |FROM g ORDER BY corr DESC, start LIMIT 10""".stripMargin,
+
+    // ACF closed form mirrored exactly: decimal moments cast to double
+    // once, the mean-cleared numerator n²C − nS(A+B) + mS² over
+    // n(n·Σx² − S²), FLOOR-quantized (both engines floor the same
+    // IEEE double; round() implementations differ).
+    "q_acf" ->
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS t,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,6)) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM d),
+        |lags AS (SELECT i + 1 AS lag FROM range(7) r(i)),
+        |p AS (
+        |  SELECT l.lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(a.x * b.x) AS DOUBLE) AS c,
+        |    CAST(SUM(a.x) AS DOUBLE) AS sa,
+        |    CAST(SUM(b.x) AS DOUBLE) AS sb
+        |  FROM lags l
+        |  CROSS JOIN d a
+        |  JOIN d b ON b.t = a.t - l.lag
+        |  GROUP BY 1)
+        |SELECT l.lag, COALESCE(p.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN t.n * (t.n * t.sxx - t.s * t.s) <> 0 THEN
+        |    FLOOR((t.n * t.n * p.c - t.n * t.s * (p.sa + p.sb)
+        |           + p.n_pairs * t.s * t.s)
+        |      / (t.n * (t.n * t.sxx - t.s * t.s)) * 1e6) / 1e6
+        |  END AS acf
+        |FROM lags l LEFT JOIN p ON p.lag = l.lag CROSS JOIN tot t""".stripMargin,
+
+    // Change-point mirrored: DuckDB's window prefix sums stand in for
+    // plans/Prefix; all moments are exact integers, the statistic is
+    // one division + sqrt on them, FLOOR-quantized, tie on earliest t.
+    "q_changepoint" ->
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+        |    COUNT(*) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT t, SUM(x) OVER (ORDER BY t) AS sl,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS i
+        |  FROM d),
+        |tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM d)
+        |SELECT r.t AS split_t, r.i AS n_left, t.n - r.i AS n_right,
+        |  FLOOR(r.sl / CAST(r.i AS DOUBLE) * 1e6) / 1e6 AS mean_left,
+        |  FLOOR((t.s - r.sl) / CAST(t.n - r.i AS DOUBLE) * 1e6) / 1e6
+        |    AS mean_right,
+        |  FLOOR(ABS(t.n * r.sl - r.i * t.s)
+        |    / sqrt(CAST(t.n AS DOUBLE) * r.i * (t.n - r.i)) * 1e6) / 1e6
+        |    AS cusum_stat
+        |FROM r CROSS JOIN tot t
+        |WHERE r.i < t.n
+        |ORDER BY cusum_stat DESC, split_t LIMIT 1""".stripMargin,
 
     // DECIMAL(19,*) casts: force DuckDB's hugeint multiply (see
     // q_corr_matrix). epoch_us matches Spark's unix_micros exactly

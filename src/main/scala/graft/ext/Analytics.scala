@@ -175,6 +175,51 @@ object Analytics {
       .select(outCols: _*)
   }
 
+  /** The ORACLE-ABLE scale path of [[valueQuantiles]]: fixed-width-bin
+    * histogram quantiles. One aggregate pass builds per-bin counts
+    * (memory bounded by value-range / `width`, independent of row
+    * count); cumulative bin counts come from [[graft.plans.Prefix]]'s
+    * distributed prefix sum (never a single-partition window); each
+    * requested quantile locates its bin and interpolates uniformly
+    * within it.
+    *
+    * Against [[valueQuantilesApprox]]: approx_percentile's t-digest has
+    * tighter rank error but its merge is partition-order-dependent —
+    * impossible to oracle. Here every count is an exact integer, the
+    * rank `r = p·(n−1)` and the interpolation
+    * `binLo + width·(r − cumBefore)/cnt` are IEEE double ops on exact
+    * integers — bit-identical in any engine — and the estimate is
+    * floor-quantized to 6 dp. The bin location itself is exact, so the
+    * estimator's error is bounded by `width` with zero cross-engine
+    * ambiguity.
+    *
+    * Output: (label, bin, est) — one row per requested quantile.
+    */
+  def histogramQuantiles(
+      df: DataFrame, valueCol: String, width: Double,
+      quantiles: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.plans.Prefix.withRunningSum(
+      bins, Seq(col("bin")), "cnt", "cum")
+    val tot = bins.agg(sum(col("cnt")).as("n"))
+    val spine = quantiles.toDF("label", "p")
+    val r = col("p") * (col("n") - lit(1L)).cast("double")
+    val cumBefore = (col("cum") - col("cnt")).cast("double")
+    val est = col("bin").cast("double") * lit(width) +
+      lit(width) * ((r - cumBefore) / col("cnt").cast("double"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(spine))
+      .filter(cumBefore <= r && r < col("cum").cast("double"))
+      .select(col("label"), col("bin"),
+        (floor(est * lit(1e6)) / lit(1e6)).as("est"))
+  }
+
   /** First-order transition counts of the per-user event sequence (the
     * Markov-chain / clickstream matrix): for each user's events in
     * (`tsCol`, `tieCol`) order, count (state → next state) pairs.

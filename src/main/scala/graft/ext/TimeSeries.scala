@@ -101,6 +101,132 @@ object TimeSeries {
         col("__n").cast("long").as("baseline_hours"), col("z"))
   }
 
+  /** Sample autocorrelation of an evenly-indexed series at lags
+    * `1..maxLag` — the "is yesterday predictive of today?" diagnostic
+    * that decides window sizes for every rolling baseline above, and
+    * the standard seasonality detector (a weekly cycle shows as an
+    * ACF spike at lag 7).
+    *
+    * Input is an already-aggregated (t, x) series — integer time index
+    * `tCol` (unique), numeric `vCol`. Missing indices are tolerated:
+    * each lag correlates exactly the pairs (t, t−lag) that BOTH exist,
+    * with the estimator's mean/variance still taken over the FULL
+    * series (the standard gappy-ACF convention; `n_pairs` reports the
+    * overlap so a caller can judge coverage).
+    *
+    * NOT a window function: lag-k alignment is a self-equi-join on
+    * `t − k` after exploding each point to its `maxLag` lag keys — an
+    * ordinary shuffle join that scales with |series| × maxLag and
+    * never collapses to a single partition the way
+    * `Window.orderBy(t).lag(k)` would on an unpartitioned series.
+    *
+    * Determinism (the [[graft.ext.Olap]] moment discipline): x is
+    * quantized to DECIMAL(18,6); all moments (S, Σx², C_k = Σ x_t·x_{t−k},
+    * overlap edge sums A_k, B_k) are exact decimal sums, cast to double
+    * once; the closed form
+    *
+    *   r_k = (n²·C_k − n·S·(A_k+B_k) + m_k·S²) / (n·(n·Σx² − S²))
+    *
+    * (mean-cleared numerator with denominators multiplied out) runs in
+    * double on those exact values — bit-identical in any IEEE engine —
+    * and the result is floor-quantized (⌊r·10⁶⌋/10⁶, tie-free: both
+    * engines floor the SAME double, unlike round() whose
+    * implementations differ — see [[Drift.psi]]).
+    *
+    * Output: (lag, n_pairs, acf) for lag = 1..maxLag; acf is null when
+    * the series variance is zero or a lag has no overlap.
+    */
+  def autocorrelation(
+      series: DataFrame, tCol: String, vCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val x = series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(vCol).cast("decimal(18,6)").as("__x"))
+    val tot = x.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast("double").as("s"),
+      sum(col("__x") * col("__x")).cast("double").as("sxx"))
+    val lagged = x.select(
+      col("__t"), col("__x"),
+      explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)).as("lag"))
+      .withColumn("__tj", col("__t") - col("lag"))
+    val pairs = lagged.join(
+      x.select(col("__t").as("__tj"), col("__x").as("__xl")), Seq("__tj"))
+    val byLag = pairs.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__x") * col("__xl")).cast("double").as("c"),
+        sum(col("__x")).cast("double").as("a"),
+        sum(col("__xl")).cast("double").as("b"))
+    // A lag whose overlap is empty never reaches the group-by; the
+    // tiny 1..maxLag spine re-introduces it (n_pairs 0, null acf).
+    val spine = x.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val n = col("n").cast("double")
+    val m = col("n_pairs").cast("double")
+    val num = n * n * col("c") - n * col("s") * (col("a") + col("b")) +
+      m * col("s") * col("s")
+    val den = n * (n * col("sxx") - col("s") * col("s"))
+    spine.join(byLag, Seq("lag"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("acf",
+        when(den =!= 0.0, floor(num / den * lit(1e6)) / lit(1e6)))
+      .select(col("lag"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("acf"))
+  }
+
+  /** Single change-point detection on an integer-valued series: the
+    * split maximizing the standardized two-segment contrast
+    *
+    *   C(i) = |n·SL_i − i·S| / √(n·i·(n−i))
+    *
+    * (= √(i(n−i)/n)·|mean_L − mean_R|, the CUSUM-family statistic) —
+    * "when did the level of this volume series shift?" for ingestion
+    * monitors and corpus-mix audits.
+    *
+    * `vCol` must be integral (counts; quantize upstream for real
+    * values): every moment is then an exact integer and the statistic
+    * is one IEEE division + sqrt on exact integers — bit-identical in
+    * any engine — floor-quantized to 6 dp with ties broken on the
+    * earliest split.
+    *
+    * Scale shape: running sums come from [[graft.plans.Prefix]]'s
+    * range-partitioned prefix pass (never a single-partition
+    * `Window.orderBy`); totals are a one-row broadcast; the argmax is
+    * a TakeOrdered(1). Driver state: one Long per partition.
+    *
+    * Output: one row (split_t, n_left, n_right, mean_left, mean_right,
+    * cusum_stat) — `split_t` is the last index of the left segment.
+    */
+  def changepoint(series: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val x = series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).cast("long").as("split_t"),
+        col(vCol).cast("long").as("__x"))
+      .withColumn("__one", lit(1L))
+    val run = graft.plans.Prefix.withRunningSums(
+      x, Seq(col("split_t")), Seq("__x" -> "__sl", "__one" -> "n_left"))
+    val tot = x.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val nD = col("__n").cast("double")
+    val iD = col("n_left").cast("double")
+    val slD = col("__sl").cast("double")
+    val sD = col("__s").cast("double")
+    val stat = abs(nD * slD - iD * sD) / sqrt(nD * iD * (nD - iD))
+    run.crossJoin(broadcast(tot))
+      .filter(col("n_left") < col("__n"))
+      .select(
+        col("split_t"), col("n_left"),
+        (col("__n") - col("n_left")).as("n_right"),
+        (floor(slD / iD * lit(1e6)) / lit(1e6)).as("mean_left"),
+        (floor((sD - slD) / (nD - iD) * lit(1e6)) / lit(1e6))
+          .as("mean_right"),
+        (floor(stat * lit(1e6)) / lit(1e6)).as("cusum_stat"))
+      .orderBy(col("cusum_stat").desc, col("split_t").asc)
+      .limit(1)
+  }
+
   /** Time-series similarity search: the `k` windows of an (hour-index,
     * value) series most Pearson-correlated with a fixed query pattern
     * — the distributed core of a matrix-profile/MASS-style motif scan

@@ -56,6 +56,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx._3 - exact._3) <= 2.0)
   }
 
+  test("histogramQuantiles interpolates exactly on a uniform histogram") {
+    // values 0..99, width 10: bins 0..9 of 10 each. r(p) = p*99; the
+    // uniform in-bin interpolation reproduces quantile_cont exactly.
+    val df = (0 until 100).map(i => i.toDouble).toDF("v")
+    val out = Analytics.histogramQuantiles(df, "v", width = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def expected(p: Double): Double = {
+      val r = p * 99
+      val bin = (r / 10.0).toInt // uniform bins: rank r sits in bin r/10
+      math.floor((bin * 10.0 + 10.0 * ((r - bin * 10) / 10.0)) * 1e6) / 1e6
+    }
+    assert(out("p50") == (4L, expected(0.5)))
+    assert(out("p90") == (8L, expected(0.9)))
+    assert(out("p99") == (9L, expected(0.99)))
+    assert(out("p50")._2 == 49.5)
+  }
+
+  test("histogramQuantiles estimate stays within one bin width of exact") {
+    val df = (1 to 5000).map(i => ("g", (i % 97).toDouble)).toDF("k", "v")
+    val exact = Analytics.valueQuantiles(
+        df, Seq("k"), "v", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select("p50", "p90").as[(Double, Double)].head()
+    val hist = Analytics.histogramQuantiles(
+        df, "v", width = 8.0, Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(hist("p50") - exact._1) <= 8.0)
+    assert(math.abs(hist("p90") - exact._2) <= 8.0)
+  }
+
+  test("histogramQuantiles CDF is a prefix-sum plan, not a single-partition window") {
+    val df = (0 until 1000).map(i => i.toDouble).toDF("v")
+    val plan = Analytics.histogramQuantiles(df, "v", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
+  }
+
   test("eventTransitions counts ordered per-user bigrams, ties broken by id") {
     val ev = Seq(
       (1L, "a", ts("2024-01-01 00:00:00"), 1L),

@@ -101,4 +101,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(0L, 2L, 4L))
     assert(out.forall(_._2 == 1.0))
   }
+
+  test("autocorrelation matches the hand-computed closed form on a dense series") {
+    // x = [1,2,1,2,1,2]: n=6, S=9, Sxx=15.
+    // lag1: C=10, A=8, B=7, m=5 -> num=36*10-54*15+5*81=-45, den=54
+    //   r1 = -45/54 = -0.8333... -> floor-quantized -0.833334
+    // lag2: C=10, A=B=6, m=4 -> num=360-648+324=36 -> r2=0.666666
+    val series = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0).zipWithIndex
+      .map { case (v, t) => (t.toLong, v) }.toDF("t", "x")
+    val out = TimeSeries.autocorrelation(series, "t", "x", maxLag = 2)
+      .orderBy("lag").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 5L, -0.833334), (2L, 4L, 0.666666)))
+  }
+
+  test("autocorrelation tolerates gaps: only co-present (t, t-lag) pairs correlate") {
+    // t=3 missing: lag-1 overlap loses BOTH (3,2) and (4,3)
+    val series = Seq(0L -> 1.0, 1L -> 2.0, 2L -> 1.0, 4L -> 1.0, 5L -> 2.0)
+      .toDF("t", "x")
+    val out = TimeSeries.autocorrelation(series, "t", "x", maxLag = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L)) // (1,0), (2,1), (5,4)
+  }
+
+  test("autocorrelation yields null on a zero-variance series and empty lags") {
+    val series = Seq(0L -> 5.0, 1L -> 5.0, 2L -> 5.0).toDF("t", "x")
+    val out = TimeSeries.autocorrelation(series, "t", "x", maxLag = 4)
+      .orderBy("lag").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.isNullAt(2)))      // den == 0 -> null acf
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L, 0L, 0L))
+  }
+
+  test("changepoint finds a planted level shift with the exact statistic") {
+    // 10,10,10,10,30,30,30,30: split after i=4 -> C = 320/sqrt(128)
+    val series = (Seq.fill(4)(10L) ++ Seq.fill(4)(30L)).zipWithIndex
+      .map { case (v, t) => (t.toLong, v) }.toDF("t", "x")
+    val out = TimeSeries.changepoint(series, "t", "x").collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 4L && out.getLong(2) == 4L)
+    assert(out.getDouble(3) == 10.0 && out.getDouble(4) == 30.0)
+    assert(out.getDouble(5) == math.floor(320.0 / math.sqrt(128.0) * 1e6) / 1e6)
+  }
+
+  test("changepoint ties break on the earliest split index") {
+    val series = (0L until 6L).map(t => (t, 7L)).toDF("t", "x")
+    val out = TimeSeries.changepoint(series, "t", "x").collect().head
+    assert(out.getLong(0) == 0L)            // all stats 0 -> earliest t
+    assert(out.getDouble(5) == 0.0)
+  }
+
+  test("autocorrelation lag alignment is a join, not a single-partition window") {
+    val series = (0L until 50L).map(t => (t, (t % 7).toDouble)).toDF("t", "x")
+    val plan = TimeSeries.autocorrelation(series, "t", "x", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
+  }
 }
