@@ -844,6 +844,17 @@ object SparkEntry {
         "value")
     }),
 
+    // [EXT] Drift: exact Mann–Whitney U with midrank ties — the
+    // rank-based "did one sample shift?" complement of KS; doubled
+    // midranks keep every moment an exact integer (prefix-sum plan).
+    "q_mann_whitney" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.mannWhitney(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value")
+    }),
+
     // [EXT] OLAP: chi-square independence statistic (MI's test
     // sibling) over the full marginal grid incl. zero cells.
     "q_chi_square" -> ((s, dir) =>
@@ -882,6 +893,19 @@ object SparkEntry {
           .otherwise("B"))
       Behavior.conversionZTest(ev, "user_id", "variant",
         col("event_type") === "purchase" && col("value") > 150)
+    }),
+
+    // [EXT] Behavior: CUPED variance-reduced experiment means over the
+    // same hash split — pre-period (Jan 1–15) spend debiases the
+    // post-period metric; pooled θ from decimal-exact moments.
+    "q_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("variant",
+        when(graft.functions.HashExprs
+          .md5Prefix60(col("user_id").cast("string")) % 2 === 0, "A")
+          .otherwise("B"))
+      Behavior.cupedAdjustedMeans(
+        ev, "user_id", "variant", "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"))
     }),
 
     // [EXT] Behavior: cohort LTV — revenue by (acquisition week, age);
@@ -1012,6 +1036,14 @@ object SparkEntry {
     "q_copurchase" -> ((s, dir) =>
       graft.ext.Analytics.coOccurrencePairs(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minCount = 2L)),
+
+    // [EXT] Market-basket association rules over the co-occurrence
+    // pairs: support/confidence/lift from exact integer counts,
+    // item-count broadcasts back onto the thresholded rule stream.
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.ext.Analytics.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minPairCount = 3L)),
 
     // [EXT] TimeSeries: dense gap-filled hourly series + trailing 24 h
     // moving average per type (windows run over the dense spine, not
@@ -1149,6 +1181,22 @@ object SparkEntry {
             lit(java.sql.Date.valueOf("2024-01-01"))).as("t"),
           col("cnt"))
       graft.ext.TimeSeries.changepoint(daily, "t", "cnt")
+    }),
+
+    // [EXT] Seasonal-naïve backtest (MASE): does the weekly cycle in
+    // per-type daily volume beat the naïve forecast? Lag alignment by
+    // self-equi-join, decimal-exact error sums.
+    "q_seasonal_mase" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          datediff(col("day"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("t"),
+          col("cnt"))
+      graft.ext.TimeSeries.seasonalNaiveBacktest(
+        daily, Seq("event_type"), "t", "cnt", period = 7)
     }),
 
     // [EXT] Per-type quality trend: least-squares slope of value over
@@ -2468,6 +2516,48 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    - CAST(cumb AS DOUBLE) / n_b)) * 1e6) AS DOUBLE) / 1e6 AS ks_d
         |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
 
+    // Mann–Whitney mirrored: HUGEINT stands in for Spark's
+    // DECIMAL(38,0) exact moments (both sides integer-exact); u_a and
+    // z are the identical IEEE double chain on those exact values,
+    // z FLOOR-quantized (round()-on-double diverges across engines).
+    "q_mann_whitney" ->
+      """WITH t AS (
+        |  SELECT value AS v, 1 AS a, 0 AS b FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT value, 0, 1 FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |pv AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+        |         CAST(SUM(b) AS BIGINT) AS cb,
+        |         CAST(SUM(a) + SUM(b) AS BIGINT) AS cnt
+        |       FROM t GROUP BY 1),
+        |c AS (SELECT ca, cb, cnt,
+        |        SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cum
+        |      FROM pv),
+        |g AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) AS BIGINT) AS n_b,
+        |        SUM(CAST(ca AS HUGEINT) *
+        |          CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS r2,
+        |        SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * cnt - cnt)
+        |          AS tt
+        |      FROM c),
+        |f AS (SELECT n_a, n_b,
+        |        CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |        (CAST(r2 AS DOUBLE)
+        |          - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2
+        |          AS u_a,
+        |        CAST(tt AS DOUBLE) AS tt FROM g)
+        |SELECT n_a, n_b, u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |    na * nb / 12.0 * ((na + nb + 1)
+        |      - tt / ((na + nb) * (na + nb - 1))) > 0
+        |  THEN FLOOR((u_a - na * nb / 2)
+        |    / sqrt(na * nb / 12.0 * ((na + nb + 1)
+        |        - tt / ((na + nb) * (na + nb - 1)))) * 1e6) / 1e6
+        |  END AS z
+        |FROM f""".stripMargin,
+
     "q_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type AS x, dayofweek(ts) AS y,
@@ -2583,6 +2673,48 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
         |FROM a CROSS JOIN b""".stripMargin,
 
+    // CUPED mirrored: per-user pre/post sums re-quantized DECIMAL(18,6)
+    // exactly as the Spark side; pooled moments are exact decimal sums;
+    // θ and the adjusted means are the identical double chain,
+    // FLOOR-quantized.
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, value, ts,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events),
+        |u AS (SELECT variant, user_id,
+        |        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |          THEN CAST(COALESCE(value, 0) AS DECIMAL(18,6))
+        |          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS x,
+        |        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |          THEN CAST(0 AS DECIMAL(18,6))
+        |          ELSE CAST(COALESCE(value, 0) AS DECIMAL(18,6)) END)
+        |          AS DECIMAL(18,6)) AS y
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |          AS sxx,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |          AS sxy FROM u),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |        SUM(x) AS vx, SUM(y) AS vy FROM u GROUP BY 1)
+        |SELECT variant, n_users,
+        |  FLOOR(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE) * 1e6) / 1e6
+        |    AS mean_post,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  THEN FLOOR((CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6) / 1e6
+        |  END AS mean_adjusted
+        |FROM v CROSS JOIN p""".stripMargin,
+
     "q_cohort_ltv" ->
       """WITH f AS (
         |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -2687,6 +2819,34 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |WHERE x.i < y.i
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // Association rules mirrored: all three ratios are single IEEE
+    // divisions of exact integer counts, FLOOR-quantized.
+    "q_assoc_rules" ->
+      """WITH a AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_pair
+        |      FROM a x JOIN a y USING (b)
+        |      WHERE x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |r AS (SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM p
+        |      UNION ALL
+        |      SELECT item_b, item_a, n_pair FROM p),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_item FROM a GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM a)
+        |SELECT r.antecedent, r.consequent, r.n_pair,
+        |  ia.n_item AS n_ante, ci.n_item AS n_cons,
+        |  FLOOR(CAST(r.n_pair AS DOUBLE) / CAST(t.nb AS DOUBLE) * 1e6) / 1e6
+        |    AS support,
+        |  FLOOR(CAST(r.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) * 1e6)
+        |    / 1e6 AS confidence,
+        |  FLOOR(CAST(r.n_pair AS DOUBLE) * CAST(t.nb AS DOUBLE)
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ci.n_item AS DOUBLE)) * 1e6)
+        |    / 1e6 AS lift
+        |FROM r
+        |JOIN ic ia ON ia.i = r.antecedent
+        |JOIN ic ci ON ci.i = r.consequent
+        |CROSS JOIN t""".stripMargin,
 
     "q_gapfill_rolling" ->
       """WITH c AS (
@@ -3126,6 +3286,41 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM r CROSS JOIN tot t
         |WHERE r.i < t.n
         |ORDER BY cusum_stat DESC, split_t LIMIT 1""".stripMargin,
+
+    // Seasonal-naïve backtest mirrored: decimal-exact absolute-error
+    // sums; each mean and the MASE ratio are IEEE divisions of exact
+    // values, FLOOR-quantized. FULL JOIN USING coalesces the key the
+    // same way Spark's full_outer Seq-join does.
+    "q_seasonal_mase" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+        |    CAST(COUNT(*) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        SUM(ABS(a.x - b.x)) AS se
+        |      FROM d a JOIN d b
+        |        ON b.event_type = a.event_type AND b.t = a.t - 7
+        |      GROUP BY 1),
+        |nv AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_naive,
+        |         SUM(ABS(a.x - b.x)) AS ne
+        |       FROM d a JOIN d b
+        |         ON b.event_type = a.event_type AND b.t = a.t - 1
+        |       GROUP BY 1)
+        |SELECT event_type,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    FLOOR(CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE) * 1e6) / 1e6
+        |  END AS mae,
+        |  COALESCE(n_naive, 0) AS n_naive,
+        |  CASE WHEN n_naive > 0 THEN
+        |    FLOOR(CAST(ne AS DOUBLE) / CAST(n_naive AS DOUBLE) * 1e6) / 1e6
+        |  END AS naive_mae,
+        |  CASE WHEN n_pairs > 0 AND n_naive > 0 AND ne > 0 THEN
+        |    FLOOR((CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+        |      / (CAST(ne AS DOUBLE) / CAST(n_naive AS DOUBLE)) * 1e6) / 1e6
+        |  END AS mase
+        |FROM s FULL JOIN nv USING (event_type)""".stripMargin,
 
     // DECIMAL(19,*) casts: force DuckDB's hugeint multiply (see
     // q_corr_matrix). epoch_us matches Spark's unix_micros exactly

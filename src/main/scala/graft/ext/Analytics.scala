@@ -291,6 +291,67 @@ object Analytics {
       .filter(col("n_baskets") >= minCount)
   }
 
+  /** Association rules over the co-occurrence pairs: for every ordered
+    * rule a→b whose pair support clears `minPairCount`, the classic
+    * market-basket triple
+    *
+    *   support    = n_ab / N
+    *   confidence = n_ab / n_a
+    *   lift       = n_ab · N / (n_a · n_b)
+    *
+    * ("customers who bought a also bought b" — and, for an LLM corpus,
+    * "documents containing shingle a also contain b", the co-occurrence
+    * signal behind template detection).
+    *
+    * Scale shape: pair counts come from [[coOccurrencePairs]]'s
+    * basket-keyed self-join (shuffle on basket, never all-pairs over
+    * items); per-item basket counts and the basket total are
+    * item-cardinality-bounded aggregates broadcast back onto the
+    * (already `minPairCount`-thresholded) rule stream. No window, no
+    * driver collect.
+    *
+    * Determinism: every input to the three ratios is an exact integer
+    * count, each ratio is one IEEE double division (bit-identical in
+    * any engine), floor-quantized to 6 dp (round() half-case
+    * implementations differ across engines — see [[Drift.psi]]).
+    *
+    * Output: (antecedent, consequent, n_pair, n_ante, n_cons, support,
+    * confidence, lift) — both directions of each unordered pair.
+    */
+  def associationRules(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long): DataFrame = {
+    val pairs = coOccurrencePairs(df, basketCol, itemCol, minPairCount)
+    val rules = pairs.select(
+        col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_baskets").as("n_pair"))
+      .unionAll(pairs.select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"),
+        col("n_baskets").as("n_pair")))
+    val itemCounts = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+      .groupBy(col("__i")).agg(count(lit(1)).as("__n_item"))
+    val total = df.agg(
+      countDistinct(col(basketCol)).as("__n_baskets"))
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    rules
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "antecedent")
+        .withColumnRenamed("__n_item", "n_ante")), Seq("antecedent"))
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "consequent")
+        .withColumnRenamed("__n_item", "n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("n_cons"),
+        q6(col("n_pair").cast("double") / col("__n_baskets").cast("double"))
+          .as("support"),
+        q6(col("n_pair").cast("double") / col("n_ante").cast("double"))
+          .as("confidence"),
+        q6(col("n_pair").cast("double") * col("__n_baskets").cast("double") /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
+  }
+
   /** Per-group z-score outliers: rows whose value sits more than
     * `threshold` sample standard deviations from the group mean.
     *

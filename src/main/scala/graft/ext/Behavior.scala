@@ -165,6 +165,75 @@ object Behavior {
             lit(1.0) / col("n_b").cast("double"))), 6))
   }
 
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) adjusted
+    * means — the standard variance-reduction companion to
+    * [[conversionZTest]]: each user's post-period metric is debiased by
+    * their own pre-period level,
+    *
+    *   ŷ_i = y_i − θ·(x_i − x̄),   θ = cov(x, y) / var(x)
+    *
+    * (θ fit POOLED across variants — fitting per-arm would absorb the
+    * treatment effect), shrinking the metric variance by the squared
+    * pre/post correlation and making small lifts detectable.
+    *
+    * Scale shape: ONE user-key shuffle builds per-user (variant, pre,
+    * post); everything after is variant-cardinality-bounded aggregates
+    * and one-row broadcasts. No window, no collect.
+    *
+    * Determinism (the [[graft.ext.Olap]] moment discipline): the raw
+    * value is quantized to DECIMAL(18,6) before any sum, per-user
+    * pre/post re-quantized to DECIMAL(18,6), and every pooled moment
+    * (n, Σx, Σy, Σx², Σxy) is an exact DECIMAL sum of decimal
+    * products — partial-aggregation order cannot drift them. θ and the
+    * adjusted means are straight-line double arithmetic on those exact
+    * values, floor-quantized to 6 dp (round()-on-double is the
+    * cross-engine trap — see [[graft.ext.Drift.psi]]).
+    *
+    * Output: one row per variant — (variant, n_users, mean_post,
+    * mean_adjusted); mean_adjusted is null when var(x) is 0.
+    */
+  def cupedAdjustedMeans(
+      df: DataFrame, userCol: String, variantCol: String,
+      valueCol: String, isPre: Column): DataFrame = {
+    val v = coalesce(col(valueCol).cast("decimal(18,6)"),
+      lit(0).cast("decimal(18,6)"))
+    val perUser = df
+      .groupBy(col(variantCol).as("variant"), col(userCol))
+      .agg(
+        sum(when(isPre, v).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("__x"),
+        sum(when(isPre, lit(0).cast("decimal(18,6)")).otherwise(v))
+          .cast("decimal(18,6)").as("__y"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val perVariant = perUser
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("__x")).as("__vx"),
+        sum(col("__y")).as("__vy"))
+    val n = col("__n").cast("double")
+    val varX = n * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val theta = (n * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / varX
+    val preMeanPooled = col("__sx").cast("double") / n
+    val nV = col("n_users").cast("double")
+    val meanPost = col("__vy").cast("double") / nV
+    val adjusted = meanPost -
+      theta * (col("__vx").cast("double") / nV - preMeanPooled)
+    perVariant.crossJoin(broadcast(pooled))
+      .select(
+        col("variant"), col("n_users"),
+        (floor(meanPost * lit(1e6)) / lit(1e6)).as("mean_post"),
+        when(varX > 0.0, floor(adjusted * lit(1e6)) / lit(1e6))
+          .as("mean_adjusted"))
+  }
+
   /** Cohort lifetime value: users cohorted by the ISO week of their
     * first event (ANY type — acquisition week), then `valueCol` over
     * `revenueType` events summed per (cohort_week, week_offset). Read

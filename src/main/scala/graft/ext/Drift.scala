@@ -164,4 +164,73 @@ object Drift {
       .agg((floor(dMax * lit(1e6)).cast("double") / lit(1e6)).as("ks_d"))
       .select(col("n_a"), col("n_b"), col("ks_d"))
   }
+
+  /** Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) with midrank
+    * ties and normal approximation — the rank-based complement of
+    * [[ksStatistic]]: KS asks "did the distribution change shape?",
+    * Mann–Whitney asks "did one sample stochastically dominate?", and
+    * being rank-based it survives the heavy tails that invalidate a
+    * t/z test on means.
+    *
+    * Scale shape (the KS discipline): both samples collapse to
+    * per-distinct-value counts; ONE distributed prefix pass
+    * ([[graft.plans.Prefix.withRunningSum]]) accumulates the combined
+    * cumulative count over the value order (never a single-partition
+    * window); the rank-sum, tie term, and totals are one aggregate.
+    *
+    * Determinism: the doubled midrank of a tie group,
+    * 2·cumBefore + cnt + 1, is an exact INTEGER, so the doubled
+    * rank-sum R2 = Σ ca·midrank2 and the tie term T = Σ(t³−t) are
+    * exact DECIMAL sums — no float order sensitivity. U = (R2 −
+    * n_a(n_a+1))/2 halves an exact value (division by 2 is exact in
+    * IEEE); the z statistic
+    *
+    *   z = (U − n_a·n_b/2) / √( n_a·n_b/12 · ((n+1) − T/(n(n−1))) )
+    *
+    * is straight-line double arithmetic on those exact values —
+    * bit-identical in any engine — floor-quantized to 6 dp (tie-free,
+    * unlike round(); see [[psi]]).
+    *
+    * Output one row: (n_a, n_b, u_a, z); z is null when either sample
+    * is empty or the tie-corrected variance is 0 (all values equal).
+    */
+  def mannWhitney(
+      a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val tagged = a.select(col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionAll(
+        b.select(col(valueCol).as("__v"))
+          .filter(col("__v").isNotNull)
+          .select(col("__v"), lit(0L).as("__a"), lit(1L).as("__b")))
+    val perValue = tagged
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+      .withColumn("__cnt", col("__ca") + col("__cb"))
+    val cum = graft.plans.Prefix.withRunningSum(
+      perValue, Seq(col("__v")), "__cnt", "__cum")
+    // Doubled midrank of the tie group at this value: ranks cumBefore+1
+    // .. cumBefore+cnt average to cumBefore+(cnt+1)/2; doubling keeps it
+    // integral. cumBefore = cum − cnt.
+    val midrank2 =
+      (lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L))
+        .cast("decimal(38,0)")
+    val cnt = col("__cnt").cast("decimal(38,0)")
+    val agg = cum.agg(
+      sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"),
+      sum(col("__ca").cast("decimal(38,0)") * midrank2).as("__r2"),
+      sum(cnt * cnt * cnt - cnt).as("__t"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val uA = (col("__r2").cast("double") - nA * (nA + 1.0)) / 2.0
+    val variance =
+      nA * nB / 12.0 * ((n + 1.0) - col("__t").cast("double") / (n * (n - 1.0)))
+    val z = (uA - nA * nB / 2.0) / sqrt(variance)
+    agg.select(
+      col("n_a"), col("n_b"), uA.as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+        floor(z * lit(1e6)) / lit(1e6)).as("z"))
+  }
 }

@@ -177,6 +177,70 @@ object TimeSeries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("acf"))
   }
 
+  /** Seasonal-naïve forecast backtest: score the forecast
+    * "x̂_t = x_{t−period}" against actuals, scaled by the in-sample
+    * naïve (lag-1) error — the MASE discipline: a model (or a
+    * monitoring threshold) is only worth deploying if it beats this
+    * baseline, and `mase` < 1 here means the seasonal cycle is real
+    * (seasonal-naïve beats naïve).
+    *
+    *   mae       = mean |x_t − x_{t−period}|
+    *   naive_mae = mean |x_t − x_{t−1}|
+    *   mase      = mae / naive_mae
+    *
+    * Input: an already-aggregated per-key series — integer index
+    * `tCol` (unique per key), numeric `vCol`. Gaps are tolerated: each
+    * score averages exactly the (t, t−lag) pairs that BOTH exist
+    * (`n_pairs` / `n_naive` report coverage).
+    *
+    * Scale shape: lag alignment is a per-key self-equi-join on t−lag
+    * (the [[autocorrelation]] shape — never `Window.orderBy(t).lag`,
+    * which single-partitions an unkeyed series); the scores are
+    * key-cardinality-bounded aggregates.
+    *
+    * Determinism: values quantize to DECIMAL(18,6); absolute-error
+    * sums are exact DECIMAL; each mean is one IEEE division of exact
+    * values and every reported ratio is floor-quantized to 6 dp
+    * (round()-on-double diverges across engines — see [[Drift.psi]]).
+    *
+    * Output per key: (keys…, n_pairs, mae, n_naive, naive_mae, mase);
+    * ratios are null when their denominator count (or `naive_mae` for
+    * `mase`) is 0.
+    */
+  def seasonalNaiveBacktest(
+      series: DataFrame, keyCols: Seq[String], tCol: String, vCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2 (lag-1 is the scale): $period")
+    val keys = keyCols.map(col)
+    val x = series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(keys :+ col(tCol).cast("long").as("__t") :+
+        col(vCol).cast("decimal(18,6)").as("__x"): _*)
+    def lagErr(lag: Int, nName: String, sName: String): DataFrame = {
+      val shifted = x.select(
+        keys :+ (col("__t") + lit(lag.toLong)).as("__t") :+
+          col("__x").as("__xp"): _*)
+      x.join(shifted, keyCols :+ "__t")
+        .groupBy(keys: _*)
+        .agg(
+          count(lit(1)).as(nName),
+          sum(abs(col("__x") - col("__xp"))).as(sName))
+    }
+    val seasonal = lagErr(period, "n_pairs", "__se")
+    val naive = lagErr(1, "n_naive", "__ne")
+    val mae = col("__se").cast("double") / col("n_pairs").cast("double")
+    val naiveMae = col("__ne").cast("double") / col("n_naive").cast("double")
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    seasonal.join(naive, keyCols, "full_outer")
+      .select(keys ++ Seq(
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs") > 0, q6(mae)).as("mae"),
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+        when(col("n_naive") > 0, q6(naiveMae)).as("naive_mae"),
+        when(col("n_pairs") > 0 && col("n_naive") > 0 && col("__ne") > 0,
+          q6(mae / naiveMae)).as("mase")): _*)
+  }
+
   /** Single change-point detection on an integer-valued series: the
     * split maximizing the standardized two-segment contrast
     *

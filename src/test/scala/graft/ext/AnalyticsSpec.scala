@@ -341,4 +341,35 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
   }
+
+  test("associationRules computes support/confidence/lift from basket counts") {
+    // b1{x,y} b2{x,y} b3{x,z} b4{y}; the duplicate (b1,x) row must not
+    // double-count. minPairCount 2 keeps only the x↔y pair.
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("basket", "item")
+    val out = Analytics.associationRules(df, "basket", "item", 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    // support 2/4, confidence 2/3, lift 2·4/(3·3) — floor-quantized
+    val conf = math.floor(2.0 / 3.0 * 1e6) / 1e6
+    val lift = math.floor(8.0 / 9.0 * 1e6) / 1e6
+    assert(out(("x", "y")) == ((2L, 3L, 3L, 0.5, conf, lift)))
+    assert(out(("y", "x")) == ((2L, 3L, 3L, 0.5, conf, lift)))
+  }
+
+  test("associationRules broadcasts item counts — no shuffle join after pairs") {
+    val df = (1 to 100).flatMap(b => Seq((b.toLong, "a"), (b.toLong, "b")))
+      .toDF("basket", "item")
+    val plan = Analytics.associationRules(df, "basket", "item", 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }

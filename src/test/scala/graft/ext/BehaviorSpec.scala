@@ -212,4 +212,53 @@ class BehaviorSpec extends SparkSpec {
     // click sorts before the purchase (same ts, smaller id) -> credited
     assert(out === "click")
   }
+
+  test("cupedAdjustedMeans matches the hand-computed pooled-theta form") {
+    import org.apache.spark.sql.functions.col
+    // (user, variant, value, pre): x = [10,20,30,40], y = [20,40,50,80]
+    // θ = (4·5700 − 100·190)/(4·3000 − 100²) = 1.9, pooled x̄ = 25.
+    // A: post-mean 30, pre-mean 15 → 30 − 1.9·(−10) = 49
+    // B: post-mean 65, pre-mean 35 → 65 − 1.9·(+10) = 46
+    val ev = Seq(
+      (1L, "A", 10.0, 1), (1L, "A", 20.0, 0),
+      (2L, "A", 20.0, 1), (2L, "A", 40.0, 0),
+      (3L, "B", 30.0, 1), (3L, "B", 50.0, 0),
+      (4L, "B", 40.0, 1), (4L, "B", 80.0, 0)
+    ).toDF("user_id", "variant", "value", "pre")
+    val out = Behavior.cupedAdjustedMeans(
+        ev, "user_id", "variant", "value", col("pre") === 1)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out("A") == ((2L, 30.0, 49.0)))
+    assert(out("B") == ((2L, 65.0, 46.0)))
+  }
+
+  test("cupedAdjustedMeans sums multiple events per period and nulls " +
+    "the adjustment when var(pre) is 0") {
+    import org.apache.spark.sql.functions.col
+    // u1 has two pre events (3+7=10) — per-user sums, not row means.
+    val ev = Seq(
+      (1L, "A", 3.0, 1), (1L, "A", 7.0, 1), (1L, "A", 20.0, 0),
+      (2L, "B", 10.0, 1), (2L, "B", 30.0, 0))
+      .toDF("user_id", "variant", "value", "pre")
+    val adj = Behavior.cupedAdjustedMeans(
+        ev, "user_id", "variant", "value", col("pre") === 1)
+      .select("mean_adjusted").as[Option[Double]].collect()
+    // var(x) = 0 (both users' pre = 10) → adjustment undefined.
+    assert(adj.forall(_.isEmpty))
+  }
+
+  test("cupedAdjustedMeans is partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val ev = (1 to 200).map { i =>
+      (i.toLong % 40, if (i % 2 == 0) "A" else "B",
+        (i * 13 % 101).toDouble, i % 3)
+    }.toDF("user_id", "variant", "value", "pre")
+    def run(p: Int) = Behavior.cupedAdjustedMeans(
+        ev.repartition(p), "user_id", "variant", "value", col("pre") === 0)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(run(1) == run(17))
+  }
 }

@@ -131,4 +131,55 @@ class DriftSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"single-partition window:\n$plan")
   }
+
+  test("mannWhitney matches the closed form on a tie-free separation") {
+    // a = {1,2,3}, b = {4,5,6}: R_a = 6, U_a = 0, T = 0.
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 5.0, 6.0).toDF("v")
+    val out = Drift.mannWhitney(a, b, "v")
+      .as[(Long, Long, Double, Option[Double])].head()
+    val variance = 3.0 * 3.0 / 12.0 * ((6.0 + 1.0) - 0.0 / (6.0 * 5.0))
+    val z = (0.0 - 3.0 * 3.0 / 2.0) / math.sqrt(variance)
+    assert(out._1 == 3L && out._2 == 3L && out._3 == 0.0)
+    assert(out._4.contains(math.floor(z * 1e6) / 1e6))
+  }
+
+  test("mannWhitney midranks ties and applies the tie correction") {
+    // a = {1,1,2}, b = {1,2,2}: value 1 midrank 2 (×3), value 2
+    // midrank 5 (×3) → R_a = 2·2+5 = 9, U_a = 3, T = 2·(27−3) = 48.
+    val a = Seq(1.0, 1.0, 2.0).toDF("v")
+    val b = Seq(1.0, 2.0, 2.0).toDF("v")
+    val out = Drift.mannWhitney(a, b, "v")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(out._3 == 3.0)
+    val variance = 9.0 / 12.0 * (7.0 - 48.0 / 30.0)
+    val z = (3.0 - 4.5) / math.sqrt(variance)
+    assert(out._4.contains(math.floor(z * 1e6) / 1e6))
+  }
+
+  test("mannWhitney: U_a + U_b = n_a·n_b, identical samples give null z") {
+    val a = (1 to 40).map(i => (i % 7).toDouble).toDF("v")
+    val b = (1 to 25).map(i => (i % 5).toDouble).toDF("v")
+    val uA = Drift.mannWhitney(a, b, "v").select("u_a").as[Double].head()
+    val uB = Drift.mannWhitney(b, a, "v").select("u_a").as[Double].head()
+    assert(uA + uB == 40.0 * 25.0)
+    // All-equal pooled sample: tie-corrected variance is 0 → null z.
+    val c = Seq(5.0, 5.0).toDF("v")
+    val d = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Drift.mannWhitney(c, d, "v")
+      .select("z").as[Option[Double]].head().isEmpty)
+  }
+
+  test("mannWhitney is partition-invariant and window-free") {
+    val a = (1 to 300).map(i => (i * 3 % 97).toDouble).toDF("v")
+    val b = (1 to 200).map(i => (i * 7 % 89).toDouble).toDF("v")
+    val one = Drift.mannWhitney(a.repartition(1), b.repartition(1), "v")
+      .select("z").as[Double].head()
+    val many = Drift.mannWhitney(a.repartition(13), b.repartition(7), "v")
+      .select("z").as[Double].head()
+    assert(one === many)
+    val plan = Drift.mannWhitney(a, b, "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"single-partition window:\n$plan")
+  }
 }

@@ -155,4 +155,42 @@ class TimeSeriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
   }
+
+  test("seasonalNaiveBacktest scores a perfect weekly cycle as mase 0") {
+    // x_t = t mod 7 for t = 0..20: seasonal-naive error is exactly 0;
+    // the naive (lag-1) error is 1 within a cycle and 6 at each wrap.
+    val series = (0L to 20L).map(t => ("e", t, (t % 7).toDouble))
+      .toDF("k", "t", "x")
+    val out = TimeSeries.seasonalNaiveBacktest(series, Seq("k"), "t", "x", 7)
+      .collect().head
+    assert(out.getLong(1) == 14L)                 // t = 7..20
+    assert(out.getDouble(2) == 0.0)               // mae
+    assert(out.getLong(3) == 20L)                 // t = 1..20
+    // naive mae = (18·1 + 2·6)/20 = 1.5
+    assert(out.getDouble(4) == 1.5)
+    assert(out.getDouble(5) == 0.0)               // mase
+  }
+
+  test("seasonalNaiveBacktest averages only the pairs that exist") {
+    val series = Seq(("e", 0L, 5.0), ("e", 1L, 9.0), ("e", 7L, 8.0),
+      ("e", 9L, 4.0)).toDF("k", "t", "x")
+    val out = TimeSeries.seasonalNaiveBacktest(series, Seq("k"), "t", "x", 7)
+      .collect().head
+    // seasonal pairs: only (7,0) → |8−5| = 3; naive pairs: only (1,0)
+    assert(out.getLong(1) == 1L && out.getDouble(2) == 3.0)
+    assert(out.getLong(3) == 1L && out.getDouble(4) == 4.0)
+    assert(out.getDouble(5) == 0.75)
+  }
+
+  test("seasonalNaiveBacktest keeps keys separate and windows out of the plan") {
+    val series = (0L to 13L).flatMap(t =>
+      Seq(("a", t, (t % 7).toDouble), ("b", t, t.toDouble)))
+      .toDF("k", "t", "x")
+    val df = TimeSeries.seasonalNaiveBacktest(series, Seq("k"), "t", "x", 7)
+    val byKey = df.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byKey("a") == 0.0)
+    assert(byKey("b") == 7.0)   // |t − (t−7)| = 7 everywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
+  }
 }
