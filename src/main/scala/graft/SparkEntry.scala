@@ -1045,6 +1045,48 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
         minPairCount = 3L)),
 
+    // [EXT] Audience-overlap matrix: distinct-user Jaccard/overlap for
+    // every event-type pair — entity-keyed self-join, zero-overlap
+    // grid re-introduced from the broadcast sizes table.
+    "q_audience_overlap" -> ((s, dir) =>
+      graft.ext.Analytics.audienceOverlap(
+        Tables.events(s, dir), "event_type", "user_id")),
+
+    // [EXT] Inter-arrival profile: per-type percentiles of the gap
+    // between a user's consecutive events of the same type — per-user
+    // windows, never global. Gaps quantize to exact integer SECONDS
+    // (micros-magnitude integers push the two engines' percentile
+    // interpolation formulas apart beyond 6 dp; second-magnitude
+    // integers keep them bit-identical — observed, not theoretical).
+    "q_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        // Exact for any plausible gap: the true quotient is ≥ 1e-6 from
+        // the next integer while the double ulp here is ~1e-10.
+        .withColumn("gap_s",
+          floor(col("gap_us").cast("double") / lit(1e6)).cast("long"))
+      ext.Analytics.valueQuantiles(gaps, Seq("event_type"), "gap_s")
+    }),
+
+    // [EXT] Hybrid-retrieval fusion: RRF over the exact and LSH
+    // retrievers' per-query top-10 lists (k-bounded join + per-query
+    // window; decide-on-quantized ranking).
+    "q_rrf_fuse" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 50)
+      Similarity.rrfFuse(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
+        Similarity.lshBucketedTopK(
+          emb, q, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+        kConst = 60, topK = 10)
+    }),
+
     // [EXT] TimeSeries: dense gap-filled hourly series + trailing 24 h
     // moving average per type (windows run over the dense spine, not
     // the raw events).
@@ -1457,6 +1499,40 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
       s"(CASE WHEN ROUND(list_inner_product(emb, $lits), 6) >= 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n    + ")
+
+  private def simTopkOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 50),
+      |p AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_inner_product(q.qe, e.emb)
+      |      / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+      |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, sim, rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM p)
+      |WHERE rnk <= 10""".stripMargin
+
+  // RRF fusion of the exact and LSH retrievers: each retriever SQL is
+  // embedded verbatim as a CTE, so the fused oracle can never drift
+  // from the per-retriever oracles it composes.
+  private def rrfFuseOracleSql: String =
+    s"""WITH ra AS ($simTopkOracleSql),
+rb AS ($simLshOracleSql),
+j AS (
+  SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+    COALESCE(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+    ra.rnk AS rank_a, rb.rnk AS rank_b,
+    FLOOR((COALESCE(1.0 / (60 + CAST(ra.rnk AS DOUBLE)), 0.0)
+      + COALESCE(1.0 / (60 + CAST(rb.rnk AS DOUBLE)), 0.0)) * 1e6) / 1e6
+      AS rrf
+  FROM ra FULL JOIN rb
+    ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id)
+SELECT query_id, neighbor_id, rank_a, rank_b, rrf, fused_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY rrf DESC, neighbor_id) AS fused_rank
+  FROM j)
+WHERE fused_rank <= 10"""
 
   private def simLshOracleSql: String = {
     val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
@@ -1984,18 +2060,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM g)
         |SELECT DISTINCT doc_id, fp FROM wmin WHERE r <= GREATEST(1, m - 3)""".stripMargin,
 
-    "q_sim_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 50),
-        |p AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    ROUND(list_inner_product(q.qe, e.emb)
-        |      / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
-        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, neighbor_id, sim, rnk FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM p)
-        |WHERE rnk <= 10""".stripMargin,
+    "q_sim_topk" -> simTopkOracleSql,
 
     "q_dedup_ngram" ->
       """WITH t AS (
@@ -2847,6 +2912,49 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |JOIN ic ia ON ia.i = r.antecedent
         |JOIN ic ci ON ci.i = r.consequent
         |CROSS JOIN t""".stripMargin,
+
+    // Audience overlap mirrored: exact integer counts, single IEEE
+    // divisions, FLOOR-quantized; the grid cross join reports
+    // zero-overlap pairs.
+    "q_audience_overlap" ->
+      """WITH su AS (
+        |  SELECT DISTINCT event_type AS s, user_id AS e FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY 1),
+        |bo AS (SELECT a.s AS seg_a, b.s AS seg_b,
+        |         CAST(COUNT(*) AS BIGINT) AS nb
+        |       FROM su a JOIN su b ON a.e = b.e AND a.s < b.s
+        |       GROUP BY 1, 2)
+        |SELECT ga.s AS seg_a, gb.s AS seg_b, ga.n AS n_a, gb.n AS n_b,
+        |  COALESCE(bo.nb, 0) AS n_both,
+        |  FLOOR(CAST(COALESCE(bo.nb, 0) AS DOUBLE)
+        |    / CAST(ga.n + gb.n - COALESCE(bo.nb, 0) AS DOUBLE) * 1e6) / 1e6
+        |    AS jaccard,
+        |  FLOOR(CAST(COALESCE(bo.nb, 0) AS DOUBLE)
+        |    / CAST(LEAST(ga.n, gb.n) AS DOUBLE) * 1e6) / 1e6 AS overlap
+        |FROM sz ga CROSS JOIN sz gb
+        |LEFT JOIN bo ON bo.seg_a = ga.s AND bo.seg_b = gb.s
+        |WHERE ga.s < gb.s""".stripMargin,
+
+    // Inter-arrival mirrored: epoch_us = unix_micros (exact BIGINT);
+    // the same per-(user,type) window; gaps floor to integer seconds
+    // (micros magnitude diverges the engines' percentile interpolation
+    // beyond 6 dp); quantile_cont then matches Spark's percentile (the
+    // q_quantiles convention).
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS DOUBLE) / 1e6) AS BIGINT) AS gap_s
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type,
+        |  ROUND(quantile_cont(gap_s, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(gap_s, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(gap_s, 0.99), 6) AS p99
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_rrf_fuse" -> rrfFuseOracleSql,
 
     "q_gapfill_rolling" ->
       """WITH c AS (

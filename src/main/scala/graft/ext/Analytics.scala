@@ -352,6 +352,58 @@ object Analytics {
           .as("lift"))
   }
 
+  /** Audience-overlap matrix: for every unordered pair of segments,
+    * the distinct-entity intersection and the Jaccard / overlap
+    * coefficients — "how much of the click audience also purchases?",
+    * and for corpus work "how much do these two source crawls share?".
+    *
+    * Scale shape: ONE distinct pass collapses to (segment, entity);
+    * the pair counts come from an entity-keyed self-join (shuffle on
+    * entity; per-entity fan-out is bounded by segment cardinality²,
+    * and segment cardinality is small by contract — document callers
+    * with high-cardinality segments should pre-bucket). Segment sizes
+    * are a segment-cardinality-bounded aggregate; the zero-overlap
+    * grid is re-introduced from the sizes table itself (a broadcast
+    * cross of a tiny frame), so absent pairs report 0 rather than
+    * vanishing.
+    *
+    * Determinism: counts are exact integers; Jaccard
+    * n∩/(n_a+n_b−n∩) and overlap n∩/min(n_a,n_b) are single IEEE
+    * divisions, floor-quantized to 6 dp ([[Drift.psi]] documents the
+    * round()-on-double trap).
+    *
+    * Output: (seg_a, seg_b, n_a, n_b, n_both, jaccard, overlap) for
+    * every pair with seg_a < seg_b.
+    */
+  def audienceOverlap(
+      df: DataFrame, segmentCol: String, entityCol: String): DataFrame = {
+    val su = df
+      .filter(col(segmentCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(segmentCol).as("__s"), col(entityCol).as("__e"))
+      .distinct()
+    val sizes = su.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val both = su.select(col("__s").as("seg_a"), col("__e"))
+      .join(su.select(col("__s").as("seg_b"), col("__e")), "__e")
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("__nb"))
+    val grid = broadcast(sizes
+        .select(col("__s").as("seg_a"), col("__n").as("n_a")))
+      .crossJoin(broadcast(sizes
+        .select(col("__s").as("seg_b"), col("__n").as("n_b"))))
+      .filter(col("seg_a") < col("seg_b"))
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val nBoth = coalesce(col("__nb"), lit(0L))
+    grid.join(both, Seq("seg_a", "seg_b"), "left")
+      .select(
+        col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        nBoth.as("n_both"),
+        q6(nBoth.cast("double") /
+          (col("n_a") + col("n_b") - nBoth).cast("double")).as("jaccard"),
+        q6(nBoth.cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
+
   /** Per-group z-score outliers: rows whose value sits more than
     * `threshold` sample standard deviations from the group mean.
     *

@@ -218,4 +218,58 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** Reciprocal-rank fusion of two retrievers' ranked lists — the
+    * standard score-free way to combine heterogeneous retrieval
+    * signals (exact + ANN here; BM25 + dense in a hybrid search
+    * stack):
+    *
+    *   rrf(d) = Σ_lists 1 / (kConst + rank_list(d))
+    *
+    * RRF needs no score calibration between lists, which is exactly
+    * why it wins for fusing an inner-product ranking with a lexical
+    * one. `kConst` = 60 is the published default.
+    *
+    * Inputs are two (query_id, neighbor_id, rnk) frames — the output
+    * shape of [[bruteForceTopK]] / [[lshBucketedTopK]] (and of any
+    * future lexical retriever). Items missing from one list simply
+    * contribute 0 from it.
+    *
+    * Scale shape: one equi-join on (query, item) between two
+    * already-k-bounded candidate lists, then a per-QUERY window over
+    * ≤ 2k fused rows — partitioned by query, never global. No
+    * all-pairs work happens here; the retrievers own that.
+    *
+    * Determinism: ranks are exact integers; each contribution is one
+    * IEEE division and their two-term sum is order-free; the fused
+    * score is floor-quantized to 6 dp BEFORE ranking (decide on the
+    * quantized value — [[graft.ext.Drift.psi]] documents the trap) and
+    * ties break on neighbor id.
+    *
+    * Output: (query_id, neighbor_id, rank_a, rank_b, rrf, fused_rank)
+    * for fused_rank ≤ topK; rank_a/rank_b null when the item missed
+    * that retriever's list.
+    */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, kConst: Int = 60, topK: Int): DataFrame = {
+    require(kConst >= 1, s"kConst must be >= 1: $kConst")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val ra = a.select(
+      col("query_id"), col("neighbor_id"), col("rnk").as("rank_a"))
+    val rb = b.select(
+      col("query_id"), col("neighbor_id"), col("rnk").as("rank_b"))
+    def contrib(c: Column) = coalesce(
+      lit(1.0) / (lit(kConst.toDouble) + c.cast("double")), lit(0.0))
+    val fused = ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        floor((contrib(col("rank_a")) + contrib(col("rank_b"))) * lit(1e6))
+          / lit(1e6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select("query_id", "neighbor_id", "rank_a", "rank_b", "rrf",
+        "fused_rank")
+  }
 }

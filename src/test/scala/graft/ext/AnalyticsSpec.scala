@@ -365,6 +365,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("y", "x")) == ((2L, 3L, 3L, 0.5, conf, lift)))
   }
 
+  test("audienceOverlap computes Jaccard/overlap and keeps empty pairs") {
+    // seg a: {1,2,3}; seg b: {2,3,4}; seg c: {9} (disjoint from both).
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 9L)
+    ).toDF("seg", "uid")
+    val out = Analytics.audienceOverlap(df, "seg", "uid")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // |a∩b| = 2, |a∪b| = 4, min = 3 — duplicate (a,3) not double-counted
+    assert(out(("a", "b")) ==
+      ((3L, 3L, 2L, 0.5, math.floor(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(("a", "c"))._3 == 0L && out(("a", "c"))._4 == 0.0)
+  }
+
   test("associationRules broadcasts item counts — no shuffle join after pairs") {
     val df = (1 to 100).flatMap(b => Seq((b.toLong, "a"), (b.toLong, "b")))
       .toDF("basket", "item")

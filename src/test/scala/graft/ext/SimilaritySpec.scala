@@ -113,4 +113,34 @@ class SimilaritySpec extends SparkSpec {
       (1, 1, 2.0, 2L), (1, 2, 4.0, 2L),
       (2, 1, 10.0, 1L), (2, 2, 20.0, 1L)))
   }
+
+  test("rrfFuse sums reciprocal ranks, items missing one list get one term") {
+    val a = Seq((1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L))
+      .toDF("query_id", "neighbor_id", "sim", "rnk")
+    val b = Seq((1L, 11L, 0.7, 1L), (1L, 12L, 0.6, 2L))
+      .toDF("query_id", "neighbor_id", "sim", "rnk")
+    val out = Similarity.rrfFuse(a, b, kConst = 60, topK = 10)
+      .collect()
+      .map(r => r.getLong(1) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getDouble(4), r.getLong(5)))
+      .toMap
+    def q6(x: Double) = math.floor(x * 1e6) / 1e6
+    // 11 is in both lists (1/62 + 1/61) and outranks both singletons.
+    assert(out(11L) == ((Some(2L), Some(1L), q6(1.0 / 62 + 1.0 / 61), 1L)))
+    assert(out(10L) == ((Some(1L), None, q6(1.0 / 61), 2L)))
+    assert(out(12L) == ((None, Some(2L), q6(1.0 / 62), 3L)))
+  }
+
+  test("rrfFuse ranks per query on the quantized score with id tie-break") {
+    // Same rrf for 20 and 21 (both rank 1 in exactly one list) →
+    // neighbor-id ascending breaks the tie; topK truncates.
+    val a = Seq((5L, 20L, 0.9, 1L), (5L, 22L, 0.5, 2L))
+      .toDF("query_id", "neighbor_id", "sim", "rnk")
+    val b = Seq((5L, 21L, 0.9, 1L), (5L, 23L, 0.5, 2L))
+      .toDF("query_id", "neighbor_id", "sim", "rnk")
+    val got = Similarity.rrfFuse(a, b, kConst = 60, topK = 3)
+      .orderBy("fused_rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(20L, 21L, 22L))
+  }
 }
