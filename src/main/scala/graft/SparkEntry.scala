@@ -871,6 +871,15 @@ object SparkEntry {
           .select(col("event_type"), dayofweek(col("ts")).as("dow")),
         "event_type", "dow")),
 
+    // [EXT] OLAP: per-type Spearman rank correlation between value and
+    // hour-of-day — exact doubled midranks (the Mann–Whitney device),
+    // decimal moments, group-partitioned rank windows only.
+    "q_spearman" -> ((s, dir) =>
+      graft.ext.Olap.spearman(
+        Tables.events(s, dir).select(
+          col("event_type"), col("value"), hour(col("ts")).as("hod")),
+        Seq("event_type"), "value", "hod")),
+
     // [EXT] Behavior: RFM customer-value segmentation — three quintile
     // passes on the distributed global ntile, entity-id tie-breaks.
     "q_rfm" -> ((s, dir) =>
@@ -1239,6 +1248,22 @@ object SparkEntry {
           col("cnt"))
       graft.ext.TimeSeries.seasonalNaiveBacktest(
         daily, Seq("event_type"), "t", "cnt", period = 7)
+    }),
+
+    // [EXT] Lead-lag cross-correlation: daily click volume vs daily
+    // purchase volume at lags −7..7 — lag-key self-join alignment,
+    // full-series decimal moments, floor-quantized coefficients.
+    "q_ccf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          datediff(col("day"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("t"),
+          col("cnt"))
+      graft.ext.TimeSeries.crossCorrelation(
+        daily("click"), daily("purchase"), "t", "cnt", maxLag = 7)
     }),
 
     // [EXT] Per-type quality trend: least-squares slope of value over
@@ -2623,6 +2648,46 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  END AS z
         |FROM f""".stripMargin,
 
+    // Spearman mirrored: doubled midranks as HUGEINT (Spark's
+    // DECIMAL(38,0)), per-group window prefix over the per-value
+    // counts, identical double chain, FLOOR-quantized.
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type AS g, value AS x, EXTRACT(hour FROM ts) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cx AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM r GROUP BY 1, 2),
+        |rx AS (SELECT g, x,
+        |         CAST(2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |           + cnt + 1 AS HUGEINT) AS ra
+        |       FROM cx),
+        |cy AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM r GROUP BY 1, 2),
+        |ry AS (SELECT g, y,
+        |         CAST(2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |           + cnt + 1 AS HUGEINT) AS rb
+        |       FROM cy),
+        |j AS (SELECT r.g, rx.ra, ry.rb
+        |      FROM r JOIN rx ON rx.g = r.g AND rx.x = r.x
+        |      JOIN ry ON ry.g = r.g AND ry.y = r.y),
+        |m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(ra) AS DOUBLE) AS sa,
+        |        CAST(SUM(rb) AS DOUBLE) AS sb,
+        |        CAST(SUM(ra * ra) AS DOUBLE) AS saa,
+        |        CAST(SUM(rb * rb) AS DOUBLE) AS sbb,
+        |        CAST(SUM(ra * rb) AS DOUBLE) AS sab
+        |      FROM j GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa > 0
+        |        AND CAST(n AS DOUBLE) * sbb - sb * sb > 0 THEN
+        |    FLOOR((CAST(n AS DOUBLE) * sab - sa * sb)
+        |      / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+        |        * (CAST(n AS DOUBLE) * sbb - sb * sb)) * 1e6) / 1e6
+        |  END AS rho
+        |FROM m""".stripMargin,
+
     "q_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type AS x, dayofweek(ts) AS y,
@@ -3429,6 +3494,54 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      / (CAST(ne AS DOUBLE) / CAST(n_naive AS DOUBLE)) * 1e6) / 1e6
         |  END AS mase
         |FROM s FULL JOIN nv USING (event_type)""".stripMargin,
+
+    // Cross-correlation mirrored: the q_acf conventions (decimal-exact
+    // moments via DECIMAL(19,6) hugeint products, identical
+    // mean-cleared double chain, FLOOR quantization), one CTE per
+    // series.
+    "q_ccf" ->
+      """WITH dx AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+        |    CAST(COUNT(*) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+        |  GROUP BY 1),
+        |dy AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+        |    CAST(COUNT(*) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |mx AS (SELECT CAST(COUNT(*) AS BIGINT) AS nx,
+        |         CAST(SUM(v) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+        |           AS DOUBLE) AS sxx
+        |       FROM dx),
+        |my AS (SELECT CAST(COUNT(*) AS BIGINT) AS ny,
+        |         CAST(SUM(v) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+        |           AS DOUBLE) AS syy
+        |       FROM dy),
+        |lags AS (SELECT i - 7 AS lag FROM range(15) r(i)),
+        |p AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(CAST(a.v AS DECIMAL(19,6)) * CAST(b.v AS DECIMAL(19,6)))
+        |          AS DOUBLE) AS c,
+        |        CAST(SUM(a.v) AS DOUBLE) AS sa,
+        |        CAST(SUM(b.v) AS DOUBLE) AS sb
+        |      FROM lags l CROSS JOIN dx a JOIN dy b ON b.t = a.t - l.lag
+        |      GROUP BY 1)
+        |SELECT l.lag, COALESCE(p.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN p.n_pairs > 0
+        |    AND mx.sxx - mx.sx * mx.sx / CAST(mx.nx AS DOUBLE) > 0
+        |    AND my.syy - my.sy * my.sy / CAST(my.ny AS DOUBLE) > 0 THEN
+        |    FLOOR((p.c - my.sy / CAST(my.ny AS DOUBLE) * p.sa
+        |        - mx.sx / CAST(mx.nx AS DOUBLE) * p.sb
+        |        + CAST(p.n_pairs AS DOUBLE) * (mx.sx / CAST(mx.nx AS DOUBLE))
+        |          * (my.sy / CAST(my.ny AS DOUBLE)))
+        |      / sqrt((mx.sxx - mx.sx * mx.sx / CAST(mx.nx AS DOUBLE))
+        |        * (my.syy - my.sy * my.sy / CAST(my.ny AS DOUBLE))) * 1e6)
+        |      / 1e6
+        |  END AS ccf
+        |FROM lags l LEFT JOIN p ON p.lag = l.lag
+        |CROSS JOIN mx CROSS JOIN my""".stripMargin,
 
     // DECIMAL(19,*) casts: force DuckDB's hugeint multiply (see
     // q_corr_matrix). epoch_us matches Spark's unix_micros exactly

@@ -323,4 +323,74 @@ object Olap {
       .agg((sum(term).cast("double") / lit(1e12)).as("mi_nats"))
       .select(col("n"), col("n_cells"), col("mi_nats"))
   }
+
+  /** Per-group Spearman rank correlation with midrank ties — the
+    * monotone-association complement of [[correlationMatrix]]'s
+    * Pearson: rank first, correlate second, so outliers and any
+    * monotone nonlinearity stop distorting the coefficient.
+    *
+    * Exactness: each variable's midranks come from per-distinct-value
+    * counts and a cumulative count within the group — and the DOUBLED
+    * midrank 2·cumBefore + cnt + 1 is an exact INTEGER (the
+    * [[graft.ext.Drift.mannWhitney]] device). Pearson is invariant
+    * under the shared ×2 scaling, so all five moments (m, Σa, Σb,
+    * Σa², Σb², Σab over doubled midranks) are exact DECIMAL sums; the
+    * coefficient
+    *
+    *   ρ = (m·Σab − Σa·Σb) / √((m·Σa² − (Σa)²) · (m·Σb² − (Σb)²))
+    *
+    * is straight-line double arithmetic on exact values,
+    * floor-quantized to 6 dp.
+    *
+    * Scale shape: two per-(group, value) count aggregates (map-side
+    * combinable, distinct-value-bounded); rank maps attach back via
+    * two (group, value)-keyed equi-joins; cumulative counts window
+    * over the AGGREGATED per-value frame PARTITIONED BY GROUP (the
+    * [[graft.ext.Vocab.bigramSurprisal]] convention — parallelism is
+    * groups, state is one group's distinct values, never the row
+    * stream and never a global sort).
+    *
+    * Output per group: (group…, n, rho); rho null when either
+    * variable is constant within the group.
+    */
+  def spearman(
+      df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys :+ col(xCol).as("__x") :+ col(yCol).as("__y"): _*)
+    def rankMap(c: String, out: String): DataFrame = {
+      val counts = rows.groupBy(keys :+ col(c): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val w = Window.partitionBy(keys: _*).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("__cum", sum(col("__cnt")).over(w))
+        .select(keys :+ col(c) :+
+          (lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L))
+            .cast("decimal(38,0)").as(out): _*)
+    }
+    val ranked = rows
+      .join(rankMap("__x", "__ra"), groupCols :+ "__x")
+      .join(rankMap("__y", "__rb"), groupCols :+ "__y")
+    val m = col("__m").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = m * d("__sab") - d("__sa") * d("__sb")
+    val den = sqrt((m * d("__saa") - d("__sa") * d("__sa")) *
+      (m * d("__sbb") - d("__sb") * d("__sb")))
+    ranked
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("__m"),
+        sum(col("__ra")).as("__sa"),
+        sum(col("__rb")).as("__sb"),
+        sum(col("__ra") * col("__ra")).as("__saa"),
+        sum(col("__rb") * col("__rb")).as("__sbb"),
+        sum(col("__ra") * col("__rb")).as("__sab"))
+      .select(keys :+ col("__m").as("n") :+
+        when(m * d("__saa") - d("__sa") * d("__sa") > 0.0 &&
+          m * d("__sbb") - d("__sb") * d("__sb") > 0.0,
+          floor(num / den * lit(1e6)) / lit(1e6)).as("rho"): _*)
+  }
 }

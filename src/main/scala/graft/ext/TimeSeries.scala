@@ -177,6 +177,80 @@ object TimeSeries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("acf"))
   }
 
+  /** Sample cross-correlation between two evenly-indexed series at
+    * lags −maxLag..maxLag — the lead-lag diagnostic ("do clicks LEAD
+    * purchases, and by how many days?"): a peak at positive lag k
+    * means x at time t co-moves with y from k steps earlier.
+    *
+    *   r_k = Σ_t (x_t − x̄)(y_{t−k} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)
+    *
+    * with the [[autocorrelation]] gappy convention: each lag sums
+    * exactly the (t, t−k) pairs where BOTH series have a point, while
+    * means/variances are full-series (n_pairs reports overlap).
+    *
+    * Scale + determinism shape: identical to [[autocorrelation]] —
+    * lag alignment is a self-equi-join after exploding x to its
+    * 2·maxLag+1 lag keys (never an unpartitioned window); both
+    * series quantize to DECIMAL(18,6); every moment (full-series S,
+    * Σv²; per-lag C_k, A_k, B_k, m_k) is an exact DECIMAL sum cast to
+    * double once; the mean-cleared numerator
+    *
+    *   C_k − ȳ·A_k − x̄·B_k + m_k·x̄·ȳ
+    *
+    * runs in double on exact values and r_k is floor-quantized to
+    * 6 dp (round()-on-double is the cross-engine trap — [[Drift.psi]]).
+    *
+    * Output: (lag, n_pairs, ccf) for every lag; ccf null when either
+    * series is constant or the lag has no overlap.
+    */
+  def crossCorrelation(
+      a: DataFrame, b: DataFrame, tCol: String, vCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def clean(df: DataFrame) = df
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(vCol).cast("decimal(18,6)").as("__v"))
+    val x = clean(a)
+    val y = clean(b)
+    def moments(df: DataFrame, n: String, s: String, ss: String) =
+      df.agg(
+        count(lit(1)).as(n),
+        sum(col("__v")).cast("double").as(s),
+        sum(col("__v") * col("__v")).cast("double").as(ss))
+    val mx = moments(x, "__nx", "__sx", "__sxx")
+    val my = moments(y, "__ny", "__sy", "__syy")
+    val lagged = x.select(
+      col("__t"), col("__v").as("__xv"),
+      explode(array((-maxLag to maxLag).map(i => lit(i.toLong)): _*))
+        .as("lag"))
+      .withColumn("__tj", col("__t") - col("lag"))
+    val pairs = lagged.join(
+      y.select(col("__t").as("__tj"), col("__v").as("__yv")), Seq("__tj"))
+    val byLag = pairs.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__xv") * col("__yv")).cast("double").as("__c"),
+        sum(col("__xv")).cast("double").as("__a"),
+        sum(col("__yv")).cast("double").as("__b"))
+    val spine = x.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val xbar = col("__sx") / col("__nx").cast("double")
+    val ybar = col("__sy") / col("__ny").cast("double")
+    val num = col("__c") - ybar * col("__a") - xbar * col("__b") +
+      col("n_pairs").cast("double") * xbar * ybar
+    val varX = col("__sxx") - col("__sx") * col("__sx") /
+      col("__nx").cast("double")
+    val varY = col("__syy") - col("__sy") * col("__sy") /
+      col("__ny").cast("double")
+    spine.join(byLag, Seq("lag"), "left")
+      .crossJoin(broadcast(mx)).crossJoin(broadcast(my))
+      .select(col("lag"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs") > 0 && varX > 0.0 && varY > 0.0,
+          floor(num / sqrt(varX * varY) * lit(1e6)) / lit(1e6)).as("ccf"))
+  }
+
   /** Seasonal-naïve forecast backtest: score the forecast
     * "x̂_t = x_{t−period}" against actuals, scaled by the in-sample
     * naïve (lag-1) error — the MASE discipline: a model (or a

@@ -194,4 +194,34 @@ class OlapSpec extends SparkSpec {
     assert(out._1 === 4L && out._2 === 4L) // null y is its own level
     assert(out._3 === 0.0) // and independent of x here
   }
+
+  test("spearman is ±1 on any monotone relation, per group") {
+    val df = Seq(
+      ("up", 1.0, 1.0), ("up", 2.0, 4.0), ("up", 3.0, 9.0),
+      ("up", 4.0, 16.0),
+      ("dn", 1.0, 9.0), ("dn", 2.0, 4.0), ("dn", 3.0, 1.0))
+      .toDF("g", "x", "y")
+    val out = Olap.spearman(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("up") == ((4L, 1.0)))   // x² is monotone — Pearson isn't 1
+    assert(out("dn") == ((3L, -1.0)))
+  }
+
+  test("spearman midranks ties exactly (hand-computed)") {
+    // x = [1,1,2,3], y = [10,20,20,30]: scipy-style midranks give
+    // ρ = 3.75/4.5 = 0.8333… → floor-quantized 0.833333.
+    val df = Seq(("g", 1.0, 10.0), ("g", 1.0, 20.0), ("g", 2.0, 20.0),
+      ("g", 3.0, 30.0)).toDF("g", "x", "y")
+    val rho = Olap.spearman(df, Seq("g"), "x", "y")
+      .select("rho").as[Double].head()
+    assert(rho == math.floor(3.75 / 4.5 * 1e6) / 1e6)
+  }
+
+  test("spearman: constant variable gives null, nulls are dropped") {
+    val df = Seq(("g", 1.0, Some(5.0)), ("g", 2.0, Some(5.0)),
+      ("g", 3.0, None)).toDF("g", "x", "y")
+    assert(Olap.spearman(df, Seq("g"), "x", "y")
+      .select("rho").as[Option[Double]].head().isEmpty)
+  }
 }

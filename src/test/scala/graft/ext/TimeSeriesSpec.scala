@@ -182,6 +182,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.getDouble(5) == 0.75)
   }
 
+  test("crossCorrelation peaks at the planted lead-lag offset, exactly") {
+    // x_t = t mod 4 (5 full cycles), y_t = (t−2) mod 4: y lags x by 2,
+    // so y_{t−k} = x_t at k = −2. Same value multiset on both sides →
+    // x̄ = ȳ = 1.5, full var = 25; the 18 overlap pairs contribute
+    // num = 25 − ((0.5)² + (1.5)²) = 22.5 → ccf(−2) = 22.5/25 = 0.9.
+    val x = (0L to 19L).map(t => (t, (t % 4).toDouble)).toDF("t", "v")
+    val y = (0L to 19L).map(t => (t, ((t + 2) % 4).toDouble)).toDF("t", "v")
+    val out = TimeSeries.crossCorrelation(x, y, "t", "v", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(-2L)._1 == 18L)
+    assert(out(-2L)._2.contains(0.9))
+    assert(out.keySet == (-3L to 3L).toSet)
+    // lag 0 pairs values offset by 2 in the cycle — anticorrelated
+    assert(out(0L)._2.exists(_ < 0))
+  }
+
+  test("crossCorrelation reports empty-overlap lags as 0 pairs, null ccf") {
+    val x = (10L to 13L).map(t => (t, t.toDouble)).toDF("t", "v")
+    val y = (0L to 3L).map(t => (t, t.toDouble)).toDF("t", "v")
+    val out = TimeSeries.crossCorrelation(x, y, "t", "v", maxLag = 2)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
   test("seasonalNaiveBacktest keeps keys separate and windows out of the plan") {
     val series = (0L to 13L).flatMap(t =>
       Seq(("a", t, (t % 7).toDouble), ("b", t, t.toDouble)))
