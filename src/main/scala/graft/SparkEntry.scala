@@ -871,6 +871,25 @@ object SparkEntry {
           .select(col("event_type"), dayofweek(col("ts")).as("dow")),
         "event_type", "dow")),
 
+    // [EXT] Drift: exact ROC AUC of value as a purchase-vs-rest score
+    // — the Mann–Whitney U normalized by the pair count (rank
+    // identity), same prefix-sum plan.
+    "q_roc_auc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.rocAuc(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") =!= "purchase"),
+        "value")
+    }),
+
+    // [EXT] Behavior: decile lift table of value as a purchase scorer
+    // — NTILE tiling via the distributed ordinal, prefix-sum
+    // cumulative gains, exact-integer rates.
+    "q_lift_table" -> ((s, dir) =>
+      Behavior.liftTable(
+        Tables.events(s, dir), "value", "event_id",
+        col("event_type") === "purchase", buckets = 10)),
+
     // [EXT] OLAP: per-type Spearman rank correlation between value and
     // hour-of-day — exact doubled midranks (the Mann–Whitney device),
     // decimal moments, group-partitioned rank windows only.
@@ -2647,6 +2666,65 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |        - tt / ((na + nb) * (na + nb - 1)))) * 1e6) / 1e6
         |  END AS z
         |FROM f""".stripMargin,
+
+    // ROC AUC mirrored: the q_mann_whitney CTE chain on the
+    // purchase-vs-rest split, final select normalizes U by the exact
+    // pair count, FLOOR-quantized.
+    "q_roc_auc" ->
+      """WITH t AS (
+        |  SELECT value AS v, 1 AS a, 0 AS b FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT value, 0, 1 FROM events
+        |  WHERE event_type <> 'purchase' AND value IS NOT NULL),
+        |pv AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+        |         CAST(SUM(b) AS BIGINT) AS cb,
+        |         CAST(SUM(a) + SUM(b) AS BIGINT) AS cnt
+        |       FROM t GROUP BY 1),
+        |c AS (SELECT ca, cb, cnt,
+        |        SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cum
+        |      FROM pv),
+        |g AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) AS BIGINT) AS n_b,
+        |        SUM(CAST(ca AS HUGEINT) *
+        |          CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS r2
+        |      FROM c)
+        |SELECT n_a AS n_pos, n_b AS n_neg,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    FLOOR((CAST(r2 AS DOUBLE)
+        |        - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6) / 1e6
+        |  END AS auc
+        |FROM g""".stripMargin,
+
+    // Lift table mirrored: SQL NTILE = Ordinal.withNtile by
+    // construction; window prefix sums over the 10-row tile frame;
+    // exact-integer rates, FLOOR-quantized.
+    "q_lift_table" ->
+      """WITH t AS (
+        |  SELECT NTILE(10) OVER (ORDER BY value DESC, event_id ASC)
+        |      AS bucket,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS n_pos FROM t GROUP BY 1),
+        |c AS (SELECT p.*, SUM(n) OVER (ORDER BY bucket) AS cn,
+        |        SUM(n_pos) OVER (ORDER BY bucket) AS cp FROM p),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |          CAST(SUM(n_pos) AS BIGINT) AS tp FROM p)
+        |SELECT bucket, n, n_pos,
+        |  FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+        |    AS rate,
+        |  CASE WHEN tp > 0 THEN
+        |    FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e6) / 1e6
+        |  END AS lift,
+        |  CASE WHEN tp > 0 THEN
+        |    FLOOR(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)
+        |      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e6) / 1e6
+        |  END AS cum_lift
+        |FROM c CROSS JOIN tot""".stripMargin,
 
     // Spearman mirrored: doubled midranks as HUGEINT (Spark's
     // DECIMAL(38,0)), per-group window prefix over the per-value

@@ -165,6 +165,52 @@ object Behavior {
             lit(1.0) / col("n_b").cast("double"))), 6))
   }
 
+  /** Decile lift table (gains chart): rank rows by score descending,
+    * cut into `buckets` equal tiles, and report each tile's positive
+    * rate against the base rate — "the top decile converts at 3.1×
+    * base" — the standard targeting/calibration readout for any scorer
+    * ([[graft.ext.Drift.rocAuc]] summarizes the same ranking in one
+    * number; this shows WHERE the separation lives).
+    *
+    * Scale + determinism shape: tiling is
+    * [[graft.plans.Ordinal.withNtile]] (range partition + per-partition
+    * counts — SQL NTILE semantics, no global sort, no single-partition
+    * window) with an explicit unique tie-break column; cumulative
+    * counts run over the `buckets`-row aggregate through
+    * [[graft.plans.Prefix]]; every rate/lift is an IEEE division of
+    * exact integers, floor-quantized to 6 dp. Lifts are null when no
+    * positives exist at all.
+    *
+    * Output per tile: (bucket, n, n_pos, rate, lift, cum_lift).
+    */
+  def liftTable(
+      df: DataFrame, scoreCol: String, tieCol: String, isPositive: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val scored = df
+      .filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("__s"), col(tieCol).as("__id"),
+        when(isPositive, 1L).otherwise(0L).as("__y"))
+    val tiled = graft.plans.Ordinal.withNtile(
+      scored, Seq(col("__s").desc, col("__id").asc), buckets, "bucket")
+    val per = tiled.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val cum = graft.plans.Prefix.withRunningSums(
+      per, Seq(col("bucket")), Seq("n" -> "__cn", "n_pos" -> "__cp"))
+    val tot = per.agg(
+      sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val overall = col("__tp").cast("double") / col("__tn").cast("double")
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    val cumRate = col("__cp").cast("double") / col("__cn").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(
+        col("bucket"), col("n"), col("n_pos"),
+        q6(rate).as("rate"),
+        when(col("__tp") > 0, q6(rate / overall)).as("lift"),
+        when(col("__tp") > 0, q6(cumRate / overall)).as("cum_lift"))
+  }
+
   /** CUPED (Controlled-experiment Using Pre-Experiment Data) adjusted
     * means — the standard variance-reduction companion to
     * [[conversionZTest]]: each user's post-period metric is debiased by

@@ -233,4 +233,37 @@ object Drift {
       when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
         floor(z * lit(1e6)) / lit(1e6)).as("z"))
   }
+
+  /** Exact ROC AUC of a score column, via the rank identity
+    *
+    *   AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) = U⁺ / (n⁺·n⁻)
+    *
+    * — AUC IS the Mann–Whitney U of the positive sample normalized by
+    * the pair count, so this inherits [[mannWhitney]]'s whole
+    * discipline for free: per-distinct-score counts, ONE distributed
+    * prefix pass, exact integer midrank moments, no sort of the row
+    * stream and no per-threshold sweep (the textbook trapezoid over
+    * thresholds is this same number computed slower).
+    *
+    * The model-evaluation primitive for every scorer this engine
+    * feeds: quality scores, language-ID confidence, dedup similarity
+    * as a duplicate classifier.
+    *
+    * Determinism: u_a is exact (midranks); the normalization is one
+    * IEEE division by the exact pair count, floor-quantized to 6 dp.
+    *
+    * Output one row: (n_pos, n_neg, auc); auc null when either class
+    * is empty.
+    */
+  def rocAuc(
+      positives: DataFrame, negatives: DataFrame,
+      scoreCol: String): DataFrame = {
+    mannWhitney(positives, negatives, scoreCol)
+      .select(
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("u_a") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) *
+            lit(1e6)) / lit(1e6)).as("auc"))
+  }
 }

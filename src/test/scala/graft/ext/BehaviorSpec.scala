@@ -249,6 +249,31 @@ class BehaviorSpec extends SparkSpec {
     assert(adj.forall(_.isEmpty))
   }
 
+  test("liftTable: per-tile and cumulative lift from exact counts") {
+    import org.apache.spark.sql.functions.col
+    // Scores 1..20 unique; positives = the top 4 scores + score 1.
+    // 5 buckets of 4: rates 1.0/0/0/0/0.25, base rate 0.25.
+    val df = (1 to 20).map(i =>
+      (i.toLong, i.toDouble, i >= 17 || i == 1)).toDF("id", "s", "pos")
+    val out = Behavior.liftTable(df, "s", "id", col("pos"), buckets = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 1.0, 4.0, 4.0)))
+    assert(out(2L) == ((4L, 0L, 0.0, 0.0, 2.0)))
+    assert(out(5L) == ((4L, 1L, 0.25, 1.0, 1.0)))
+  }
+
+  test("liftTable breaks score ties on the id column") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5.0, true), (2L, 5.0, true), (3L, 5.0, false),
+      (4L, 5.0, false)).toDF("id", "s", "pos")
+    val out = Behavior.liftTable(df, "s", "id", col("pos"), buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 0.0))
+  }
+
   test("cupedAdjustedMeans is partition-invariant") {
     import org.apache.spark.sql.functions.col
     val ev = (1 to 200).map { i =>

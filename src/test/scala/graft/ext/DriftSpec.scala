@@ -170,6 +170,29 @@ class DriftSpec extends SparkSpec {
       .select("z").as[Option[Double]].head().isEmpty)
   }
 
+  test("rocAuc: perfect separation 1, reversed 0, ties contribute half") {
+    val lo = Seq(1.0, 2.0, 3.0).toDF("s")
+    val hi = Seq(4.0, 5.0, 6.0).toDF("s")
+    assert(Drift.rocAuc(hi, lo, "s").select("auc").as[Double].head() == 1.0)
+    assert(Drift.rocAuc(lo, hi, "s").select("auc").as[Double].head() == 0.0)
+    // identical samples: every pair is a tie → AUC exactly 0.5
+    assert(Drift.rocAuc(lo, lo, "s").select("auc").as[Double].head() == 0.5)
+  }
+
+  test("rocAuc matches the explicit pair count on a mixed sample") {
+    // pos = {3, 1}, neg = {2, 2}: pairs (3>2)×2 = 2 wins, (1<2)×2 = 0
+    // → AUC = 2/4 = 0.5; with a tie: pos {2,3} neg {2,1}:
+    // wins (2>1),(3>2),(3>1) = 3, tie (2,2) = 0.5 → 3.5/4
+    val auc1 = Drift.rocAuc(
+      Seq(3.0, 1.0).toDF("s"), Seq(2.0, 2.0).toDF("s"), "s")
+      .select("auc").as[Double].head()
+    assert(auc1 == 0.5)
+    val auc2 = Drift.rocAuc(
+      Seq(2.0, 3.0).toDF("s"), Seq(2.0, 1.0).toDF("s"), "s")
+      .select("auc").as[Double].head()
+    assert(auc2 == 3.5 / 4.0)
+  }
+
   test("mannWhitney is partition-invariant and window-free") {
     val a = (1 to 300).map(i => (i * 3 % 97).toDouble).toDF("v")
     val b = (1 to 200).map(i => (i * 7 % 89).toDouble).toDF("v")
