@@ -535,6 +535,13 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) =>
       Vocab.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] PMI collocations (word2vec-style phrase mining): pairs that
+    // co-occur far above their marginal rates, ranked on the rounded
+    // score so cross-engine ln() ulps can't flip the order.
+    "q_pmi_colloc" -> ((s, dir) =>
+      Vocab.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 3L, k = 50)),
+
     // Per-document top TF-IDF term (rank on the 6dp-rounded score in
     // BOTH engines so cross-engine ln() ulps can't flip the argmax).
     "q_tfidf_top" -> ((s, dir) =>
@@ -1002,6 +1009,21 @@ object SparkEntry {
       graft.ext.Sketches.approxDistinct(
         Tables.lineitem(s, dir), Seq("l_returnflag"), "l_orderkey", b = 9)),
 
+    // [EXT] Count-Min sketch (portable 4×256 counter table, exact
+    // integer cells) probed for the exact top-20 users: the mergeable
+    // heavy-hitter shape — estimate >= exact, collisions only add.
+    "q_countmin" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketch = graft.ext.Sketches.countMin(
+        ev, "user_id", depth = 4, width = 256)
+      val top = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("user_id").asc)
+        .limit(20)
+      graft.ext.Sketches.countMinEstimate(sketch, top, "user_id", 4, 256)
+    }),
+
     // [EXT] Hashing-trick featurization: fixed 64-bucket space via the
     // portable md5-prefix hash; sparse (doc, bucket, cnt) rows.
     "q_feature_hash" -> ((s, dir) =>
@@ -1268,6 +1290,13 @@ object SparkEntry {
       graft.ext.TimeSeries.seasonalNaiveBacktest(
         daily, Seq("event_type"), "t", "cnt", period = 7)
     }),
+
+    // [EXT] Classical additive decomposition of daily value per type:
+    // centered 7-day MA trend, re-centered day-of-week seasonal
+    // indices, residual — all floor-quantized, decimal-exact sums.
+    "q_seasonal_decomp" -> ((s, dir) =>
+      graft.ext.TimeSeries.seasonalDecompose(
+        Tables.events(s, dir), "event_type", "ts", "value")),
 
     // [EXT] Lead-lag cross-correlation: daily click volume vs daily
     // purchase volume at lags −7..7 — lag-key self-join alignment,
@@ -2400,6 +2429,32 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf FROM s WHERE r = 1""".stripMargin,
 
+    "q_pmi_colloc" ->
+      """WITH toks AS (
+        |  SELECT str_split(trim(lower(text)), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+        |  FROM bg GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, pair_count,
+        |    CAST(SUM(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS left_count,
+        |    CAST(SUM(pair_count) OVER (PARTITION BY w2) AS BIGINT) AS right_count
+        |  FROM pairs),
+        |n AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS n FROM pairs)
+        |SELECT w1, w2, pair_count, left_count, right_count,
+        |  ROUND(ln((CAST(pair_count AS DOUBLE) * n.n)
+        |    / (CAST(left_count AS DOUBLE) * CAST(right_count AS DOUBLE))), 6)
+        |    AS pmi
+        |FROM m CROSS JOIN n
+        |WHERE pair_count >= 3
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC
+        |LIMIT 50""".stripMargin,
+
     "q_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3293,6 +3348,30 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      AS raw
         |  FROM s)""".stripMargin,
 
+    "q_countmin" ->
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |sk AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+        |      % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM k CROSS JOIN d GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id ORDER BY exact_count DESC, user_id ASC LIMIT 20),
+        |probe AS (
+        |  SELECT t.user_id, t.exact_count, d.i,
+        |    ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':'
+        |      || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM top t CROSS JOIN d)
+        |SELECT p.user_id, p.exact_count, MIN(s.cnt) AS cms_estimate
+        |FROM probe p JOIN sk s ON s.i = p.i AND s.bucket = p.bucket
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_feature_hash" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS BIGINT)
@@ -3572,6 +3651,50 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |      / (CAST(ne AS DOUBLE) / CAST(n_naive AS DOUBLE)) * 1e6) / 1e6
         |  END AS mase
         |FROM s FULL JOIN nv USING (event_type)""".stripMargin,
+
+    // Decomposition mirrored: DECIMAL(18,4) daily sums, centered 7-row
+    // MA over the daily frame, statsmodels-style re-centered dow
+    // indices, every division floor-quantized. DuckDB dayofweek is
+    // Sunday=0, Spark's is Sunday=1 -> +1.
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, d, v,
+        |    CASE WHEN COUNT(*) OVER w7 = 7
+        |      THEN FLOOR(CAST(SUM(v) OVER w7 AS DOUBLE) / 7 * 1e6) / 1e6
+        |    END AS trend
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (
+        |  SELECT *, CAST(dayofweek(d) + 1 AS INT) AS dow,
+        |    CASE WHEN trend IS NOT NULL
+        |      THEN FLOOR((CAST(v AS DOUBLE) - trend) * 1e6) / 1e6
+        |    END AS detr
+        |  FROM t),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    FLOOR(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) * 1e6) / 1e6 AS s_raw
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, dow,
+        |    FLOOR((s_raw
+        |      - FLOOR(CAST(SUM(CAST(s_raw AS DECIMAL(18,6))) OVER wk AS DOUBLE)
+        |          / COUNT(*) OVER wk * 1e6) / 1e6) * 1e6) / 1e6 AS seasonal
+        |  FROM seas
+        |  WINDOW wk AS (PARTITION BY event_type))
+        |SELECT dt.event_type, dt.d, dt.dow, CAST(dt.v AS DOUBLE) AS value,
+        |  dt.trend, sc.seasonal,
+        |  CASE WHEN dt.detr IS NOT NULL
+        |    THEN FLOOR((dt.detr - sc.seasonal) * 1e6) / 1e6
+        |  END AS resid
+        |FROM dt LEFT JOIN sc
+        |  ON dt.event_type = sc.event_type AND dt.dow = sc.dow""".stripMargin,
 
     // Cross-correlation mirrored: the q_acf conventions (decimal-exact
     // moments via DECIMAL(19,6) hugeint products, identical

@@ -94,4 +94,62 @@ object Sketches {
             .otherwise(col("__raw")), 4))
       .select(gs :+ col("approx_distinct"): _*)
   }
+
+  /** Count-Min sketch table: `depth` hash rows × `width` buckets of
+    * exact counter sums (Cormode & Muthukrishnan 2005) — the mergeable
+    * frequency sketch: two sketch tables over disjoint partitions merge
+    * by per-cell `sum` (associative/commutative), so daily sketches
+    * roll up losslessly without re-reading the raw stream. Estimates
+    * never under-count (every collision only ADDS), overshoot bounded
+    * by ε·N with ε = e/width at confidence 1−(1/e)^depth.
+    *
+    * PORTABLE like [[approxDistinct]]: hash row `i` is the md5-prefix
+    * convention over `i || ':' || key`, counters are exact integers —
+    * the entire sketch is bit-identically reproducible in any engine
+    * with md5 (oracle-checked in DuckDB). Output: (row_i, bucket, cnt).
+    *
+    * Scale shape: one explode (×depth) → hash aggregate keyed on
+    * (row_i, bucket) — map-side combine collapses the pre-shuffle
+    * stream to ≤ depth·width rows per task, so the shuffle carries the
+    * sketch, never the keys. No driver state.
+    */
+  def countMin(
+      df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .select(explode(array((0 until depth).map(lit): _*)).as("row_i"),
+        col("__k"))
+      .select(col("row_i"),
+        (graft.functions.HashExprs.md5Prefix60(
+          concat(col("row_i").cast("string"), lit(":"), col("__k")))
+          % lit(width.toLong)).as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: each key's estimate is the MIN over the
+    * `depth` hash rows of its bucket counter. `keys` carries the probe
+    * keys in `keyCol` (plus any passenger columns, which survive);
+    * the sketch side is ≤ depth·width rows and is broadcast — probing
+    * never shuffles the sketch or the keys.
+    */
+  def countMinEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val passengers = keys.columns.map(col)
+    val probes = keys
+      .select(passengers :+
+        explode(array((0 until depth).map(lit): _*)).as("row_i"): _*)
+      .withColumn("bucket",
+        graft.functions.HashExprs.md5Prefix60(
+          concat(col("row_i").cast("string"), lit(":"),
+            col(keyCol).cast("string"))) % lit(width.toLong))
+    probes
+      .join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(passengers: _*)
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
 }

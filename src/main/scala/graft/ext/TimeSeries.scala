@@ -419,4 +419,70 @@ object TimeSeries {
       .orderBy(col("corr").desc, col("start").asc)
       .limit(k)
   }
+
+  /** Classical additive seasonal decomposition of the daily per-key
+    * series (STL-lite / statsmodels `seasonal_decompose` shape):
+    *
+    *   value_d = trend_d + seasonal_dow(d) + resid_d
+    *
+    * trend = centered 7-row moving average (only FULL windows — the
+    * first/last 3 days of each key are null, the classical edge rule);
+    * seasonal = per day-of-week mean of the detrended series,
+    * re-centered so the seven indices sum to ~0 (statsmodels subtracts
+    * the unweighted mean of the period averages); resid = remainder.
+    * The corpus-mix audit: "is Tuesday's volume dip seasonal or a real
+    * shift?" — drift tests ([[Drift]]) fire on level changes; this
+    * separates level from calendar.
+    *
+    * Determinism: daily sums are exact DECIMAL(18,4); every division
+    * runs once in double on decimal-exact inputs and is floor-quantized
+    * (⌊x·10⁶⌋/10⁶ — tie-free cross-engine, see [[autocorrelation]]);
+    * differences of already-quantized doubles are exact IEEE ops and
+    * are re-quantized. Day-of-week is Sunday=1..7 (DuckDB mirror:
+    * `dayofweek(d)+1`).
+    *
+    * Scale shape: one date-keyed aggregate collapses the event stream;
+    * every window after that is keyed per-key over the DAILY frame
+    * (bounded by days of history, never event volume — no
+    * single-partition window); the seasonal index table is key×7 rows
+    * joined back broadcast-small.
+    *
+    * Output: (key, d, dow, value, trend, seasonal, resid) — seasonal is
+    * defined for any dow with at least one full-trend day; resid only
+    * where trend is.
+    */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val daily = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__v"))
+    val w7 = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+        q6(sum(col("__v")).over(w7).cast("double") / lit(7.0))))
+      .withColumn("__detr", when(col("trend").isNotNull,
+        q6(col("__v").cast("double") - col("trend"))))
+      .withColumn("dow", dayofweek(col("d")))
+    val seas = t
+      .filter(col("__detr").isNotNull)
+      .groupBy(col(keyCol), col("dow"))
+      .agg(q6(sum(col("__detr").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("__s_raw"))
+    val wk = Window.partitionBy(col(keyCol))
+    val seasC = seas
+      .withColumn("__m",
+        q6(sum(col("__s_raw").cast("decimal(18,6)")).over(wk).cast("double") /
+          count(lit(1)).over(wk)))
+      .select(col(keyCol), col("dow"), q6(col("__s_raw") - col("__m"))
+        .as("seasonal"))
+    t.join(seasC, Seq(keyCol, "dow"), "left")
+      .select(col(keyCol), col("d"), col("dow"),
+        col("__v").cast("double").as("value"), col("trend"), col("seasonal"),
+        when(col("__detr").isNotNull, q6(col("__detr") - col("seasonal")))
+          .as("resid"))
+  }
 }

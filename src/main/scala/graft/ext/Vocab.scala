@@ -302,6 +302,65 @@ object Vocab {
     * doc-keyed aggregate. Documents with fewer than two tokens have no
     * bigram positions and drop out (mirroring the oracle).
     */
+  /** PMI collocations — the phrase-mining primitive (word2vec-style
+    * phrase detection, Mikolov et al. 2013): word pairs that co-occur
+    * far more often than their marginal frequencies predict are
+    * phrases ("new york"), and a training pipeline promotes them to
+    * single tokens before building a vocabulary.
+    *
+    *   PMI(w₁,w₂) = ln( C₁₂ · N / (C₁· · C·₂) )
+    *
+    * over the corpus's bigram positions: C₁₂ = count of the pair,
+    * C₁· / C·₂ = the left/right positional marginals, N = total bigram
+    * positions. Pairs below `minCount` are noise (a hapax pair with two
+    * rare words gets an enormous PMI) and are dropped BEFORE ranking —
+    * the standard phrase-mining floor.
+    *
+    * Output: top-`k` rows (w1, w2, pair_count, left_count, right_count,
+    * pmi) by (pmi desc, w1 asc, w2 asc).
+    *
+    * Determinism: all five counts are exact integers; the PMI is one
+    * double expression over them — `(C₁₂·N) / (C₁·C·₂)` evaluated in
+    * the same shape in both engines — rounded to 6 dp, and the rank
+    * compares the ROUNDED score with a full lexical tie-break, so a
+    * cross-engine ln() ulp cannot flip the ordering.
+    *
+    * Scale shape: one codegen'd bigram explode ([[graft.functions.WordBigrams]],
+    * ONE tokenize per doc) → hash aggregate keyed on (w₁,w₂) — bounded
+    * by distinct pairs, map-side combinable. Marginals are two
+    * sum-windows over that collapsed pair frame (vocabulary-bounded,
+    * never the raw token stream); N rides a one-row broadcast. Top-k is
+    * `orderBy.limit` → TakeOrderedAndProject (per-partition heaps, no
+    * global sort, no single-partition window).
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 3L, k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pairs = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextExprs.wordBigrams(col(textCol)))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val totals = pairs.agg(sum(col("pair_count")).as("__n"))
+    val byLeft = Window.partitionBy(col("w1"))
+    val byRight = Window.partitionBy(col("w2"))
+    pairs
+      .withColumn("left_count", sum(col("pair_count")).over(byLeft))
+      .withColumn("right_count", sum(col("pair_count")).over(byRight))
+      .filter(col("pair_count") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        col("left_count"), col("right_count"),
+        round(log((col("pair_count").cast("double") * col("__n").cast("double"))
+          / (col("left_count").cast("double") * col("right_count").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def bigramSurprisal(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs

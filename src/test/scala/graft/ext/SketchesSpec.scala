@@ -38,4 +38,33 @@ class SketchesSpec extends SparkSpec {
       .select("approx_distinct").as[Double].head()
     assert(one === many)
   }
+
+  test("countMin: estimates never under-count and are exact sans collisions") {
+    // 3 keys, frequencies 50/30/20; width 256 >> 3 keys so collisions
+    // within a hash row are possible but unlikely across ALL 4 rows.
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    val sketch = Sketches.countMin(df, "k")
+    val keys = Seq("a", "b", "c").toDF("k")
+    val est = Sketches.countMinEstimate(sketch, keys, "k")
+      .as[(String, Long)].collect().toMap
+    assert(est("a") === 50L && est("b") === 30L && est("c") === 20L)
+  }
+
+  test("countMin: sketch size is bounded by depth*width, cells sum to depth*N") {
+    val df = (1L to 1000L).map(i => i % 97).toDF("k")
+    val sketch = Sketches.countMin(df, "k", depth = 4, width = 64).collect()
+    assert(sketch.length <= 4 * 64)
+    // every input row lands in exactly one bucket per hash row
+    assert(sketch.map(_.getLong(2)).sum === 4L * 1000L)
+  }
+
+  test("countMin: partition-merge invariance (exact integer cells)") {
+    val df = (1L to 2000L).map(i => i * 13 % 50).toDF("k")
+    val one = Sketches.countMin(df.repartition(1), "k", 4, 64)
+      .orderBy("row_i", "bucket").collect().toSeq
+    val many = Sketches.countMin(df.repartition(16), "k", 4, 64)
+      .orderBy("row_i", "bucket").collect().toSeq
+    assert(one === many)
+  }
 }

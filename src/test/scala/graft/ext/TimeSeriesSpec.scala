@@ -220,4 +220,29 @@ class TimeSeriesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
   }
+
+  test("seasonalDecompose recovers a pure weekly pattern exactly") {
+    // 21 days from Mon 2024-01-01; value 10, +7 bump on Tuesdays.
+    // Centered 7-day MA = (6*10+17)/7 = 11 exactly on full windows;
+    // detrended = +6 (Tue) / -1 (else); indices already sum to 0.
+    val rows = (0 until 21).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val v = if (d.getDayOfWeek.getValue == 2) 17.0 else 10.0
+      ("k", Timestamp.valueOf(d.atTime(12, 0)), v)
+    }
+    val out = TimeSeries.seasonalDecompose(
+      rows.toDF("k", "ts", "v"), "k", "ts", "v").collect()
+    assert(out.length === 21)
+    val full = out.filter(!_.isNullAt(4)) // trend defined
+    assert(full.length === 15)            // 3-day edges null on each end
+    assert(full.forall(_.getDouble(4) === 11.0))
+    // seasonal: +6 on Tuesday (dow=3, Sunday=1), -1 otherwise; resid 0
+    assert(full.forall { r =>
+      val want = if (r.getInt(2) === 3) 6.0 else -1.0
+      r.getDouble(5) === want && r.getDouble(6) === 0.0
+    })
+    // edge rows still get their dow's seasonal index
+    val edges = out.filter(_.isNullAt(4))
+    assert(edges.forall(r => !r.isNullAt(5) && r.isNullAt(6)))
+  }
 }

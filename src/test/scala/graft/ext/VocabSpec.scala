@@ -173,4 +173,30 @@ class VocabSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n === 3, s"expected 3 hash exchanges, got $n:\n$plan")
   }
+
+  test("pmiCollocations: hand-computed PMI with rounded-score ranking") {
+    val tiny = Seq(
+      (0L, "new york new york"), (1L, "new deal"), (2L, "york city"))
+      .toDF("doc_id", "text")
+    val out = Vocab.pmiCollocations(tiny, "text", minCount = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    // N=5. (new,york): 2*5/(3*2) -> ln(5/3); (york,new): 1*5/(2*1) -> ln(2.5)
+    // (new,deal): 1*5/(3*1) -> ln(5/3); (york,city): 1*5/(2*1) -> ln(2.5)
+    val ln53 = math.rint(math.log(5.0 / 3.0) * 1e6) / 1e6
+    val ln25 = math.rint(math.log(2.5) * 1e6) / 1e6
+    assert(out === List(
+      ("york", "city", 1L, 2L, 1L, ln25),
+      ("york", "new", 1L, 2L, 1L, ln25),
+      ("new", "deal", 1L, 3L, 1L, ln53),
+      ("new", "york", 2L, 3L, 2L, ln53)))
+  }
+
+  test("pmiCollocations: minCount floor drops hapax pairs before ranking") {
+    val tiny = Seq(
+      (0L, "new york new york"), (1L, "new deal"), (2L, "york city"))
+      .toDF("doc_id", "text")
+    val out = Vocab.pmiCollocations(tiny, "text", minCount = 2L, k = 10)
+      .select("w1", "w2").as[(String, String)].collect().toList
+    assert(out === List(("new", "york")))
+  }
 }
