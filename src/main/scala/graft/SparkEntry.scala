@@ -279,6 +279,14 @@ object SparkEntry {
         d, d.filter(col("doc_id") < 200), "doc_id", "text", threshold = 0.5)
     }),
 
+    // [EXT] Exact repeated-substring spans (Lee et al. 2022): maximal
+    // token spans whose 8-grams all recur in >=2 docs — the partial-
+    // duplication regions whole-doc dedup misses. Positional k-gram
+    // index + per-doc gaps-and-islands merge; pure integer output.
+    "q_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = 8, minDocs = 2)),
+
     // Embedding-cosine near-dup pairs (bounded query side, exact).
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(
@@ -2146,6 +2154,35 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |WHERE a.doc_id < 200
         |  AND CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / CAST(LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5""".stripMargin,
+
+    // Repeated-span oracle: same k-gram index over gram STRINGS (the
+    // Spark side shuffles md5 prefixes of the same grams), same
+    // gaps-and-islands merge with break at pos > prev_pos + k.
+    "q_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |rep AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+        |  GROUP BY gram HAVING COUNT(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos, SUM(b) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM brk)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, span""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -900,4 +900,71 @@ object Dedup {
       .dropDuplicates("name_a", "name_b")
       .select("name_a", "name_b", "dist")
   }
+
+  /** Exact repeated-substring SPANS (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * whole-document dedup misses the pervasive PARTIAL duplication of
+    * web corpora (boilerplate headers, quoted paragraphs, licenses), so
+    * the substring pass finds every token span whose k-grams all recur
+    * in other documents — the regions a curation pipeline cuts or
+    * down-weights. (The paper builds a suffix array; the distributed
+    * re-expression is a k-gram inverted index, the same recall for
+    * spans >= k tokens without a global sort.)
+    *
+    * Method: positional k-grams per doc ([[graft.functions.WordShinglesAll]],
+    * one codegen'd pass) → a gram is REPEATED if it occurs in >=
+    * `minDocs` distinct docs → each doc's repeated-gram start positions
+    * merge into maximal spans (classic gaps-and-islands: a new span
+    * starts where pos > prev_pos + k, i.e. the previous gram's k-token
+    * extent no longer reaches this one).
+    *
+    * Output: (doc_id-named `idCol`, span_start, span_len, n_grams) —
+    * span_start is a 0-based token offset, span_len in tokens
+    * (= max_pos + k − span_start), n_grams the merged gram count.
+    *
+    * Determinism: pure integer positions and exact integer counts — no
+    * floats anywhere.
+    *
+    * Scale shape: grams shuffle as 60-bit md5 prefixes (16 bytes →
+    * 8, never the gram text); doc-frequency is a two-level hash
+    * aggregate ((hash,doc) then hash — both map-side combinable); the
+    * position→repeated-gram filter is a left-semi equi-join on the
+    * hash (no broadcast assumption — the repeated-gram table scales
+    * with corpus redundancy); span merge windows partition by doc, so
+    * frames are bounded by document length, never corpus size.
+    */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(graft.functions.TextExprs.wordShinglesAll(col(textCol), k))
+          .as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos"),
+        graft.functions.HashExprs.md5Prefix60(col("__g")).as("__h"))
+    val repeated = grams
+      .select(col("__h"), col(idCol))
+      .distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val hits = grams.join(repeated, Seq("__h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc) + lit(k),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__span"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).cast("long")
+          .as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_len"), col("n_grams"))
+  }
 }

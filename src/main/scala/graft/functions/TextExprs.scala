@@ -84,6 +84,68 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Static positional-shingle kernel: ALL word n-grams in document
+  * order, with multiplicity — index i of the output array IS token
+  * start position i, which is what span-level dedup needs (the
+  * [[WordShingleOps.shingle]] kernel dedups, destroying positions).
+  */
+object WordShingleAllOps {
+  def shingleAll(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.toString.trim
+      .toLowerCase(java.util.Locale.ROOT).split(" ")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** ALL word n-gram shingles in positional order (array index = token
+  * start position), as `array<string>` — `posexplode` over it yields
+  * the (position, gram) pairs a repeated-span index is built from.
+  * Same single-tight-loop/codegen rationale as [[WordShingles]].
+  */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_all needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleAllOps.shingleAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingleAllOps.shingleAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+}
+
 /** Static bigram kernel (same pattern as [[WordShingleOps]], but keeps
   * MULTIPLICITY and emits (w1, w2) struct pairs — the shape the
   * bigram-LM tf aggregate needs; the shingle kernel dedups and joins
@@ -223,6 +285,10 @@ object TextExprs {
   /** Distinct word n-gram shingles as a Column. */
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
+
+  /** All word n-gram shingles in positional order as a Column. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    column(WordShinglesAll(expression(text), n))
 
   /** All word bigrams (with multiplicity) as a Column. */
   def wordBigrams(text: Column): Column =

@@ -343,4 +343,54 @@ class DedupSpec extends SparkSpec {
       .filter($"doc_id" === 1L).select("n_shared").as[Long].head()
     assert(shared === 0L)
   }
+
+  test("repeatedSpans merges overlapping repeated k-grams into maximal spans") {
+    // docs 1 and 2 share the 6-token run "a b c d e f" (and nothing
+    // else); with k=3 the shared run contributes starts 0..3 in doc 1
+    // (positions of "a b c".."d e f") which must merge into ONE span
+    // of length 6. Doc 3 is unrelated noise.
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 z1 w1"),
+      (2L, "p q a b c d e f r s"),
+      (3L, "m n o t u v h i j k"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: starts 0,1,2,3 -> span [0, 6); doc 2: starts 2..5 -> [2, 8)
+    assert(out === Set((1L, 0L, 6L, 4L), (2L, 2L, 6L, 4L)))
+  }
+
+  test("repeatedSpans splits at gaps and keeps within-doc repeats out") {
+    // doc 1 shares TWO disjoint 3-gram regions with doc 2, separated by
+    // a gap wider than k -> two spans, not one. A 3-gram repeated only
+    // WITHIN doc 3 ("a b c" twice) has doc-frequency 1 and must not
+    // produce a span.
+    val docs = Seq(
+      (1L, "a b c g1 g2 g3 g4 x y z"),
+      (2L, "a b c h1 h2 h3 h4 x y z"),
+      (3L, "a1 b1 c1 d1 a1 b1 c1 d1"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 3L, 1L), (1L, 7L, 3L, 1L),
+      (2L, 0L, 3L, 1L), (2L, 7L, 3L, 1L)))
+  }
+
+  test("repeatedSpans: adjacent-but-not-overlapping grams still chain") {
+    // positions p and p+k merge (pos <= prev+k): the covered region is
+    // fully made of repeated grams even though the junction gram isn't
+    // itself repeated.
+    val docs = Seq(
+      (1L, "a b c d m n o p"),
+      (2L, "a b c d q r s t"),
+      (3L, "z z z z m n o p"))
+      .toDF("doc_id", "text")
+    // k=4: doc 1 has repeated gram at 0 ("a b c d", with doc 2) and at
+    // 4 ("m n o p", with doc 3) -> chained into one span [0, 8).
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 8L, 2L), (2L, 0L, 4L, 1L), (3L, 4L, 4L, 1L)))
+  }
 }
