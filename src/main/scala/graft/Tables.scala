@@ -30,13 +30,22 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` converted nanos→microseconds (integer division —
-    * identical truncation to DuckDB's TIMESTAMP_NS → TIMESTAMP read).
+  /** `events` normalized to a session-TZ `timestamp` ts, whatever the
+    * parquet layout: TIMESTAMP(NANOS) arrives as a raw long (via
+    * `nanosAsLong`) and is integer-divided to micros — identical
+    * truncation to DuckDB's TIMESTAMP_NS → TIMESTAMP read — while
+    * TIMESTAMP(MICROS) (NTZ) is cast directly (value-preserving under
+    * the UTC session timezone both engines run in).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = {
