@@ -1570,6 +1570,35 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
   private def stopwordSqlList: String =
     TextStats.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** DuckDB lateral-column-alias chain computing
+    * [[graft.functions.DetMath.lnq]] — graft's cross-engine
+    * deterministic ln — over an input column `in` (a prior alias in
+    * the same SELECT, must be a bare identifier), emitting the result
+    * as alias `out`. Op-for-op the same IEEE tree as the Spark side;
+    * every inexact constant is written in scientific notation or as a
+    * double quotient so DuckDB types it DOUBLE (a bare `2.0/3.0`
+    * would be DECIMAL division — a DIFFERENT number). Intermediate
+    * aliases are suffixed with `out` so two chains can share a
+    * SELECT (the JSD oracle needs one per side).
+    */
+  private def lnSqlChain(in: String, out: String): String = {
+    val (k0, m0, k, m, t, u, s) = (s"__k0$out", s"__m0$out", s"__k$out",
+      s"__m$out", s"__t$out", s"__u$out", s"__s$out")
+    s"""CAST(FLOOR(LOG2($in)) AS BIGINT) AS $k0,
+       |  $in * POWER(2e0, -$k0) AS $m0,
+       |  CASE WHEN $m0 >= 2e0 THEN $k0 + 1
+       |       WHEN $m0 < 1e0 THEN $k0 - 1 ELSE $k0 END AS $k,
+       |  CASE WHEN $m0 >= 2e0 THEN $m0 * 5e-1
+       |       WHEN $m0 < 1e0 THEN $m0 * 2e0 ELSE $m0 END AS $m,
+       |  ($m - 1e0) / ($m + 1e0) AS $t,
+       |  $t * $t AS $u,
+       |  $t * (2e0 + $u * ((2e0/3e0) + $u * ((2e0/5e0) + $u * ((2e0/7e0) +
+       |    $u * ((2e0/9e0) + $u * ((2e0/11e0) + $u * ((2e0/13e0) +
+       |    $u * ((2e0/15e0) + $u * ((2e0/17e0) + $u * ((2e0/19e0) +
+       |    $u * ((2e0/21e0) + $u * (2e0/23e0)))))))))))) AS $s,
+       |  $s + CAST($k AS DOUBLE) * 6.931471805599453e-1 AS $out""".stripMargin
+  }
+
   /** The sign-LSH bucket id as DuckDB SQL over a column `emb`
     * (DOUBLE[]), with the SAME hyperplane constants as
     * [[Similarity.lshBucket]] inlined as literals.
@@ -2599,8 +2628,11 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Half-KL logs via the deterministic-ln chain; an absent side
+    // feeds dummy 1.0 (ln = exactly 0) and its 0.0 proportion factor
+    // kills the term bit-exactly — mirrors Drift.jsDivergence.
     "q_js_drift" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT event_type AS c, 1 AS r, 0 AS q FROM events
         |  WHERE ts < TIMESTAMP '2024-01-16'
         |  UNION ALL
@@ -2613,34 +2645,40 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |          CAST(COUNT(*) AS BIGINT) AS n_cats FROM pc),
         |w AS (
         |  SELECT n_ref, n_cur, n_cats,
-        |    CAST(FLOOR((
-        |      CASE WHEN cr > 0 THEN (CAST(cr AS DOUBLE) / n_ref) *
-        |        ln((CAST(cr AS DOUBLE) / n_ref) /
-        |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
-        |        / 2.0 ELSE 0.0 END +
-        |      CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / n_cur) *
-        |        ln((CAST(cq AS DOUBLE) / n_cur) /
-        |           ((CAST(cr AS DOUBLE) / n_ref + CAST(cq AS DOUBLE) / n_cur) / 2.0))
-        |        / 2.0 ELSE 0.0 END)
+        |    CAST(cr AS DOUBLE) / n_ref AS pp,
+        |    CAST(cq AS DOUBLE) / n_cur AS qq,
+        |    (pp + qq) / 2.0 AS mm,
+        |    CASE WHEN cr > 0 THEN pp / mm ELSE 1e0 END AS __xa,
+        |    CASE WHEN cq > 0 THEN qq / mm ELSE 1e0 END AS __xb,
+        |  ${lnSqlChain("__xa", "__lna")},
+        |  ${lnSqlChain("__xb", "__lnb")},
+        |    CAST(FLOOR((pp * __lna / 2.0 + qq * __lnb / 2.0)
         |      * 1e12) AS DECIMAL(20,0)) AS term
         |  FROM pc CROSS JOIN tot)
         |SELECT n_ref, n_cur, n_cats,
         |  CAST(SUM(term) AS DOUBLE) / 1e12 AS jsd
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
+    // -p·ln(p) with the deterministic-ln chain (bit-parity with
+    // Olap.categoricalEntropy's DetMath.lnq).
     "q_cat_entropy" ->
-      """WITH cells AS (
+      s"""WITH cells AS (
         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nc
         |  FROM documents GROUP BY 1, 2),
         |m AS (SELECT source, nc,
         |        SUM(nc) OVER (PARTITION BY source) AS n
-        |      FROM cells)
+        |      FROM cells),
+        |lx AS (
+        |  SELECT source, n,
+        |    CAST(nc AS DOUBLE) / n AS pp,
+        |    pp AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM m)
         |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
         |  CAST(COUNT(*) AS BIGINT) AS n_cats,
-        |  CAST(SUM(CAST(FLOOR(
-        |    (-(CAST(nc AS DOUBLE) / n) * ln(CAST(nc AS DOUBLE) / n))
+        |  CAST(SUM(CAST(FLOOR((-pp * __lnx)
         |    * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12 AS entropy_nats
-        |FROM m GROUP BY source""".stripMargin,
+        |FROM lx GROUP BY source""".stripMargin,
 
     "q_quantile_norm" -> {
       val probs = (0 to 20).map(i => (i.toDouble / 20).toString).mkString(", ")
@@ -2890,8 +2928,10 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  END AS cramers_v
         |FROM g CROSS JOIN tot GROUP BY 1, 2, 3, LEAST(kx, ky)""".stripMargin,
 
+    // p(xy)·ln(p(xy)/(p(x)p(y))) with the deterministic-ln chain
+    // (bit-parity with Olap.mutualInformation's DetMath.lnq).
     "q_mutual_info" ->
-      """WITH cells AS (
+      s"""WITH cells AS (
         |  SELECT event_type AS x, dayofweek(ts) AS y,
         |    CAST(COUNT(*) AS BIGINT) AS nxy
         |  FROM events GROUP BY 1, 2),
@@ -2901,13 +2941,18 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    SUM(nxy) OVER (PARTITION BY y) AS ny
         |  FROM cells),
         |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
-        |          CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+        |          CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+        |lx AS (
+        |  SELECT n, n_cells, nxy,
+        |    CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM m CROSS JOIN tot)
         |SELECT n, n_cells,
         |  CAST(SUM(CAST(FLOOR(
-        |    (CAST(nxy AS DOUBLE) / n *
-        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
+        |    (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) * __lnx)
         |    * 1e12) AS DECIMAL(20,0))) AS DOUBLE) / 1e12 AS mi_nats
-        |FROM m CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+        |FROM lx GROUP BY 1, 2""".stripMargin,
 
     "q_rfm" ->
       """WITH base AS (
@@ -3804,8 +3849,10 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  END AS intercept
         |FROM m""".stripMargin,
 
+    // The log-ratio is the deterministic-ln chain (lnSqlChain), NOT
+    // libm ln() — bit-parity with DetMath.lnq on the Spark side.
     "q_psi_drift" ->
-      """WITH r AS (
+      s"""WITH r AS (
         |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS n_ref
         |  FROM events WHERE value IS NOT NULL AND event_type <> 'purchase'
         |  GROUP BY 1),
@@ -3818,14 +3865,16 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
         |t AS (
         |  SELECT SUM(br) AS n_ref, SUM(bc) AS n_cur, COUNT(*) AS n_bins FROM j),
+        |lx AS (
+        |  SELECT
+        |    CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END AS pp,
+        |    CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END AS qq,
+        |    qq / pp AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM j CROSS JOIN t),
         |terms AS (
-        |  SELECT CAST(FLOOR(
-        |    ((CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
-        |     - CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END)
-        |    * ln(CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END
-        |       / CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END))
-        |    * 1e12) AS DECIMAL(20,0)) AS term
-        |  FROM j CROSS JOIN t)
+        |  SELECT CAST(FLOOR((qq - pp) * __lnx * 1e12) AS DECIMAL(20,0)) AS term
+        |  FROM lx)
         |SELECT CAST(SUM(term) AS DOUBLE) / 1e12 AS psi,
         |  t.n_bins, t.n_ref, t.n_cur
         |FROM terms CROSS JOIN t

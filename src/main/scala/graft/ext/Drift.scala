@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
   * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
   *
   * Determinism contract (cross-engine oracle-able): bin counts are
-  * exact; proportions are one double division each; each bin's term
-  * is TRUNCATED to 12 dp (⌊x·10¹²⌋, the [[Graph.pageRank]] floor
-  * quantization — floor has no tie to break, so identical doubles
-  * quantize identically in any engine, where round()-on-double hits
-  * the Spark-HALF_UP-vs-DuckDB divergence observed in r06) and summed
-  * as exact DECIMAL integers — float addition order CANNOT perturb
-  * the total. The PSI is the integer sum ÷ 10¹² (one IEEE divide, no
-  * further rounding).
+  * exact; proportions are one double division each; the log-ratio is
+  * [[graft.functions.DetMath.lnq]] — computed from IEEE basic ops
+  * only, so Spark and the oracle produce the BIT-IDENTICAL double
+  * (libm `log` is allowed 1 ulp and diverged between JVM and C in
+  * r06–r08, which under the 12-dp quantization below was a ~1e-4
+  * per-term hash-fail coin); each bin's term is then TRUNCATED to
+  * 12 dp (⌊x·10¹²⌋, the [[Graph.pageRank]] floor quantization —
+  * floor has no tie to break, and its input is now bit-identical
+  * cross-engine) and summed as exact DECIMAL integers — float
+  * addition order CANNOT perturb the total. The PSI is the integer
+  * sum ÷ 10¹² (one IEEE divide, no further rounding).
   *
   * Scale shape: one hash aggregate per side keyed on the bin id
   * (map-side combinable, shuffle carries ≤ #bins rows per task), one
@@ -64,7 +67,8 @@ object Drift {
     val term = {
       val p = prop(col("br"), col("n_ref"))
       val q = prop(col("bc"), col("n_cur"))
-      floor((q - p) * log(q / p) * lit(1e12)).cast("decimal(20,0)")
+      floor((q - p) * graft.functions.DetMath.lnq(q / p) * lit(1e12))
+        .cast("decimal(20,0)")
     }
     binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
@@ -81,12 +85,17 @@ object Drift {
     *
     *   JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = ½(P+Q)
     *
-    * Determinism: P, Q, M are ratios of exact integer counts; each
-    * category's term is double math on those integers (identical in
-    * any engine), floor-quantized to 12 dp (⌊x·10¹²⌋ — a JSD half-KL
-    * term can be negative; floor is still tie-free and engine-exact)
-    * and summed as exact DECIMAL integers — the [[psi]] discipline —
-    * then the JSD is the integer sum ÷ 10¹².
+    * Determinism: P, Q, M are ratios of exact integer counts; the
+    * half-KL logs are [[graft.functions.DetMath.lnq]] (bit-identical
+    * cross-engine — see [[psi]]); an absent side feeds the DUMMY
+    * input 1.0 to its log (lnq(1) = exactly 0, and its proportion
+    * factor is exactly 0.0, so the term vanishes bit-exactly without
+    * a CASE around the log — the log input must stay positive, CASE
+    * or not, because the chain is evaluated unconditionally in the
+    * SQL mirror); each term is floor-quantized to 12 dp (⌊x·10¹²⌋ —
+    * a JSD half-KL term can be negative; floor is still tie-free and
+    * engine-exact) and summed as exact DECIMAL integers — the
+    * [[psi]] discipline — then the JSD is the integer sum ÷ 10¹².
     *
     * Scale shape: both sides collapse to per-category counts in ONE
     * union-tagged aggregate (map-side combinable, keyed on the
@@ -107,10 +116,13 @@ object Drift {
     val p = col("__cr").cast("double") / col("n_ref").cast("double")
     val q = col("__cq").cast("double") / col("n_cur").cast("double")
     val m = (p + q) / lit(2.0)
-    // 0·ln(0/m) := 0 — the when-guards keep the absent side silent.
+    // 0·ln(0/m) := 0 — an absent side has proportion exactly 0.0 and
+    // its log gets the dummy input 1.0 (lnq(1) = exactly 0).
+    val xa = when(col("__cr") > 0, p / m).otherwise(lit(1.0))
+    val xb = when(col("__cq") > 0, q / m).otherwise(lit(1.0))
     val term = floor((
-      when(col("__cr") > 0, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
-        when(col("__cq") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0))
+      p * graft.functions.DetMath.lnq(xa) / lit(2.0) +
+        q * graft.functions.DetMath.lnq(xb) / lit(2.0)
       ) * lit(1e12)).cast("decimal(20,0)")
     perCat.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_cats"))

@@ -187,8 +187,10 @@ object Olap {
     * its languages/labels? H = 0 ⇒ monoculture, H = ln(n_cats) ⇒
     * uniform. Output per group: (groupCols..., n, n_cats, entropy).
     *
-    * Determinism: probabilities are exact integer-count ratios; each
-    * category term is floor-quantized (⌊x·10¹²⌋ — tie-free, unlike
+    * Determinism: probabilities are exact integer-count ratios; the
+    * log is [[graft.functions.DetMath.lnq]] (bit-identical
+    * cross-engine, unlike libm log's 1-ulp wobble); each category
+    * term is floor-quantized (⌊x·10¹²⌋ — tie-free, unlike
     * round()-on-double whose half-boundary tie-break is
     * engine-specific) and summed as exact DECIMAL integers
     * ([[mutualInformation]]'s discipline); the entropy is the integer
@@ -208,7 +210,8 @@ object Olap {
       .agg(count(lit(1)).as("__nc"))
     val byGroup = Window.partitionBy(gs: _*)
     val p = col("__nc").cast("double") / col("__n").cast("double")
-    val term = floor(-p * log(p) * lit(1e12)).cast("decimal(20,0)")
+    val term = floor(-p * graft.functions.DetMath.lnq(p) * lit(1e12))
+      .cast("decimal(20,0)")
     cells
       .withColumn("__n", sum(col("__nc")).over(byGroup))
       .groupBy(gs: _*)
@@ -290,10 +293,12 @@ object Olap {
     * label). Output one row: (n, n_cells, mi_nats).
     *
     * Determinism: every probability is a ratio of exact integer
-    * counts; each cell's term is computed in double from those
-    * integers identically in any engine, floor-quantized (⌊x·10¹²⌋ —
-    * tie-free, engine-exact), and summed as exact DECIMAL integers —
-    * the [[graft.ext.Drift.psi]] discipline — then ÷ 10¹².
+    * counts; the log-ratio is [[graft.functions.DetMath.lnq]]
+    * (bit-identical cross-engine); each cell's term is computed in
+    * double from those integers identically in any engine,
+    * floor-quantized (⌊x·10¹²⌋ — tie-free, engine-exact), and summed
+    * as exact DECIMAL integers — the [[graft.ext.Drift.psi]]
+    * discipline — then ÷ 10¹².
     *
     * Scale shape: one (x,y)-keyed count aggregate (map-side
     * combinable; cell count bounded by |X|·|Y|, not rows), marginals
@@ -315,8 +320,9 @@ object Olap {
       sum(col("__nxy")).as("n"), count(lit(1)).as("n_cells"))
     val term = floor(
       col("__nxy").cast("double") / col("n").cast("double") *
-        log(col("__nxy").cast("double") * col("n").cast("double") /
-          (col("__nx").cast("double") * col("__ny").cast("double")))
+        graft.functions.DetMath.lnq(
+          col("__nxy").cast("double") * col("n").cast("double") /
+            (col("__nx").cast("double") * col("__ny").cast("double")))
         * lit(1e12)).cast("decimal(20,0)")
     withMargins.crossJoin(broadcast(totals))
       .groupBy(col("n"), col("n_cells"))

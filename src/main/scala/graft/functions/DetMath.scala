@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine DETERMINISTIC transcendental kernels.
+  *
+  * Problem class (observed, not theoretical): a hash-compared query
+  * that feeds `ln` output into a 12-dp floor quantization
+  * (`⌊x·10¹²⌋`) diverged between Spark and the DuckDB oracle in three
+  * consecutive driver rounds (r06–r08 `q_psi_drift`), because JVM
+  * `Math.log` and C libm `log` are each allowed 1 ulp of error and do
+  * not round identically. A 1-ulp disagreement under a floor/round is
+  * a coin that lands on its edge with probability ~1e-4 PER TERM at
+  * 12-dp quantization — across ~60 bins and fresh data every round,
+  * that is a per-round hash-fail risk in the percent range, and once
+  * the data hits a boundary the failure is deterministic until the
+  * data changes.
+  *
+  * Fix: compute `ln` from scratch using ONLY operations IEEE 754
+  * requires to be correctly rounded (+, −, ×, ÷, comparisons) plus
+  * exact power-of-two scaling, in a FIXED evaluation order. Any
+  * engine evaluating this formula over binary64 produces the
+  * bit-identical double, so downstream floors/rounds can never
+  * straddle. The DuckDB mirror is [[graft.SparkEntry]]'s `lnSqlChain`
+  * — op-for-op the same tree (constants written in scientific
+  * notation there so DuckDB parses them as DOUBLE, not DECIMAL).
+  *
+  * Algorithm (atanh series with power-of-two range reduction):
+  *   1. k0 = ⌊log2(x)⌋ — engine libm, MAY be off by one near powers
+  *      of two; used only as a first guess.
+  *   2. m0 = x · 2^(−k0) — pow(2, integer) is exact, the product is
+  *      one correctly-rounded multiply (in fact exact: scaling by a
+  *      power of two only shifts the exponent).
+  *   3. Correct the guess: if m0 ≥ 2 → m = m0/2, k = k0+1; if m0 < 1
+  *      → m = m0·2, k = k0−1 — after which m ∈ [1,2) and k is THE
+  *      binary exponent, independent of which libm produced k0.
+  *   4. t = (m−1)/(m+1) ∈ [0, 1/3]; ln(m) = 2·atanh(t) via a 12-term
+  *      fixed-order Horner polynomial in t² (truncation error
+  *      ≤ 2·(1/3)²⁵/25 ≈ 1e-13, far below the 12-dp quantum relative
+  *      to the ±1e-12 grid but identical in every engine — accuracy
+  *      only bounds metric error, determinism is exact).
+  *   5. ln(x) = ln(m) + k·ln2 with ln2 as the shortest-repr double
+  *      literal 0.6931471805599453 — one multiply, one add.
+  *
+  * Coefficients are written as compile-time double QUOTIENTS
+  * (2.0/3.0, …) — the correctly-rounded IEEE quotient — and the SQL
+  * mirror writes (2e0/3e0), the same correctly-rounded quotient
+  * evaluated by DuckDB. Codegen stays whole-stage: everything here is
+  * built-in arithmetic expressions.
+  *
+  * Domain: x > 0, finite, non-subnormal-extreme (|exponent| ≤ ~1020 —
+  * every proportion/ratio in the drift/entropy/MI queries is within
+  * [1e-12, 1e12]). x = 1 returns exactly 0.0.
+  */
+object DetMath {
+
+  /** ln2 as the shortest-repr double literal — mirrored verbatim
+    * (scientific notation) in the oracle SQL chain.
+    */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Scalar reference model of [[lnq]] — the same IEEE tree evaluated
+    * in plain JVM doubles. Bit-identical to the Column form (and to
+    * the DuckDB mirror): the only engine-libm call is the log2 FIRST
+    * GUESS, and the ≥2/<1 correction step erases any 1-ulp
+    * disagreement in it. Used by specs as the ground-truth model.
+    */
+  def lnqDouble(x: Double): Double = {
+    val k0 = math.floor(math.log(x) / math.log(2.0)).toLong
+    val m0 = x * math.pow(2.0, -k0.toDouble)
+    val (k, m) =
+      if (m0 >= 2.0) (k0 + 1L, m0 * 0.5)
+      else if (m0 < 1.0) (k0 - 1L, m0 * 2.0)
+      else (k0, m0)
+    val t = (m - 1.0) / (m + 1.0)
+    val u = t * t
+    val s = t * (2.0 + u * (2.0 / 3.0 + u * (2.0 / 5.0 +
+      u * (2.0 / 7.0 + u * (2.0 / 9.0 + u * (2.0 / 11.0 +
+        u * (2.0 / 13.0 + u * (2.0 / 15.0 + u * (2.0 / 17.0 +
+          u * (2.0 / 19.0 + u * (2.0 / 21.0 + u * (2.0 / 23.0))))))))))))
+    s + k.toDouble * Ln2
+  }
+
+  /** Deterministic natural log; see object doc. Bit-identical in any
+    * IEEE-754 engine evaluating the mirrored formula.
+    */
+  def lnq(x: Column): Column = {
+    val k0 = floor(log2(x)).cast("long")
+    val m0 = x * pow(lit(2.0), (-k0).cast("double"))
+    val k = when(m0 >= 2.0, k0 + lit(1L))
+      .when(m0 < 1.0, k0 - lit(1L))
+      .otherwise(k0)
+    val m = when(m0 >= 2.0, m0 * lit(0.5))
+      .when(m0 < 1.0, m0 * lit(2.0))
+      .otherwise(m0)
+    val t = (m - lit(1.0)) / (m + lit(1.0))
+    val u = t * t
+    // 2·atanh(t): t·(2 + t²·(2/3 + t²·(2/5 + …))) — Horner, fixed
+    // order, coefficients as correctly-rounded compile-time quotients.
+    val s = t * (lit(2.0) + u * (lit(2.0 / 3.0) + u * (lit(2.0 / 5.0) +
+      u * (lit(2.0 / 7.0) + u * (lit(2.0 / 9.0) + u * (lit(2.0 / 11.0) +
+        u * (lit(2.0 / 13.0) + u * (lit(2.0 / 15.0) + u * (lit(2.0 / 17.0) +
+          u * (lit(2.0 / 19.0) + u * (lit(2.0 / 21.0) + u * lit(2.0 / 23.0)
+            )))))))))))
+    s + k.cast("double") * lit(Ln2)
+  }
+}

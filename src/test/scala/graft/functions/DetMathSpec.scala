@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[DetMath.lnq]] is the determinism kernel under every
+  * floor-quantized log in the drift/entropy/MI family — these specs
+  * pin (a) bit-equality between the Column form and the scalar
+  * reference model (the same property the DuckDB oracle mirror
+  * relies on), (b) the exact special values the JSD dummy-input
+  * guard depends on, and (c) accuracy against libm far below the
+  * 12-dp quantization grid.
+  */
+class DetMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+  test("lnq(1) is exactly 0 and powers of two are exactly k*ln2") {
+    assert(bits(DetMath.lnqDouble(1.0)) == bits(0.0))
+    for (k <- -60 to 60 if k != 0) {
+      val x = math.pow(2.0, k.toDouble)
+      assert(bits(DetMath.lnqDouble(x)) == bits(k.toDouble * DetMath.Ln2),
+        s"2^$k")
+    }
+  }
+
+  test("Column lnq is bit-identical to the scalar model across a " +
+    "wide-exponent sweep") {
+    val xs = (1 to 20000).flatMap { i =>
+      Seq(
+        i.toDouble / 7919.0,            // ratio-of-counts shapes
+        1e-6 * i,                        // eps-scaled psi inputs
+        i.toDouble / 19997.0 / 1e-6,     // large ratios
+        math.pow(2.0, (i % 120 - 60).toDouble) * (1.0 + i / 1e8))
+    }.filter(_ > 0)
+    val got = xs.toDF("x")
+      .select(col("x"), DetMath.lnq(col("x")).as("lnx"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (x, lnx) =>
+      assert(bits(lnx) == bits(DetMath.lnqDouble(x)), s"x=$x")
+    }
+  }
+
+  test("lnq tracks libm log within 5e-13 absolute over [1e-12, 1e12]") {
+    var worst = 0.0
+    (1 to 100000).foreach { i =>
+      val x = math.exp((i % 55300) / 1000.0 - 27.6) // ~e^-27.6 .. e^27.6
+      val err = math.abs(DetMath.lnqDouble(x) - math.log(x))
+      if (err > worst) worst = err
+    }
+    assert(worst < 5e-13, s"worst=$worst")
+  }
+}
