@@ -1570,6 +1570,18 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
   private def stopwordSqlList: String =
     TextStats.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** [[TextStats.qualityScore]] as DuckDB SQL over a column `text` —
+    * the same exact-integer definition (score·10⁶ = 7000·min(t,100) +
+    * ⌊(600000·sw + t)/(2t)⌋, native integer `//` here, exact
+    * floor-of-double-division on the Spark side — equal integers, see
+    * the Scala doc), then one exact ÷10⁶ into DOUBLE.
+    */
+  private def qualitySqlExpr: String =
+    s"""(CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
+       |    + ((600000 * LEN(list_filter(str_split(TRIM(text), ' '),
+       |         t -> t IN ${stopwordSqlList})) + LEN(str_split(TRIM(text), ' ')))
+       |       // (2 * LEN(str_split(TRIM(text), ' ')))) AS DOUBLE) / 1e6)""".stripMargin
+
   /** DuckDB lateral-column-alias chain computing
     * [[graft.functions.DetMath.lnq]] — graft's cross-engine
     * deterministic ln — over an input column `in` (a prior alias in
@@ -2118,10 +2130,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_quality_score" ->
       s"""SELECT doc_id,
         |  LEN(str_split(TRIM(text), ' ')) AS n_tokens,
-        |  ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
-        |    + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |         t -> t IN ${stopwordSqlList})) AS DOUBLE)
-        |       / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality
+        |  $qualitySqlExpr AS quality
         |FROM documents""".stripMargin,
 
     "q_fingerprint" ->
@@ -2133,10 +2142,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       s"""WITH s AS (
         |  SELECT doc_id, text,
         |    LEN(str_split(TRIM(text), ' ')) AS n_tokens,
-        |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
-        |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |           t -> t IN ${stopwordSqlList})) AS DOUBLE)
-        |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6) AS quality,
+        |    $qualitySqlExpr AS quality,
         |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
         |      t -> t IN ${stopwordSqlList})) AS DOUBLE)
         |      / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) AS stop_ratio
@@ -3575,10 +3581,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       s"""SELECT source, COUNT(*) AS n_docs,
         |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
         |  CAST((2 * SUM(CAST(CAST(
-        |    ROUND(LEAST(1.0, CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE) / 100.0) * 0.7
-        |      + (CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |           t -> t IN $stopwordSqlList)) AS DOUBLE)
-        |         / CAST(LEN(str_split(TRIM(text), ' ')) AS DOUBLE)) * 0.3, 6)
+        |    $qualitySqlExpr
         |    AS DECIMAL(9,6)) * 1000000 AS BIGINT)) + COUNT(*))
         |    // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS avg_quality,
         |  COUNT(DISTINCT md5(text)) AS n_unique,

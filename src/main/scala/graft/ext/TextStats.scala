@@ -55,12 +55,36 @@ object TextStats {
   def langId(text: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("unk"))
 
-  /** Quality score ∈ [0,1]: length saturation + stopword naturalness.
-    * Components and weights are fixed so the score is reproducible.
+  /** Quality score ∈ [0,1]: length saturation + stopword naturalness,
+    * at a fixed 6-dp precision. Components and weights are fixed so
+    * the score is reproducible.
+    *
+    * Defined EXACTLY, in integers: with t = tokens, sw = stopwords,
+    *   score·10⁶ = 7000·min(t,100) + halfup(300000·sw / t)
+    * (the first addend is min(1,t/100)·0.7·10⁶, exactly an integer;
+    * the second is (sw/t)·0.3·10⁶ rounded half-up as
+    * ⌊(600000·sw + t)/(2t)⌋), then one exact ÷10⁶ into double. The
+    * earlier `round(double·0.7 + double·0.3, 6)` formulation was the
+    * r06 `q_corpus_report` hash-fail: Spark rounds the double's
+    * SHORTEST DECIMAL repr half-up while other engines round the
+    * scaled binary value, and a score landing on a half boundary
+    * splits them. Integer half-up has no engine-dependent tie.
+    *
+    * The interior floor-of-double-division is exact: numerator
+    * < 6·10⁵·t and denominator 2t keep the true quotient ≤ 3·10⁵,
+    * where a non-exact quotient is ≥ 1/(2t) ≫ 1 ulp away from any
+    * integer, so the correctly-rounded IEEE quotient can never cross
+    * one — every engine floors to the same integer (the mirrored
+    * oracles use native integer `//`, same value).
     */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
-    round(lenScore * 0.7 + stopwordRatio(text) * 0.3, 6)
+    val t = tokenCount(text).cast("long")
+    val sw = size(filter(tokens(text), w => w.isin(enStopwords: _*)))
+      .cast("long")
+    val mu = lit(7000L) * least(t, lit(100L)) +
+      floor((lit(600000L) * sw + t).cast("double") /
+        (lit(2L) * t).cast("double")).cast("long")
+    mu.cast("double") / lit(1e6)
   }
 
   /** Exact content fingerprint (md5 of utf-8 bytes). */

@@ -51,6 +51,18 @@ class TextStatsSpec extends SparkSpec {
     assert(m("long") > m("short"))
   }
 
+  test("quality score rounds a TRUE half boundary half-up, exactly") {
+    // 192 tokens, 1 stopword: (sw/t)·0.3·10⁶ = 300000/192 = 1562.5 —
+    // the exact tie that split Spark round(double) from the oracle
+    // engine in r06. The integer definition has one answer: half-up
+    // 1563, so score = (7000·100 + 1563)/10⁶ exactly.
+    val text = (Seq.fill(191)("w") :+ "the").mkString(" ")
+    val q = Seq(text).toDF("t")
+      .select(TextStats.qualityScore(col("t")).as("q"))
+      .as[Double].head()
+    assert(q == 701563.0 / 1e6)
+  }
+
   test("fingerprint is md5 of utf-8; normalized fp is order/dup invariant") {
     val df = Seq(
       ("a", "the quick brown fox"),
