@@ -3566,11 +3566,15 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin,
 
     "q_sample_weighted_strata" ->
-      """WITH p AS (
-        |  SELECT source, doc_id,
-        |    ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |        % 1000000 + 0.5) / 1000000.0) / n_chars, 9) AS priority
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      s"""WITH p0 AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (
+        |  SELECT source, doc_id, ROUND(__lnx / n_chars, 9) AS priority
+        |  FROM p0)
         |SELECT source, doc_id, priority, rank FROM (
         |  SELECT source, doc_id, priority,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -4054,11 +4058,15 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM canon GROUP BY 1""".stripMargin,
 
     "q_sample_weighted" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |        % 1000000 + 0.5) / 1000000.0) / n_chars, 9) AS priority
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      s"""WITH p0 AS (
+        |  SELECT doc_id, n_chars,
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (
+        |  SELECT doc_id, ROUND(__lnx / n_chars, 9) AS priority
+        |  FROM p0)
         |SELECT doc_id, priority, rank FROM (
         |  SELECT doc_id, priority,
         |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rank

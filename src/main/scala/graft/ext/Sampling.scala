@@ -153,13 +153,17 @@ object Sampling {
   }
 
   /** The A-ES competition key shared by [[weightedSample]] and
-    * [[weightedSampleByGroup]]: ln(u)/w from the portable-hash uniform,
-    * rounded for cross-engine decidability.
+    * [[weightedSampleByGroup]]: ln(u)/w from the portable-hash
+    * uniform, rounded for cross-engine decidability. The log is
+    * [[graft.functions.DetMath.lnq]] so the value under the 9-dp
+    * round is bit-identical cross-engine (libm log's 1-ulp wobble
+    * against a 9-dp grid is a ~1e-6-per-row hash-fail coin; lnq
+    * removes it).
     */
   private def aesPriority(idCol: String, weightCol: String): Column = {
     val u = (HashExprs.md5Prefix60(col(idCol).cast("string")) % 1000000L +
       lit(0.5)) / lit(1000000.0)
-    round(log(u) / col(weightCol).cast("double"), 9)
+    round(graft.functions.DetMath.lnq(u) / col(weightCol).cast("double"), 9)
   }
 
   /** Per-stratum weighted sampling without replacement: `k` rows per
