@@ -724,16 +724,20 @@ object SparkEntry {
         round(graft.functions.NormalizeExprs.charEntropy(col("text")), 6)
           .as("entropy"))),
 
-    // [EXT] Embeddings: PCA — one mergeable covariance-aggregate pass
-    // (constant ~17 KB state), driver-side 64x64 eigen-math, then a
-    // shuffle-free codegen'd projection. Rows-only by declared design:
-    // no SQL engine reproduces the eigendecomposition, and the model's
-    // float moments are partial-order dependent (spec-verified instead:
-    // planted-axis recovery, orthonormality, variance ordering).
+    // [EXT] Embeddings: PCA — one mergeable EXACT-integer moments pass
+    // (constant state), driver-side 64x64 quantized power iteration
+    // with deflation, then a shuffle-free all-integer projection.
+    // Oracled since r9 (no_oracle dropped): every model decision is
+    // exact-integer or exactly-representable-double arithmetic, so the
+    // oracle reproduces the fit bit-for-bit with a recursive CTE
+    // (pcaOracleSql) — the kmeans quantization discipline applied to
+    // eigendecomposition. The adaptive Jacobi fitPca remains for
+    // library use (spec'd: planted-axis recovery, orthonormality).
     "q_pca_project" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.ext.Embeddings.fitPca(emb, "embedding", dim = 64, k = 3)
-      graft.ext.Embeddings.project(emb, "embedding", model)
+      val model = graft.ext.Embeddings.fitPcaDeterministic(
+        emb, "embedding", dim = 64, k = 3)
+      graft.ext.Embeddings.projectDeterministic(emb, "embedding", model)
         .select("vec_id", "pc1", "pc2", "pc3")
     }),
 
@@ -1778,6 +1782,107 @@ SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
   /** DuckDB oracle for q_dedup_embed_lsh: same bucket constants, same
     * equi-join + exact-cosine verification.
     */
+  /** Deterministic-PCA oracle: reproduces
+    * [[graft.ext.Embeddings.fitPcaDeterministic]] BIT-FOR-BIT in
+    * DuckDB — exact-integer moments (qx = ⌊x·10⁷⌋), integer
+    * covariance cells, then per component a fixed-budget recursive-CTE
+    * power iteration whose only floating ops are on
+    * exactly-representable integers (Σys² ≤ 64·10¹⁴ < 2⁵³) with
+    * IEEE-correctly-rounded sqrt/÷ — identical doubles, identical
+    * floors, identical model. `//` is trunc division, matching the
+    * Scala side's BigInt/Long `/`.
+    */
+  private def pcaOracleSql(dim: Int, k: Int, iters: Int): String = {
+    val d2 = dim * dim
+    val v0 = (1 to dim).map(i => 1250000 + i).mkString("[", ", ", "]")
+    // The power step is staged through nested derived tables so each
+    // intermediate (y, s, ys, n2) is evaluated ONCE per iteration — a
+    // naive textual inlining makes the engine re-evaluate the whole
+    // M·v subtree per list element (O(d³) per step: observed minutes
+    // instead of milliseconds). The s=0 (zero matrix) guard keeps the
+    // dummy divisor 1 so the discarded ys can't divide by zero.
+    val compCtes = (1 to k).map { c =>
+      s"""it$c AS (
+  SELECT 0 AS t, $v0::BIGINT[] AS v
+  UNION ALL
+  SELECT t + 1,
+    CASE WHEN s = 0 THEN v ELSE
+      list_transform(ys, a -> CAST(FLOOR((CAST(a AS DOUBLE) * 10000000e0)
+        / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)) END
+  FROM (
+    SELECT t, v, s, ys,
+      list_sum(list_transform(ys, a -> a * a)) AS n2
+    FROM (
+      SELECT t, v, s,
+        list_transform(y, a -> (a * 10000000)
+          // (CASE WHEN s = 0 THEN 1 ELSE s END)) AS ys
+      FROM (
+        SELECT t, v, y,
+          list_max(list_transform(y, a -> abs(a))) AS s
+        FROM (
+          SELECT t, v,
+            list_transform(range(0, $dim), i ->
+              list_sum(list_transform(range(0, $dim), j ->
+                m[i * $dim + j + 1] * v[j + 1]))) AS y
+          FROM it$c, m$c WHERE t < $iters))))),
+c${c}raw AS MATERIALIZED (SELECT v FROM it$c WHERE t = $iters),
+c$c AS MATERIALIZED (
+  SELECT CASE WHEN v[list_position(list_transform(v, a -> abs(a)),
+      list_max(list_transform(v, a -> abs(a))))] < 0
+    THEN list_transform(v, a -> -a) ELSE v END AS v
+  FROM c${c}raw),
+l$c AS MATERIALIZED (
+  SELECT CAST(list_sum(list_transform(range(0, $d2), t ->
+      m[t + 1]::HUGEINT * v[t // $dim + 1] * v[t % $dim + 1]))
+    // 100000000000000 AS BIGINT) AS lam, v
+  FROM c$c, m$c),
+m${c + 1} AS MATERIALIZED (
+  SELECT list_transform(range(0, $d2), t ->
+    m[t + 1] - CAST((lam::HUGEINT * v[t // $dim + 1] * v[t % $dim + 1])
+      // 100000000000000 AS BIGINT)) AS m
+  FROM l$c, m$c)"""
+    }.mkString(",\n")
+    val pcCols = (1 to k).map { c =>
+      s"""CAST(((list_sum(list_transform(range(1, ${dim + 1}), i ->
+    qx[i] * w$c[i]))
+    - list_sum(list_transform(range(1, ${dim + 1}), i ->
+        mu[i] * w$c[i])))
+    // 1000000) AS DOUBLE) / 100000000e0 AS pc$c"""
+    }.mkString(",\n  ")
+    val wJoins = (1 to k)
+      .map(c => s"CROSS JOIN (SELECT v AS w$c FROM c$c) t$c").mkString("\n  ")
+    s"""WITH RECURSIVE q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x ->
+    CAST(FLOOR(CAST(x AS DOUBLE) * 10000000e0) AS BIGINT)) AS qx
+  FROM embeddings),
+cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+svec AS MATERIALIZED (
+  SELECT i, SUM(qx[i]) AS s
+  FROM q CROSS JOIN range(1, ${dim + 1}) t(i) GROUP BY i),
+mom AS MATERIALIZED (
+  SELECT ti.i, tj.j, SUM(qx[ti.i] * qx[tj.j]) AS p
+  FROM q CROSS JOIN range(1, ${dim + 1}) ti(i)
+    CROSS JOIN range(1, ${dim + 1}) tj(j)
+  WHERE tj.j >= ti.i GROUP BY ti.i, tj.j),
+grid AS MATERIALIZED (
+  SELECT gi.i, gj.j,
+    CAST(((cnt.n::HUGEINT * mom.p - si.s::HUGEINT * sj.s) * 1000000)
+      // (cnt.n::HUGEINT * (cnt.n - 1) * 100000000000000) AS BIGINT) AS mc
+  FROM range(1, ${dim + 1}) gi(i) CROSS JOIN range(1, ${dim + 1}) gj(j)
+  CROSS JOIN cnt
+  JOIN mom ON mom.i = LEAST(gi.i, gj.j) AND mom.j = GREATEST(gi.i, gj.j)
+  JOIN svec si ON si.i = gi.i JOIN svec sj ON sj.i = gj.j),
+m1 AS MATERIALIZED (SELECT list(mc ORDER BY i, j) AS m FROM grid),
+mu AS MATERIALIZED (
+  SELECT list(CAST(s // n AS BIGINT) ORDER BY i) AS mu
+  FROM svec CROSS JOIN cnt),
+$compCtes
+SELECT vec_id,
+  $pcCols
+FROM q CROSS JOIN mu
+  $wJoins"""
+  }
+
   private def embedLshOracleSql: String = {
     val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1971,6 +2076,9 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_ivf" -> simIvfOracleSql,
 
     "q_kmeans_assign" -> kmeansOracleSql,
+
+    "q_pca_project" -> pcaOracleSql(dim = 64, k = 3,
+      iters = graft.ext.Embeddings.DetIters),
 
     "q_scan_cast" ->
       """SELECT event_id,

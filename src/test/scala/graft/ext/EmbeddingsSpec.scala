@@ -115,4 +115,45 @@ class EmbeddingsSpec extends SparkSpec {
     // projection is a pure scan+project: no Exchange
     assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("deterministic PCA agrees with the Jacobi fit on the real " +
+    "corpus and is partition-invariant") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val det = Embeddings.fitPcaDeterministic(emb, "embedding", dim = 64, k = 3)
+    val jac = Embeddings.fitPca(emb, "embedding", dim = 64, k = 3)
+    // each quantized power-iteration axis is (anti)parallel to the
+    // Jacobi eigenvector: |cos| > 0.999
+    for (c <- 0 until 3) {
+      val v = det.components(c).map(_.toDouble / 1e7)
+      val w = jac.components(c)
+      val dot = v.zip(w).map { case (a, b) => a * b }.sum
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(dot) / nv > 0.999, s"component $c misaligned: $dot")
+      // unit norm up to the 1e-7 quantization grid
+      assert(math.abs(nv - 1.0) < 1e-5, s"component $c norm $nv")
+    }
+    // eigenvalues match at their 1e-6 quantization
+    for (c <- 0 until 3)
+      assert(math.abs(det.eigenvaluesQ(c) / 1e6 - jac.eigenvalues(c)) < 1e-3)
+    // EXACT integer model invariance under repartitioning — the whole
+    // point of the IntMomentsAgg discipline
+    val det2 = Embeddings.fitPcaDeterministic(
+      emb.repartition(13), "embedding", dim = 64, k = 3)
+    assert(det2.components.flatten.toSeq == det.components.flatten.toSeq)
+    assert(det2.muQ.toSeq == det.muQ.toSeq)
+    assert(det2.eigenvaluesQ.toSeq == det.eigenvaluesQ.toSeq)
+  }
+
+  test("deterministic projection is shuffle-free integer codegen") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val det = Embeddings.fitPcaDeterministic(emb, "embedding", dim = 64, k = 3)
+    val proj = Embeddings.projectDeterministic(emb, "embedding", det)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    // deterministic twice over
+    val a = proj.select("vec_id", "pc1", "pc2", "pc3").collect().toSeq
+    val b = Embeddings.projectDeterministic(
+      emb.repartition(7), "embedding", det)
+      .select("vec_id", "pc1", "pc2", "pc3").collect().toSeq
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
 }
