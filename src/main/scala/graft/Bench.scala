@@ -62,7 +62,15 @@ object Bench {
         case Some(p) if new java.io.File(p).isFile =>
           val txt = scala.io.Source.fromFile(p)
           try {
-            "\"(q_\\w+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt.mkString)
+            // The driver wraps the bench line inside a JSON string
+            // field, so the per-query entries appear with ESCAPED
+            // quotes (\"q_x\":1.23) — the optional backslash keeps the
+            // baseline readable from both the raw line and the wrapper
+            // (a quote-only regex silently loaded an EMPTY baseline,
+            // which disarmed the >5x contention re-time for two
+            // rounds).
+            "\\\\?\"(q_\\w+)\\\\?\":([0-9]+\\.[0-9]+)".r
+              .findAllMatchIn(txt.mkString)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           } finally txt.close()
         case _ => Map.empty
