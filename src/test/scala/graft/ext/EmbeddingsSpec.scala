@@ -116,6 +116,21 @@ class EmbeddingsSpec extends SparkSpec {
     assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("IntMomentsAgg pass is one aggregate — no window, no join, " +
+    "no explode — and merges exactly across partitionings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pass = emb.agg(graft.functions.IntMomentsAgg
+      .intMoments(col("embedding"), 64, 10000000L))
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("join")
+      && !plan.contains("Generate"), s"unexpected operators:\n$plan")
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graft.functions.IntMomentsAgg
+        .intMoments(col("embedding"), 64, 10000000L).as("s"))
+      .head().getSeq[java.math.BigDecimal](0).map(_.toBigInteger).toSeq
+    assert(state(emb) == state(emb.repartition(17)))
+  }
+
   test("deterministic PCA agrees with the Jacobi fit on the real " +
     "corpus and is partition-invariant") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
