@@ -1735,42 +1735,42 @@ WHERE rnk <= 10"""
         s"- list_inner_product($emb, $cemb) * 2.0 " +
         s"+ list_inner_product($cemb, $cemb)) * 1e6) AS BIGINT)"
     val seedCtes = (1 until k).map { j =>
-      s"""s$j AS (
+      s"""s$j AS MATERIALIZED (
   SELECT $j AS cid, any_value(e.emb) AS emb FROM e CROSS JOIN seeds$j s
   GROUP BY e.vec_id
   ORDER BY MIN(${qd("e.emb", "s.emb")}) DESC, e.vec_id ASC LIMIT 1),
-seeds${j + 1} AS (SELECT * FROM seeds$j UNION ALL SELECT * FROM s$j)"""
+seeds${j + 1} AS MATERIALIZED (SELECT * FROM seeds$j UNION ALL SELECT * FROM s$j)"""
     }.mkString(",\n")
     val iterCtes = (1 to iters).map { t =>
       val prev = s"c${t - 1}"
-      s"""a$t AS (
+      s"""a$t AS MATERIALIZED (
   SELECT vec_id, qemb, cid FROM (
     SELECT e.vec_id, e.qemb, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
         ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
     FROM e CROSS JOIN $prev c) WHERE r = 1),
-u$t AS (
+u$t AS MATERIALIZED (
   SELECT a.cid, d.i, SUM(a.qemb[d.i]) AS s, COUNT(*) AS n
   FROM a$t a CROSS JOIN dims d GROUP BY a.cid, d.i),
-c$t AS (
+c$t AS MATERIALIZED (
   SELECT p.cid, COALESCE(nc.emb, p.emb) AS emb
   FROM $prev p LEFT JOIN (
     SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
       ORDER BY i) AS emb
     FROM u$t GROUP BY cid) nc USING (cid))"""
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
     list_transform(CAST(embedding AS DOUBLE[]),
       x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS qemb
   FROM embeddings),
-dims AS (SELECT UNNEST(range(1, 65)) AS i),
-s0 AS (SELECT 0 AS cid, emb FROM e ORDER BY vec_id LIMIT 1),
-seeds1 AS (SELECT * FROM s0),
+dims AS MATERIALIZED (SELECT UNNEST(range(1, 65)) AS i),
+s0 AS MATERIALIZED (SELECT 0 AS cid, emb FROM e ORDER BY vec_id LIMIT 1),
+seeds1 AS MATERIALIZED (SELECT * FROM s0),
 $seedCtes,
-c0 AS (SELECT * FROM seeds$k),
+c0 AS MATERIALIZED (SELECT * FROM seeds$k),
 $iterCtes,
-fin AS (
+fin AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
