@@ -1946,7 +1946,7 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |  GROUP BY 1),
          |pr$k AS (
          |  SELECT n.node,
-         |    CAST(FLOOR(((1 - 0.85) / cnt.n
+         |    CAST(FLOOR(((1e0 - 0.85) / cnt.n
          |        + 0.85 * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1000000000000.0))
          |      * 1000000000000.0) AS DOUBLE) / 1000000000000.0 AS pr
          |  FROM nodes n LEFT JOIN c$k c USING (node) CROSS JOIN cnt)""".stripMargin
