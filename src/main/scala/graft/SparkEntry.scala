@@ -481,14 +481,23 @@ object SparkEntry {
       val media = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .mapPartitions(_.map { case (id, n) =>
-          if (id % 2 == 0)
-            (id, "image",
+          (id % 4) match {
+            case 0 => (id, "image",
               ext.MediaCodec.synthesizeBmp(
                 (n % 640 + 1).toInt, ((n * 31) % 480 + 1).toInt))
-          else
-            (id, "audio",
+            case 1 => (id, "audio",
               ext.MediaCodec.synthesizeWav(
                 (n % 2 + 1).toInt, (8000 + (n % 8) * 1000).toInt))
+            case 2 => (id, "image",
+              ext.MediaCodec.synthesizePng(
+                (n % 512 + 1).toInt, ((n * 17) % 384 + 1).toInt,
+                bitDepth = 8,
+                colorType = Array(0, 2, 6)((n % 3).toInt)))
+            case _ => (id, "image",
+              ext.MediaCodec.synthesizeJpeg(
+                (n % 320 + 1).toInt, ((n * 13) % 240 + 1).toInt,
+                components = if (n % 2 == 0) 3 else 1))
+          }
         }).toDF("doc_id", "media_type", "payload")
       Multimodal.parseMediaHeaders(s, media).toDF()
     }),
@@ -2448,15 +2457,29 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g
         |GROUP BY 1, 2""".stripMargin,
 
+    // The oracle predicts the parsed fields from the synthesis
+    // formulas (doc_id % 4 cycles bmp/wav/png/jpeg); the Spark side
+    // must round-trip them through REAL byte encode + parse to match.
     "q_media_headers" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-        |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars % 640 + 1 AS INT) END AS width,
-        |  CASE WHEN doc_id % 2 = 0 THEN CAST((n_chars * 31) % 480 + 1 AS INT) END AS height,
-        |  CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS INT) END AS bits_per_pixel,
-        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 2 + 1 AS INT) END AS channels,
-        |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
+        |  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN n_chars % 640 + 1
+        |    WHEN 2 THEN n_chars % 512 + 1
+        |    WHEN 3 THEN n_chars % 320 + 1 END AS INT) AS width,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN (n_chars * 31) % 480 + 1
+        |    WHEN 2 THEN (n_chars * 17) % 384 + 1
+        |    WHEN 3 THEN (n_chars * 13) % 240 + 1 END AS INT) AS height,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 24
+        |    WHEN 2 THEN 8 * (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+        |    WHEN 3 THEN 8 * (CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 1 END)
+        |    END AS INT) AS bits_per_pixel,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN n_chars % 2 + 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 + (n_chars % 8) * 1000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16 END AS INT) AS bits_per_sample
         |FROM documents""".stripMargin,
 
     // Portable hash gate: same md5-prefix-60 integer as Md5Prefix60.

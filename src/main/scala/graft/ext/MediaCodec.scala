@@ -1,17 +1,27 @@
 package graft.ext
 
-/** [EXT] Real (non-stub) byte-level media header codec for the two
+/** [EXT] Real (non-stub) byte-level media header codec for the four
   * container formats parseable without any codec library: BMP
-  * (BITMAPINFOHEADER) and canonical PCM WAV (RIFF/fmt). Pure
-  * little-endian byte arithmetic — this replaces [[Multimodal.FakeCodec]]
-  * for payloads that actually carry these magics, and is exactly the
-  * seam where a full decoder (pixel data, samples) would plug in.
+  * (BITMAPINFOHEADER), canonical PCM WAV (RIFF/fmt), PNG (IHDR), and
+  * JPEG/JFIF (SOF marker scan). Pure byte arithmetic — this replaces
+  * [[Multimodal.FakeCodec]] for payloads that actually carry these
+  * magics, and is exactly the seam where a full decoder (pixel data,
+  * samples) would plug in.
   *
   * Layout references (public format specs):
   *   BMP: "BM" magic; BITMAPINFOHEADER at offset 14 — width i32le@18,
   *        height i32le@22, planes u16le@26, bitsPerPixel u16le@28.
   *   WAV: "RIFF" @0, "WAVE" @8, "fmt " chunk @12 — channels u16le@22,
   *        sampleRate u32le@24, bitsPerSample u16le@34.
+  *   PNG: 8-byte signature 89 50 4E 47 0D 0A 1A 0A; first chunk must
+  *        be IHDR — width u32be@16, height u32be@20, bit depth u8@24,
+  *        color type u8@25 (0 gray, 2 rgb, 3 palette, 4 gray+alpha,
+  *        6 rgba → 1/3/1/2/4 channels).
+  *   JPEG: SOI FF D8, then marker segments FF xx with u16be lengths;
+  *        the frame header SOFn (FF C0–CF except C4/C8/CC) carries
+  *        precision u8, height u16be, width u16be, components u8.
+  *        Entropy-coded data never follows before SOF, so a pure
+  *        segment walk finds it without decoding.
   */
 object MediaCodec {
 
@@ -27,16 +37,47 @@ object MediaCodec {
     putLe16(b, off, v & 0xffff); putLe16(b, off + 2, (v >> 16) & 0xffff)
   }
 
-  /** "bmp" | "wav" | "unknown" by magic bytes. */
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def putBe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 8) & 0xff).toByte; b(off + 1) = (v & 0xff).toByte
+  }
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    putBe16(b, off, (v >> 16) & 0xffff); putBe16(b, off + 2, v & 0xffff)
+  }
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** "bmp" | "wav" | "png" | "jpeg" | "unknown" by magic bytes. */
   def detect(b: Array[Byte]): String =
     if (b != null && b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b != null && b.length >= 44 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b != null && b.length >= 26 &&
+      b.take(8).sameElements(PngSig) &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') "png"
+    else if (b != null && b.length >= 4 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else "unknown"
 
   final case class BmpHeader(width: Int, height: Int, bitsPerPixel: Int)
   final case class WavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int)
+  final case class PngHeader(
+      width: Int, height: Int, bitDepth: Int, colorType: Int) {
+    /** Channel count implied by the color type (PNG spec §11.2.2). */
+    def channels: Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case other =>
+        throw new IllegalArgumentException(s"bad PNG color type $other")
+    }
+  }
+  final case class JpegHeader(
+      precision: Int, width: Int, height: Int, components: Int)
 
   def parseBmp(b: Array[Byte]): BmpHeader = {
     require(detect(b) == "bmp", "not a BMP payload")
@@ -46,6 +87,45 @@ object MediaCodec {
   def parseWav(b: Array[Byte]): WavHeader = {
     require(detect(b) == "wav", "not a WAV payload")
     WavHeader(le16(b, 22), le32(b, 24), le16(b, 34))
+  }
+
+  def parsePng(b: Array[Byte]): PngHeader = {
+    require(detect(b) == "png", "not a PNG payload")
+    PngHeader(be32(b, 16), be32(b, 20), b(24) & 0xff, b(25) & 0xff)
+  }
+
+  /** Walk the JPEG marker-segment stream to the frame header (SOFn).
+    * Standalone markers (RSTn, TEM, and repeated fill FFs) carry no
+    * length; every other segment is skipped by its u16be length. The
+    * walk is bounded: it stops at SOS/EOI (entropy-coded data — a
+    * stream with no SOF before SOS is malformed).
+    */
+  def parseJpeg(b: Array[Byte]): JpegHeader = {
+    require(detect(b) == "jpeg", "not a JPEG payload")
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff)
+        throw new IllegalArgumentException(
+          f"bad JPEG marker alignment at $off (0x${b(off) & 0xff}%02x)")
+      var m = b(off + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+      m match {
+        case mk if mk >= 0xc0 && mk <= 0xcf &&
+          mk != 0xc4 && mk != 0xc8 && mk != 0xcc =>
+          // SOFn: len u16be, precision u8, height u16be, width u16be, nc u8
+          require(off + 9 < b.length, "truncated SOF segment")
+          return JpegHeader(
+            b(off + 4) & 0xff, be16(b, off + 7), be16(b, off + 5),
+            b(off + 9) & 0xff)
+        case 0xd9 | 0xda => // EOI / SOS without a frame header
+          throw new IllegalArgumentException("JPEG stream has no SOF marker")
+        case mk if mk == 0x01 || (mk >= 0xd0 && mk <= 0xd7) =>
+          off += 2 // standalone marker, no length
+        case _ =>
+          off += 2 + be16(b, off + 2)
+      }
+    }
+    throw new IllegalArgumentException("JPEG stream has no SOF marker")
   }
 
   /** Minimal valid BMP: 14-byte file header + 40-byte
@@ -82,6 +162,69 @@ object MediaCodec {
     putLe16(b, 34, bitsPerSample)
     b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
     putLe32(b, 40, 0)        // data size
+    b
+  }
+
+  /** Minimal spec-valid PNG: signature + IHDR chunk (with a real
+    * CRC-32 over type+data — readers that check it must accept the
+    * payload) and an IEND chunk. No IDAT — header-only payload, the
+    * metadata path never inflates pixels.
+    */
+  def synthesizePng(
+      width: Int, height: Int, bitDepth: Int = 8,
+      colorType: Int = 2): Array[Byte] = {
+    val b = new Array[Byte](8 + 25 + 12)
+    PngSig.copyToArray(b, 0)
+    putBe32(b, 8, 13)        // IHDR data length
+    b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+    putBe32(b, 16, width)
+    putBe32(b, 20, height)
+    b(24) = bitDepth.toByte
+    b(25) = colorType.toByte // compression/filter/interlace stay 0
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 17)    // chunk type + data
+    putBe32(b, 29, crc.getValue.toInt)
+    putBe32(b, 33, 0)        // IEND data length
+    b(37) = 'I'; b(38) = 'E'; b(39) = 'N'; b(40) = 'D'
+    val crc2 = new java.util.zip.CRC32
+    crc2.update(b, 37, 4)
+    putBe32(b, 41, crc2.getValue.toInt)
+    b
+  }
+
+  /** Minimal JPEG/JFIF header stream: SOI, APP0 (JFIF 1.1), SOF0
+    * (baseline, 8-bit), EOI — no scan data (the header walk in
+    * [[parseJpeg]] is the read path).
+    */
+  def synthesizeJpeg(
+      width: Int, height: Int, components: Int = 3): Array[Byte] = {
+    val sof = 10 + 3 * components
+    val b = new Array[Byte](2 + 18 + 2 + sof + 2)
+    var o = 0
+    b(o) = 0xff.toByte; b(o + 1) = 0xd8.toByte; o += 2      // SOI
+    b(o) = 0xff.toByte; b(o + 1) = 0xe0.toByte              // APP0
+    putBe16(b, o + 2, 16)
+    b(o + 4) = 'J'; b(o + 5) = 'F'; b(o + 6) = 'I'; b(o + 7) = 'F'
+    b(o + 8) = 0
+    b(o + 9) = 1; b(o + 10) = 1                             // version 1.1
+    b(o + 11) = 0                                           // no density units
+    putBe16(b, o + 12, 1); putBe16(b, o + 14, 1)            // aspect 1:1
+    o += 18
+    b(o) = 0xff.toByte; b(o + 1) = 0xc0.toByte              // SOF0
+    putBe16(b, o + 2, sof - 2)
+    b(o + 4) = 8                                            // precision
+    putBe16(b, o + 5, height)
+    putBe16(b, o + 7, width)
+    b(o + 9) = components.toByte
+    var c = 0
+    while (c < components) {
+      b(o + 10 + 3 * c) = (c + 1).toByte                    // component id
+      b(o + 11 + 3 * c) = 0x11                              // 1x1 sampling
+      b(o + 12 + 3 * c) = 0                                 // quant table 0
+      c += 1
+    }
+    o += sof
+    b(o) = 0xff.toByte; b(o + 1) = 0xd9.toByte              // EOI
     b
   }
 }

@@ -128,12 +128,15 @@ object Multimodal {
       channels: Option[Int], sample_rate: Option[Int],
       bits_per_sample: Option[Int])
 
-  /** REAL header decode (not a stub): BMP and canonical PCM WAV
-    * payloads are parsed byte-for-byte by [[MediaCodec]]; anything
-    * else reports format "unknown" with null fields. Same
-    * partition-parallel mapPartitions shape as [[decodeMetadata]] —
-    * one pass, no shuffle, payload column pruned for callers that
-    * only select the parsed fields downstream.
+  /** REAL header decode (not a stub): BMP, canonical PCM WAV, PNG
+    * (IHDR), and JPEG/JFIF (SOF marker walk) payloads are parsed
+    * byte-for-byte by [[MediaCodec]]; anything else reports format
+    * "unknown" with null fields. Image bits_per_pixel is bit depth ×
+    * channels for PNG (channels derived from the color type) and
+    * precision × components for JPEG. Same partition-parallel
+    * mapPartitions shape as [[decodeMetadata]] — one pass, no
+    * shuffle, payload column pruned for callers that only select the
+    * parsed fields downstream.
     */
   def parseMediaHeaders(spark: SparkSession, media: DataFrame): Dataset[ParsedHeader] = {
     import spark.implicits._
@@ -149,6 +152,16 @@ object Multimodal {
             val h = MediaCodec.parseWav(r.payload)
             ParsedHeader(r.doc_id, "wav", None, None, None,
               Some(h.channels), Some(h.sampleRate), Some(h.bitsPerSample))
+          case "png" =>
+            val h = MediaCodec.parsePng(r.payload)
+            ParsedHeader(r.doc_id, "png",
+              Some(h.width), Some(h.height), Some(h.bitDepth * h.channels),
+              None, None, None)
+          case "jpeg" =>
+            val h = MediaCodec.parseJpeg(r.payload)
+            ParsedHeader(r.doc_id, "jpeg",
+              Some(h.width), Some(h.height),
+              Some(h.precision * h.components), None, None, None)
           case _ =>
             ParsedHeader(r.doc_id, "unknown", None, None, None, None, None, None)
         }

@@ -95,6 +95,51 @@ class MultimodalSpec extends SparkSpec {
     assert(byteRate === 44100 * 2 * 2)
   }
 
+  test("MediaCodec parses golden PNG IHDR bytes and round-trips " +
+    "synthesis with a valid CRC") {
+    // hand-written signature + IHDR for a 1x2, 8-bit RGB image
+    val golden = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 1,        // width = 1 (u32be)
+      0, 0, 0, 2,        // height = 2
+      8, 2, 0, 0, 0,     // depth, color=rgb, comp/filter/interlace
+      0, 0, 0, 0         // CRC (unchecked by parser)
+    ).map(_.toByte)
+    assert(MediaCodec.detect(golden) === "png")
+    assert(MediaCodec.parsePng(golden) === MediaCodec.PngHeader(1, 2, 8, 2))
+    // round trip: every supported color type maps to its channel count
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)) {
+      val h = MediaCodec.parsePng(MediaCodec.synthesizePng(512, 384, 8, ct))
+      assert((h.width, h.height, h.channels) === ((512, 384, ch)))
+    }
+    // the synthesized IHDR CRC is the real CRC-32 over type+data
+    val png = MediaCodec.synthesizePng(7, 9)
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17)
+    val stored = ((png(29) & 0xffL) << 24) | ((png(30) & 0xffL) << 16) |
+      ((png(31) & 0xffL) << 8) | (png(32) & 0xffL)
+    assert(stored === (crc.getValue & 0xffffffffL))
+  }
+
+  test("MediaCodec walks JPEG marker segments to SOF, skipping " +
+    "non-frame segments and standalone markers") {
+    val base = MediaCodec.synthesizeJpeg(320, 240, components = 3)
+    assert(MediaCodec.detect(base) === "jpeg")
+    assert(MediaCodec.parseJpeg(base) ===
+      MediaCodec.JpegHeader(8, 320, 240, 3))
+    // splice a COM segment and a DHT (0xC4 — NOT a frame marker)
+    // between APP0 and SOF0: the walk must skip both
+    val com = Array[Int](0xff, 0xfe, 0, 5, 'h', 'i', '!').map(_.toByte)
+    val dht = Array[Int](0xff, 0xc4, 0, 4, 0, 0).map(_.toByte)
+    val spliced = base.slice(0, 20) ++ com ++ dht ++ base.drop(20)
+    assert(MediaCodec.parseJpeg(spliced) ===
+      MediaCodec.JpegHeader(8, 320, 240, 3))
+    // a stream with no SOF before EOI is malformed
+    val noSof = Array[Int](0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    intercept[IllegalArgumentException](MediaCodec.parseJpeg(noSof))
+  }
+
   test("parseMediaHeaders dispatches by magic and nulls unknown payloads") {
     val media = Seq(
       (1L, "image", MediaCodec.synthesizeBmp(640, 480)),
