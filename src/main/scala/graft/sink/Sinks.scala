@@ -38,9 +38,17 @@ final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
     } catch { case _: Exception => false }
 }
 
-/** MySQL-dialect JDBC sink reproducing the reference's store_data
+/** JDBC sink reproducing the reference's store_data
   * (`pipeline.py:211-261`): executemany-style batched statements, one
   * transaction per file, rollback on error.
+  *
+  * Dialects (inferred from the url): `mysql` (reference parity —
+  * `INSERT … ON DUPLICATE KEY UPDATE`) and `derby` (embedded Apache
+  * Derby: quoted `"timestamp"` identifier, update-then-insert upsert
+  * inside the same transaction). Derby is what lets the WHOLE
+  * transactional path — bootstrap DDL, delete-by-file replay, batched
+  * inserts, upsert, rollback-on-violation — run against a REAL
+  * database in-process in CI, where MySQL itself is unavailable.
   *
   * Scale note: rows are collected per file partition via
   * `toLocalIterator` batches on the driver only because the reference's
@@ -48,6 +56,8 @@ final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
   * ([[ParquetSink]]) is the 100 TB path, JDBC is the compatibility exit.
   */
 final class JdbcSink(conf: JdbcConf) extends BatchSink {
+
+  private val derby = conf.url.startsWith("jdbc:derby")
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.sink.JdbcSink")
 
@@ -91,10 +101,29 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
       |  avg_value=VALUES(avg_value), std_dev_value=VALUES(std_dev_value),
       |  record_count=VALUES(record_count), processed_at=NOW()""".stripMargin
 
+  // Derby upsert: UPDATE, then INSERT the misses — same observable
+  // effect as the MySQL single statement inside the per-file txn.
+  private val derbyUpdateSql =
+    """UPDATE aggregated_sensor_data SET
+      |  min_value=?, max_value=?, avg_value=?, std_dev_value=?,
+      |  record_count=?, processed_at=CURRENT_TIMESTAMP
+      |WHERE sensor_id=? AND file_name=? AND metric_name=?
+      |  AND aggregation_time=?""".stripMargin
+  private val derbyInsertSql =
+    """INSERT INTO aggregated_sensor_data
+      |(sensor_id, file_name, aggregation_time, metric_name, min_value,
+      | max_value, avg_value, std_dev_value, record_count)
+      |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin
+
   private val rawSql =
-    """INSERT INTO raw_sensor_data
-      |(sensor_id, timestamp, temperature, humidity, pressure, file_name)
-      |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin
+    if (derby)
+      """INSERT INTO raw_sensor_data
+        |(sensor_id, "timestamp", temperature, humidity, pressure, file_name)
+        |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin
+    else
+      """INSERT INTO raw_sensor_data
+        |(sensor_id, timestamp, temperature, humidity, pressure, file_name)
+        |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin
 
   override def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean = {
     var conn: java.sql.Connection = null
@@ -123,20 +152,48 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
       }
       rawPs.executeBatch()
 
-      val aggPs = conn.prepareStatement(upsertSql)
-      agg.toLocalIterator().forEachRemaining { r =>
-        aggPs.setString(1, r.getAs[String]("sensor_id"))
-        aggPs.setString(2, fileName)
-        aggPs.setTimestamp(3, r.getAs[java.sql.Timestamp]("aggregation_time"))
-        aggPs.setString(4, r.getAs[String]("metric_name"))
-        aggPs.setDouble(5, r.getAs[Double]("min_value"))
-        aggPs.setDouble(6, r.getAs[Double]("max_value"))
-        aggPs.setDouble(7, r.getAs[Double]("avg_value"))
-        aggPs.setDouble(8, r.getAs[Double]("std_dev_value"))
-        aggPs.setLong(9, r.getAs[Long]("record_count"))
-        aggPs.addBatch()
+      if (derby) {
+        val upd = conn.prepareStatement(derbyUpdateSql)
+        val ins = conn.prepareStatement(derbyInsertSql)
+        agg.toLocalIterator().forEachRemaining { r =>
+          upd.setDouble(1, r.getAs[Double]("min_value"))
+          upd.setDouble(2, r.getAs[Double]("max_value"))
+          upd.setDouble(3, r.getAs[Double]("avg_value"))
+          upd.setDouble(4, r.getAs[Double]("std_dev_value"))
+          upd.setLong(5, r.getAs[Long]("record_count"))
+          upd.setString(6, r.getAs[String]("sensor_id"))
+          upd.setString(7, fileName)
+          upd.setString(8, r.getAs[String]("metric_name"))
+          upd.setTimestamp(9, r.getAs[java.sql.Timestamp]("aggregation_time"))
+          if (upd.executeUpdate() == 0) {
+            ins.setString(1, r.getAs[String]("sensor_id"))
+            ins.setString(2, fileName)
+            ins.setTimestamp(3, r.getAs[java.sql.Timestamp]("aggregation_time"))
+            ins.setString(4, r.getAs[String]("metric_name"))
+            ins.setDouble(5, r.getAs[Double]("min_value"))
+            ins.setDouble(6, r.getAs[Double]("max_value"))
+            ins.setDouble(7, r.getAs[Double]("avg_value"))
+            ins.setDouble(8, r.getAs[Double]("std_dev_value"))
+            ins.setLong(9, r.getAs[Long]("record_count"))
+            ins.executeUpdate()
+          }
+        }
+      } else {
+        val aggPs = conn.prepareStatement(upsertSql)
+        agg.toLocalIterator().forEachRemaining { r =>
+          aggPs.setString(1, r.getAs[String]("sensor_id"))
+          aggPs.setString(2, fileName)
+          aggPs.setTimestamp(3, r.getAs[java.sql.Timestamp]("aggregation_time"))
+          aggPs.setString(4, r.getAs[String]("metric_name"))
+          aggPs.setDouble(5, r.getAs[Double]("min_value"))
+          aggPs.setDouble(6, r.getAs[Double]("max_value"))
+          aggPs.setDouble(7, r.getAs[Double]("avg_value"))
+          aggPs.setDouble(8, r.getAs[Double]("std_dev_value"))
+          aggPs.setLong(9, r.getAs[Long]("record_count"))
+          aggPs.addBatch()
+        }
+        aggPs.executeBatch()
       }
-      aggPs.executeBatch()
       conn.commit()
       true
     } catch {
@@ -178,13 +235,52 @@ object JdbcBootstrap {
       |    ON UPDATE CURRENT_TIMESTAMP,
       |  UNIQUE KEY uq_agg (sensor_id, file_name, metric_name, aggregation_time))""".stripMargin
 
+  /** Derby-dialect DDL: identity columns instead of AUTO_INCREMENT,
+    * quoted `"timestamp"` (reserved word), standalone CREATE INDEX,
+    * a table-level UNIQUE constraint (whose columns Derby requires
+    * NOT NULL — the sink always writes them), and no `IF NOT EXISTS`
+    * (Derby lacks it — [[run]] swallows SQLState X0Y32 instead).
+    */
+  val derbyDdl: Seq[String] = Seq(
+    """CREATE TABLE raw_sensor_data (
+      |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+      |  sensor_id VARCHAR(255) NOT NULL,
+      |  "timestamp" TIMESTAMP NOT NULL,
+      |  temperature DOUBLE, humidity DOUBLE, pressure DOUBLE,
+      |  file_name VARCHAR(255),
+      |  processed_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)""".stripMargin,
+    "CREATE INDEX idx_raw_sensor_id ON raw_sensor_data (sensor_id)",
+    "CREATE INDEX idx_raw_timestamp ON raw_sensor_data (\"timestamp\")",
+    "CREATE INDEX idx_raw_file_name ON raw_sensor_data (file_name)",
+    """CREATE TABLE aggregated_sensor_data (
+      |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+      |  sensor_id VARCHAR(255) NOT NULL,
+      |  file_name VARCHAR(255) NOT NULL,
+      |  aggregation_time TIMESTAMP NOT NULL,
+      |  metric_name VARCHAR(50) NOT NULL,
+      |  min_value DOUBLE, max_value DOUBLE, avg_value DOUBLE,
+      |  std_dev_value DOUBLE, record_count INT,
+      |  processed_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+      |  CONSTRAINT uq_agg UNIQUE
+      |    (sensor_id, file_name, metric_name, aggregation_time))""".stripMargin)
+
   def run(conf: JdbcConf): Unit = {
     val conn = java.sql.DriverManager.getConnection(
       conf.url, conf.user, conf.password)
     try {
       val st = conn.createStatement()
-      st.execute(rawTableDdl)
-      st.execute(aggTableDdl)
+      if (conf.url.startsWith("jdbc:derby")) {
+        derbyDdl.foreach { ddl =>
+          try st.execute(ddl)
+          catch {
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+            // object already exists — Derby's IF NOT EXISTS
+          }
+        }
+      } else {
+        st.execute(rawTableDdl)
+        st.execute(aggTableDdl)
+      }
     } finally conn.close()
   }
 }

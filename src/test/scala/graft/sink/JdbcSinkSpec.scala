@@ -27,6 +27,82 @@ object FailingDriver extends java.sql.Driver {
 }
 
 class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def rawDf(temp: Double) = Seq(
+    ("s1", ts("2024-01-01 00:00:00"), temp, 40.0, 1000.0),
+    ("s2", ts("2024-01-01 00:00:05"), temp + 1, 41.0, 1001.0))
+    .toDF("sensor_id", "timestamp", "temperature", "humidity", "pressure")
+
+  private def aggDf(mn: Double) = Seq(
+    ("s1", ts("2024-01-01 00:00:00"), "temperature", mn, 25.0, 22.0, 1.1, 2L),
+    ("s2", ts("2024-01-01 00:00:00"), "temperature", mn + 1, 26.0, 23.0, 1.2, 2L))
+    .toDF("sensor_id", "aggregation_time", "metric_name", "min_value",
+      "max_value", "avg_value", "std_dev_value", "record_count")
+
+  private def query1[T](url: String, sql: String)(f: java.sql.ResultSet => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      rs.next(); f(rs)
+    } finally conn.close()
+  }
+
+  test("the WHOLE transactional path runs against a real embedded " +
+    "Derby database: bootstrap, write, idempotent replay, upsert, " +
+    "second file") {
+    val url = s"jdbc:derby:memory:graft_it_${System.nanoTime()};create=true"
+    val conf = JdbcConf(url, "", "", retries = 1, retryDelaySec = 0)
+    JdbcBootstrap.run(conf)
+    JdbcBootstrap.run(conf) // idempotent (X0Y32 swallowed)
+    val sink = new JdbcSink(conf)
+
+    assert(sink.write("a.csv", rawDf(20.0), aggDf(18.0)))
+    assert(query1(url, "SELECT COUNT(*) FROM raw_sensor_data")(_.getLong(1)) === 2L)
+    assert(query1(url,
+      "SELECT min_value FROM aggregated_sensor_data WHERE sensor_id='s1'")(
+      _.getDouble(1)) === 18.0)
+
+    // replay the SAME file with new values: raw rows replaced
+    // (delete-by-file), aggregates UPDATED in place — no duplicates
+    assert(sink.write("a.csv", rawDf(30.0), aggDf(28.0)))
+    assert(query1(url, "SELECT COUNT(*) FROM raw_sensor_data")(_.getLong(1)) === 2L)
+    assert(query1(url, "SELECT COUNT(*) FROM aggregated_sensor_data")(_.getLong(1)) === 2L)
+    assert(query1(url,
+      "SELECT min_value FROM aggregated_sensor_data WHERE sensor_id='s1'")(
+      _.getDouble(1)) === 28.0)
+    assert(query1(url,
+      "SELECT MAX(temperature) FROM raw_sensor_data")(_.getDouble(1)) === 31.0)
+
+    // a different file appends alongside
+    assert(sink.write("b.csv", rawDf(10.0), aggDf(8.0)))
+    assert(query1(url, "SELECT COUNT(*) FROM raw_sensor_data")(_.getLong(1)) === 4L)
+    assert(query1(url, "SELECT COUNT(*) FROM aggregated_sensor_data")(_.getLong(1)) === 4L)
+  }
+
+  test("a mid-transaction violation rolls the WHOLE file back on " +
+    "real Derby — raw rows from the failed attempt do not survive") {
+    val url = s"jdbc:derby:memory:graft_rb_${System.nanoTime()};create=true"
+    val conf = JdbcConf(url, "", "", retries = 1, retryDelaySec = 0)
+    JdbcBootstrap.run(conf)
+    val sink = new JdbcSink(conf)
+    assert(sink.write("a.csv", rawDf(20.0), aggDf(18.0)))
+    // null metric_name violates the NOT NULL constraint AFTER the raw
+    // insert batch has executed — the rollback must erase it
+    val badAgg = Seq(
+      ("s1", ts("2024-01-01 00:00:00"), null.asInstanceOf[String],
+        1.0, 2.0, 1.5, 0.1, 1L))
+      .toDF("sensor_id", "aggregation_time", "metric_name", "min_value",
+        "max_value", "avg_value", "std_dev_value", "record_count")
+    assert(!sink.write("c.csv", rawDf(99.0), badAgg))
+    assert(query1(url,
+      "SELECT COUNT(*) FROM raw_sensor_data WHERE file_name='c.csv'")(
+      _.getLong(1)) === 0L)
+    // the earlier committed file is untouched
+    assert(query1(url, "SELECT COUNT(*) FROM raw_sensor_data")(_.getLong(1)) === 2L)
+  }
 
   test("connect failure retries 3 times with backoff, then gives up (T5 parity)") {
     DriverManager.registerDriver(FailingDriver)
