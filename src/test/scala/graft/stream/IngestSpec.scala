@@ -60,6 +60,48 @@ class IngestSpec extends SparkSpec {
     events.synchronized(events.toSeq)
   }
 
+  test("the reference flagship loop runs end-to-end against a REAL " +
+    "database: watched dir -> validate -> route -> per-file Derby txn") {
+    val root = tmp("graft_derby_e2e")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    writeCsv(dataDir, "good.csv",
+      "2025-05-26 04:36:01,S1,25.5,0.65,1013.25",
+      "2025-05-26 04:36:02,S1,26.5,0.66,1013.50")
+    writeCsv(dataDir, "bad.csv",
+      "not-a-timestamp,S2,25.5,0.65,1013.25")
+
+    val url = s"jdbc:derby:memory:graft_e2e_${System.nanoTime()};create=true"
+    val jconf = graft.config.JdbcConf(url, "", "", retries = 1,
+      retryDelaySec = 0)
+    graft.sink.JdbcBootstrap.run(jconf)
+    val q = Ingest.start(spark, conf, new graft.sink.JdbcSink(jconf))
+    try q.processAllAvailable() finally q.stop()
+
+    // strict mode: the valid file committed one Derby transaction and
+    // moved to processed/; the invalid file went to quarantine and
+    // wrote NOTHING
+    assert(Files.exists(root.resolve("processed/good.csv")))
+    assert(Files.exists(root.resolve("quarantine/bad.csv")))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val raw = st.executeQuery(
+        "SELECT COUNT(*) FROM raw_sensor_data WHERE file_name='good.csv'")
+      raw.next(); assert(raw.getLong(1) === 2L)
+      val none = st.executeQuery(
+        "SELECT COUNT(*) FROM raw_sensor_data WHERE file_name='bad.csv'")
+      none.next(); assert(none.getLong(1) === 0L)
+      // long-format aggregates: one row per metric for S1
+      val agg = st.executeQuery(
+        "SELECT COUNT(*), MIN(metric_name), MAX(record_count) " +
+          "FROM aggregated_sensor_data WHERE sensor_id='S1'")
+      agg.next()
+      assert(agg.getLong(1) === 3L) // temperature, humidity, pressure
+      assert(agg.getLong(3) === 2L)
+    } finally conn.close()
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch; backlog drains across triggers") {
     val root = tmp("graft_backpressure")
     val conf = mkConf(root).copy(maxFilesPerTrigger = Some(1))
