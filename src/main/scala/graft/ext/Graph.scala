@@ -36,10 +36,16 @@ object Graph {
     * Scale shape per iteration: one shuffle join of edges to the rank
     * table on src (both sides key-partitioned; AQE broadcast-flips
     * small rank tables), one map-side-combinable sum keyed on dst, one
-    * left join back to the node set. Each iteration is persisted and
-    * the previous one released — lineage stays O(1) deep, the
-    * iterative-job pattern [[Dedup.clusterPairs]] uses. Driver state:
-    * nothing but the loop counter.
+    * left join back to the node set. Each rank generation is
+    * `localCheckpoint(eager = true)`-ed: that materializes it (so the
+    * previous generation can be dropped) AND truncates the analyzed
+    * plan to a leaf — a persist-only loop keeps the full logical
+    * history, so analysis/optimization cost grows linearly per
+    * iteration and the total planning tax is O(iters²). Driver state:
+    * nothing but the loop counter. Cluster note: localCheckpoint
+    * blocks recomputation-on-executor-loss for the checkpointed
+    * blocks; for very long jobs on preemptible fleets, swap in
+    * reliable `checkpoint()` with a checkpoint dir — same loop shape.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -60,8 +66,7 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(n1))
       .select(col("node"),
         q12(lit(1.0) / col("__n").cast("double")).as("pr"))
-      .persist()
-    pr.count() // materialize before the loop starts swapping caches
+      .localCheckpoint(eager = true) // materialized leaf; O(1) plan depth
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr, e("__src") === pr("node"))
@@ -78,9 +83,7 @@ object Graph {
             lit(damping) *
               (coalesce(col("__s"), lit(0L)).cast("double") / lit(1e12)))
             .as("pr"))
-        .persist()
-      next.count() // materialize, then release the previous generation
-      pr.unpersist(blocking = false)
+        .localCheckpoint(eager = true) // materializes; prior gen now unreferenced
       pr = next
     }
     e.unpersist(blocking = false)
