@@ -513,6 +513,19 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id")),
 
+    // Leakage-safe split: near-dup clusters (MinHash LSH pairs → CC)
+    // are hashed as a unit via their component rep, so no near-dup
+    // pair straddles train/eval.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.leakageSafeSplit(
+        d, "doc_id",
+        Dedup.portableMinHashNearDuplicates(
+          d, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    }),
+
     // Per-source quota: top 50 docs per source by (n_chars desc, id) via
     // the bounded-heap TopKAgg — map-side pruned, hot-source safe.
     "q_quota_cap" -> ((s, dir) =>
@@ -1122,6 +1135,17 @@ object SparkEntry {
     "q_audience_overlap" -> ((s, dir) =>
       graft.ext.Analytics.audienceOverlap(
         Tables.events(s, dir), "event_type", "user_id")),
+
+    // [EXT] Corpus-overlap matrix BY SOURCE: distinct-shingle Jaccard
+    // between every source pair — "how much do these two crawls share?"
+    // The same entity-keyed overlap plan with shingles as the entity.
+    "q_source_overlap" -> ((s, dir) =>
+      graft.ext.Analytics.audienceOverlap(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(Dedup.shingles(col("text"), 3)).as("__sh")),
+        "source", "__sh")),
 
     // [EXT] Inter-arrival profile: per-type percentiles of the gap
     // between a user's consecutive events of the same type — per-user
@@ -2499,6 +2523,33 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  END AS split
         |FROM documents""".stripMargin,
 
+    // Same recursive-CC chain as q_dedup_clusters; the split hash runs
+    // on the component rep (own id for unpaired docs).
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+         |  FROM reach GROUP BY s),
+         |keyed AS (
+         |  SELECT doc.doc_id, doc.text, doc.lang, doc.source, doc.n_chars,
+         |    CAST(COALESCE(c.cluster_rep, doc.doc_id) AS BIGINT) AS split_key
+         |  FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id)
+         |SELECT doc_id, text, lang, source, n_chars, split_key,
+         |  CASE
+         |    WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+         |      THEN 'train'
+         |    WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |      THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM keyed""".stripMargin,
+
     "q_quota_cap" ->
       """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS n_chars, rank FROM (
         |  SELECT source, doc_id, n_chars,
@@ -3337,6 +3388,36 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
       """WITH su AS (
         |  SELECT DISTINCT event_type AS s, user_id AS e FROM events
         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY 1),
+        |bo AS (SELECT a.s AS seg_a, b.s AS seg_b,
+        |         CAST(COUNT(*) AS BIGINT) AS nb
+        |       FROM su a JOIN su b ON a.e = b.e AND a.s < b.s
+        |       GROUP BY 1, 2)
+        |SELECT ga.s AS seg_a, gb.s AS seg_b, ga.n AS n_a, gb.n AS n_b,
+        |  COALESCE(bo.nb, 0) AS n_both,
+        |  FLOOR(CAST(COALESCE(bo.nb, 0) AS DOUBLE)
+        |    / CAST(ga.n + gb.n - COALESCE(bo.nb, 0) AS DOUBLE) * 1e6) / 1e6
+        |    AS jaccard,
+        |  FLOOR(CAST(COALESCE(bo.nb, 0) AS DOUBLE)
+        |    / CAST(LEAST(ga.n, gb.n) AS DOUBLE) * 1e6) / 1e6 AS overlap
+        |FROM sz ga CROSS JOIN sz gb
+        |LEFT JOIN bo ON bo.seg_a = ga.s AND bo.seg_b = gb.s
+        |WHERE ga.s < gb.s""".stripMargin,
+
+    // Same overlap grid with word-3-gram shingles as the entity — the
+    // q_dup_share shingle chain feeding the q_audience_overlap shape.
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, str_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT source, list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles
+        |  FROM toks),
+        |su AS (
+        |  SELECT DISTINCT source AS s, unnest(shingles) AS e FROM t
+        |  WHERE source IS NOT NULL),
         |sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY 1),
         |bo AS (SELECT a.s AS seg_a, b.s AS seg_b,
         |         CAST(COUNT(*) AS BIGINT) AS nb

@@ -80,6 +80,43 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or eval is contaminated by training-set
+    * near-copies ([[splitAssign]] hashes each doc independently, so a
+    * near-dup pair straddles the boundary with prob ≈ 2·p·(1−p)).
+    *
+    * `pairs` is any near-dup pair table over `docs` (MinHash, SimHash,
+    * embedding-cosine — the [[Dedup]] builders). The pairs collapse to
+    * connected components ([[Dedup.clusterPairs]]: iterative min-label
+    * propagation, O(1) lineage); every doc's split key is its
+    * component representative (unpaired docs key on their own id), and
+    * the [[splitAssign]] hash of that key decides the whole component
+    * at once. Same portable md5-prefix hash ⇒ membership stays
+    * re-derivable and cross-engine auditable.
+    *
+    * Scale shape: CC over the (sparse) near-dup graph + one key-join
+    * of the component table back onto the corpus — both keyed
+    * shuffles; the split itself is a projection. No new shuffle class
+    * beyond what dedup already paid.
+    *
+    * Output: every `docs` row + `split_key` (the component rep that
+    * was hashed) + `split`.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = graft.ext.Dedup.clusterPairs(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cid")
+    val keyed = docs
+      .join(comp, docs(idCol) === comp("__cid"), "left")
+      .drop("__cid")
+      .withColumn("split_key",
+        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+      .drop("cluster_rep")
+    splitAssign(keyed, "split_key")
+  }
+
   /** Per-group document quota: keep the top `n` rows of each group by
     * (`scoreCol` desc, `idCol` asc) and rank them 1..n — corpus curation
     * capped per source/domain so no single crawl dominates the mix.

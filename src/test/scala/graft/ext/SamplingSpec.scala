@@ -175,4 +175,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("leakageSafeSplit: no pair straddles splits; unpaired matches splitAssign") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chains 0-1-2, 10-11, and a 4-cycle 20..23; everything else unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(d, "doc_id", pairs, "id_a", "id_b")
+      .select($"doc_id", $"split_key", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 200)
+    val byId = out.map(t => t._1 -> t).toMap
+    // every component shares one split_key (the min id) and one split
+    for (comp <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L))) {
+      val rows = comp.map(byId)
+      assert(rows.map(_._2).distinct === Seq(comp.min), s"keys for $comp")
+      assert(rows.map(_._3).distinct.length === 1, s"splits for $comp")
+    }
+    // unpaired docs key on themselves and agree with plain splitAssign
+    val plain = Sampling.splitAssign(d, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    for (i <- 30L until 200L) {
+      assert(byId(i)._2 === i)
+      assert(byId(i)._3 === plain(i))
+    }
+  }
 }
