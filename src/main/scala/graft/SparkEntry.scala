@@ -481,7 +481,7 @@ object SparkEntry {
       val media = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .mapPartitions(_.map { case (id, n) =>
-          (id % 4) match {
+          (id % 6) match {
             case 0 => (id, "image",
               ext.MediaCodec.synthesizeBmp(
                 (n % 640 + 1).toInt, ((n * 31) % 480 + 1).toInt))
@@ -493,10 +493,18 @@ object SparkEntry {
                 (n % 512 + 1).toInt, ((n * 17) % 384 + 1).toInt,
                 bitDepth = 8,
                 colorType = Array(0, 2, 6)((n % 3).toInt)))
-            case _ => (id, "image",
+            case 3 => (id, "image",
               ext.MediaCodec.synthesizeJpeg(
                 (n % 320 + 1).toInt, ((n * 13) % 240 + 1).toInt,
                 components = if (n % 2 == 0) 3 else 1))
+            case 4 => (id, "image",
+              ext.MediaCodec.synthesizeGif(
+                (n % 256 + 1).toInt, ((n * 7) % 200 + 1).toInt,
+                gctBits = (n % 8 + 1).toInt))
+            case _ => (id, "image",
+              ext.MediaCodec.synthesizeWebp(
+                (n % 1024 + 1).toInt, ((n * 11) % 768 + 1).toInt,
+                lossless = n % 2 == 1))
           }
         }).toDF("doc_id", "media_type", "payload")
       Multimodal.parseMediaHeaders(s, media).toDF()
@@ -2486,24 +2494,30 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // must round-trip them through REAL byte encode + parse to match.
     "q_media_headers" ->
       """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
-        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
-        |  CAST(CASE doc_id % 4
+        |  CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'gif'
+        |    ELSE 'webp' END AS format,
+        |  CAST(CASE doc_id % 6
         |    WHEN 0 THEN n_chars % 640 + 1
         |    WHEN 2 THEN n_chars % 512 + 1
-        |    WHEN 3 THEN n_chars % 320 + 1 END AS INT) AS width,
-        |  CAST(CASE doc_id % 4
+        |    WHEN 3 THEN n_chars % 320 + 1
+        |    WHEN 4 THEN n_chars % 256 + 1
+        |    WHEN 5 THEN n_chars % 1024 + 1 END AS INT) AS width,
+        |  CAST(CASE doc_id % 6
         |    WHEN 0 THEN (n_chars * 31) % 480 + 1
         |    WHEN 2 THEN (n_chars * 17) % 384 + 1
-        |    WHEN 3 THEN (n_chars * 13) % 240 + 1 END AS INT) AS height,
-        |  CAST(CASE doc_id % 4
+        |    WHEN 3 THEN (n_chars * 13) % 240 + 1
+        |    WHEN 4 THEN (n_chars * 7) % 200 + 1
+        |    WHEN 5 THEN (n_chars * 11) % 768 + 1 END AS INT) AS height,
+        |  CAST(CASE doc_id % 6
         |    WHEN 0 THEN 24
         |    WHEN 2 THEN 8 * (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
         |    WHEN 3 THEN 8 * (CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 1 END)
+        |    WHEN 4 THEN n_chars % 8 + 1
         |    END AS INT) AS bits_per_pixel,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN n_chars % 2 + 1 END AS INT) AS channels,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 + (n_chars % 8) * 1000 END AS INT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16 END AS INT) AS bits_per_sample
+        |  CAST(CASE WHEN doc_id % 6 = 1 THEN n_chars % 2 + 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 6 = 1 THEN 8000 + (n_chars % 8) * 1000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 6 = 1 THEN 16 END AS INT) AS bits_per_sample
         |FROM documents""".stripMargin,
 
     // Portable hash gate: same md5-prefix-60 integer as Md5Prefix60.

@@ -1,12 +1,13 @@
 package graft.ext
 
-/** [EXT] Real (non-stub) byte-level media header codec for the four
+/** [EXT] Real (non-stub) byte-level media header codec for the six
   * container formats parseable without any codec library: BMP
-  * (BITMAPINFOHEADER), canonical PCM WAV (RIFF/fmt), PNG (IHDR), and
-  * JPEG/JFIF (SOF marker scan). Pure byte arithmetic — this replaces
-  * [[Multimodal.FakeCodec]] for payloads that actually carry these
-  * magics, and is exactly the seam where a full decoder (pixel data,
-  * samples) would plug in.
+  * (BITMAPINFOHEADER), canonical PCM WAV (RIFF/fmt), PNG (IHDR),
+  * JPEG/JFIF (SOF marker scan), GIF (logical screen descriptor), and
+  * WebP (VP8X extended header / VP8L lossless bitstream header). Pure
+  * byte arithmetic — this replaces [[Multimodal.FakeCodec]] for
+  * payloads that actually carry these magics, and is exactly the seam
+  * where a full decoder (pixel data, samples) would plug in.
   *
   * Layout references (public format specs):
   *   BMP: "BM" magic; BITMAPINFOHEADER at offset 14 — width i32le@18,
@@ -22,6 +23,15 @@ package graft.ext
   *        precision u8, height u16be, width u16be, components u8.
   *        Entropy-coded data never follows before SOF, so a pure
   *        segment walk finds it without decoding.
+  *   GIF: "GIF87a"/"GIF89a" @0; logical screen descriptor — width
+  *        u16le@6, height u16le@8, packed u8@10 (bit 7 global color
+  *        table flag, bits 6-4 color resolution − 1, bits 2-0 GCT
+  *        size n with 2^(n+1) entries).
+  *   WebP: RIFF @0, "WEBP" @8, then one chunk @12. VP8X — u32le size
+  *        10, flags u8@20, canvas (width−1) u24le@24, (height−1)
+  *        u24le@27. VP8L — 1-byte signature 0x2F @20, then a 32-bit
+  *        little-endian field: 14 bits width−1, 14 bits height−1,
+  *        1 alpha bit, 3 version bits (must be 0).
   */
 object MediaCodec {
 
@@ -52,7 +62,9 @@ object MediaCodec {
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** "bmp" | "wav" | "png" | "jpeg" | "unknown" by magic bytes. */
+  /** "bmp" | "wav" | "png" | "jpeg" | "gif" | "webp" | "unknown" by
+    * magic bytes.
+    */
   def detect(b: Array[Byte]): String =
     if (b != null && b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b != null && b.length >= 44 &&
@@ -63,6 +75,12 @@ object MediaCodec {
       b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') "png"
     else if (b != null && b.length >= 4 &&
       (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b != null && b.length >= 13 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b != null && b.length >= 25 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') "webp"
     else "unknown"
 
   final case class BmpHeader(width: Int, height: Int, bitsPerPixel: Int)
@@ -78,6 +96,18 @@ object MediaCodec {
   }
   final case class JpegHeader(
       precision: Int, width: Int, height: Int, components: Int)
+  /** `gctEntries` is 0 when no global color table is present;
+    * `colorResolution` is bits per primary (1-8).
+    */
+  final case class GifHeader(
+      width: Int, height: Int, gctEntries: Int, colorResolution: Int) {
+    /** Palette index depth: bits per pixel of the indexed stream. */
+    def indexBits: Int =
+      if (gctEntries == 0) 0
+      else 31 - Integer.numberOfLeadingZeros(gctEntries)
+  }
+  /** `variant` is "vp8x" (extended) or "vp8l" (lossless). */
+  final case class WebpHeader(variant: String, width: Int, height: Int)
 
   def parseBmp(b: Array[Byte]): BmpHeader = {
     require(detect(b) == "bmp", "not a BMP payload")
@@ -92,6 +122,35 @@ object MediaCodec {
   def parsePng(b: Array[Byte]): PngHeader = {
     require(detect(b) == "png", "not a PNG payload")
     PngHeader(be32(b, 16), be32(b, 20), b(24) & 0xff, b(25) & 0xff)
+  }
+
+  def parseGif(b: Array[Byte]): GifHeader = {
+    require(detect(b) == "gif", "not a GIF payload")
+    val packed = b(10) & 0xff
+    val entries = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    GifHeader(le16(b, 6), le16(b, 8), entries, ((packed >> 4) & 0x07) + 1)
+  }
+
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+  private def putLe24(b: Array[Byte], off: Int, v: Int): Unit = {
+    putLe16(b, off, v & 0xffff); b(off + 2) = ((v >> 16) & 0xff).toByte
+  }
+
+  def parseWebp(b: Array[Byte]): WebpHeader = {
+    require(detect(b) == "webp", "not a WebP payload")
+    val tag = new String(b.slice(12, 16), "US-ASCII")
+    tag match {
+      case "VP8X" =>
+        WebpHeader("vp8x", le24(b, 24) + 1, le24(b, 27) + 1)
+      case "VP8L" =>
+        require((b(20) & 0xff) == 0x2f, "bad VP8L signature byte")
+        val v = le32(b, 21)
+        require(((v >>> 29) & 0x7) == 0, "unsupported VP8L version")
+        WebpHeader("vp8l", (v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported WebP chunk '$other'")
+    }
   }
 
   /** Walk the JPEG marker-segment stream to the frame header (SOFn).
@@ -190,6 +249,61 @@ object MediaCodec {
     crc2.update(b, 37, 4)
     putBe32(b, 41, crc2.getValue.toInt)
     b
+  }
+
+  /** Minimal GIF89a: header + logical screen descriptor + global
+    * color table of 2^gctBits zeroed entries + trailer. No image
+    * descriptor — header-only payload.
+    */
+  def synthesizeGif(
+      width: Int, height: Int, gctBits: Int = 8): Array[Byte] = {
+    require(gctBits >= 1 && gctBits <= 8, s"gctBits in 1..8: $gctBits")
+    val b = new Array[Byte](13 + 3 * (1 << gctBits) + 1)
+    b(0) = 'G'; b(1) = 'I'; b(2) = 'F'; b(3) = '8'; b(4) = '9'; b(5) = 'a'
+    putLe16(b, 6, width)
+    putLe16(b, 8, height)
+    // GCT present, color resolution = gctBits bits/primary, size field
+    b(10) = (0x80 | ((gctBits - 1) << 4) | (gctBits - 1)).toByte
+    b(11) = 0                       // background color index
+    b(12) = 0                       // no pixel aspect ratio
+    b(b.length - 1) = 0x3b          // trailer
+    b
+  }
+
+  /** Minimal WebP. `lossless = false`: a VP8X extended-header file
+    * (30 bytes, canvas dimensions only). `lossless = true`: a VP8L
+    * chunk whose 5-byte bitstream header really bit-packs the
+    * dimensions (14+14 bits, no alpha, version 0) plus the RIFF pad
+    * byte. Neither carries coded pixels — header-only payloads.
+    */
+  def synthesizeWebp(
+      width: Int, height: Int, lossless: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1 &&
+      (lossless && width <= 0x4000 && height <= 0x4000 ||
+        !lossless && width <= 0x1000000 && height <= 0x1000000),
+      s"dimensions out of range: ${width}x$height lossless=$lossless")
+    if (!lossless) {
+      val b = new Array[Byte](30)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      putLe32(b, 4, 22)             // RIFF payload: WEBP + chunk hdr + 10
+      b(8) = 'W'; b(9) = 'E'; b(10) = 'B'; b(11) = 'P'
+      b(12) = 'V'; b(13) = 'P'; b(14) = '8'; b(15) = 'X'
+      putLe32(b, 16, 10)
+      // flags + reserved stay 0
+      putLe24(b, 24, width - 1)
+      putLe24(b, 27, height - 1)
+      b
+    } else {
+      val b = new Array[Byte](26)   // 5-byte header + pad to even
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      putLe32(b, 4, 18)             // WEBP + chunk hdr + 5 + pad
+      b(8) = 'W'; b(9) = 'E'; b(10) = 'B'; b(11) = 'P'
+      b(12) = 'V'; b(13) = 'P'; b(14) = '8'; b(15) = 'L'
+      putLe32(b, 16, 5)
+      b(20) = 0x2f
+      putLe32(b, 21, (width - 1) | ((height - 1) << 14))
+      b
+    }
   }
 
   /** Minimal JPEG/JFIF header stream: SOI, APP0 (JFIF 1.1), SOF0

@@ -129,11 +129,14 @@ object Multimodal {
       bits_per_sample: Option[Int])
 
   /** REAL header decode (not a stub): BMP, canonical PCM WAV, PNG
-    * (IHDR), and JPEG/JFIF (SOF marker walk) payloads are parsed
+    * (IHDR), JPEG/JFIF (SOF marker walk), GIF (logical screen
+    * descriptor), and WebP (VP8X / VP8L) payloads are parsed
     * byte-for-byte by [[MediaCodec]]; anything else reports format
     * "unknown" with null fields. Image bits_per_pixel is bit depth ×
-    * channels for PNG (channels derived from the color type) and
-    * precision × components for JPEG. Same partition-parallel
+    * channels for PNG (channels derived from the color type),
+    * precision × components for JPEG, the palette index depth for GIF,
+    * and null for WebP (neither header variant carries a depth —
+    * honest null beats an invented constant). Same partition-parallel
     * mapPartitions shape as [[decodeMetadata]] — one pass, no
     * shuffle, payload column pruned for callers that only select the
     * parsed fields downstream.
@@ -162,6 +165,16 @@ object Multimodal {
             ParsedHeader(r.doc_id, "jpeg",
               Some(h.width), Some(h.height),
               Some(h.precision * h.components), None, None, None)
+          case "gif" =>
+            val h = MediaCodec.parseGif(r.payload)
+            ParsedHeader(r.doc_id, "gif",
+              Some(h.width), Some(h.height),
+              Some(h.indexBits), None, None, None)
+          case "webp" =>
+            val h = MediaCodec.parseWebp(r.payload)
+            // depth isn't in either header variant — honest null
+            ParsedHeader(r.doc_id, "webp",
+              Some(h.width), Some(h.height), None, None, None, None)
           case _ =>
             ParsedHeader(r.doc_id, "unknown", None, None, None, None, None, None)
         }

@@ -144,7 +144,10 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq(
       (1L, "image", MediaCodec.synthesizeBmp(640, 480)),
       (2L, "audio", MediaCodec.synthesizeWav(2, 16000)),
-      (3L, "junk", Array[Byte](1, 2, 3)))
+      (3L, "junk", Array[Byte](1, 2, 3)),
+      (4L, "image", MediaCodec.synthesizeGif(99, 77, gctBits = 5)),
+      (5L, "image", MediaCodec.synthesizeWebp(800, 600)),
+      (6L, "image", MediaCodec.synthesizeWebp(321, 123, lossless = true)))
       .toDF("doc_id", "media_type", "payload")
     val out = Multimodal.parseMediaHeaders(spark, media)
       .collect().map(p => p.doc_id -> p).toMap
@@ -156,5 +159,64 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width === None)
     assert(out(3L).format === "unknown")
     assert(out(3L).width === None && out(3L).sample_rate === None)
+    assert(out(4L).format === "gif")
+    assert(out(4L).width === Some(99) && out(4L).height === Some(77))
+    assert(out(4L).bits_per_pixel === Some(5)) // 2^5-entry palette index
+    assert(out(5L).format === "webp")
+    assert(out(5L).width === Some(800) && out(5L).height === Some(600))
+    assert(out(5L).bits_per_pixel === None)
+    assert(out(6L).format === "webp")
+    assert(out(6L).width === Some(321) && out(6L).height === Some(123))
+  }
+
+  test("MediaCodec parses golden GIF bytes and round-trips synthesis") {
+    // hand-written GIF89a LSD: 3x2, GCT of 4 entries, color res 2
+    val golden = (Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      3, 0,              // width u16le
+      2, 0,              // height u16le
+      0x80 | (1 << 4) | 1, // GCT flag, colorRes-1=1, size field 1 -> 4
+      0, 0).map(_.toByte)
+      ++ new Array[Byte](3 * 4) ++ Array(0x3b.toByte))
+    assert(MediaCodec.detect(golden) === "gif")
+    assert(MediaCodec.parseGif(golden) === MediaCodec.GifHeader(3, 2, 4, 2))
+    assert(MediaCodec.parseGif(golden).indexBits === 2)
+    // no-GCT variant: entries 0, index depth 0
+    val noGct = golden.clone(); noGct(10) = (1 << 4).toByte
+    assert(MediaCodec.parseGif(noGct) === MediaCodec.GifHeader(3, 2, 0, 2))
+    assert(MediaCodec.parseGif(noGct).indexBits === 0)
+    for (bits <- 1 to 8) {
+      val h = MediaCodec.parseGif(MediaCodec.synthesizeGif(256, 200, bits))
+      assert((h.width, h.height, h.gctEntries, h.indexBits) ===
+        ((256, 200, 1 << bits, bits)))
+    }
+  }
+
+  test("MediaCodec parses WebP VP8X and bit-packed VP8L headers") {
+    // hand-written VP8X: canvas 16384x2 (u24le width-1 = 0x3FFF)
+    val goldenX = (Array[Int]('R', 'I', 'F', 'F', 22, 0, 0, 0,
+      'W', 'E', 'B', 'P', 'V', 'P', '8', 'X', 10, 0, 0, 0,
+      0, 0, 0, 0,        // flags + reserved
+      0xff, 0x3f, 0,     // width-1  u24le
+      1, 0, 0).map(_.toByte))
+    assert(MediaCodec.detect(goldenX) === "webp")
+    assert(MediaCodec.parseWebp(goldenX) ===
+      MediaCodec.WebpHeader("vp8x", 16384, 2))
+    // hand-written VP8L: 0x2F then (w-1)|((h-1)<<14) over 32 bits le;
+    // 5x3 -> v = 4 | (2<<14) = 0x8004
+    val goldenL = (Array[Int]('R', 'I', 'F', 'F', 18, 0, 0, 0,
+      'W', 'E', 'B', 'P', 'V', 'P', '8', 'L', 5, 0, 0, 0,
+      0x2f, 0x04, 0x80, 0, 0, 0).map(_.toByte))
+    assert(MediaCodec.parseWebp(goldenL) ===
+      MediaCodec.WebpHeader("vp8l", 5, 3))
+    // round trips at the 14-bit boundary and a nonzero-version reject
+    for ((w, h) <- Seq((1, 1), (16384, 16384), (1024, 768))) {
+      assert(MediaCodec.parseWebp(MediaCodec.synthesizeWebp(w, h, lossless = true)) ===
+        MediaCodec.WebpHeader("vp8l", w, h))
+      assert(MediaCodec.parseWebp(MediaCodec.synthesizeWebp(w, h)) ===
+        MediaCodec.WebpHeader("vp8x", w, h))
+    }
+    val badVer = goldenL.clone(); badVer(24) = 0x20 // version bits != 0
+    intercept[IllegalArgumentException](MediaCodec.parseWebp(badVer))
+    intercept[IllegalArgumentException](MediaCodec.synthesizeWebp(20000, 1, lossless = true))
   }
 }
