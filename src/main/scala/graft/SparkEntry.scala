@@ -521,6 +521,13 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id")),
 
+    // Temperature-flattened (T=2) source mixing: √n-proportional
+    // per-source targets, portable md5 micro-rate gate, zero corpus
+    // shuffles.
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixSample(
+        Tables.documents(s, dir), "source", "doc_id", targetTotal = 200L)),
+
     // Leakage-safe split: near-dup clusters (MinHash LSH pairs → CC)
     // are hashed as a unit via their component rep, so no near-dup
     // pair straddles train/eval.
@@ -2536,6 +2543,28 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    ELSE 'test'
         |  END AS split
         |FROM documents""".stripMargin,
+
+    // Mirrored √n chain: every step is an exact-integer-input
+    // correctly-rounded double op + FLOOR, so the rates are
+    // bit-identical cross-engine.
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |      FROM c),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+        |r AS (SELECT source,
+        |        LEAST(1000000, CAST(FLOOR(
+        |          FLOOR(200e0 * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |            * 1e6 / CAST(n AS DOUBLE)) AS BIGINT)) AS keep_rate_micro
+        |      FROM w CROSS JOIN tw)
+        |SELECT d.source, d.doc_id, d.text, d.lang, d.n_chars,
+        |       r.keep_rate_micro
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 < r.keep_rate_micro""".stripMargin,
 
     // Same recursive-CC chain as q_dedup_clusters; the split hash runs
     // on the component rep (own id for unpaired docs).

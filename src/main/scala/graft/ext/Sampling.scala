@@ -80,6 +80,56 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Temperature-flattened source mixing (T = 2): per-stratum targets
+    * proportional to √n_s instead of n_s — the standard corpus recipe
+    * that up-weights small sources (languages, minor crawls) without
+    * letting any giant source dominate the mix. Each stratum's keep
+    * rate is min(1, target_s / n_s) with target_s = ⌊total·√n_s/Σ√n⌋,
+    * applied as the same portable md5 gate as [[hashSample]] at
+    * micro-rate (1e-6) resolution — membership stays re-derivable
+    * from the key alone.
+    *
+    * Determinism across engines: √ is IEEE-correctly-rounded
+    * everywhere, each √n_s floor-quantizes to exact integer
+    * micro-units (≤10¹², exactly representable), the weight total is
+    * an exact integer sum, and every later step is a single
+    * correctly-rounded double op on exact-integer inputs followed by
+    * floor — no libm, no round() ties. General temperatures need a
+    * deterministic exp/ln pair ([[graft.functions.DetMath]] has ln;
+    * T=2 is the common case and keeps the chain libm-free).
+    *
+    * Scale shape: one stratum-cardinality-bounded count aggregate, a
+    * broadcast rate table, and a codegen'd filter — the corpus is
+    * never shuffled.
+    *
+    * Output: input rows that pass the gate, plus `keep_rate_micro`
+    * (the stratum's audit column). Null-stratum rows are dropped.
+    */
+  def temperatureMixSample(
+      docs: DataFrame, strataCol: String, keyCol: String,
+      targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
+    val counts = docs.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val w = counts.withColumn("__w",
+      floor(sqrt(col("__n").cast("double")) * lit(1e6)).cast("long"))
+    // `tot` derives from `w`, so qualify the self-join legs by alias
+    // (bare `__w` is AMBIGUOUS_REFERENCE after dedup-relations).
+    val tot = w.agg(sum(col("__w")).as("__W"))
+    val rates = w.as("wl").crossJoin(broadcast(tot.as("tt")))
+      .withColumn("__t",
+        floor(lit(targetTotal).cast("double") *
+          (col("wl.__w").cast("double") / col("tt.__W").cast("double"))))
+      .withColumn("keep_rate_micro",
+        least(lit(1000000L),
+          floor(col("__t").cast("double") * lit(1e6) /
+            col("__n").cast("double")).cast("long")))
+      .select(col(strataCol), col("keep_rate_micro"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .filter((HashExprs.md5Prefix60(col(keyCol).cast("string")) %
+        lit(1000000L)) < col("keep_rate_micro"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * land in the SAME split, or eval is contaminated by training-set
     * near-copies ([[splitAssign]] hashes each doc independently, so a

@@ -176,6 +176,31 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("temperatureMixSample flattens the source distribution toward sqrt") {
+    // 4 strata with counts 6400/1600/400/100 (sqrt weights 80/40/20/10)
+    val rows = Seq(("a", 6400), ("b", 1600), ("c", 400), ("d", 100))
+      .flatMap { case (s, n) => (0 until n).map(i => (s, s.hashCode.toLong * 100000 + i)) }
+    val df = rows.toDF("src", "id")
+    val out = Sampling.temperatureMixSample(df, "src", "id", targetTotal = 1000L)
+      .collect()
+    val rates = out.map(r => r.getAs[String]("src") -> r.getAs[Long]("keep_rate_micro"))
+      .toMap
+    // targets ~ 1000 * w/W: a=533, b=266, c=133, d=66 -> rates
+    // monotonically INCREASE as strata shrink (the flattening)
+    assert(rates("a") < rates("b") && rates("b") < rates("c") &&
+      rates("c") < rates("d"), rates.toString)
+    // d is upsampled relative to proportional: 66/100 vs 1000/8500
+    assert(rates("d") > 600000L)
+    // kept counts land near the sqrt-proportional targets
+    val kept = out.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(math.abs(kept("a") - 533) < 80, kept.toString)
+    assert(math.abs(kept("d") - 66) < 25, kept.toString)
+    // deterministic: same call, same rows
+    val again = Sampling.temperatureMixSample(df, "src", "id", 1000L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again === out.map(_.getAs[Long]("id")).toSet)
+  }
+
   test("leakageSafeSplit: no pair straddles splits; unpaired matches splitAssign") {
     val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chains 0-1-2, 10-11, and a 4-cycle 20..23; everything else unpaired
