@@ -600,6 +600,27 @@ object SparkEntry {
       Prefix.packBins(d, Seq(col("doc_id")), "n_tokens", 2048L)
     }),
 
+    // Packing → actual training sequences: each bin's docs concatenated
+    // in doc order with an EOS separator. Per-bin state is budget-
+    // bounded (~2048 tokens of text), so the collect_list aggregate is
+    // a bounded merge, not a hot-group risk.
+    "q_pack_concat" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          TextStats.tokenCount(lower(col("text"))).cast("long").as("n_tokens"))
+      Prefix.packBins(d, Seq(col("doc_id")), "n_tokens", 2048L)
+        .groupBy(col("bin_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "<|eos|>").as("sequence"))
+    }),
+
     // Skew-salted fact join: identical result multiset to the plain
     // equi-join (the oracle IS the plain join), but each hot orderkey
     // spreads over 8 reduce tasks.
@@ -2765,6 +2786,25 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
         |FROM c""".stripMargin,
+
+    "q_pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(str_split(trim(lower(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+        |  FROM c)
+        |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS sequence
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q_join_salted" ->
       """SELECT l.l_orderkey, l.l_extendedprice, l.l_linenumber,
