@@ -25,6 +25,10 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // SQL surface for the native kernels (idempotent re-registration);
+    // sessions built with spark.sql.extensions=GraftExtensions get the
+    // same set at config time.
+    graft.functions.GraftFunctions.registerAll(spark)
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -30,4 +30,18 @@ object GraftExpressionBridge {
       spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Register a native-expression SQL function on a LIVE session
+    * (`sessionState.functionRegistry` is `private[sql]`). The
+    * config-time path is `spark.sql.extensions=graft.plans.
+    * GraftExtensions`; this is the runtime equivalent for sessions the
+    * caller doesn't build.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

@@ -61,6 +61,9 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IntersectSizeRewrite)
+    // The SQL surface: every scalar kernel in graft.functions by name.
+    graft.functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+  }
 }
