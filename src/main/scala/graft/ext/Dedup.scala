@@ -805,10 +805,14 @@ object Dedup {
         .join(labels.select(col("id").as("__d"), col("cluster_rep").as("__nc")), "__d")
         .groupBy(col("__s").as("id"))
         .agg(min(col("__nc")).as("__nm"))
-      val next = labels
+      // planLeaf: per-round analyzed plans stay O(1) deep instead of
+      // accumulating the full round history (the O(rounds²) planning
+      // tax measured on PageRank); RDD lineage survives for
+      // recompute-on-block-loss.
+      val next = org.apache.spark.sql.GraftExpressionBridge.planLeaf(labels
         .join(neighborMin, Seq("id"))
         .select(col("id"),
-          least(col("cluster_rep"), col("__nm")).as("cluster_rep"))
+          least(col("cluster_rep"), col("__nm")).as("cluster_rep")))
         .persist()
       val changed = labels
         .join(next.select(col("id"), col("cluster_rep").as("__r2")), "id")

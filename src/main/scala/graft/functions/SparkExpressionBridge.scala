@@ -31,6 +31,20 @@ object GraftExpressionBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Re-root a DataFrame's LOGICAL plan at its physical RDD: the
+    * result is semantically identical but its analyzed plan is a
+    * single `LogicalRDD` leaf. For iterative jobs (PageRank,
+    * connected components) this is what keeps per-round analysis cost
+    * O(1) — persist() alone caches DATA but keeps the full logical
+    * history, so round N's plan is N rounds deep and total planning
+    * cost is O(N²). Unlike `localCheckpoint` the RDD lineage is
+    * preserved, so lost cached blocks recompute instead of failing
+    * the job, and the caller keeps explicit persist/unpersist control.
+    * Lazy: nothing executes until the returned frame is acted on.
+    */
+  def planLeaf(df: Dataset[Row]): DataFrame =
+    internalCreateDataFrame(df.sparkSession, toInternalRdd(df), df.schema)
+
   /** Register a native-expression SQL function on a LIVE session
     * (`sessionState.functionRegistry` is `private[sql]`). The
     * config-time path is `spark.sql.extensions=graft.plans.
