@@ -528,6 +528,18 @@ object SparkEntry {
       Sampling.temperatureMixSample(
         Tables.documents(s, dir), "source", "doc_id", targetTotal = 200L)),
 
+    // Token-budget selection: highest-quality docs first until the
+    // 10k-token budget is spent — distributed prefix sum over the
+    // (quality desc, doc_id) order, keep iff the doc fits entirely.
+    "q_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      Sampling.tokenBudgetSelect(
+        d, Seq(col("quality").desc, col("doc_id")), "n_tokens", 10000L)
+    }),
+
     // Leakage-safe split: near-dup clusters (MinHash LSH pairs → CC)
     // are hashed as a unit via their component rep, so no near-dup
     // pair straddles train/eval.
@@ -579,6 +591,13 @@ object SparkEntry {
     // shuffled-word junk that unigram statistics cannot see).
     "q_bigram_lm" -> ((s, dir) =>
       Vocab.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
+
+    // [EXT] CCNet-style head/middle/tail perplexity tertiles per source
+    // (integer rank cuts on the global surprisal order — no float
+    // percentile decisions).
+    "q_perplexity_bucket" -> ((s, dir) =>
+      Vocab.perplexityBuckets(
+        Tables.documents(s, dir), "doc_id", "text", "source")),
 
     // [EXT] PMI collocations (word2vec-style phrase mining): pairs that
     // co-occur far above their marginal rates, ranked on the rounded
@@ -1649,6 +1668,31 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
     * floor-of-double-division on the Spark side — equal integers, see
     * the Scala doc), then one exact ÷10⁶ into DOUBLE.
     */
+  /** [[graft.ext.Vocab.unigramSurprisal]] as a DuckDB CTE chain ending
+    * in `surp(doc_id, n_tokens, surprisal)` — shared by the
+    * q_unigram_surprisal and q_perplexity_bucket oracles (same model,
+    * same 6-dp-round-then-DECIMAL accumulation discipline).
+    */
+  private def surprisalSqlCtes: String =
+    """tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |tot AS (
+      |  SELECT CAST(SUM(len(str_split(trim(lower(text)), ' '))) AS DOUBLE) AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, tf,
+      |    ROUND(-ln(CAST(SUM(tf) OVER (PARTITION BY term) AS DOUBLE) / tot.t), 6)
+      |      AS nll
+      |  FROM tf CROSS JOIN tot),
+      |surp AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
+      |      AS DOUBLE) / SUM(tf), 6) AS surprisal
+      |  FROM w GROUP BY doc_id)""".stripMargin
+
   private def qualitySqlExpr: String =
     s"""(CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
        |    + ((600000 * LEN(list_filter(str_split(TRIM(text), ' '),
@@ -2587,6 +2631,20 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
         |        % 1000000 < r.keep_rate_micro""".stripMargin,
 
+    "q_token_budget" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(str_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+        |    $qualitySqlExpr AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, quality,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
     // Same recursive-CC chain as q_dedup_clusters; the split hash runs
     // on the component rep (own id for unpaired docs).
     "q_split_leakage_safe" ->
@@ -2692,23 +2750,24 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
 
     "q_unigram_surprisal" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
-        |        FROM documents)
-        |  GROUP BY doc_id, term),
-        |tot AS (
-        |  SELECT CAST(SUM(len(str_split(trim(lower(text)), ' '))) AS DOUBLE) AS t
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, tf,
-        |    ROUND(-ln(CAST(SUM(tf) OVER (PARTITION BY term) AS DOUBLE) / tot.t), 6)
-        |      AS nll
-        |  FROM tf CROSS JOIN tot)
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
-        |    AS DOUBLE) / SUM(tf), 6) AS surprisal
-        |FROM w GROUP BY doc_id""".stripMargin,
+      s"""WITH $surprisalSqlCtes
+        |SELECT doc_id, n_tokens, surprisal FROM surp""".stripMargin,
+
+    "q_perplexity_bucket" ->
+      s"""WITH $surprisalSqlCtes,
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY surprisal, doc_id) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM surp)
+        |SELECT d.source,
+        |  CASE WHEN r.r * 3 <= r.n THEN 'head'
+        |       WHEN r.r * 3 <= r.n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(r.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM r JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (

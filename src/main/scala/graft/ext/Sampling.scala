@@ -266,4 +266,30 @@ object Sampling {
       df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
         .withColumn("priority", aesPriority(idCol, weightCol)),
       groupCols, "priority", idCol, k)
+
+  /** Token-budget-constrained selection: rank the corpus by `order`
+    * (best first — e.g. quality desc) and keep the maximal prefix
+    * whose cumulative `tokenCol` stays within `budget` — "take the
+    * highest-quality B tokens", the standard way a pretraining mix
+    * caps a source once scoring is done.
+    *
+    * The cumulative sum is [[graft.plans.Prefix.withRunningSum]] —
+    * one range shuffle + a per-partition carry pass, never a
+    * single-partition window — so the selection is a global-order
+    * prefix yet every stage stays distributed. Keep rule: a document
+    * is kept iff it fits ENTIRELY within the budget (`cum <= budget`);
+    * with a deterministic unique `order` the kept set is exact and
+    * reproducible, not a per-partition approximation.
+    *
+    * Output: kept rows + `cum_tokens` (inclusive running total — the
+    * audit column that proves the budget).
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, order: Seq[Column], tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    graft.plans.Prefix
+      .withRunningSum(df, order, tokenCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
 }

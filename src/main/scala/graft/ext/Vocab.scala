@@ -387,4 +387,42 @@ object Vocab {
         round(col("__s").cast("double") / col("n_bigrams"), 6)
           .as("bigram_surprisal"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20 —
+    * reference repo has no analog): score every document with the
+    * corpus unigram-LM surprisal, cut the corpus into head / middle /
+    * tail TERTILES of that score (lowest surprisal = head, the
+    * highest-confidence slice), and report the bucket composition per
+    * `byCol` (e.g. source) — the table a curation run reads before
+    * deciding which tail slices to drop.
+    *
+    * Determinism: buckets are INTEGER comparisons on the global
+    * ordinal rank r over (surprisal rounded 6 dp, doc id) —
+    * `3r <= n` → head, `3r <= 2n` → middle — so the cut is exact at
+    * any corpus size, no float percentile is compared. The rank is
+    * [[graft.plans.Ordinal.withGlobalRowNumber]] (range shuffle +
+    * carry, no single-partition window); n rides in as a one-row
+    * broadcast.
+    *
+    * Output: (`byCol`, bucket, n_docs, sum_tokens), docs with no
+    * tokens excluded (they have no surprisal — gate them on length
+    * upstream).
+    */
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      byCol: String): DataFrame = {
+    val surp = unigramSurprisal(docs, idCol, textCol)
+    val ranked = graft.plans.Ordinal.withGlobalRowNumber(
+      surp, Seq(col("surprisal"), col(idCol)), "__r")
+    val n = surp.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(col("__r") * 3 <= col("__n"), lit("head"))
+          .when(col("__r") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .join(docs.select(col(idCol), col(byCol)), Seq(idCol))
+      .groupBy(col(byCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
 }

@@ -22,6 +22,39 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 230 && a.size < 370, s"got ${a.size}")
   }
 
+  test("tokenBudgetSelect keeps exactly the maximal whole-doc prefix " +
+    "of the order and is partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val d = (0L until 100L)
+      .map(i => (i, (i * 13) % 50 + 1, ((i * 7) % 97).toDouble))
+      .toDF("doc_id", "n_tokens", "score")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    val budget = 400L
+    val kept = Sampling.tokenBudgetSelect(
+      d, Seq(col("score").desc, col("doc_id")), "n_tokens", budget)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // Model: sequential scan in (score desc, id) order.
+    val ordered = d.as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val expect = ordered.flatMap { case (id, n, s) =>
+      cum += n
+      if (cum <= budget) Some((id, n, s, cum)) else None
+    }
+    assert(kept.toList === expect.toList)
+    assert(kept.last._4 <= budget)
+    // The NEXT doc in order would have burst the budget (maximality).
+    val keptIds = kept.map(_._1).toSet
+    val next = ordered.find { case (id, _, _) => !keptIds.contains(id) }
+    assert(next.exists { case (_, n, _) => kept.last._4 + n > budget })
+    // Partition invariance: same kept set from a different layout.
+    val kept1 = Sampling.tokenBudgetSelect(
+      d.repartition(7), Seq(col("score").desc, col("doc_id")),
+      "n_tokens", budget)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(kept1.toList === kept.toList)
+  }
+
   test("hashSample is monotone in pct: 10% subset of 40% subset of 100%") {
     val p10 = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
     val p40 = Sampling.hashSample(docs, "doc_id", 40).select("doc_id").as[Long].collect().toSet

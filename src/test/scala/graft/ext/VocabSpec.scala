@@ -199,4 +199,38 @@ class VocabSpec extends SparkSpec {
       .select("w1", "w2").as[(String, String)].collect().toList
     assert(out === List(("new", "york")))
   }
+
+  test("perplexityBuckets: exact integer tertile cuts, all scored docs " +
+    "bucketed, repetitive low-surprisal docs land in head") {
+    // 9 docs over 3 sources: 3 docs of a single repeated common token
+    // (minimal surprisal), 3 mixed, 3 of unique-per-doc rare tokens
+    // (maximal surprisal). 9 ranks -> exactly 3 per bucket.
+    val docs = (0L until 9L).map { i =>
+      val text = i % 3 match {
+        case 0 => "the the the the"
+        case 1 => s"the of and tok$i"
+        case _ => s"zq${i}a zq${i}b zq${i}c zq${i}d"
+      }
+      (i, text, s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val out = Vocab.perplexityBuckets(docs, "doc_id", "text", "source")
+      .as[(String, String, Long, Long)].collect().toList.sorted
+    // Each source holds exactly one surprisal class of 3 docs here, so
+    // each (source, bucket) cell is whole: 3 docs x 4 tokens.
+    assert(out === List(
+      ("src0", "head", 3L, 12L),
+      ("src1", "middle", 3L, 12L),
+      ("src2", "tail", 3L, 12L)))
+  }
+
+  test("perplexityBuckets: bucket sizes follow the 3r<=n integer rule " +
+    "when n is not divisible by 3") {
+    val docs = (0L until 10L).map(i => (i, s"w$i common", "s"))
+      .toDF("doc_id", "text", "source")
+    val sizes = Vocab.perplexityBuckets(docs, "doc_id", "text", "source")
+      .groupBy("bucket").agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .as[(String, Long)].collect().toMap
+    // n=10: head r<=3 (3r<=10), middle r<=6, tail r>6 -> 3/3/4.
+    assert(sizes === Map("head" -> 3L, "middle" -> 3L, "tail" -> 4L))
+  }
 }
