@@ -831,6 +831,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"))
     }),
 
+    // [EXT] SemDeDup: embedding-space semantic dedup — kmeans
+    // clusters (bit-reproducible), then within-cluster cosine pruning
+    // against lower-id clustermates. Oracle reuses the unrolled
+    // kmeans chain and mirrors the 6-dp cosine.
+    "q_semdedup" -> ((s, dir) =>
+      Dedup.semDeDup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 3, threshold = 0.4)),
+
     // [EXT] Analytics: clickstream transition matrix — one lead()
     // shuffle on the user key, then a partial-aggregatable pair count.
     "q_event_transitions" -> ((s, dir) =>
@@ -1840,9 +1849,15 @@ WHERE rnk <= 10"""
     * scalar for scalar. `list_inner_product` is bit-identical to the
     * codegen'd [[graft.functions.DotProduct]].
     */
-  private def kmeansOracleSql: String = {
-    val k = 8
-    val iters = 3
+  private def kmeansOracleSql: String =
+    s"""WITH ${kmeansAssignCtes(8, 3)}
+SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
+
+  /** The deterministic k-means unroll as a reusable CTE-chain body
+    * ending in `fin(vec_id, cid)` (plus `e(vec_id, emb, qemb)`) —
+    * shared by the q_kmeans_assign and q_semdedup oracles.
+    */
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
     def qd(emb: String, cemb: String): String =
       s"CAST(FLOOR((list_inner_product($emb, $emb) " +
         s"- list_inner_product($emb, $cemb) * 2.0 " +
@@ -1872,7 +1887,7 @@ c$t AS MATERIALIZED (
       ORDER BY i) AS emb
     FROM u$t GROUP BY cid) nc USING (cid))"""
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
     list_transform(CAST(embedding AS DOUBLE[]),
       x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS qemb
@@ -1888,8 +1903,7 @@ fin AS MATERIALIZED (
     SELECT e.vec_id, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
         ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
-    FROM e CROSS JOIN c$iters c) WHERE r = 1)
-SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
+    FROM e CROSS JOIN c$iters c) WHERE r = 1)"""
   }
 
   /** DuckDB oracle for q_dedup_embed_lsh: same bucket constants, same
@@ -2189,6 +2203,23 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_ivf" -> simIvfOracleSql,
 
     "q_kmeans_assign" -> kmeansOracleSql,
+
+    // Same unrolled kmeans chain; then within-cluster lower-id pairs
+    // with the repo-standard ROUND(cosine, 6).
+    "q_semdedup" ->
+      s"""WITH ${kmeansAssignCtes(8, 3)},
+        |p AS (
+        |  SELECT a.vec_id AS ida,
+        |    ROUND(list_inner_product(ea.emb, eb.emb)
+        |      / (sqrt(list_inner_product(ea.emb, ea.emb))
+        |         * sqrt(list_inner_product(eb.emb, eb.emb))), 6) AS c
+        |  FROM fin a JOIN fin b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |m AS (SELECT ida, MAX(c) AS max_prior_sim FROM p GROUP BY ida)
+        |SELECT f.vec_id, f.cid AS cluster, m.max_prior_sim,
+        |  (m.max_prior_sim IS NULL OR m.max_prior_sim < 0.4) AS kept
+        |FROM fin f LEFT JOIN m ON m.ida = f.vec_id""".stripMargin,
 
     "q_pca_project" -> pcaOracleSql(dim = 64, k = 3,
       iters = graft.ext.Embeddings.DetIters),

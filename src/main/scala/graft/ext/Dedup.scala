@@ -971,4 +971,53 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col(idCol), col("span_start"), col("span_len"), col("n_grams"))
   }
+
+  /** SemDeDup (Abbas et al., 2023): semantic deduplication by
+    * clustering the embedding space and pruning near-identical
+    * vectors WITHIN each cluster — the scalable middle ground between
+    * exact hashes (miss paraphrases) and all-pairs cosine (O(n²)).
+    *
+    *  1. Cluster with [[Embeddings.kmeans]] (quantized distances +
+    *     exact integer centroid sums — assignments bit-reproducible,
+    *     which is what lets the whole operator carry a SQL oracle).
+    *  2. Within each cluster, pair every vector with each LOWER-id
+    *     clustermate (cluster-keyed equi-join), cosine rounded 6 dp
+    *     (the repo-wide cross-engine cosine discipline).
+    *  3. A vector is pruned iff some lower-id clustermate is within
+    *     `threshold` — the deterministic keep-lowest-id tie-break of
+    *     the paper's keep-one-per-near-dup-group rule.
+    *
+    * Scale shape: the only superlinear step is the within-cluster
+    * pair join, Σ_c n_c² — SemDeDup's own design lever: pick
+    * k ∝ corpus size so E[n_c] is constant and the join is a plain
+    * cluster-keyed shuffle (AQE splits a skewed mega-cluster). The
+    * kmeans pass is one constant-state aggregate per iteration.
+    *
+    * Output: one row per vector — (id, cluster, max_prior_sim =
+    * max cosine to a lower-id clustermate or null, kept).
+    */
+  def semDeDup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs.{dot => vdot}
+    val (_, assigned) = Embeddings.kmeans(emb, idCol, vecCol, dim, k, iters)
+    val base = assigned
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .withColumn("__nrm", sqrt(vdot(col(vecCol), col(vecCol))))
+    val a = base.select(col(idCol).as("__ida"), col("cluster"),
+      col(vecCol).as("__va"), col("__nrm").as("__na"))
+    val b = base.select(col(idCol).as("__idb"), col("cluster"),
+      col(vecCol).as("__vb"), col("__nrm").as("__nb"))
+    val best = a.join(b, Seq("cluster"))
+      .filter(col("__idb") < col("__ida"))
+      .withColumn("__cos",
+        round(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .groupBy(col("__ida"), col("cluster"))
+      .agg(max(col("__cos")).as("max_prior_sim"))
+      .withColumnRenamed("__ida", idCol)
+    base.select(col(idCol), col("cluster"))
+      .join(best, Seq(idCol, "cluster"), "left")
+      .withColumn("kept",
+        col("max_prior_sim").isNull || col("max_prior_sim") < threshold)
+  }
 }

@@ -393,4 +393,34 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(
       (1L, 0L, 8L, 2L), (2L, 0L, 4L, 1L), (3L, 4L, 4L, 1L)))
   }
+
+  test("semDeDup prunes planted near-identical vectors, keeps the " +
+    "lowest id, and never pairs across clusters") {
+    val dim = 4
+    // Two well-separated directions (-> two kmeans clusters), three
+    // near-copies on each, plus one orthogonal loner per direction.
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 1) eps else 0.0) }
+    val e1 = Array(10.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 0.0, 10.0, 0.0)
+    val rows = Seq(
+      (0L, v(e1, 0.0)), (1L, v(e1, 0.1)), (2L, v(e1, 0.2)),
+      (3L, Array(0.0, 10.0, 0.0, 0.0)), // loner near cluster 1
+      (10L, v(e2, 0.0)), (11L, v(e2, 0.1)), (12L, v(e2, 0.2)),
+      (13L, Array(0.0, 0.0, 0.0, 10.0))) // loner near cluster 2
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(emb, "vec_id", "embedding",
+      dim = dim, k = 2, iters = 3, threshold = 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    // Lowest id of each near-dup trio survives; later copies pruned.
+    assert(out(0L) && !out(1L) && !out(2L))
+    assert(out(10L) && !out(11L) && !out(12L))
+    // Orthogonal loners survive (cosine ~0 to everything).
+    assert(out(3L) && out(13L))
+    // Partition invariance: same verdicts from a different layout.
+    val out7 = Dedup.semDeDup(emb.repartition(7), "vec_id", "embedding",
+      dim = dim, k = 2, iters = 3, threshold = 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out7 === out)
+  }
 }
