@@ -540,6 +540,14 @@ object SparkEntry {
         d, Seq(col("quality").desc, col("doc_id")), "n_tokens", 10000L)
     }),
 
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // a curated target slice (src0-2) vs the raw pool, one
+    // deterministic-ln per bucket floor-quantized to exact integers.
+    "q_dsir" -> ((s, dir) =>
+      Sampling.dsirWeights(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), numBuckets = 64)),
+
     // Leakage-safe split: near-dup clusters (MinHash LSH pairs → CC)
     // are hashed as a unit via their component rep, so no near-dup
     // pair straddles train/eval.
@@ -2675,6 +2683,35 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM d)
         |SELECT doc_id, source, n_tokens, quality, cum_tokens
         |FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
+    // Per-bucket log-ratio via ONE deterministic-ln chain on an exact
+    // integer ratio; per-doc weights are exact integer sums.
+    "q_dsir" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, (source IN ('src0', 'src1', 'src2')) AS tgt,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, source,
+        |          unnest(str_split(trim(lower(text)), ' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL)),
+        |bc AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |          CAST(SUM(cr) AS BIGINT) AS tr FROM bc),
+        |lam AS (
+        |  SELECT bucket,
+        |    CAST((ct + 1) * (tr + 64) AS DOUBLE)
+        |      / CAST((tt + 64) * (cr + 1) AS DOUBLE) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |    CAST(FLOOR(__lnx * 1e9) AS BIGINT) AS lambda_q
+        |  FROM bc CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(l.lambda_q) AS BIGINT) AS weight_q,
+        |  CAST(CAST(SUM(l.lambda_q) AS BIGINT) AS DOUBLE) / 1e9 AS weight
+        |FROM toks t JOIN lam l USING (bucket)
+        |GROUP BY 1""".stripMargin,
 
     // Same recursive-CC chain as q_dedup_clusters; the split hash runs
     // on the component rep (own id for unpaired docs).

@@ -267,6 +267,61 @@ object Sampling {
         .withColumn("priority", aesPriority(idCol, weightCol)),
       groupCols, "priority", idCol, k)
 
+  /** DSIR importance weights (Xie et al., NeurIPS'23): score every
+    * document by how much more likely its hashed-unigram features are
+    * under the TARGET distribution than under the RAW pool —
+    * `w(doc) = Σ_tokens ln(p_t(b) / p_r(b))` with add-1 smoothing over
+    * `numBuckets` hash buckets. High-weight raw docs are the ones to
+    * up-sample when aiming a web-scale pool at a curated target.
+    *
+    * Cross-engine exactness: the per-bucket log-ratio collapses to ONE
+    * deterministic-ln call on an exact integer ratio —
+    * `ln(((c_t+1)·(T_r+B)) / ((T_t+B)·(c_r+1)))` where every product
+    * stays < 2⁵³ (exactly-representable doubles, correctly-rounded
+    * division), computed with [[graft.functions.DetMath.lnq]] and
+    * floor-quantized to `lambda_q = ⌊ln·10⁹⌋` — so the per-doc weight
+    * is an exact INTEGER sum, immune to partition order and engine
+    * libm.
+    *
+    * Scale shape: the bucket table is bounded by `numBuckets` (two
+    * broadcast hops, no corpus shuffle for the stats join); the only
+    * corpus-sized shuffle is the per-doc weight aggregate, keyed on
+    * the doc id with map-side combine. The tokenize explode runs
+    * twice (stats pass + scoring pass) — the standard two-pass shape
+    * of any fit-then-transform operator.
+    *
+    * Output: (id, n_tokens, weight_q, weight = weight_q/1e9) for every
+    * doc with text — target docs included (their weights audit the
+    * separation; filter on `isTarget` downstream to resample).
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(split(trim(lower(col(textCol))), " ")).as("__t"))
+      .select(col(idCol), col("__tgt"),
+        (HashExprs.md5Prefix60(col("__t")) % numBuckets).as("bucket"))
+    val bucketCounts = toks.groupBy(col("bucket")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val totals = bucketCounts.agg(
+      sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    val lambda = bucketCounts.crossJoin(broadcast(totals))
+      .withColumn("lambda_q",
+        floor(graft.functions.DetMath.lnq(
+          ((col("__ct") + lit(1L)) * (col("__tr") + lit(numBuckets.toLong)))
+            .cast("double") /
+          ((col("__tt") + lit(numBuckets.toLong)) * (col("__cr") + lit(1L)))
+            .cast("double")) * lit(1e9)).cast("long"))
+      .select(col("bucket"), col("lambda_q"))
+    toks.join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lambda_q")).as("weight_q"))
+      .withColumn("weight", col("weight_q").cast("double") / lit(1e9))
+  }
+
   /** Token-budget-constrained selection: rank the corpus by `order`
     * (best first — e.g. quality desc) and keep the maximal prefix
     * whose cumulative `tokenCol` stays within `budget` — "take the

@@ -22,6 +22,48 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 230 && a.size < 370, s"got ${a.size}")
   }
 
+  test("dsirWeights: target-vocabulary docs outscore raw-vocabulary " +
+    "docs, weights match the scalar model, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // Disjoint vocabularies: target docs speak "alpha beta", raw docs
+    // "gamma delta"; two probe docs in the raw pool, one per dialect.
+    val rows =
+      (0L until 10L).map(i => (i, "alpha beta alpha beta", true)) ++
+      (10L until 20L).map(i => (i, "gamma delta gamma delta", false)) ++
+      Seq((100L, "alpha beta alpha beta", false),
+          (101L, "gamma delta gamma delta", false))
+    val docs = rows.toDF("doc_id", "text", "is_tgt")
+    val out = Sampling.dsirWeights(docs, "doc_id", "text",
+      col("is_tgt"), numBuckets = 32)
+      .select("doc_id", "weight_q").as[(Long, Long)].collect().toMap
+    assert(out(100L) > out(101L),
+      s"target-dialect probe must outscore raw-dialect probe: $out")
+    // Scalar model: same buckets (md5 prefix % 32), same smoothing,
+    // same lnq, same floor quantization.
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 32
+    }
+    val toks = rows.flatMap { case (_, text, tgt) =>
+      text.split(" ").map(t => (bucket(t), tgt))
+    }
+    val ct = toks.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cr = toks.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (toks.count(_._2).toLong, toks.count(!_._2).toLong)
+    def lam(b: Long): Long = math.floor(graft.functions.DetMath.lnqDouble(
+      ((ct.getOrElse(b, 0L) + 1) * (tr + 32)).toDouble /
+        ((tt + 32) * (cr.getOrElse(b, 0L) + 1)).toDouble) * 1e9).toLong
+    val expect100 = "alpha beta alpha beta".split(" ")
+      .map(t => lam(bucket(t))).sum
+    assert(out(100L) === expect100)
+    val out7 = Sampling.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("is_tgt"), numBuckets = 32)
+      .select("doc_id", "weight_q").as[(Long, Long)].collect().toMap
+    assert(out7 === out)
+  }
+
   test("tokenBudgetSelect keeps exactly the maximal whole-doc prefix " +
     "of the order and is partition-invariant") {
     import org.apache.spark.sql.functions.col
