@@ -587,6 +587,13 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
         chunkSize = 16, overlap = 4).drop("text")),
 
+    // [EXT] BPE merge learning (tokenizer induction): 6 merges over
+    // the word-frequency table, greedy left-to-right application done
+    // relationally (oracle unrolls the same stages).
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.ext.Bpe.learnMerges(
+        Tables.documents(s, dir), "text", numMerges = 6)),
+
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -1861,6 +1868,58 @@ WHERE rnk <= 10"""
     s"""WITH ${kmeansAssignCtes(8, 3)}
 SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
 
+  /** DuckDB oracle for q_bpe_merges: the BPE loop unrolled — per
+    * merge, one pair count + argmax (total order: cnt desc, pair
+    * lexicographic) and the SAME relational greedy-application rule
+    * as [[graft.ext.Bpe.learnMerges]] (candidate runs, even offsets
+    * apply, following row consumed). All stages MATERIALIZED — the
+    * kmeans/PCA lesson: an inline chain re-evaluates per reference.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val iterCtes = (1 to numMerges).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+  SELECT word, freq, pos, sym,
+    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM $prev),
+b$i AS MATERIALIZED (
+  SELECT sym AS l, nsym AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p$i WHERE nsym IS NOT NULL GROUP BY 1, 2
+  ORDER BY cnt DESC, l, r LIMIT 1),
+c$i AS (
+  SELECT p.word, p.freq, p.pos, p.sym,
+    COALESCE(p.sym = b.l AND p.nsym = b.r, FALSE) AS cand
+  FROM p$i p CROSS JOIN b$i b),
+g$i AS (
+  SELECT *, CASE WHEN cand THEN pos - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+    OVER (PARTITION BY word ORDER BY pos) END AS grp FROM c$i),
+a$i AS (
+  SELECT *, cand AND (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+    AS app FROM g$i),
+f$i AS (
+  SELECT *, COALESCE(lag(app) OVER (PARTITION BY word ORDER BY pos), FALSE)
+    AS prev_app FROM a$i),
+s$i AS MATERIALIZED (
+  SELECT word, freq,
+    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+    CASE WHEN app THEN sym || (SELECT r FROM b$i) ELSE sym END AS sym
+  FROM f$i WHERE NOT prev_app)"""
+    }.mkString(",\n")
+    val union = (1 to numMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(str_split(trim(lower(text)), ' ')) AS word
+    FROM documents WHERE text IS NOT NULL)
+  WHERE LEN(word) > 0 GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+    substr(word, CAST(i AS INT), 1) AS sym
+  FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+$iterCtes
+$union"""
+  }
+
   /** The deterministic k-means unroll as a reusable CTE-chain body
     * ending in `fin(vec_id, cid)` (plus `e(vec_id, emb, qemb)`) —
     * shared by the q_kmeans_assign and q_semdedup oracles.
@@ -2211,6 +2270,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_ivf" -> simIvfOracleSql,
 
     "q_kmeans_assign" -> kmeansOracleSql,
+
+    "q_bpe_merges" -> bpeOracleSql(6),
 
     // Same unrolled kmeans chain; then within-cluster lower-id pairs
     // with the repo-standard ROUND(cosine, 6).
