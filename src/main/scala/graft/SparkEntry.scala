@@ -594,6 +594,26 @@ object SparkEntry {
       graft.ext.Bpe.learnMerges(
         Tables.documents(s, dir), "text", numMerges = 6)),
 
+    // [EXT] Price the corpus in LEARNED-tokenizer tokens: join each
+    // doc's words to the post-merge vocabulary; compression = chars
+    // per BPE token (exact integer ratio).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.ext.Bpe.vocabAfterMerges(docs, "text", numMerges = 6)
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_bpe_tokens"))
+    }),
+
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -1876,6 +1896,35 @@ SELECT cid AS cluster, COUNT(*) AS n_vectors FROM fin GROUP BY 1"""
     * kmeans/PCA lesson: an inline chain re-evaluates per reference.
     */
   private def bpeOracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainCtes(numMerges)}
+$union"""
+  }
+
+  /** BPE-encode oracle: same chain, then the corpus joined to the
+    * post-merge vocabulary (symbol counts of s`numMerges`).
+    */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeChainCtes(numMerges)},
+v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM s$numMerges GROUP BY 1)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(v.n) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(LEN(t.word)) AS BIGINT) AS n_chars,
+  CAST(CAST(SUM(LEN(t.word)) AS BIGINT) AS DOUBLE)
+    / CAST(SUM(v.n) AS BIGINT) AS compression
+FROM (SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE LEN(word) > 0) t
+JOIN v USING (word)
+GROUP BY 1"""
+
+  /** The unrolled BPE loop as a reusable CTE body: word table `w`,
+    * per-stage symbols `s0..sN`, per-stage argmax winners `b1..bN`.
+    */
+  private def bpeChainCtes(numMerges: Int): String = {
     val iterCtes = (1 to numMerges).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS MATERIALIZED (
@@ -1904,10 +1953,7 @@ s$i AS MATERIALIZED (
     CASE WHEN app THEN sym || (SELECT r FROM b$i) ELSE sym END AS sym
   FROM f$i WHERE NOT prev_app)"""
     }.mkString(",\n")
-    val union = (1 to numMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(str_split(trim(lower(text)), ' ')) AS word
     FROM documents WHERE text IS NOT NULL)
@@ -1916,8 +1962,7 @@ s0 AS MATERIALIZED (
   SELECT word, freq, CAST(i AS BIGINT) AS pos,
     substr(word, CAST(i AS INT), 1) AS sym
   FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
-$iterCtes
-$union"""
+$iterCtes"""
   }
 
   /** The deterministic k-means unroll as a reusable CTE-chain body
@@ -2272,6 +2317,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_kmeans_assign" -> kmeansOracleSql,
 
     "q_bpe_merges" -> bpeOracleSql(6),
+
+    "q_bpe_encode" -> bpeEncodeOracleSql(6),
 
     // Same unrolled kmeans chain; then within-cluster lower-id pairs
     // with the repo-standard ROUND(cosine, 6).

@@ -46,7 +46,21 @@ object Bpe {
     * adjacent pair remains (tiny corpora).
     */
   def learnMerges(
-      docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+      docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    learn(docs, textCol, numMerges)._1
+
+  /** Post-merge vocabulary: one row per distinct word with its symbol
+    * (= token) count under the learned merges — the join table that
+    * prices any corpus in LEARNED-tokenizer tokens without touching
+    * the merge machinery again.
+    */
+  def vocabAfterMerges(
+      docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    learn(docs, textCol, numMerges)._2
+
+  private def learn(
+      docs: DataFrame, textCol: String, numMerges: Int)
+      : (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = docs.sparkSession
     val words = docs.filter(col(textCol).isNotNull)
@@ -108,8 +122,15 @@ object Bpe {
         rank += 1
       }
     }
+    val vocab = syms
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_bpe_tokens"))
+    // Materialize the vocab off the final generation BEFORE releasing
+    // it; the merge table is driver state already.
+    val vocabRows = vocab.persist()
+    vocabRows.count()
     syms.unpersist()
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), vocabRows)
   }
 }

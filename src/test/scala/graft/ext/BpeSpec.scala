@@ -36,6 +36,18 @@ class BpeSpec extends SparkSpec {
       (2L, "aa", "aa", 3L)))
   }
 
+  test("vocabAfterMerges prices each word in learned tokens") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val vocab = Bpe.vocabAfterMerges(docs, "text", numMerges = 6)
+      .as[(String, Long)].collect().toMap
+    // low -> [low]; lower -> [low,e,r]; newest -> [n,ewest];
+    // widest -> [w,i,d,est].
+    assert(vocab === Map(
+      "low" -> 1L, "lower" -> 3L, "newest" -> 2L, "widest" -> 4L))
+  }
+
   test("learnMerges is partition-invariant") {
     val docs = (0L until 40L)
       .map(i => (i, s"alpha beta gamma tok$i alpha beta"))
