@@ -577,6 +577,12 @@ object SparkEntry {
         "doc_id", "text", n = 5)
     }),
 
+    // [EXT] Train-order novelty: fraction of each doc's distinct
+    // 5-gram shingles first seen at that doc (min-doc_id arrival
+    // order) — the asymmetric complement of q_dup_share.
+    "q_novelty" -> ((s, dir) =>
+      Dedup.shingleNovelty(Tables.documents(s, dir), "doc_id", "text", n = 5)),
+
     // Gopher-style repetition quality signals per document.
     "q_repetition" -> ((s, dir) =>
       TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")),
@@ -2875,6 +2881,24 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.sh), 6) END
         |    AS contamination
         |FROM corp c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 4),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+        |  FROM tk),
+        |fst AS (SELECT g, MIN(doc_id) AS f FROM sh GROUP BY 1)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN f.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / COUNT(*) AS novelty
+        |FROM sh s JOIN fst f USING (g)
+        |GROUP BY 1""".stripMargin,
 
     "q_repetition" ->
       """WITH tk AS (

@@ -972,6 +972,38 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** Train-order shingle novelty (the Lee et al. '22 dedup lens): for
+    * each document, the fraction of its distinct word `n`-gram
+    * shingles whose EARLIEST corpus appearance (min doc id = arrival
+    * order) is the document itself. Novelty ~1 = fresh content;
+    * novelty ~0 = the document restates what the corpus already holds
+    * — the asymmetric, arrival-ordered complement of the symmetric
+    * [[crossDocShingleShare]] boilerplate share, and the curve a
+    * streaming ingest uses to decide when a source has gone stale.
+    *
+    * Scale shape: shingles explode → one min-aggregate keyed on the
+    * shingle (map-side combinable) → one equi-join back — the exact
+    * q_dedup_exact shuffle class, never pairwise. Docs with fewer
+    * than `n` words have no shingles and are absent from the output.
+    */
+  def shingleNovelty(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.TextExprs.wordShingles(col(textCol), n))
+          .as("__sh"))
+    val first = sh.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   /** SemDeDup (Abbas et al., 2023): semantic deduplication by
     * clustering the embedding space and pruning near-identical
     * vectors WITHIN each cluster — the scalable middle ground between

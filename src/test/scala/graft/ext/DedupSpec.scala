@@ -394,6 +394,25 @@ class DedupSpec extends SparkSpec {
       (1L, 0L, 8L, 2L), (2L, 0L, 4L, 1L), (3L, 4L, 4L, 1L)))
   }
 
+  test("shingleNovelty: first arrival owns the shingle; repeats and " +
+    "short docs behave") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // shingles: abcde, bcdef -> both novel
+      (2L, "a b c d e x"),        // abcde (seen at 1), bcdex (novel)
+      (3L, "a b c d e f"),        // both seen at 1 -> novelty 0
+      (4L, "p q r"),              // < 5 words -> no shingles, absent
+      (5L, "z z z z z z z z"))    // one distinct shingle "z z z z z"
+      .toDF("doc_id", "text")
+    val out = Dedup.shingleNovelty(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0)),
+      5L -> ((1L, 1L, 1.0))))
+  }
+
   test("semDeDup prunes planted near-identical vectors, keeps the " +
     "lowest id, and never pairs across clusters") {
     val dim = 4
