@@ -540,6 +540,21 @@ object SparkEntry {
         d, Seq(col("quality").desc, col("doc_id")), "n_tokens", 10000L)
     }),
 
+    // Curriculum order: per-source quality rank, sources interleaved
+    // round-robin — global positions via the distributed ordinal.
+    "q_curriculum" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      Sampling.curriculumOrder(d, "source", "doc_id", "quality")
+    }),
+
+    // Int8 scalar quantization of the embedding corpus (per-dim
+    // min/max codes, exact integer digests per vector).
+    "q_embed_quantize" -> ((s, dir) =>
+      graft.ext.Embeddings.quantizeInt8(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // a curated target slice (src0-2) vs the raw pool, one
     // deterministic-ln per bucket floor-quantized to exact integers.
@@ -2797,6 +2812,36 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  FROM d)
         |SELECT doc_id, source, n_tokens, quality, cum_tokens
         |FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
+    "q_curriculum" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, $qualitySqlExpr AS quality FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS stratum_rank
+        |  FROM d)
+        |SELECT doc_id, source, quality, stratum_rank,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY stratum_rank, source, doc_id)
+        |    AS BIGINT) AS curriculum_pos
+        |FROM r""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |dims AS (SELECT UNNEST(range(1, 65)) AS i),
+        |mn AS (
+        |  SELECT d.i, MIN(e.emb[d.i]) AS mn, MAX(e.emb[d.i]) AS mx
+        |  FROM e CROSS JOIN dims d GROUP BY d.i),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN m.mx = m.mn THEN 0
+        |      ELSE LEAST(255, CAST(FLOOR((e.emb[m.i] - m.mn) * 255e0
+        |        / (m.mx - m.mn)) AS BIGINT)) END AS code
+        |  FROM e CROSS JOIN mn m)
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  CAST(MIN(code) AS BIGINT) AS code_min,
+        |  CAST(MAX(code) AS BIGINT) AS code_max
+        |FROM codes GROUP BY 1""".stripMargin,
 
     // Per-bucket log-ratio via ONE deterministic-ln chain on an exact
     // integer ratio; per-doc weights are exact integer sums.

@@ -74,7 +74,10 @@ object Bpe {
       .select(col("word"), col("freq"),
         (col("pos") + 1).cast("long").as("pos"), col("sym"))
       .persist()
-    syms.count()
+    // The previous generation is released only AFTER an action has
+    // filled the current one's cache (the argmax collect below), so
+    // each iteration pays exactly ONE job — no separate count().
+    var prevGen: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var rank = 1
@@ -88,6 +91,7 @@ object Bpe {
         .orderBy(col("__cnt").desc, col("sym"), col("__nsym"))
         .limit(1)
         .collect()
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, cnt) =
@@ -116,8 +120,7 @@ object Bpe {
             when(col("__app"), concat(col("sym"), lit(r)))
               .otherwise(col("sym")).as("sym"))
           .persist()
-        next.count()
-        syms.unpersist()
+        prevGen = syms
         syms = next
         rank += 1
       }
@@ -129,6 +132,7 @@ object Bpe {
     // it; the merge table is driver state already.
     val vocabRows = vocab.persist()
     vocabRows.count()
+    if (prevGen != null) prevGen.unpersist()
     syms.unpersist()
     import spark.implicits._
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), vocabRows)

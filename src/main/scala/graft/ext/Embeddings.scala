@@ -479,4 +479,39 @@ object Embeddings {
     }
     df.select(df.columns.map(col) ++ comps: _*)
   }
+
+  /** Int8 scalar quantization of an embedding column — the 4×
+    * memory/IO shrink an ANN index or training shard applies before
+    * storage. Per-dimension corpus [min, max] (one constant-state
+    * aggregate, broadcast back) maps each value to
+    * `code = min(255, ⌊(x−mn)·255/(mx−mn)⌋)` (0 on a constant
+    * dimension). min/max are exact (no float accumulation), the code
+    * formula is three IEEE basic ops in fixed order + an exact floor
+    * — bit-identical in any engine, so the codes carry a SQL oracle.
+    *
+    * Output: per-vector integer code digests (sum/min/max, exact) —
+    * the auditable projection of the code array; callers wanting the
+    * codes themselves use the same `codes` expression.
+    */
+  def quantizeInt8(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(col(vecCol).getItem(i).cast("double")).as(s"__mn$i"),
+        max(col(vecCol).getItem(i).cast("double")).as(s"__mx$i"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val codes = (0 until dim).map { i =>
+      val x = col(vecCol).getItem(i).cast("double")
+      val (mn, mx) = (col(s"__mn$i"), col(s"__mx$i"))
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(255L),
+          floor((x - mn) * lit(255.0) / (mx - mn)).cast("long")))
+    }
+    df.crossJoin(broadcast(mm))
+      .select(col(idCol),
+        codes.reduce(_ + _).as("code_sum"),
+        codes.reduce((a, b) => least(a, b)).as("code_min"),
+        codes.reduce((a, b) => greatest(a, b)).as("code_max"))
+  }
 }

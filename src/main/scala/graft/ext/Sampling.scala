@@ -267,6 +267,31 @@ object Sampling {
         .withColumn("priority", aesPriority(idCol, weightCol)),
       groupCols, "priority", idCol, k)
 
+  /** Deterministic curriculum order: rank documents within each
+    * stratum (source) by the quality score, then interleave strata by
+    * (stratum_rank, stratum) — the "every source's best first, round-
+    * robin across sources" training order that keeps early epochs
+    * high-quality AND source-diverse, without a single hot-source
+    * prefix. Global positions come from the distributed ordinal
+    * (range shuffle + carry), so the order is exact and the plan
+    * never funnels the corpus through one partition.
+    *
+    * Output: input columns + `stratum_rank` (1-based within stratum)
+    * + `curriculum_pos` (1-based global training position).
+    */
+  def curriculumOrder(
+      df: DataFrame, strataCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df.withColumn("stratum_rank",
+      row_number().over(byStratum).cast("long"))
+    graft.plans.Ordinal.withGlobalRowNumber(
+      ranked, Seq(col("stratum_rank"), col(strataCol), col(idCol)),
+      "curriculum_pos")
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS'23): score every
     * document by how much more likely its hashed-unigram features are
     * under the TARGET distribution than under the RAW pool —

@@ -171,4 +171,29 @@ class EmbeddingsSpec extends SparkSpec {
       .select("vec_id", "pc1", "pc2", "pc3").collect().toSeq
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
   }
+
+  test("quantizeInt8: known codes, constant dims map to 0, " +
+    "partition-invariant") {
+    import spark.implicits._
+    // dim0 spans [0,10], dim1 spans [10,30], dim2 is constant.
+    val emb = Seq(
+      (1L, Array(0.0, 10.0, 7.0)),
+      (2L, Array(5.0, 20.0, 7.0)),
+      (3L, Array(10.0, 30.0, 7.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(emb, "vec_id", "embedding", dim = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // codes: v1 (0,0,0); v2 (floor(5*25.5)=127, floor(10*12.75)=127, 0);
+    // v3 (255, 255, 0).
+    assert(out === Map(
+      1L -> ((0L, 0L, 0L)),
+      2L -> ((254L, 0L, 127L)),
+      3L -> ((510L, 0L, 255L))))
+    val out7 = Embeddings.quantizeInt8(
+      emb.repartition(5), "vec_id", "embedding", dim = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out7 === out)
+  }
 }

@@ -22,6 +22,19 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 230 && a.size < 370, s"got ${a.size}")
   }
 
+  test("curriculumOrder interleaves strata best-first, round-robin") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.1),
+      (4L, "b", 0.8), (5L, "b", 0.6))
+      .toDF("doc_id", "source", "score")
+    val out = Sampling.curriculumOrder(d, "source", "doc_id", "score")
+      .orderBy(col("curriculum_pos"))
+      .select("doc_id").as[Long].collect().toList
+    // rank1: a->1, b->4; rank2: a->2, b->5; rank3: a->3.
+    assert(out === List(1L, 4L, 2L, 5L, 3L))
+  }
+
   test("dsirWeights: target-vocabulary docs outscore raw-vocabulary " +
     "docs, weights match the scalar model, partition-invariant") {
     import org.apache.spark.sql.functions.col
