@@ -598,6 +598,18 @@ object SparkEntry {
     "q_novelty" -> ((s, dir) =>
       Dedup.shingleNovelty(Tables.documents(s, dir), "doc_id", "text", n = 5)),
 
+    // [EXT] Gopher rule bundle: the canonical pretraining hygiene
+    // filter as exact integer verdicts (no float thresholds).
+    "q_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
+
+    // [EXT] Hard-negative mining: per query, top-3 most-similar
+    // vectors with a DIFFERENT label (bounded query side).
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        k = 3, queryMax = 50)),
+
     // Gopher-style repetition quality signals per document.
     "q_repetition" -> ((s, dir) =>
       TextStats.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")),
@@ -2926,6 +2938,48 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |    THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.sh), 6) END
         |    AS contamination
         |FROM corp c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(tk, t -> contains(t, '#')
+        |      OR contains(t, '…'))) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(tk, t -> t IN ('the', 'be', 'to', 'of',
+        |      'and', 'that', 'have', 'with'))) AS BIGINT) AS stp
+        |  FROM tk)
+        |SELECT doc_id, n_words,
+        |  (n_words BETWEEN 5 AND 1000) AS rule_words,
+        |  (chars >= n_words * 3 AND chars <= n_words * 10) AS rule_mean_len,
+        |  (sym * 10 <= n_words) AS rule_symbols,
+        |  (alpha * 5 >= n_words * 4) AS rule_alpha,
+        |  (stp >= 2) AS rule_stopwords,
+        |  ((n_words BETWEEN 5 AND 1000)
+        |    AND chars >= n_words * 3 AND chars <= n_words * 10
+        |    AND sym * 10 <= n_words AND alpha * 5 >= n_words * 4
+        |    AND stp >= 2) AS pass
+        |FROM m""".stripMargin,
+
+    // simTopk's pair scan with the label-inequality prune.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, emb AS qe FROM e WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+        |    ROUND(list_inner_product(q.qe, e.emb)
+        |      / (sqrt(list_inner_product(q.qe, q.qe))
+        |         * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+        |  FROM q CROSS JOIN e WHERE e.label <> q.ql)
+        |SELECT query_id, neighbor_id, neg_label, sim, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM p) WHERE rnk <= 3""".stripMargin,
 
     "q_novelty" ->
       """WITH tk AS (

@@ -100,6 +100,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most-cosine-similar vectors with a DIFFERENT
+    * label — the negatives that actually teach a bi-encoder, vs the
+    * trivially-easy random ones. Same bounded-query-side contract and
+    * 6-dp-cosine discipline as [[bruteForceTopK]]; the label
+    * inequality prunes pairs before the rank, and the top-k is a
+    * WindowGroupLimit (map-side k-prune), never a global sort. For
+    * unbounded query sides, bucket with [[lshBucket]] first — the
+    * [[graft.ext.Dedup.embeddingNearDuplicatesLsh]] path.
+    */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, queryMax: Long): DataFrame = {
+    val q = emb.filter(col(idCol) < queryMax).select(
+      col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val c = emb.select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"),
+      col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("__ql"))
+      .withColumn("sim",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "sim", "rnk")
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
     * component j of plane p from a seeded generator so plans are
     * identical across runs/JVMs — and inlinable into the DuckDB oracle

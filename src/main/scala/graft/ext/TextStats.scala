@@ -87,6 +87,52 @@ object TextStats {
     mu.cast("double") / lit(1e6)
   }
 
+  /** The Gopher rule-set stopword probe (Rae et al. '21, A1.1): a doc
+    * must contain at least two of these eight function words.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule bundle (Rae et al. '21 Appendix A1.1,
+    * bounds adapted to the synthetic corpus's short documents): the
+    * canonical pretraining hygiene filter, one flag per rule plus the
+    * conjunction. Every rule is an INTEGER comparison (mean word
+    * length as `3w <= chars <= 10w`, ratios cross-multiplied), so the
+    * verdicts are exact in any engine — no float thresholds.
+    *
+    *   rule_words     5 <= word count <= 1000
+    *   rule_mean_len  mean word length in [3, 10]
+    *   rule_symbols   words containing '#' or ellipsis <= 10%
+    *   rule_alpha     >= 80% of words contain a letter
+    *   rule_stopwords >= 2 of the 8 Gopher stopwords (with repeats)
+    *
+    * Pure projection — zero shuffles; the flags are codegen'd
+    * higher-order-function counts over one tokenize.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = split(trim(lower(col(textCol))), " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(tk).cast("long").as("n_words"),
+        aggregate(transform(tk, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("__chars"),
+        size(filter(tk, t => t.contains("#") || t.contains("…")))
+          .cast("long").as("__sym"),
+        size(filter(tk, t => t.rlike("[a-z]"))).cast("long").as("__alpha"),
+        size(filter(tk, t => t.isin(gopherStopwords: _*)))
+          .cast("long").as("__stop"))
+      .select(col(idCol), col("n_words"),
+        col("n_words").between(5L, 1000L).as("rule_words"),
+        (col("__chars") >= col("n_words") * 3 &&
+          col("__chars") <= col("n_words") * 10).as("rule_mean_len"),
+        (col("__sym") * 10 <= col("n_words")).as("rule_symbols"),
+        (col("__alpha") * 5 >= col("n_words") * 4).as("rule_alpha"),
+        (col("__stop") >= 2).as("rule_stopwords"))
+      .withColumn("pass",
+        col("rule_words") && col("rule_mean_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stopwords"))
+  }
+
   /** Exact content fingerprint (md5 of utf-8 bytes). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -143,4 +143,20 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(20L, 21L, 22L))
   }
+
+  test("hardNegatives excludes same-label vectors even when they are " +
+    "the most similar") {
+    val emb = Seq(
+      (0L, Array(10.0, 0.0), "a"),
+      (1L, Array(9.0, 1.0), "a"),  // most similar — but same label
+      (2L, Array(8.0, 2.0), "b"),
+      (3L, Array(0.0, 10.0), "b"),
+      (4L, Array(7.0, 3.0), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", k = 2, queryMax = 1)
+      .select("query_id", "neighbor_id", "neg_label", "rnk")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._4).toList
+    assert(out === List((0L, 2L, "b", 1L), (0L, 4L, "c", 2L)))
+  }
 }

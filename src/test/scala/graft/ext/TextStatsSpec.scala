@@ -151,4 +151,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Set(
       (0L, 0L, "t0 t1 t2 t3", 4L), (0L, 1L, "t2 t3 t4", 3L)))
   }
+
+  test("gopherRules: each rule trips on its designed violation") {
+    val good = "the cat and the dog have fun with food today yes"
+    val docs = Seq(
+      (0L, good),                                   // passes all
+      (1L, "the of"),                               // too few words
+      (2L, "a b c d e f g the of to and"),          // mean word len < 3
+      (3L, "the# cat# and# dog# have# fun# with#"), // >10% symbol words
+      (4L, "111 222 333 444 555 the of 666 777 888"), // <80% alpha words
+      (5L, "cats dogs birds mice fish horses goats")) // <2 stopwords
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, "doc_id", "text")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._8, "control doc must pass")
+    assert(!out(1L)._3 && !out(1L)._8)
+    assert(!out(2L)._4 && !out(2L)._8)
+    assert(!out(3L)._5 && !out(3L)._8)
+    assert(!out(4L)._6 && !out(4L)._8)
+    assert(!out(5L)._7 && !out(5L)._8)
+  }
 }
