@@ -1,0 +1,59 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [EXT] Streaming per-source token-budget gate — the continuous
+  * analog of [[graft.ext.Sampling.tokenBudgetSelect]]: each source
+  * stratum may contribute at most `budget` tokens to the curated
+  * output; once a source's running total would exceed it, its later
+  * documents are rejected (audited, not silently dropped). The gate a
+  * continuously-ingesting pretraining mix uses to stop a crawl source
+  * from flooding the corpus between rebalances. No reference
+  * equivalent (north-star extension).
+  *
+  * Engine mapping: `KeyValueGroupedDataset.flatMapGroupsWithState`
+  * with per-SOURCE state = one running token count — constant-size
+  * per key, so the state store holds |sources| longs no matter how
+  * many documents stream through (the [[StreamSession]] bounded-state
+  * discipline). Within a micro-batch a source's documents are folded
+  * in ascending `doc_id` order, making admission deterministic under
+  * in-batch disorder; a document is admitted iff it fits ENTIRELY
+  * (the batch operator's whole-doc rule). No timeout: a budget is a
+  * lifetime contract, not a window — state never expires.
+  *
+  * Output (append, one row per document): the admission verdict plus
+  * the post-decision running total, so downstream writers filter on
+  * `admitted` and auditors get the full trajectory.
+  */
+object StreamBudget {
+
+  final case class Doc(source: String, doc_id: Long, n_tokens: Long)
+  final case class Verdict(
+      source: String, doc_id: Long, n_tokens: Long,
+      admitted: Boolean, cum_tokens: Long)
+
+  /** `docs` must carry (source, doc_id, n_tokens); emits one verdict
+    * per document in append mode.
+    */
+  def gate(docs: DataFrame, budget: Long): Dataset[Verdict] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("source", "doc_id", "n_tokens")
+      .as[Doc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Verdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[Doc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val fits = cum + d.n_tokens <= budget
+            if (fits) cum += d.n_tokens
+            Verdict(source, d.doc_id, d.n_tokens, fits, cum)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+}
