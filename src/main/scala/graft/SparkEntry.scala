@@ -555,6 +555,12 @@ object SparkEntry {
       graft.ext.Embeddings.quantizeInt8(
         Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
 
+    // Per-dim embedding health: exact quantized variance + bounds
+    // from DECIMAL(38,0) integer moments (dead-dim diagnostic).
+    "q_embed_health" -> ((s, dir) =>
+      graft.ext.Embeddings.dimHealth(
+        Tables.embeddings(s, dir), "embedding", dim = 64)),
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // a curated target slice (src0-2) vs the raw pool, one
     // deterministic-ln per bucket floor-quantized to exact integers.
@@ -2837,6 +2843,25 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(ROW_NUMBER() OVER (ORDER BY stratum_rank, source, doc_id)
         |    AS BIGINT) AS curriculum_pos
         |FROM r""".stripMargin,
+
+    // Exact-integer covariance-diagonal at 1e6 scale; HUGEINT sums,
+    // trunc division (num >= 0, so trunc == floor).
+    "q_embed_health" ->
+      """WITH e AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(FLOOR(x * 1e7) AS BIGINT)) AS qe FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim, qe[i] AS qx
+        |  FROM e, unnest(range(1, 65)) t(i)),
+        |m AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(qx) AS s,
+        |    SUM(qx * qx) AS p, MIN(qx) AS qmin, MAX(qx) AS qmax
+        |  FROM x GROUP BY 1)
+        |SELECT dim, n,
+        |  CAST((n * p - s * s) // (n * (n - 1) * 100000000) AS BIGINT)
+        |    AS var_q6,
+        |  qmin, qmax
+        |FROM m""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -480,6 +480,42 @@ object Embeddings {
     df.select(df.columns.map(col) ++ comps: _*)
   }
 
+  /** Per-dimension embedding health report — the "which dims are dead
+    * or degenerate" diagnostic a team runs before training on (or
+    * indexing) an embedding corpus. Per dimension: count, exact
+    * quantized variance (qx = ⌊x·10⁷⌋; var_q6 = ⌊(nP−S²)/(n(n−1)·10⁸)⌋
+    * — variance at 10⁶ scale from EXACT integer moments, the
+    * deterministic-PCA discipline on the covariance diagonal), and
+    * the min/max quantized values. A var_q6 of 0 is a dead dim; an
+    * extreme one is a scaling bug.
+    *
+    * Scale shape: one explode + one aggregate keyed on the dimension
+    * index (≤ dim keys, map-side combined); moments ride as
+    * DECIMAL(38,0) so they stay exact and mergeable at any corpus
+    * size. No float accumulates anywhere.
+    */
+  def dimHealth(
+      df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val q = df.select(posexplode(
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e7)).cast("long")))
+      .as(Seq("dim", "qx")))
+    val m = q.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast("decimal(38,0)")).as("__s"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("__p"),
+        min(col("qx")).as("qmin"), max(col("qx")).as("qmax"))
+    val num = col("n").cast("decimal(38,0)") * col("__p") -
+      col("__s") * col("__s")
+    val den = (col("n") * (col("n") - 1)).cast("decimal(38,0)") *
+      lit(100000000L)
+    m.select(col("dim"), col("n"),
+      ((num - num % den) / den).cast("long").as("var_q6"),
+      col("qmin"), col("qmax"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the 4×
     * memory/IO shrink an ANN index or training shard applies before
     * storage. Per-dimension corpus [min, max] (one constant-state

@@ -172,6 +172,28 @@ class EmbeddingsSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
   }
 
+  test("dimHealth: exact sample variance at 1e6 scale; dead dims " +
+    "report 0; partition-invariant") {
+    import spark.implicits._
+    // dim0: {0,1} -> sample var 0.5 -> 500000; dim1 constant (dead);
+    // dim2: {-1,1} -> var 2 -> 2000000.
+    val emb = Seq(
+      (1L, Array(0.0, 7.0, -1.0)),
+      (2L, Array(1.0, 7.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.dimHealth(emb, "embedding", dim = 3)
+      .select("dim", "var_q6", "qmin", "qmax")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0, 500000L, 0L, 10000000L),
+      (1, 0L, 70000000L, 70000000L),
+      (2, 2000000L, -10000000L, 10000000L)))
+    val out5 = Embeddings.dimHealth(emb.repartition(5), "embedding", dim = 3)
+      .select("dim", "var_q6", "qmin", "qmax")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(out5 === out)
+  }
+
   test("quantizeInt8: known codes, constant dims map to 0, " +
     "partition-invariant") {
     import spark.implicits._
