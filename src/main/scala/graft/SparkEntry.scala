@@ -460,6 +460,18 @@ object SparkEntry {
         k = 10, dim = 64, bits = 4)
     }),
 
+    // [EXT] ANN self-eval: recall@10 of the sign-LSH retriever vs the
+    // exact top-k, per query — oracle composes both retriever SQLs.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+        Similarity.lshBucketedTopK(
+          emb, queries, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+        k = 10)
+    }),
+
     "q_sim_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
@@ -1856,6 +1868,22 @@ SELECT query_id, neighbor_id, rank_a, rank_b, rrf, fused_rank FROM (
   FROM j)
 WHERE fused_rank <= 10"""
 
+  /** Recall@10 of the LSH retriever vs exact: both retriever SQLs
+    * embedded verbatim (the rrfFuse discipline — the eval can never
+    * drift from the retrievers it evaluates).
+    */
+  private def annRecallOracleSql: String =
+    s"""WITH ex AS ($simTopkOracleSql),
+ap AS ($simLshOracleSql),
+j AS (
+  SELECT e.query_id,
+    CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex e LEFT JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+  CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / 10e0 AS recall
+FROM j GROUP BY 1"""
+
   private def simLshOracleSql: String = {
     val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2350,6 +2378,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
          |WHERE c.id IS NULL OR c.cluster_rep = d.doc_id""".stripMargin,
 
     "q_sim_lsh" -> simLshOracleSql,
+
+    "q_ann_recall" -> annRecallOracleSql,
 
     "q_sim_ivf" -> simIvfOracleSql,
 

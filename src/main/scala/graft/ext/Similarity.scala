@@ -100,6 +100,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Recall@k of an approximate retriever against exact ground truth
+    * — the eval every ANN deployment runs before trusting its index
+    * ("measure, don't guess" applied to the library's own LSH/IVF
+    * paths). Inputs are two top-k tables in the retriever schema
+    * (query_id, neighbor_id, ...); output is per-query n_hits +
+    * recall (exact integer-over-constant division). One equi-join on
+    * (query, neighbor) + one query-keyed aggregate — scales with the
+    * top-k tables, not the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(
+      col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` most-cosine-similar vectors with a DIFFERENT
     * label — the negatives that actually teach a bi-encoder, vs the

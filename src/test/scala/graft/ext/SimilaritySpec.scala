@@ -144,6 +144,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(20L, 21L, 22L))
   }
 
+  test("recallAtK: hits over exact top-k; missing queries in approx " +
+    "score zero") {
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L)) // q1 finds 1 of 2; q2 absent
+      .toDF("query_id", "neighbor_id")
+    val full = Similarity.recallAtK(exact, approx, k = 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full === Map(1L -> ((1L, 0.5)), 2L -> ((0L, 0.0))))
+  }
+
   test("hardNegatives excludes same-label vectors even when they are " +
     "the most similar") {
     val emb = Seq(
