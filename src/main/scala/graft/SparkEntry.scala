@@ -594,6 +594,13 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // [EXT] The whole curation intake as ONE plan: Gopher gate →
+    // minhash-CC dedup (min-id rep) → split hash; one audited verdict
+    // per document.
+    "q_curation_pipeline" -> ((s, dir) =>
+      graft.ext.Curation.disposition(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // Per-source quota: top 50 docs per source by (n_chars desc, id) via
     // the bounded-heap TopKAgg — map-side pruned, hot-source safe.
     "q_quota_cap" -> ((s, dir) =>
@@ -1787,6 +1794,33 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
       |    ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
       |      AS DOUBLE) / SUM(tf), 6) AS surprisal
       |  FROM w GROUP BY doc_id)""".stripMargin
+
+  /** [[graft.ext.TextStats.gopherRules]]'s integer moments as a CTE
+    * chain ending in `gm(doc_id, n_words, chars, sym, alpha, stp)` —
+    * shared by the q_gopher_rules and q_curation_pipeline oracles.
+    */
+  private def gopherMomentsCtes: String =
+    """gtk AS (
+      |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |gm AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS chars,
+      |    CAST(len(list_filter(tk, t -> contains(t, '#')
+      |      OR contains(t, '…'))) AS BIGINT) AS sym,
+      |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+      |      AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(tk, t -> t IN ('the', 'be', 'to', 'of',
+      |      'and', 'that', 'have', 'with'))) AS BIGINT) AS stp
+      |  FROM gtk)""".stripMargin
+
+  /** The Gopher pass conjunction over `gm`'s columns. */
+  private def gopherPassSql: String =
+    """(n_words BETWEEN 5 AND 1000)
+      |    AND chars >= n_words * 3 AND chars <= n_words * 10
+      |    AND sym * 10 <= n_words AND alpha * 5 >= n_words * 4
+      |    AND stp >= 2""".stripMargin
 
   private def qualitySqlExpr: String =
     s"""(CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
@@ -2995,31 +3029,45 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM corp c LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "q_gopher_rules" ->
-      """WITH tk AS (
-        |  SELECT doc_id, str_split(trim(lower(text)), ' ') AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS chars,
-        |    CAST(len(list_filter(tk, t -> contains(t, '#')
-        |      OR contains(t, '…'))) AS BIGINT) AS sym,
-        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
-        |      AS BIGINT) AS alpha,
-        |    CAST(len(list_filter(tk, t -> t IN ('the', 'be', 'to', 'of',
-        |      'and', 'that', 'have', 'with'))) AS BIGINT) AS stp
-        |  FROM tk)
+      s"""WITH $gopherMomentsCtes
         |SELECT doc_id, n_words,
         |  (n_words BETWEEN 5 AND 1000) AS rule_words,
         |  (chars >= n_words * 3 AND chars <= n_words * 10) AS rule_mean_len,
         |  (sym * 10 <= n_words) AS rule_symbols,
         |  (alpha * 5 >= n_words * 4) AS rule_alpha,
         |  (stp >= 2) AS rule_stopwords,
-        |  ((n_words BETWEEN 5 AND 1000)
-        |    AND chars >= n_words * 3 AND chars <= n_words * 10
-        |    AND sym * 10 <= n_words AND alpha * 5 >= n_words * 4
-        |    AND stp >= 2) AS pass
-        |FROM m""".stripMargin,
+        |  ($gopherPassSql) AS pass
+        |FROM gm""".stripMargin,
+
+    // Gopher gate + minhash-CC dedup (min-id representative) + split
+    // hash, composed verbatim from the per-gate oracle fragments.
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE $gopherMomentsCtes,
+        |mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM mh
+        |  UNION SELECT id_b, id_a FROM mh),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+        |  FROM reach GROUP BY s),
+        |v AS (
+        |  SELECT gm.doc_id, ($gopherPassSql) AS quality_pass,
+        |    (COALESCE(c.cluster_rep, gm.doc_id) = gm.doc_id) AS is_canonical
+        |  FROM gm LEFT JOIN comp c ON c.id = gm.doc_id)
+        |SELECT doc_id, quality_pass, is_canonical,
+        |  CASE
+        |    WHEN NOT quality_pass THEN 'rejected_quality'
+        |    WHEN NOT is_canonical THEN 'rejected_duplicate'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |      THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |      THEN 'val'
+        |    ELSE 'test'
+        |  END AS disposition
+        |FROM v""".stripMargin,
 
     // simTopk's pair scan with the label-inequality prune.
     "q_hard_negatives" ->
