@@ -672,6 +672,12 @@ object SparkEntry {
           col("n_chars").cast("double") / col("n_bpe_tokens"))
     }),
 
+    // [EXT] OOV rate per doc under the top-20 corpus vocabulary (the
+    // cheap junk/foreign-text spike detector).
+    "q_oov_rate" -> ((s, dir) =>
+      Vocab.oovRate(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 20)),
+
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -3150,6 +3156,23 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tf AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(str_split(trim(lower(text)), ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |v AS (SELECT term FROM tf ORDER BY n DESC, term LIMIT 20),
+        |t AS (
+        |  SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM t LEFT JOIN v USING (term) GROUP BY 1""".stripMargin,
 
     "q_unigram_surprisal" ->
       s"""WITH $surprisalSqlCtes

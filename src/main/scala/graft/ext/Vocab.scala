@@ -388,6 +388,39 @@ object Vocab {
           .as("bigram_surprisal"))
   }
 
+  /** Out-of-vocabulary rate per document under the corpus top-`k`
+    * vocabulary — the cheap "is this doc made of normal words" signal
+    * (junk, foreign-language and mojibake docs spike it) that a
+    * curation run computes before anything model-based. The vocab cut
+    * is deterministic: (occurrences desc, token asc) — a total order,
+    * so the boundary tie cannot wobble.
+    *
+    * Scale shape: one corpus tokenize for the counts (term-keyed,
+    * map-side combined), a bounded top-k (TakeOrderedAndProject), the
+    * vocab broadcast back into a second tokenize pass, and a doc-keyed
+    * aggregate. OOV rate is an exact integer ratio.
+    */
+  def oovRate(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("__iv"))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(counts), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20 —
     * reference repo has no analog): score every document with the
     * corpus unigram-LM surprisal, cut the corpus into head / middle /

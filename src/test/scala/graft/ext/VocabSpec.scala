@@ -200,6 +200,26 @@ class VocabSpec extends SparkSpec {
     assert(out === List(("new", "york")))
   }
 
+  test("oovRate: boundary ties cut deterministically; oov is exact") {
+    // Counts: aa x4, bb x4, cc x2, zz x2 -> top-2 vocab must be
+    // {aa, bb}; cc/zz tie below the cut is irrelevant at k=2.
+    val docs = Seq(
+      (1L, "aa bb aa bb"), (2L, "aa bb cc zz"), (3L, "aa bb cc zz"))
+      .toDF("doc_id", "text")
+    val out = Vocab.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((4L, 0L, 0.0)),
+      2L -> ((4L, 2L, 0.5)),
+      3L -> ((4L, 2L, 0.5))))
+    // k=3: the cc/zz tie resolves lexicographically -> cc in, zz out.
+    val out3 = Vocab.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out3 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("perplexityBuckets: exact integer tertile cuts, all scored docs " +
     "bucketed, repetitive low-surprisal docs land in head") {
     // 9 docs over 3 sources: 3 docs of a single repeated common token
