@@ -672,6 +672,11 @@ object SparkEntry {
           col("n_chars").cast("double") / col("n_bpe_tokens"))
     }),
 
+    // [EXT] Source-pair unigram-KL matrix (style/distribution
+    // distance; content overlap is q_source_overlap's job).
+    "q_source_kl" -> ((s, dir) =>
+      Vocab.sourceKlMatrix(Tables.documents(s, dir), "source", "text")),
+
     // [EXT] OOV rate per doc under the top-20 corpus vocabulary (the
     // cheap junk/foreign-text spike detector).
     "q_oov_rate" -> ((s, dir) =>
@@ -3156,6 +3161,33 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |FROM (SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
+
+    // One deterministic-ln per (term, pair) on an exact integer ratio;
+    // terms floor-quantized at 1e12, summed as exact integers.
+    "q_source_kl" ->
+      s"""WITH tc AS (
+        |  SELECT source AS src, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(str_split(trim(lower(text)), ' ')) AS term
+        |        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT DISTINCT term FROM tc),
+        |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM terms),
+        |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |grid AS (
+        |  SELECT t.src, te.term, COALESCE(tc.c, 0) AS c, t.n, vv.v
+        |  FROM tot t CROSS JOIN terms te CROSS JOIN vv
+        |  LEFT JOIN tc ON tc.src = t.src AND tc.term = te.term),
+        |p AS (
+        |  SELECT a.src AS source_a, b.src AS source_b,
+        |    CAST((a.c + 1) * (b.n + a.v) AS DOUBLE)
+        |      / CAST((a.n + a.v) * (b.c + 1) AS DOUBLE) AS __x,
+        |    CAST(a.c + 1 AS DOUBLE) / CAST(a.n + a.v AS DOUBLE) AS __pa,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |    CAST(FLOOR(__pa * __lnx * 1e12) AS BIGINT) AS tq
+        |  FROM grid a JOIN grid b ON a.term = b.term AND a.src <> b.src)
+        |SELECT source_a, source_b, CAST(SUM(tq) AS BIGINT) AS kl_q,
+        |  CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e12 AS kl
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     "q_oov_rate" ->
       """WITH tf AS (

@@ -388,6 +388,58 @@ object Vocab {
           .as("bigram_surprisal"))
   }
 
+  /** Pairwise smoothed unigram-LM KL divergence between sources — the
+    * "which sources speak the same language" matrix a mixture designer
+    * reads next to the shingle-overlap grid (q_source_overlap measures
+    * shared CONTENT; this measures shared STYLE/distribution even with
+    * zero verbatim overlap). KL(a‖b) = Σ_t p_a(t)·ln(p_a(t)/p_b(t)),
+    * add-1 smoothed over the joint vocabulary.
+    *
+    * Exactness (the PSI/DSIR discipline): the log ratio collapses to
+    * ONE deterministic-ln on the exact integer ratio
+    * ((c_a+1)(n_b+V)) / ((n_a+V)(c_b+1)); each term is then
+    * ⌊p_a·ln·10¹²⌋ — an exact integer — and the per-pair sum is
+    * order-free. Valid while the integer products stay < 2⁵³
+    * (per-source token totals ≲ 10⁷·√V; beyond that, pre-scale).
+    *
+    * Scale shape: the grid is |vocab| × |sources| and the pair join is
+    * term-keyed with an S² per-term blowup — bounded by SOURCE
+    * cardinality squared, never corpus size. Output: S·(S−1) rows.
+    */
+  def sourceKlMatrix(
+      docs: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val tc = docs
+      .filter(col(strataCol).isNotNull && col(textCol).isNotNull)
+      .select(col(strataCol).as("src"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+    val terms = tc.select(col("term")).distinct()
+    val totals = tc.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val vocabN = terms.agg(count(lit(1)).as("v"))
+    val grid = totals.crossJoin(terms)
+      .join(tc, Seq("src", "term"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("src"), col("term"), coalesce(col("c"), lit(0L)).as("c"),
+        col("n"), col("v"))
+    val a = grid.select(col("src").as("source_a"), col("term"),
+      col("c").as("__ca"), col("n").as("__na"), col("v").as("__v"))
+    val b = grid.select(col("src").as("source_b"), col("term"),
+      col("c").as("__cb"), col("n").as("__nb"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") =!= col("source_b"))
+      .withColumn("__x",
+        ((col("__ca") + 1) * (col("__nb") + col("__v"))).cast("double") /
+          ((col("__na") + col("__v")) * (col("__cb") + 1)).cast("double"))
+      .withColumn("__pa",
+        (col("__ca") + 1).cast("double") /
+          (col("__na") + col("__v")).cast("double"))
+      .withColumn("__t",
+        floor(col("__pa") * graft.functions.DetMath.lnq(col("__x")) *
+          lit(1e12)).cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__t")).as("kl_q"))
+      .withColumn("kl", col("kl_q").cast("double") / lit(1e12))
+  }
+
   /** Out-of-vocabulary rate per document under the corpus top-`k`
     * vocabulary — the cheap "is this doc made of normal words" signal
     * (junk, foreign-language and mojibake docs spike it) that a

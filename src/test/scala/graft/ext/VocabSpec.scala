@@ -200,6 +200,26 @@ class VocabSpec extends SparkSpec {
     assert(out === List(("new", "york")))
   }
 
+  test("sourceKlMatrix: KL of identical distributions is ~0, " +
+    "disjoint-vocabulary sources diverge, matrix is complete") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "s1"),
+      (2L, "alpha beta alpha beta", "s2"),   // identical dist to s1
+      (3L, "gamma delta gamma delta", "s3")) // disjoint vocabulary
+      .toDF("doc_id", "text", "source")
+    val out = Vocab.sourceKlMatrix(docs, "source", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size === 6, "3 sources -> 6 ordered pairs")
+    // identical distributions: every term_q is floor(p*ln(1)=0) = 0
+    assert(out(("s1", "s2")) === 0L)
+    assert(out(("s2", "s1")) === 0L)
+    // disjoint vocab: strictly positive divergence both ways
+    assert(out(("s1", "s3")) > 0L && out(("s3", "s1")) > 0L)
+    // divergent pairs dominate the near-identical pair
+    assert(out(("s1", "s3")) > out(("s1", "s2")))
+  }
+
   test("oovRate: boundary ties cut deterministically; oov is exact") {
     // Counts: aa x4, bb x4, cc x2, zz x2 -> top-2 vocab must be
     // {aa, bb}; cc/zz tie below the cut is irrelevant at k=2.
