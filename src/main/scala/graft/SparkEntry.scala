@@ -573,6 +573,20 @@ object SparkEntry {
       graft.ext.Embeddings.dimHealth(
         Tables.embeddings(s, dir), "embedding", dim = 64)),
 
+    // Mixture plan: √tokens-weighted largest-remainder apportionment
+    // of a 20k-token budget across sources — allocations sum EXACTLY
+    // to the target, all integer arithmetic.
+    "q_mix_plan" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("weight_q",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+            .cast("long"))
+      Sampling.largestRemainderAllocate(tok, "source", "weight_q", 20000L)
+    }),
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // a curated target slice (src0-2) vs the raw pool, one
     // deterministic-ln per bucket floor-quantized to exact integers.
@@ -2954,6 +2968,32 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(MIN(code) AS BIGINT) AS code_min,
         |  CAST(MAX(code) AS BIGINT) AS code_max
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // Hamilton apportionment in HUGEINT: floor quotas via //, exact
+    // fractional parts via %, +1 to the largest remainders.
+    "q_mix_plan" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(LEN(str_split(TRIM(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS weight_q
+        |  FROM tok),
+        |tw AS (SELECT SUM(weight_q) AS tot FROM w),
+        |s AS (
+        |  SELECT source, n_tokens, weight_q,
+        |    (20000 * weight_q) // tot AS base,
+        |    (20000 * weight_q) % tot AS frac
+        |  FROM w CROSS JOIN tw),
+        |u AS (SELECT SUM(base) AS used FROM s),
+        |r AS (SELECT s.*, ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+        |        AS rk FROM s)
+        |SELECT source, n_tokens, weight_q,
+        |  CAST(base + CASE WHEN rk <= 20000 - (SELECT used FROM u)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
 
     // Per-bucket log-ratio via ONE deterministic-ln chain on an exact
     // integer ratio; per-doc weights are exact integer sums.

@@ -267,6 +267,42 @@ object Sampling {
         .withColumn("priority", aesPriority(idCol, weightCol)),
       groupCols, "priority", idCol, k)
 
+  /** Largest-remainder apportionment of a token budget across strata
+    * — the mixture-planning table: given per-stratum weights, split
+    * `target` into integer allocations that sum to EXACTLY `target`
+    * (floor quotas + the `remainder` highest fractional parts get +1,
+    * Hamilton's method). Everything is integer arithmetic — quotas
+    * via DECIMAL(38,0) `(x − x mod W)/W`, fractional parts compared
+    * as the exact integer `(target·w) mod W` — so the plan is
+    * bit-reproducible and auditable in any engine.
+    *
+    * Scale shape: one weight-total broadcast and one rank over the
+    * STRATA (bounded by stratum cardinality, never corpus size).
+    * Ties in fractional part break by stratum key ascending.
+    */
+  def largestRemainderAllocate(
+      weights: DataFrame, keyCol: String, weightCol: String,
+      target: Long): DataFrame = {
+    require(target >= 0, s"target must be >= 0: $target")
+    val w = col(weightCol).cast("decimal(38,0)")
+    val tot = weights.agg(sum(w).as("__W"))
+    val scaled = weights.crossJoin(broadcast(tot))
+      .withColumn("__num", lit(target).cast("decimal(38,0)") * w)
+      .withColumn("__base",
+        ((col("__num") - col("__num") % col("__W")) / col("__W"))
+          .cast("long"))
+      .withColumn("__frac", (col("__num") % col("__W")).cast("decimal(38,0)"))
+    val used = scaled.agg(sum(col("__base")).as("__used"))
+    val byFrac = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__frac").desc, col(keyCol).asc)
+    scaled.crossJoin(broadcast(used))
+      .withColumn("__r", row_number().over(byFrac).cast("long"))
+      .withColumn("alloc",
+        col("__base") +
+          when(col("__r") <= lit(target) - col("__used"), 1L).otherwise(0L))
+      .drop("__W", "__num", "__base", "__frac", "__used", "__r")
+  }
+
   /** Deterministic curriculum order: rank documents within each
     * stratum (source) by the quality score, then interleave strata by
     * (stratum_rank, stratum) — the "every source's best first, round-

@@ -22,6 +22,24 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 230 && a.size < 370, s"got ${a.size}")
   }
 
+  test("largestRemainderAllocate: allocations sum exactly to target, " +
+    "equal weights tie-break by key, quotas are floor+remainder") {
+    import org.apache.spark.sql.functions.col
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w")
+    val out = Sampling.largestRemainderAllocate(eq, "k", "w", target = 10L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    // 10/3: base 3 each, one remainder -> lowest key gets it.
+    assert(out === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+
+    val skew = Seq(("a", 7L), ("b", 2L), ("c", 1L)).toDF("k", "w")
+    val out2 = Sampling.largestRemainderAllocate(skew, "k", "w", 101L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    // quotas 70.7 / 20.2 / 10.1 -> bases 70/20/10, one leftover to the
+    // largest fraction (a: .7)
+    assert(out2 === Map("a" -> 71L, "b" -> 20L, "c" -> 10L))
+    assert(out2.values.sum === 101L)
+  }
+
   test("curriculumOrder interleaves strata best-first, round-robin") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
