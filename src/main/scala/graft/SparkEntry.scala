@@ -615,6 +615,23 @@ object SparkEntry {
       graft.ext.Curation.disposition(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] Gate ablation: per Gopher rule, any-failure vs
+    // sole-failure (marginal) document counts — one aggregate pass.
+    "q_gate_ablation" -> ((s, dir) =>
+      graft.ext.Curation.gateAblation(
+        TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text"),
+        GopherGates)),
+
+    // [EXT] Hubness diagnostic: k-occurrence histogram of the LSH
+    // retriever over the whole corpus (anti-hubs included).
+    "q_ann_hubness" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hubnessReport(
+        Similarity.lshBucketedTopK(
+          emb, emb, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+        emb, "vec_id")
+    }),
+
     // Per-source quota: top 50 docs per source by (n_chars desc, id) via
     // the bounded-heap TopKAgg — map-side pruned, hot-source safe.
     "q_quota_cap" -> ((s, dir) =>
@@ -716,6 +733,56 @@ object SparkEntry {
     "q_perplexity_bucket" -> ((s, dir) =>
       Vocab.perplexityBuckets(
         Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // [EXT] Interpolated Kneser–Ney bigram LM: the trained model table
+    // (bigram type → smoothed conditional probability). Pure IEEE
+    // arithmetic on exact integer counts — no ln, no rounding.
+    "q_kn_bigram" -> ((s, dir) =>
+      Vocab.kneserNeyBigram(Tables.documents(s, dir), "text")),
+
+    // [EXT] Heaps'-law vocabulary-growth fit over the corpus in doc-id
+    // order — the companion diagnostic to q_zipf_fit, exact-integer
+    // OLS on floor-quantized deterministic lns.
+    "q_heaps_fit" -> ((s, dir) =>
+      Vocab.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
+
+    // [EXT] The final training manifest: √n-flattened source mix
+    // apportioned to a 60k-token target, epoch repetition with an
+    // md5 fractional gate, deterministic global shuffle order.
+    "q_train_manifest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.trainManifest(d, "source", "doc_id", "n_tokens", 60000L)
+    }),
+
+    // [EXT] Sequence-length bucketing padding report: per power-of-two
+    // bucket (cap 128), the padding a fixed-length loader would burn.
+    "q_length_buckets" -> ((s, dir) =>
+      Sampling.lengthBucketReport(
+        Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(TextStats.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "n_tokens", maxLen = 128)),
+
+    // [EXT] k-anonymity audit over (nation, market segment) quasi-
+    // identifiers: every equivalence class smaller than k=15.
+    "q_kanon" -> ((s, dir) =>
+      graft.ops.Quality.kAnonymityAudit(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), 15L)),
+
+    // [EXT] Fit the quality scorer in-engine: ridge (λ=100) of the
+    // exact integer quality micro-score on (tokens, stopwords) via
+    // integer normal equations + Cramer trunc-division.
+    "q_ridge_quality" -> ((s, dir) =>
+      graft.ext.Regression.ridgeFit2(
+        Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(
+            TextStats.tokenCount(col("text")).cast("long").as("x1"),
+            size(filter(TextStats.tokens(col("text")),
+              w => w.isin(TextStats.enStopwords: _*))).cast("long").as("x2"),
+            TextStats.qualityScoreMicro(col("text")).as("y")),
+        "x1", "x2", "y", lambda = 100L)),
 
     // [EXT] PMI collocations (word2vec-style phrase mining): pairs that
     // co-occur far above their marginal rates, ranked on the rounded
@@ -1943,6 +2010,50 @@ SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
   CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / 10e0 AS recall
 FROM j GROUP BY 1"""
 
+  /** The Gopher gate columns, in rule order — shared by the
+    * q_gate_ablation query and its oracle generator.
+    */
+  private val GopherGates = Seq("rule_words", "rule_mean_len",
+    "rule_symbols", "rule_alpha", "rule_stopwords")
+
+  /** The per-gate verdict CTE over [[gopherMomentsCtes]]'s `gm` —
+    * reused by the ablation oracle so rule definitions cannot drift
+    * from q_gopher_rules.
+    */
+  private def gopherVerdictCte: String =
+    s"""$gopherMomentsCtes,
+      |gr AS (
+      |  SELECT doc_id, n_words,
+      |    (n_words BETWEEN 5 AND 1000) AS rule_words,
+      |    (chars >= n_words * 3 AND chars <= n_words * 10) AS rule_mean_len,
+      |    (sym * 10 <= n_words) AS rule_symbols,
+      |    (alpha * 5 >= n_words * 4) AS rule_alpha,
+      |    (stp >= 2) AS rule_stopwords
+      |  FROM gm)""".stripMargin
+
+  /** One UNION ALL arm per gate (any-failure + sole-failure counts)
+    * plus the `__all__` totals arm — generated from [[GopherGates]] so
+    * the oracle's gate list tracks the query's.
+    */
+  private def gateAblationOracleSql: String = {
+    val arms = GopherGates.map { g =>
+      val others = GopherGates.filter(_ != g).mkString(" AND ")
+      s"""SELECT '$g' AS gate,
+         |  CAST(SUM(CASE WHEN NOT $g THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_any,
+         |  CAST(SUM(CASE WHEN NOT $g AND $others THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail_sole
+         |FROM gr""".stripMargin
+    }
+    val all = GopherGates.mkString(" AND ")
+    val totals =
+      s"""SELECT '__all__' AS gate, CAST(COUNT(*) AS BIGINT) AS n_fail_any,
+         |  CAST(SUM(CASE WHEN $all THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_sole
+         |FROM gr""".stripMargin
+    s"WITH $gopherVerdictCte\n" + (arms :+ totals).mkString("\nUNION ALL\n")
+  }
+
   private def simLshOracleSql: String = {
     val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2439,6 +2550,36 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_lsh" -> simLshOracleSql,
 
     "q_ann_recall" -> annRecallOracleSql,
+
+    // Per-gate UNION arms generated from the same gate list as the
+    // query; counts are exact integers.
+    "q_gate_ablation" -> gateAblationOracleSql,
+
+    // LSH retrieval over ALL queries (the q_sim_lsh chain without the
+    // query filter) -> per-vector in-degree -> k-occurrence histogram.
+    "q_ann_hubness" -> {
+      val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+    $bucketExpr AS bucket
+  FROM e),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(list_inner_product(q.emb, c.emb)
+      / (sqrt(list_inner_product(q.emb, q.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+t AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM p)
+  WHERE rnk <= 10),
+deg AS (
+  SELECT e.vec_id, CAST(COUNT(t.query_id) AS BIGINT) AS in_degree
+  FROM e LEFT JOIN t ON t.neighbor_id = e.vec_id GROUP BY 1)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY 1"""
+    },
 
     "q_sim_ivf" -> simIvfOracleSql,
 
@@ -3265,6 +3406,207 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  CAST(SUM(r.n_tokens) AS BIGINT) AS sum_tokens
         |FROM r JOIN documents d USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // KN probability = fixed tree of correctly-rounded IEEE ops on
+    // exact integer counts — mirrored op-for-op, no rounding step.
+    "q_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT str_split(trim(lower(text)), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |p AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |s AS (
+        |  SELECT w1, w2, c,
+        |    CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1,
+        |    CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_fwd,
+        |    CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_bwd,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS bb
+        |  FROM p)
+        |SELECT w1, w2, c, c_w1, n1p_fwd, n1p_bwd,
+        |  GREATEST(CAST(c AS DOUBLE) - 7.5e-1, 0e0) / CAST(c_w1 AS DOUBLE)
+        |    + ((7.5e-1 * CAST(n1p_fwd AS DOUBLE)) / CAST(c_w1 AS DOUBLE))
+        |      * (CAST(n1p_bwd AS DOUBLE) / CAST(bb AS DOUBLE)) AS p_kn
+        |FROM s""".stripMargin,
+
+    // Exact-integer OLS on floor-quantized deterministic lns; the
+    // closed form is HUGEINT Cramer trunc-division (quantization
+    // cancels in beta) — no >2^53 decimal→double cast anywhere.
+    "q_heaps_fit" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM tok GROUP BY 1),
+        |fs AS (SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY t),
+        |fv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+        |       FROM fs GROUP BY 1),
+        |curve AS (
+        |  SELECT CAST(SUM(pd.nt) OVER (ORDER BY pd.doc_id) AS DOUBLE)
+        |           AS __cx,
+        |         CAST(SUM(COALESCE(fv.nv, 0)) OVER (ORDER BY pd.doc_id)
+        |           AS DOUBLE) AS __cy
+        |  FROM pd LEFT JOIN fv USING (doc_id)),
+        |q AS (
+        |  SELECT __cx AS __x, __cy AS __y,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |  ${lnSqlChain("__y", "__lny")},
+        |  CAST(FLOOR(__lnx * 1e6) AS HUGEINT) AS xq,
+        |  CAST(FLOOR(__lny * 1e6) AS HUGEINT) AS yq
+        |  FROM curve),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(xq) AS sx, SUM(yq) AS sy,
+        |    SUM(xq * xq) AS sxx, SUM(xq * yq) AS sxy
+        |  FROM q),
+        |d AS (
+        |  SELECT n, sx, sy,
+        |    (n * sxy - sx * sy) AS numer,
+        |    (n * sxx - sx * sx) AS denom
+        |  FROM m),
+        |f AS (
+        |  SELECT n,
+        |    (numer * 1000000 - (numer * 1000000) % denom) // denom AS bq,
+        |    ((sy * denom - numer * sx) - (sy * denom - numer * sx)
+        |       % (n * denom)) // (n * denom) AS kq
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(bq AS BIGINT) AS beta_q, CAST(kq AS BIGINT) AS ln_k_q,
+        |  CAST(CAST(bq AS BIGINT) AS DOUBLE) / 1e6 AS beta,
+        |  CAST(CAST(kq AS BIGINT) AS DOUBLE) / 1e6 AS ln_k
+        |FROM f""".stripMargin,
+
+    // Mix → repetition → shuffle: the q_mix_plan apportionment chain
+    // at a 60k target, exact HUGEINT epoch split, md5 fractional
+    // gate, and the same md5 shuffle order as the Spark ordinal.
+    "q_train_manifest" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(LEN(str_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n
+        |        FROM d GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+        |      FROM tok),
+        |tw AS (SELECT SUM(wq) AS tot FROM w),
+        |s AS (SELECT source, n,
+        |        (60000 * wq) // tot AS base_a, (60000 * wq) % tot AS frac
+        |      FROM w CROSS JOIN tw),
+        |u AS (SELECT SUM(base_a) AS used FROM s),
+        |r AS (SELECT s.*, ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+        |        AS rk FROM s),
+        |alloc AS (
+        |  SELECT source, n,
+        |    CAST(base_a + CASE WHEN rk <= 60000 - (SELECT used FROM u)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM r),
+        |plan AS (
+        |  SELECT source, alloc // n AS base,
+        |    ((alloc % n) * 1000000) // n AS fm
+        |  FROM alloc),
+        |inst AS (
+        |  SELECT d.source, d.doc_id, d.n_tokens,
+        |    p.base + CASE WHEN
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 < p.fm THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN plan p USING (source)),
+        |e AS (
+        |  SELECT source, doc_id, n_tokens, CAST(u.e AS BIGINT) AS epoch
+        |  FROM inst, unnest(generate_series(1, copies)) AS u(e)
+        |  WHERE copies >= 1)
+        |SELECT source, doc_id, n_tokens, epoch,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |       || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT,
+        |    doc_id, epoch) AS BIGINT) AS train_pos
+        |FROM e""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(LEN(str_split(TRIM(text), ' ')) AS BIGINT) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN t <= 1 THEN 1 WHEN t <= 2 THEN 2
+        |    WHEN t <= 4 THEN 4 WHEN t <= 8 THEN 8 WHEN t <= 16 THEN 16
+        |    WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64 ELSE 128 END AS bucket,
+        |    LEAST(t, 128) AS tok
+        |  FROM d WHERE t > 0),
+        |g AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens,
+        |  CAST(n_docs * bucket AS BIGINT) AS capacity,
+        |  CAST(n_docs * bucket - sum_tokens AS BIGINT) AS padding,
+        |  CAST(n_docs * bucket - sum_tokens AS DOUBLE)
+        |    / CAST(n_docs * bucket AS DOUBLE) AS waste
+        |FROM g""".stripMargin,
+
+    "q_kanon" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |  CAST(class_size AS DOUBLE) / CAST(n AS DOUBLE) AS exposed_share
+        |FROM c CROSS JOIN t WHERE class_size < 15""".stripMargin,
+
+    // Integer normal equations in HUGEINT; Cramer determinants in the
+    // same fixed cofactor order as Regression.ridgeFit2; λ=100 on the
+    // feature diagonal. y is the exact quality micro-score.
+    "q_ridge_quality" ->
+      """WITH f AS (
+        |  SELECT CAST(LEN(str_split(TRIM(text), ' ')) AS HUGEINT) AS x1,
+        |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+        |      t -> t IN ('the','a','an','of','and','to','in','is','on',
+        |                 'for','with','at','by','from','as','it','that',
+        |                 'this'))) AS HUGEINT) AS x2,
+        |    CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
+        |      + (600000 * LEN(list_filter(str_split(TRIM(text), ' '),
+        |           t -> t IN ('the','a','an','of','and','to','in','is','on',
+        |                      'for','with','at','by','from','as','it','that',
+        |                      'this'))) + LEN(str_split(TRIM(text), ' ')))
+        |        // (2 * LEN(str_split(TRIM(text), ' '))) AS HUGEINT) AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2,
+        |    SUM(x1 * x1) + 100 AS s11, SUM(x1 * x2) AS s12,
+        |    SUM(x2 * x2) + 100 AS s22,
+        |    SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        |  FROM f),
+        |d AS (
+        |  SELECT n,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m),
+        |wq AS (
+        |  SELECT n,
+        |    (det0 * 1000000 - (det0 * 1000000) % det) // det AS w0q,
+        |    (det1 * 1000000 - (det1 * 1000000) % det) // det AS w1q,
+        |    (det2 * 1000000 - (det2 * 1000000) % det) // det AS w2q
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(w0q AS BIGINT) AS w0_q, CAST(w1q AS BIGINT) AS w1_q,
+        |  CAST(w2q AS BIGINT) AS w2_q,
+        |  CAST(CAST(w0q AS BIGINT) AS DOUBLE) / 1e6 AS w0,
+        |  CAST(CAST(w1q AS BIGINT) AS DOUBLE) / 1e6 AS w1,
+        |  CAST(CAST(w2q AS BIGINT) AS DOUBLE) / 1e6 AS w2
+        |FROM wq""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (

@@ -48,4 +48,43 @@ object Curation {
           .when(!col("is_canonical"), lit("rejected_duplicate"))
           .otherwise(col("split")).as("disposition"))
   }
+
+  /** Filter-gate ablation — the observability table a curation run
+    * reads before re-tuning thresholds: for every named boolean gate
+    * (true = pass), how many documents fail it AT ALL vs. fail it
+    * ALONE (every other gate passing). Sole-failure is the gate's
+    * MARGINAL cost — the documents it alone removes from the corpus —
+    * which an any-failure count overstates wherever gates correlate
+    * (a junk doc usually fails several).
+    *
+    * One aggregate pass regardless of gate count (each gate is two
+    * conditional sums in the same agg — the [[graft.ops.Quality]]
+    * rowChecks shape) + a constant-size explode; the input is scanned
+    * once and never shuffled. Output: one row per gate
+    * (gate, n_fail_any, n_fail_sole) plus the `__all__` row with
+    * (n_docs, n_pass_all) folded into the same columns as
+    * (total docs, docs passing every gate).
+    */
+  def gateAblation(
+      flags: DataFrame, gateCols: Seq[String]): DataFrame = {
+    require(gateCols.nonEmpty, "at least one gate column")
+    def othersPass(g: String) =
+      gateCols.filter(_ != g).map(col).foldLeft(lit(true))(_ && _)
+    val aggs = gateCols.zipWithIndex.flatMap { case (g, i) =>
+      Seq(
+        sum(when(!col(g), 1L).otherwise(0L)).as(s"__a$i"),
+        sum(when(!col(g) && othersPass(g), 1L).otherwise(0L)).as(s"__s$i"))
+    } ++ Seq(
+      count(lit(1)).as("__n"),
+      sum(when(gateCols.map(col).reduce(_ && _), 1L).otherwise(0L))
+        .as("__p"))
+    val rows = gateCols.zipWithIndex.map { case (g, i) =>
+      struct(lit(g).as("gate"), col(s"__a$i").as("n_fail_any"),
+        col(s"__s$i").as("n_fail_sole"))
+    } :+ struct(lit("__all__").as("gate"), col("__n").as("n_fail_any"),
+      col("__p").as("n_fail_sole"))
+    flags.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
 }

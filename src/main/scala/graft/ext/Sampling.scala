@@ -408,4 +408,109 @@ object Sampling {
       .withRunningSum(df, order, tokenCol, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** The final TRAINING MANIFEST: turn a token target into the actual
+    * epoch-replicated, globally-shuffled training order — the artifact
+    * a data loader consumes. Three standard recipes composed:
+    *
+    *  1. Mix: per-stratum token allocations ∝ √n_s
+    *     ([[temperatureMixSample]]'s T=2 flattening) apportioned
+    *     EXACTLY to `targetTokens` by [[largestRemainderAllocate]].
+    *  2. Repetition: a stratum whose allocation exceeds its size runs
+    *     multiple epochs (Muennighoff et al. '23 data-constrained
+    *     scaling): every doc repeats ⌊alloc/n⌋ times, and the
+    *     fractional epoch admits docs by the portable md5 micro-rate
+    *     gate — `frac_micro = (alloc mod n)·10⁶ div n` (exact integer
+    *     arithmetic), so expected extra tokens ≈ the remainder and
+    *     membership is re-derivable from the key alone.
+    *  3. Shuffle: instances get a deterministic pseudorandom global
+    *     order — position = distributed ordinal over
+    *     (md5(doc‖epoch), doc, epoch) — so consecutive training steps
+    *     mix strata and epochs without any true RNG. No
+    *     single-partition window: the ordinal is a range shuffle +
+    *     carry.
+    *
+    * Scale shape: stats and allocation tables are stratum-bounded
+    * (two broadcast hops); the corpus-sized work is one explode
+    * (bounded by the epoch count, a plan constant ≤ ~1+alloc/n) and
+    * one range shuffle for the global order.
+    *
+    * Output: (id, stratum, tokenCol, epoch ≥ 1, train_pos) — one row
+    * per training INSTANCE.
+    */
+  def trainManifest(
+      docs: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    val perSource = docs
+      .groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__n"))
+      .withColumn("__wq",
+        floor(sqrt(col("__n").cast("double")) * lit(1e6)).cast("long"))
+    // Exact integer div/mod in DECIMAL(38,0) (the
+    // [[largestRemainderAllocate]] discipline — a bare long `/` is
+    // DOUBLE division in Spark, inexact past 2^53).
+    val aDec = col("alloc").cast("decimal(38,0)")
+    val nDec = col("__n").cast("decimal(38,0)")
+    val remM = (aDec % nDec) * lit(1000000L).cast("decimal(38,0)")
+    val alloc = largestRemainderAllocate(
+      perSource, strataCol, "__wq", targetTokens)
+      .withColumn("__base",
+        ((aDec - aDec % nDec) / nDec).cast("long"))
+      .withColumn("__fm",
+        ((remM - remM % nDec) / nDec).cast("long"))
+      .select(col(strataCol), col("__base"), col("__fm"))
+    val copies = docs
+      .join(broadcast(alloc), Seq(strataCol))
+      .withColumn("__extra",
+        when(HashExprs.md5Prefix60(col(idCol).cast("string"))
+          % 1000000L < col("__fm"), 1L).otherwise(0L))
+      .withColumn("__copies", col("__base") + col("__extra"))
+      .filter(col("__copies") >= 1L)
+      .select(col(strataCol), col(idCol), col(tokenCol),
+        explode(sequence(lit(1L), col("__copies"))).as("epoch"))
+    graft.plans.Ordinal.withGlobalRowNumber(
+      copies.withColumn("__shuf",
+        HashExprs.md5Prefix60(
+          concat(col(idCol).cast("string"), lit(":"),
+            col("epoch").cast("string")))),
+      Seq(col("__shuf"), col(idCol), col("epoch")), "train_pos")
+      .drop("__shuf")
+  }
+
+  /** Sequence-length bucketing padding report: assign every document
+    * to the smallest power-of-two bucket that holds its token count
+    * (capped at `maxLen` — longer docs are counted as one `maxLen`
+    * truncation) and report, per bucket, the padding a
+    * fixed-length-batch loader would burn: capacity = n_docs·bucket,
+    * padding = capacity − real tokens, waste as an exact-integer-ratio
+    * double. The one-line summary a batching design reads before
+    * choosing bucket boundaries vs. sequence packing
+    * ([[graft.plans.Prefix.packBins]] is the packing alternative).
+    *
+    * The bucket is a compile-time CASE chain over the ≤ log₂(maxLen)+1
+    * cutoffs — codegen'd integer comparisons, no libm log2 — and the
+    * aggregate is bucket-keyed (≤ 11 groups at maxLen 1024): the
+    * corpus is scanned once, map-side combined, never reshuffled.
+    */
+  def lengthBucketReport(
+      docs: DataFrame, tokenCol: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
+      s"maxLen must be a power of two >= 2: $maxLen")
+    val cuts = Iterator.iterate(1L)(_ * 2).takeWhile(_ < maxLen.toLong).toSeq
+    val t = col(tokenCol).cast("long")
+    val bucket = cuts.foldRight(lit(maxLen.toLong)) { (c, acc) =>
+      when(t <= c, lit(c)).otherwise(acc)
+    }
+    docs
+      .filter(t > 0L)
+      .select(bucket.as("bucket"),
+        least(t, lit(maxLen.toLong)).as("__tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("sum_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+      .withColumn("padding", col("capacity") - col("sum_tokens"))
+      .withColumn("waste",
+        col("padding").cast("double") / col("capacity").cast("double"))
+  }
 }

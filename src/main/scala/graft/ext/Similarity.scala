@@ -325,4 +325,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank_a", "rank_b", "rrf",
         "fused_rank")
   }
+
+  /** Hubness report (Radovanović et al., JMLR'10): the k-occurrence
+    * histogram of a retrieval table — for each in-degree d, how many
+    * corpus vectors appear as a neighbor in exactly d result lists.
+    * High-dimensional embedding spaces grow "hubs" (vectors in
+    * everyone's top-k) and "anti-hubs" (in no one's); a long-tailed
+    * histogram is the standard diagnostic that cosine retrieval over
+    * this embedding will over-serve a few documents — read it next to
+    * [[recallAtK]] before trusting an ANN index.
+    *
+    * `topk` is ANY (query_id, neighbor_id) retrieval table (the
+    * [[bruteForceTopK]] / [[lshBucketedTopK]] / [[ivfTopK]] output
+    * shape); `ids` is the id universe so zero-degree anti-hubs are
+    * counted too. Two bounded aggregates: per-neighbor degree (keyed
+    * on the id) then per-degree count (keyed on ≤ max-degree values);
+    * the left anti-hub join is id-keyed. Nothing scans pairs twice.
+    */
+  def hubnessReport(
+      topk: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val deg = topk.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("__d"))
+    ids.select(col(idCol).as("neighbor_id"))
+      .join(deg, Seq("neighbor_id"), "left")
+      .select(coalesce(col("__d"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }

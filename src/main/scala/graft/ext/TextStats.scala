@@ -77,14 +77,20 @@ object TextStats {
     * one — every engine floors to the same integer (the mirrored
     * oracles use native integer `//`, same value).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreMicro(text).cast("double") / lit(1e6)
+
+  /** The exact-integer form score·10⁶ (see [[qualityScore]]) — the
+    * column to use when the score feeds further exact arithmetic
+    * (e.g. [[graft.ext.Regression.ridgeFit2]] targets).
+    */
+  def qualityScoreMicro(text: Column): Column = {
     val t = tokenCount(text).cast("long")
     val sw = size(filter(tokens(text), w => w.isin(enStopwords: _*)))
       .cast("long")
-    val mu = lit(7000L) * least(t, lit(100L)) +
+    lit(7000L) * least(t, lit(100L)) +
       floor((lit(600000L) * sw + t).cast("double") /
         (lit(2L) * t).cast("double")).cast("long")
-    mu.cast("double") / lit(1e6)
   }
 
   /** The Gopher rule-set stopword probe (Rae et al. '21, A1.1): a doc

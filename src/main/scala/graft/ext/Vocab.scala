@@ -510,4 +510,132 @@ object Vocab {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"))
   }
+
+  /** Interpolated Kneser–Ney bigram language model (Kneser & Ney '95,
+    * the standard n-gram smoothing; the reference repo has no LM at
+    * all — north-star extension). Produces the trained model table:
+    * one row per observed bigram type with its smoothed conditional
+    * probability
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0) / c(w1·)
+    *            + (D · N1+(w1,·) / c(w1·)) · (N1+(·,w2) / B)
+    *
+    * with absolute discount D = 0.75 (exactly representable in
+    * binary64) and the continuation distribution N1+(·,w2)/B over
+    * distinct-left-context counts — the thing that separates KN from
+    * naive backoff (frequent-but-context-narrow words like "Francisco"
+    * get LOW continuation mass).
+    *
+    * Cross-engine exactness: every input is an exact integer count;
+    * the probability is a FIXED tree of correctly-rounded IEEE ops
+    * (two products, three quotients, one sum) mirrored op-for-op in
+    * the oracle SQL, so the double is bit-identical with no rounding
+    * step at all — no ln anywhere (the [[graft.functions.DetMath]]
+    * class of risk does not arise).
+    *
+    * Scale shape: one corpus tokenize collapses to the bigram-TYPE
+    * table (vocabulary-bounded, map-side combined); the three count
+    * statistics are windows over w1 / w2 on that type table — skew
+    * bounded by vocabulary, never corpus size; B is a one-row
+    * broadcast. Output rows = distinct bigram types.
+    */
+  def kneserNeyBigram(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pairs = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextExprs.wordBigrams(col(textCol)))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val types = pairs.agg(count(lit(1)).as("__bb"))
+    val byLeft = Window.partitionBy(col("w1"))
+    val byRight = Window.partitionBy(col("w2"))
+    val d = lit(0.75)
+    val c1d = col("__c1").cast("double")
+    pairs
+      // distinct-type rows, so COUNT(*) over the window IS N1+.
+      .withColumn("__c1", sum(col("c")).over(byLeft))
+      .withColumn("__n1f", count(lit(1)).over(byLeft))
+      .withColumn("__n1b", count(lit(1)).over(byRight))
+      .crossJoin(broadcast(types))
+      .filter(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c"),
+        col("__c1").as("c_w1"), col("__n1f").as("n1p_fwd"),
+        col("__n1b").as("n1p_bwd"),
+        (greatest(col("c").cast("double") - d, lit(0.0)) / c1d +
+          ((d * col("__n1f").cast("double")) / c1d) *
+            (col("__n1b").cast("double") / col("__bb").cast("double")))
+          .as("p_kn"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit V(n) = K·n^β over the corpus in
+    * doc-id (train) order — the companion diagnostic to [[zipfFit]]:
+    * β well below ~0.8 on natural text, spiking toward 1 on random /
+    * junk token streams (every token new) and collapsing toward 0 on
+    * template spam. A mixture designer reads (zipf slope, heaps β)
+    * together as the two-number corpus health card.
+    *
+    * Plan: one tokenize pass yields per-doc token counts AND each
+    * term's first-arrival doc (min doc id per term); both collapse
+    * onto the per-doc frame, [[graft.plans.Prefix.withRunningSums]]
+    * turns them into (cumulative tokens, cumulative vocabulary) in ONE
+    * range shuffle — a checkpoint per document, no single-partition
+    * window. The OLS of ln V on ln n is EXACT-INTEGER end to end:
+    * each ln is [[graft.functions.DetMath.lnq]] (bit-identical
+    * cross-engine) floor-quantized to ⌊ln·10⁶⌋, moments are exact
+    * DECIMAL(38,0) sums of those integers, and the closed form is
+    * Cramer-style trunc-division ([[graft.ext.Regression]]'s
+    * discipline) — the 10⁶ quantization cancels in β, so no
+    * decimal→double cast of a > 2⁵³ value ever happens.
+    *
+    * Output: one row (n_docs, beta_q, ln_k_q, beta, ln_k) with the
+    * `_q` columns exact integers at 10⁶ quantization.
+    */
+  def heapsFit(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val perDoc = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"))
+    val firstSeen = tok.groupBy(col("term"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nv"))
+    val curve = graft.plans.Prefix.withRunningSums(
+      perDoc.join(firstSeen, Seq(idCol), "left")
+        .select(col(idCol), col("__nt"),
+          coalesce(col("__nv"), lit(0L)).as("__nv")),
+      Seq(col(idCol)),
+      Seq("__nt" -> "cum_tokens", "__nv" -> "cum_vocab"))
+    val dec = "decimal(38,0)"
+    val x = floor(graft.functions.DetMath.lnq(
+      col("cum_tokens").cast("double")) * lit(1e6)).cast(dec)
+    val y = floor(graft.functions.DetMath.lnq(
+      col("cum_vocab").cast("double")) * lit(1e6)).cast(dec)
+    val m = curve.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+    val (n, sx, sy) = (col("__n"), col("__sx"), col("__sy"))
+    val numer = n * col("__sxy") - sx * sy
+    val denom = n * col("__sxx") - sx * sx
+    // β = numer/denom (quantizations cancel); ln K = (sy/10⁶ − β·sx/10⁶)/n
+    // = (sy·denom − numer·sx) / (10⁶·n·denom). Trunc-toward-zero
+    // integer division, identical cross-engine for either sign.
+    def truncDiv(a: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = ((a - a % d) / d).cast("long")
+    val bNum = numer * lit(1000000L).cast(dec)
+    val kNum = sy * denom - numer * sx
+    m.select(
+      col("__n").cast("long").as("n_docs"),
+      truncDiv(bNum, denom).as("beta_q"),
+      truncDiv(kNum, n * denom).as("ln_k_q"))
+      .withColumn("beta", col("beta_q").cast("double") / lit(1e6))
+      .withColumn("ln_k", col("ln_k_q").cast("double") / lit(1e6))
+  }
 }

@@ -94,6 +94,37 @@ object Quality {
     * a broadcast total; shares are single IEEE divisions of exact
     * integers, identical everywhere, rounded to 6 dp.
     */
+  /** k-anonymity audit over a quasi-identifier column set — the
+    * privacy gate a corpus with person-derived records runs before
+    * release: every row whose quasi-identifier combination is shared
+    * by fewer than `k` rows is re-identifiable by linkage. One row per
+    * violating equivalence class (the review artifact), with class
+    * size and the share of the table it exposes.
+    *
+    * Scale shape: one quasi-identifier-keyed count aggregate
+    * (map-side combined — the class table is bounded by the number of
+    * DISTINCT combinations, not rows), a `< k` filter on that bounded
+    * table, and a one-row broadcast total for the exposure share.
+    * Exactness: counts are integers; `exposed_share` is one IEEE
+    * division of exact integers (identical everywhere, unrounded).
+    */
+  def kAnonymityAudit(
+      df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    val classes = df
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    classes
+      .filter(col("class_size") < k)
+      .crossJoin(broadcast(total))
+      .select(quasiIdCols.map(col) ++ Seq(
+        col("class_size"),
+        (col("class_size").cast("double") / col("__n").cast("double"))
+          .as("exposed_share")): _*)
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val digits = df
       .filter(col(valueCol) >= 1)

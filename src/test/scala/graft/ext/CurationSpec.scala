@@ -32,4 +32,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._3 === "rejected_quality")
     assert(out(4L) === ((true, true, splitOf(4L))))
   }
+
+  test("gateAblation: any vs sole failure counts and the __all__ row") {
+    val flags = Seq(
+      // (a, b, c): doc1 passes all; doc2 fails only a; doc3 fails a+b;
+      // doc4 fails only c; doc5 fails all three.
+      (true, true, true),
+      (false, true, true),
+      (false, false, true),
+      (true, true, false),
+      (false, false, false))
+      .toDF("a", "b", "c")
+    val out = Curation.gateAblation(flags, Seq("a", "b", "c"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") === ((3L, 1L))) // fails: 2,3,5; sole: 2
+    assert(out("b") === ((2L, 0L))) // fails: 3,5; never alone
+    assert(out("c") === ((2L, 1L))) // fails: 4,5; sole: 4
+    assert(out("__all__") === ((5L, 1L))) // 5 docs, 1 passes all
+  }
 }

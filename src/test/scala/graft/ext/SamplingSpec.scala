@@ -332,4 +332,65 @@ class SamplingSpec extends SparkSpec {
       assert(byId(i)._3 === plain(i))
     }
   }
+
+  test("trainManifest: epoch counts bracket the allocation, train_pos " +
+    "is a permutation, deterministic and partition-invariant") {
+    // source a: 20 docs x 10 tokens; source b: 5 docs x 4 tokens.
+    val d = ((0L until 20L).map(i => ("a", i, 10L)) ++
+      (100L until 105L).map(i => ("b", i, 4L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = Sampling.trainManifest(d, "source", "doc_id", "n_tokens", 500L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per-doc epochs are contiguous 1..copies and copies is base or
+    // base+1 within each source
+    val byDoc = out.groupBy(_._2)
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toList === (1L to rows.length.toLong).toList)
+    }
+    val copiesBySource = out.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.groupBy(_._2).map(_._2.length).toSet
+    }
+    copiesBySource.foreach { case (s, set) =>
+      assert(set.size <= 2, s"copies in $s spread: $set")
+      if (set.size == 2) assert(set.max - set.min === 1)
+    }
+    // global order is a 1..N permutation
+    assert(out.map(_._5).sorted.toList === (1L to out.length.toLong).toList)
+    // deterministic + partition-invariant
+    val again = Sampling.trainManifest(
+      d.repartition(16), "source", "doc_id", "n_tokens", 500L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._5).toList === out.sortBy(_._5).toList)
+  }
+
+  test("trainManifest: tokens delivered per source track the " +
+    "apportioned allocation") {
+    val d = ((0L until 20L).map(i => ("a", i, 10L)) ++
+      (100L until 105L).map(i => ("b", i, 4L)))
+      .toDF("source", "doc_id", "n_tokens")
+    // weights: a ~ floor(sqrt(200)*1e6)=14142135, b ~ floor(sqrt(20)*1e6)
+    // = 4472135; target 500 -> quotas 379.92../120.07..; largest
+    // remainder gives a=380, b=120.
+    val tokens = Sampling.trainManifest(d, "source", "doc_id", "n_tokens", 500L)
+      .groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    // a: base epoch 1 (380/200), fractional 90% of docs get a 2nd copy;
+    // delivered tokens land within one whole-doc quantum spread of the
+    // 380-token allocation under the md5 gate (binomial, 20 keys).
+    assert(tokens("a") >= 200L && tokens("a") <= 400L)
+    // b: base epoch 6 (120/20), no fraction -> exactly 120.
+    assert(tokens("b") === 120L)
+  }
+
+  test("lengthBucketReport: power-of-two buckets, caps, exact padding") {
+    val d = Seq(1L, 2L, 3L, 5L, 9L, 200L, 0L).toDF("n_tokens")
+    val out = Sampling.lengthBucketReport(d, "n_tokens", maxLen = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 0-token rows dropped; 9 and 200 cap into the 8 bucket at 8 tokens
+    assert(out.keySet === Set(1L, 2L, 4L, 8L))
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 0L, 0.0)))
+    assert(out(4L) === ((4L, 1L, 3L, 4L, 1L, 0.25)))
+    assert(out(8L) === ((8L, 3L, 21L, 24L, 3L, 0.125)))
+  }
 }

@@ -172,4 +172,15 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().sortBy(_._4).toList
     assert(out === List((0L, 2L, "b", 1L), (0L, 4L, "c", 2L)))
   }
+
+  test("hubnessReport: k-occurrence histogram includes anti-hubs") {
+    val topk = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L), (4L, 2L))
+      .toDF("query_id", "neighbor_id")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val out = Similarity.hubnessReport(topk, ids, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    // degrees: 1->0, 2->3, 3->2, 4->0, 5->0
+    assert(out === Map(0L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -273,4 +273,77 @@ class VocabSpec extends SparkSpec {
     // n=10: head r<=3 (3r<=10), middle r<=6, tail r>6 -> 3/3/4.
     assert(sizes === Map("head" -> 3L, "middle" -> 3L, "tail" -> 4L))
   }
+
+  test("kneserNeyBigram: hand-computed smoothed probabilities") {
+    // corpus: "a b", "a b", "a c" -> types (a,b) c=2, (a,c) c=1; B=2;
+    // c(a.)=3, N1+(a,.)=2, N1+(.,b)=N1+(.,c)=1.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = Vocab.kneserNeyBigram(docs, "text")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = out(("a", "b"))
+    assert((ab._3, ab._4, ab._5, ab._6) === ((2L, 3L, 2L, 1L)))
+    val pAb = ab._7
+    // (2-0.75)/3 + (0.75*2/3)*(1/2) = 5/12 + 1/4 = 2/3
+    assert(math.abs(pAb - 2.0 / 3.0) < 1e-12)
+    val pAc = out(("a", "c"))._7
+    // (1-0.75)/3 + (0.75*2/3)*(1/2) = 1/12 + 1/4 = 1/3
+    assert(math.abs(pAc - 1.0 / 3.0) < 1e-12)
+    // full observed continuation mass of 'a' is conserved here
+    assert(math.abs(pAb + pAc - 1.0) < 1e-12)
+  }
+
+  test("kneserNeyBigram: continuation beats raw frequency for " +
+    "context-narrow words") {
+    // "x" follows ONLY "of" (high count, one context); "y" follows
+    // three different contexts with count 1 each. KN gives y the
+    // higher continuation share even though x is 3x more frequent.
+    val docs = Seq(
+      (1L, "of x of x of x"),
+      (2L, "p y"), (3L, "q y"), (4L, "r y"))
+      .toDF("doc_id", "text")
+    val out = Vocab.kneserNeyBigram(docs, "text")
+      .select("w2", "n1p_bwd").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(out("x") === 1L && out("y") === 3L)
+  }
+
+  test("heapsFit matches the exact-integer scalar model and is " +
+    "partition-invariant") {
+    val texts = Seq(
+      (1L, "a b c d"), (2L, "a b e f g"), (3L, "a h"), (4L, "i j k a b"),
+      (5L, "l m"), (6L, "a b c n o p"))
+    val docs = texts.toDF("doc_id", "text")
+    // scalar model: cumulative tokens / first-seen vocab in doc order
+    var seen = Set.empty[String]
+    var (ct, cv) = (0L, 0L)
+    val pts = texts.map { case (_, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      ct += ws.length
+      cv += ws.count(w => { val fresh = !seen(w); seen += w; fresh })
+      (ct, cv)
+    }
+    val xq = pts.map(p =>
+      BigInt(math.floor(
+        graft.functions.DetMath.lnqDouble(p._1.toDouble) * 1e6).toLong))
+    val yq = pts.map(p =>
+      BigInt(math.floor(
+        graft.functions.DetMath.lnqDouble(p._2.toDouble) * 1e6).toLong))
+    val n = BigInt(pts.size)
+    val (sx, sy) = (xq.sum, yq.sum)
+    val sxx = xq.map(v => v * v).sum
+    val sxy = xq.zip(yq).map { case (a, b) => a * b }.sum
+    val numer = n * sxy - sx * sy
+    val denom = n * sxx - sx * sx
+    val betaQ = (numer * 1000000) / denom // BigInt / truncates
+    val lnkQ = (sy * denom - numer * sx) / (n * denom)
+    val got = Vocab.heapsFit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got === ((pts.size.toLong, betaQ.toLong, lnkQ.toLong,
+      betaQ.toLong / 1e6, lnkQ.toLong / 1e6)))
+    val got16 = Vocab.heapsFit(docs.repartition(16), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got16 === got)
+  }
 }

@@ -43,6 +43,29 @@ class QualitySpec extends SparkSpec {
     assert(n === 5L)
   }
 
+  test("kAnonymityAudit: classes below k with exact exposure shares") {
+    val people = Seq(
+      // (nation, segment): class sizes a/x=3, a/y=1, b/x=2
+      ("a", "x"), ("a", "x"), ("a", "x"),
+      ("a", "y"),
+      ("b", "x"), ("b", "x"))
+      .toDF("nation", "segment")
+    val out = Quality.kAnonymityAudit(people, Seq("nation", "segment"), 3L)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (n, s, c, e) => (n, s) -> ((c, e)) }.toMap
+    // only classes of size < 3 are reported
+    assert(out.keySet === Set(("a", "y"), ("b", "x")))
+    assert(out(("a", "y")) === ((1L, 1.0 / 6.0)))
+    assert(out(("b", "x")) === ((2L, 2.0 / 6.0)))
+  }
+
+  test("kAnonymityAudit: fully k-anonymous table reports nothing") {
+    val ok = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("nation", "segment")
+    assert(Quality.kAnonymityAudit(ok, Seq("nation", "segment"), 2L)
+      .count() === 0L)
+  }
+
   test("benfordAudit: exact digit extraction, Benford expectations") {
     import org.apache.spark.sql.functions.col
     // digits: 1 x4 (1.5, 10, 150, 1999.99), 9 x1 (900); 0.5 excluded
