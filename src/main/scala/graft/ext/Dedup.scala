@@ -418,12 +418,15 @@ object Dedup {
     * EAGER: returns a persisted pair frame the caller owns —
     * `unpersist()` it when done (see [[withCleanup]]).
     */
-  def portableSimHashNearDuplicates(
+  /** The 60-bit portable SimHash signature table (id, simhash): bit i
+    * is the sign of Σ_tokens ±1 by bit i of the md5-prefix token hash.
+    * Shared by [[portableSimHashNearDuplicates]] and the streaming
+    * gate ([[graft.stream.StreamNearDup]] matches it bit-for-bit via
+    * the scalar model — spec-pinned).
+    */
+  def portableSimHashSignatures(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bits = 60
-    val nBands = 6
-    val width = 10
-    val maxDist = nBands - 1
     val exploded = docs.select(
       col(idCol),
       explode(split(trim(lower(col(textCol))), " ")).as("__tok"))
@@ -436,7 +439,15 @@ object Dedup {
     val sig = (0 until bits).map { i =>
       when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = sums.select(col(idCol), sig.as("simhash")).persist()
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  def portableSimHashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nBands = 6
+    val width = 10
+    val maxDist = nBands - 1
+    val sigs = portableSimHashSignatures(docs, idCol, textCol).persist()
     val bandCols = (0 until nBands).map { bIdx =>
       struct(
         lit(bIdx).as("band"),
