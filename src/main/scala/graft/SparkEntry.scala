@@ -622,6 +622,21 @@ object SparkEntry {
         TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text"),
         GopherGates)),
 
+    // [EXT] Exact join-output cardinality WITHOUT running the join
+    // (events × orders on the customer key — the M×N blowup case a
+    // planner wants quantified before committing to a plan).
+    "q_join_cardinality" -> ((s, dir) =>
+      graft.ext.Analytics.joinCardinality(
+        Tables.events(s, dir), "user_id",
+        Tables.orders(s, dir), "o_custkey")),
+
+    // [EXT] Exactly-k deterministic uniform sample: the 100 smallest
+    // md5 hashes over doc ids (exact size, auditable membership).
+    "q_sample_exact_k" -> ((s, dir) =>
+      Sampling.exactKSample(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", k = 100)),
+
     // [EXT] Hubness diagnostic: k-occurrence histogram of the LSH
     // retriever over the whole corpus (anti-hubs included).
     "q_ann_hubness" -> ((s, dir) => {
@@ -2554,6 +2569,34 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // Per-gate UNION arms generated from the same gate list as the
     // query; counts are exact integers.
     "q_gate_ablation" -> gateAblationOracleSql,
+
+    "q_join_cardinality" ->
+      """WITH ca AS (
+        |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT ca.k, ca.ca * cb.cb AS prod
+        |  FROM ca JOIN cb USING (k))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+        |  CAST(SUM(prod) AS BIGINT) AS join_rows,
+        |  (SELECT CAST(prod AS BIGINT) FROM p
+        |   ORDER BY prod DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |    AS max_key_rows,
+        |  (SELECT CAST(k AS VARCHAR) FROM p
+        |   ORDER BY prod DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |    AS max_key
+        |FROM p""".stripMargin,
+
+    "q_sample_exact_k" ->
+      """SELECT doc_id, source, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS sample_hash
+        |FROM documents
+        |ORDER BY sample_hash ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     // LSH retrieval over ALL queries (the q_sim_lsh chain without the
     // query filter) -> per-vector in-degree -> k-occurrence histogram.

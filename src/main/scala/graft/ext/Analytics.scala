@@ -529,6 +529,37 @@ object Analytics {
     profiles.reduce(_ unionByName _)
   }
 
+  /** Exact equi-join output cardinality WITHOUT executing the join —
+    * the planning diagnostic a 100 TB pipeline runs before a join it
+    * suspects of exploding: |A ⋈ B| = Σ_k cntA(k)·cntB(k), computed
+    * from the two per-key count tables (each a map-side-combinable
+    * aggregate, joined on the key — the count tables are
+    * |distinct keys|-sized, not row-sized, so this costs two
+    * aggregates + one small join instead of materializing a possibly
+    * quadratic result). Also reports the worst single key (the row
+    * [[keySkewProfile]] would send to the salted join) and matching
+    * key count. One output row, all exact integers.
+    */
+  def joinCardinality(
+      a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
+    val ca = a.filter(col(keyA).isNotNull).groupBy(col(keyA).as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(col(keyB).isNotNull).groupBy(col(keyB).as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    ca.join(cb, Seq("__k"))
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__prod"))
+      .agg(
+        count(lit(1)).as("n_matching_keys"),
+        sum(col("__prod")).as("join_rows"),
+        max(struct(col("__prod").as("p"), col("__k").cast("string").as("k")))
+          .as("__top"))
+      .select(
+        col("n_matching_keys"),
+        col("join_rows").cast("long").as("join_rows"),
+        col("__top.p").cast("long").as("max_key_rows"),
+        col("__top.k").as("max_key"))
+  }
+
   /** Top-k categories with an "(other)" rollup — the honest version of
     * every pie chart: the k biggest categories by exact count keep
     * their names, the long tail collapses into one labeled remainder

@@ -409,6 +409,29 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** EXACTLY-k deterministic uniform sample: the k keys with the
+    * smallest portable md5 hashes. [[hashSample]]'s gate gives a
+    * BINOMIAL size (±√n) — fine for rates, wrong when the contract is
+    * "give me exactly 10 000 eval docs"; ordering by the hash makes
+    * size exact while keeping membership key-derivable, stable under
+    * reruns, and cross-engine auditable. (Adding corpus rows CAN
+    * displace previous members — an exact-size window must slide;
+    * callers needing grow-stability use the gate instead.)
+    *
+    * Plan shape: `orderBy(hash, key).limit(k)` is
+    * TakeOrderedAndProject — each task keeps its local top-k and the
+    * driver merges k·partitions rows; no global sort, no shuffle of
+    * the corpus. Output: input rows + `sample_hash` (the audit
+    * column).
+    */
+  def exactKSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.withColumn("sample_hash",
+      HashExprs.md5Prefix60(col(keyCol).cast("string")))
+      .orderBy(col("sample_hash").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** The final TRAINING MANIFEST: turn a token target into the actual
     * epoch-replicated, globally-shuffled training order — the artifact
     * a data loader consumes. Three standard recipes composed:

@@ -392,4 +392,15 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("joinCardinality predicts the exact join size without joining") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L, 9L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 2L, 2L, 4L).toDF("j")
+    val out = Analytics.joinCardinality(a, "k", b, "j")
+      .as[(Long, Long, Long, String)].head()
+    // key 1: 3x2=6, key 2: 1x3=3 -> 9 rows over 2 matching keys
+    assert(out === ((2L, 9L, 6L, "1")))
+    // ground truth via the actual join
+    assert(a.join(b, a("k") === b("j")).count() === 9L)
+  }
 }

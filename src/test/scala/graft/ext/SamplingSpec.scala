@@ -393,4 +393,20 @@ class SamplingSpec extends SparkSpec {
     assert(out(4L) === ((4L, 1L, 3L, 4L, 1L, 0.25)))
     assert(out(8L) === ((8L, 3L, 21L, 24L, 3L, 0.125)))
   }
+
+  test("exactKSample: exact size, deterministic, hash-minimal members") {
+    val d = (0L until 500L).map(i => (i, s"payload $i")).toDF("doc_id", "p")
+    val out = Sampling.exactKSample(d, "doc_id", 25)
+      .select("doc_id", "sample_hash").as[(Long, Long)].collect()
+    assert(out.length === 25)
+    // members are exactly the 25 smallest hashes over the full key set
+    val all = d.select(col("doc_id"),
+      graft.functions.HashExprs.md5Prefix60(col("doc_id").cast("string")))
+      .as[(Long, Long)].collect()
+    val expect = all.sortBy(t => (t._2, t._1)).take(25).toList
+    assert(out.sortBy(t => (t._2, t._1)).toList === expect)
+    val again = Sampling.exactKSample(d.repartition(16), "doc_id", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+  }
 }

@@ -54,4 +54,31 @@ class GraftLakeSpec extends SparkSpec {
     val dir = freshLake()
     assert(spark.read.parquet(dir).count() === grid.count())
   }
+
+  test("bloom sidecar: point lookup returns the exact rows, prunes " +
+    "most files, and never false-negatives") {
+    val dir = freshLake()
+    GraftLake.writeBloomSidecar(spark, dir, "payload",
+      mBits = 4096, hashes = 3)
+    // Every probed key must return its exact row (no false negatives
+    // by construction — the property worth asserting over many keys).
+    var keptTotal = 0L
+    val probes = Seq(0L, 17L, 4095L, 9999L, 16383L)
+    probes.foreach { key =>
+      val (df, report) = GraftLake.scanPrunedByKey(
+        spark, dir, "payload", key.toString, mBits = 4096, hashes = 3)
+      val got = df.select("payload").as[Long].collect().toList
+      assert(got === List(key), s"key $key")
+      assert(report.totalFiles === 16L)
+      keptTotal += report.keptFiles
+    }
+    // A point key lives in ONE file; false positives may add a few,
+    // but across 5 probes the average must stay far below full scan.
+    assert(keptTotal < 5 * 8, s"kept $keptTotal files across 5 probes")
+    // An absent key: usually zero files (bloom may false-positive a
+    // file, never a row) — the ROW result must be empty regardless.
+    val (none, _) = GraftLake.scanPrunedByKey(
+      spark, dir, "payload", "123456789", mBits = 4096, hashes = 3)
+    assert(none.count() === 0L)
+  }
 }
