@@ -587,6 +587,18 @@ object SparkEntry {
       Sampling.largestRemainderAllocate(tok, "source", "weight_q", 20000L)
     }),
 
+    // [EXT] General-temperature (T=3) mixture apportionment — weights
+    // n^(1/3) via the deterministic lnq/expq pair, exact Hamilton
+    // allocation of a 20k-token target.
+    "q_mix_temp_general" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      Sampling.temperatureAllocate(tok, "source", "n_tokens",
+        target = 20000L, temperature = 3.0)
+    }),
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // a curated target slice (src0-2) vs the raw pool, one
     // deterministic-ln per bucket floor-quantized to exact integers.
@@ -736,6 +748,11 @@ object SparkEntry {
     // CCNet-style unigram-LM surprisal (perplexity-proxy quality score).
     "q_unigram_surprisal" -> ((s, dir) =>
       Vocab.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
+
+    // [EXT] Per-doc unigram perplexity = expq(surprisal) — first
+    // consumer of the deterministic-exp kernel (bit-exact, no round).
+    "q_doc_perplexity" -> ((s, dir) =>
+      Vocab.docPerplexity(Tables.documents(s, dir), "doc_id", "text")),
 
     // [EXT] Bigram-LM conditional surprisal (one model order up: catches
     // shuffled-word junk that unigram statistics cannot see).
@@ -1901,6 +1918,25 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
       |    ROUND(CAST(SUM(CAST(tf AS DECIMAL(18,6)) * CAST(nll AS DECIMAL(18,6)))
       |      AS DOUBLE) / SUM(tf), 6) AS surprisal
       |  FROM w GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB lateral-alias chain computing
+    * [[graft.functions.DetMath.expq]] over a prior alias `in`,
+    * emitting alias `out` — op-for-op the Spark tree (constants in
+    * scientific notation / double quotients; see [[lnSqlChain]]).
+    * DuckDB FLOOR returns DOUBLE where Spark's returns LONG — same
+    * value, and the k·ln2 product is identical either way.
+    */
+  private def expSqlChain(in: String, out: String): String = {
+    val (k, r, s) = (s"__ek$out", s"__er$out", s"__es$out")
+    s"""FLOOR($in * (1e0 / 6.931471805599453e-1) + 5e-1) AS $k,
+       |  $in - $k * 6.931471805599453e-1 AS $r,
+       |  1e0 + $r * (1e0 + $r * ((1e0/2e0) + $r * ((1e0/6e0) +
+       |    $r * ((1e0/24e0) + $r * ((1e0/120e0) + $r * ((1e0/720e0) +
+       |    $r * ((1e0/5040e0) + $r * ((1e0/40320e0) + $r * ((1e0/362880e0) +
+       |    $r * ((1e0/3628800e0) + $r * ((1e0/39916800e0) +
+       |    $r * (1e0/479001600e0)))))))))))) AS $s,
+       |  $s * POWER(2e0, $k) AS $out""".stripMargin
+  }
 
   /** [[graft.ext.TextStats.gopherRules]]'s integer moments as a CTE
     * chain ending in `gm(doc_id, n_words, chars, sym, alpha, stp)` —
@@ -3179,6 +3215,33 @@ FROM deg GROUP BY 1"""
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r""".stripMargin,
 
+    // n^(1/3) via the mirrored lnq->scale->expq chain, then the
+    // Hamilton apportionment in HUGEINT (the q_mix_plan chain).
+    "q_mix_temp_general" ->
+      s"""WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(LEN(str_split(TRIM(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |  __lnx * (1e0 / 3e0) AS __y,
+        |  ${expSqlChain("__y", "__ey")},
+        |  CAST(FLOOR(__ey * 1e6) AS BIGINT) AS weight_q
+        |  FROM tok),
+        |tw AS (SELECT SUM(weight_q) AS tot FROM w),
+        |s AS (
+        |  SELECT source, n_tokens, weight_q,
+        |    (20000 * weight_q) // tot AS base, (20000 * weight_q) % tot AS frac
+        |  FROM w CROSS JOIN tw),
+        |u AS (SELECT SUM(base) AS used FROM s),
+        |r AS (SELECT s.*, ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+        |        AS rk FROM s)
+        |SELECT source, n_tokens, weight_q,
+        |  CAST(base + CASE WHEN rk <= 20000 - (SELECT used FROM u)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+
     // Per-bucket log-ratio via ONE deterministic-ln chain on an exact
     // integer ratio; per-doc weights are exact integer sums.
     "q_dsir" ->
@@ -3433,6 +3496,14 @@ FROM deg GROUP BY 1"""
     "q_unigram_surprisal" ->
       s"""WITH $surprisalSqlCtes
         |SELECT doc_id, n_tokens, surprisal FROM surp""".stripMargin,
+
+    "q_doc_perplexity" ->
+      s"""WITH $surprisalSqlCtes,
+        |px AS (
+        |  SELECT doc_id, n_tokens, surprisal,
+        |  ${expSqlChain("surprisal", "perplexity")}
+        |  FROM surp)
+        |SELECT doc_id, n_tokens, surprisal, perplexity FROM px""".stripMargin,
 
     "q_perplexity_bucket" ->
       s"""WITH $surprisalSqlCtes,

@@ -409,6 +409,31 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** General-temperature mixture apportionment: per-stratum targets
+    * ∝ n_s^(1/T) for ANY T — the restriction that made
+    * [[temperatureMixSample]] T=2-only (ln/exp needed libm) falls
+    * away with the deterministic pair: weight_q =
+    * ⌊expq(lnq(n)·(1/T))·10⁶⌋ is one lnq, one correctly-rounded
+    * multiply by the compile-time reciprocal, one expq — bit-identical
+    * in any IEEE engine — then floor-quantized into
+    * [[largestRemainderAllocate]]'s exact integer apportionment.
+    * T=1 reproduces proportional, T→∞ approaches uniform; the
+    * standard pretraining-mixture knob (e.g. XLM-R's T=3.33).
+    *
+    * Scale shape: stratum-bounded aggregate input, one-row broadcast
+    * total, bounded window — the corpus is never touched.
+    */
+  def temperatureAllocate(
+      counts: DataFrame, keyCol: String, countCol: String,
+      target: Long, temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0: $temperature")
+    val w = counts.withColumn("weight_q",
+      floor(graft.functions.DetMath.expq(
+        graft.functions.DetMath.lnq(col(countCol).cast("double")) *
+          lit(1.0 / temperature)) * lit(1e6)).cast("long"))
+    largestRemainderAllocate(w, keyCol, "weight_q", target)
+  }
+
   /** EXACTLY-k deterministic uniform sample: the k keys with the
     * smallest portable md5 hashes. [[hashSample]]'s gate gives a
     * BINOMIAL size (±√n) — fine for rates, wrong when the contract is

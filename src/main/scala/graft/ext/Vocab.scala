@@ -88,6 +88,20 @@ object Vocab {
           .as("surprisal"))
   }
 
+  /** Per-document unigram PERPLEXITY — `exp(surprisal)`, the unit
+    * model-quality people actually quote (CCNet reports Wikipedia-LM
+    * perplexity, not mean nll). The exp is
+    * [[graft.functions.DetMath.expq]]: the same only-correctly-
+    * rounded-IEEE-ops discipline as the deterministic ln, so the
+    * doubles are bit-identical cross-engine with no rounding step —
+    * the first consumer of the expq kernel.
+    */
+  def docPerplexity(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramSurprisal(docs, idCol, textCol)
+      .withColumn("perplexity",
+        graft.functions.DetMath.expq(col("surprisal")))
+
   /** Per-document top term by TF-IDF: score = tf · ln(N / df), rounded
     * to 6 dp in-engine (cross-engine float determinism — see the oracle
     * conventions in SparkEntry). Rank ties break by term asc; exactly

@@ -82,6 +82,51 @@ object DetMath {
     s + k.toDouble * Ln2
   }
 
+  /** Scalar reference model of [[expq]] — same IEEE tree in plain JVM
+    * doubles; bit-identical to the Column form and the DuckDB mirror.
+    */
+  def expqDouble(x: Double): Double = {
+    val k = math.floor(x * (1.0 / Ln2) + 0.5)
+    val r = x - k * Ln2
+    val s = 1.0 + r * (1.0 + r * (1.0 / 2.0 + r * (1.0 / 6.0 +
+      r * (1.0 / 24.0 + r * (1.0 / 120.0 + r * (1.0 / 720.0 +
+        r * (1.0 / 5040.0 + r * (1.0 / 40320.0 + r * (1.0 / 362880.0 +
+          r * (1.0 / 3628800.0 + r * (1.0 / 39916800.0 +
+            r * (1.0 / 479001600.0))))))))))))
+    s * math.pow(2.0, k)
+  }
+
+  /** Deterministic natural exponential — [[lnq]]'s inverse, same
+    * contract: ONLY correctly-rounded IEEE ops in a FIXED order, so
+    * any binary64 engine evaluating the mirrored formula produces the
+    * bit-identical double.
+    *
+    * Algorithm: k = ⌊x/ln2 + 1/2⌋ (one multiply by the precomputed
+    * reciprocal literal, one add, one floor — every step correctly
+    * rounded, so k is engine-independent); r = x − k·ln2 ∈ ~[−0.35,
+    * 0.35]; e^r by a fixed-order 13-term Taylor Horner (truncation
+    * ~1e-16 relative — accuracy bounds metric error, determinism is
+    * exact); e^x = e^r · 2^k with the power-of-two scale exact.
+    * Unlike libm's extra-precision ln2-hi/lo reduction, r carries a
+    * ~1e-17 representation error — harmless: it shifts the VALUE a
+    * few ulps identically in every engine. Domain |x| ≲ 700.
+    *
+    * Coefficients are compile-time double quotients (1.0/6.0, …); the
+    * SQL mirror ([[graft.SparkEntry]]'s expSqlChain) writes
+    * (1e0/6e0) so DuckDB types them DOUBLE.
+    */
+  def expq(x: Column): Column = {
+    val k = floor(x * lit(1.0 / Ln2) + lit(0.5))
+    val r = x - k * lit(Ln2)
+    val s = lit(1.0) + r * (lit(1.0) + r * (lit(1.0 / 2.0) +
+      r * (lit(1.0 / 6.0) + r * (lit(1.0 / 24.0) + r * (lit(1.0 / 120.0) +
+        r * (lit(1.0 / 720.0) + r * (lit(1.0 / 5040.0) +
+          r * (lit(1.0 / 40320.0) + r * (lit(1.0 / 362880.0) +
+            r * (lit(1.0 / 3628800.0) + r * (lit(1.0 / 39916800.0) +
+              r * lit(1.0 / 479001600.0))))))))))))
+    s * pow(lit(2.0), k)
+  }
+
   /** Deterministic natural log; see object doc. Bit-identical in any
     * IEEE-754 engine evaluating the mirrored formula.
     */

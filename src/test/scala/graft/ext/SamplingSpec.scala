@@ -409,4 +409,35 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again === out.map(_._1).toSet)
   }
+
+  test("temperatureAllocate: sums to target; T=1 ~ proportional, " +
+    "large T ~ uniform") {
+    val counts = Seq(("a", 6400L), ("b", 1600L), ("c", 100L))
+      .toDF("src", "n")
+    def alloc(t: Double) = Sampling
+      .temperatureAllocate(counts, "src", "n", target = 1000L, t)
+      .select("src", "alloc").as[(String, Long)].collect().toMap
+    val t1 = alloc(1.0)
+    assert(t1.values.sum === 1000L)
+    // T=1: weights ~ n -> ~ proportional 790/197/12
+    assert(t1("a") > 750L && t1("c") < 30L, s"$t1")
+    val t100 = alloc(100.0)
+    assert(t100.values.sum === 1000L)
+    // T=100: n^(0.01) nearly flat -> every source near 333
+    assert(t100.values.forall(v => v > 300L && v < 370L), s"$t100")
+    // T=2 matches the sqrt weights of the dedicated T=2 path
+    val t2 = alloc(2.0)
+    val w2 = counts.select($"src",
+      org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.sqrt($"n".cast("double")) * 1e6)
+        .cast("long").as("w"))
+    val direct = Sampling.largestRemainderAllocate(w2, "src", "w", 1000L)
+      .select("src", "alloc").as[(String, Long)].collect().toMap
+    // expq(lnq(n)/2) and IEEE sqrt agree to ~1e-13 relative; the
+    // floor-quantized micro-weights may differ by 1 ulp-of-grid, so
+    // allocations agree within 1 token per source.
+    t2.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) <= 1L, s"$k: $v vs ${direct(k)}")
+    }
+  }
 }

@@ -51,4 +51,45 @@ class DetMathSpec extends SparkSpec {
     }
     assert(worst < 5e-13, s"worst=$worst")
   }
+
+  test("expq(0) is exactly 1 and integer multiples of ln2 are exact " +
+    "powers of two") {
+    assert(bits(DetMath.expqDouble(0.0)) == bits(1.0))
+    for (k <- -60 to 60) {
+      val got = DetMath.expqDouble(k.toDouble * DetMath.Ln2)
+      // r = k*ln2 - k*ln2 = 0 exactly -> s = 1 -> 2^k exactly
+      assert(bits(got) == bits(math.pow(2.0, k.toDouble)), s"k=$k")
+    }
+  }
+
+  test("Column expq is bit-identical to the scalar model across " +
+    "surprisal/score-shaped inputs") {
+    val xs = (1 to 20000).flatMap { i =>
+      Seq(
+        i.toDouble / 1000.0,            // surprisal range [0, 20]
+        -i.toDouble / 2000.0,           // negative scores
+        i.toDouble / 7919.0 - 1.3,      // straddling zero
+        (i % 1400).toDouble / 2.0 - 350.0)  // wide-exponent sweep
+    }
+    val got = xs.toDF("x")
+      .select(col("x"), DetMath.expq(col("x")).as("ex"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (x, ex) =>
+      assert(bits(ex) == bits(DetMath.expqDouble(x)), s"x=$x")
+    }
+  }
+
+  test("expq tracks libm exp within 1e-13 relative and inverts lnq " +
+    "to ~1e-12") {
+    (1 to 5000).foreach { i =>
+      val x = i.toDouble / 250.0 - 10.0  // [-10, 10]
+      val e = DetMath.expqDouble(x)
+      assert(math.abs(e - math.exp(x)) / math.exp(x) < 1e-13, s"x=$x")
+    }
+    (1 to 5000).foreach { i =>
+      val x = i.toDouble / 3.7
+      val rt = DetMath.expqDouble(DetMath.lnqDouble(x))
+      assert(math.abs(rt - x) / x < 1e-12, s"x=$x")
+    }
+  }
 }
