@@ -634,6 +634,14 @@ object SparkEntry {
         TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text"),
         GopherGates)),
 
+    // [EXT] Welch's unequal-variance t-test on the value metric
+    // between the two lowest variants (click vs error).
+    "q_welch_ttest" -> ((s, dir) =>
+      Behavior.welchTTest(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "error") && valueValid),
+        "event_type", "value")),
+
     // [EXT] Exact join-output cardinality WITHOUT running the join
     // (events × orders on the customer key — the M×N blowup case a
     // planner wants quantified before committing to a plan).
@@ -2605,6 +2613,39 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // Per-gate UNION arms generated from the same gate list as the
     // query; counts are exact integers.
     "q_gate_ablation" -> gateAblationOracleSql,
+
+    // Same op tree as Behavior.welchTTest over decimal-exact moments.
+    "q_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+        |    AND value BETWEEN 0e0 AND 2e2
+        |  GROUP BY 1),
+        |a AS (SELECT variant AS variant_a, n AS n_a, s1 AS s1a, s2 AS s2a
+        |      FROM m ORDER BY variant LIMIT 1),
+        |b AS (SELECT variant AS variant_b, n AS n_b, s1 AS s1b, s2 AS s2b
+        |      FROM (SELECT * FROM m ORDER BY variant LIMIT 2)
+        |      ORDER BY variant DESC LIMIT 1),
+        |c AS (
+        |  SELECT variant_a, variant_b, n_a, n_b,
+        |    ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1e0)) / CAST(n_a AS DOUBLE) AS va,
+        |    ((s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1e0)) / CAST(n_b AS DOUBLE) AS vb,
+        |    s1a / CAST(n_a AS DOUBLE) AS ma,
+        |    s1b / CAST(n_b AS DOUBLE) AS mb
+        |  FROM a CROSS JOIN b)
+        |SELECT variant_a, variant_b, n_a, n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+        |  ROUND((va + vb) * (va + vb)
+        |    / (va * va / (CAST(n_a AS DOUBLE) - 1e0)
+        |      + vb * vb / (CAST(n_b AS DOUBLE) - 1e0)), 6) AS df_welch
+        |FROM c""".stripMargin,
 
     "q_join_cardinality" ->
       """WITH ca AS (

@@ -165,6 +165,60 @@ object Behavior {
             lit(1.0) / col("n_b").cast("double"))), 6))
   }
 
+  /** Welch's unequal-variance two-sample t-test — the continuous-
+    * metric sibling of [[conversionZTest]] (that one compares
+    * proportions; experiments on revenue/latency/quality-score means
+    * need this, and Student's equal-variance pooling is exactly the
+    * assumption A/B variants violate). Reports t and the
+    * Welch–Satterthwaite effective degrees of freedom — the two
+    * numbers a results dashboard feeds into the t-distribution.
+    *
+    * Determinism: per-variant moments are exact DECIMAL(18,6) sums
+    * (partition-order-free, the [[Analytics.zscoreOutliers]]
+    * discipline); t and df are then fixed IEEE trees over those exact
+    * inputs, rounded to 6 dp. Variant pairing follows
+    * [[conversionZTest]]: the two lexicographically-lowest variants.
+    *
+    * Scale shape: one variant-keyed moment aggregate (map-side
+    * combinable, ≤ |variants| rows), then one-row arithmetic.
+    */
+  def welchTTest(
+      df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val perVariant = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(variantCol).as("__variant"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v).cast("double").as("__s1"),
+        sum(v * v).cast("double").as("__s2"))
+    val a = perVariant.orderBy(col("__variant").asc).limit(1)
+      .select(col("__variant").as("variant_a"), col("__n").as("n_a"),
+        col("__s1").as("__s1a"), col("__s2").as("__s2a"))
+    val b = perVariant.orderBy(col("__variant").asc).limit(2)
+      .orderBy(col("__variant").desc).limit(1)
+      .select(col("__variant").as("variant_b"), col("__n").as("n_b"),
+        col("__s1").as("__s1b"), col("__s2").as("__s2b"))
+    def mean(s1: Column, n: Column) = s1 / n.cast("double")
+    def varOverN(s1: Column, s2: Column, n: Column) = {
+      val nd = n.cast("double")
+      ((s2 - s1 * s1 / nd) / (nd - lit(1.0))) / nd
+    }
+    val va = varOverN(col("__s1a"), col("__s2a"), col("n_a"))
+    val vb = varOverN(col("__s1b"), col("__s2b"), col("n_b"))
+    a.crossJoin(b)
+      .withColumn("mean_a", round(mean(col("__s1a"), col("n_a")), 6))
+      .withColumn("mean_b", round(mean(col("__s1b"), col("n_b")), 6))
+      .withColumn("t_stat", round(
+        (mean(col("__s1a"), col("n_a")) - mean(col("__s1b"), col("n_b"))) /
+          sqrt(va + vb), 6))
+      .withColumn("df_welch", round(
+        (va + vb) * (va + vb) /
+          (va * va / (col("n_a").cast("double") - lit(1.0)) +
+            vb * vb / (col("n_b").cast("double") - lit(1.0))), 6))
+      .select("variant_a", "variant_b", "n_a", "n_b", "mean_a", "mean_b",
+        "t_stat", "df_welch")
+  }
+
   /** Decile lift table (gains chart): rank rows by score descending,
     * cut into `buckets` equal tiles, and report each tile's positive
     * rate against the base rate — "the top decile converts at 3.1×

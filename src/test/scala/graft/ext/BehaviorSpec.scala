@@ -286,4 +286,36 @@ class BehaviorSpec extends SparkSpec {
       .toSet
     assert(run(1) == run(17))
   }
+
+  test("welchTTest: matches the closed-form scalar model on unequal " +
+    "variances and picks the two lowest variants") {
+    val a = Seq(10.0, 12.0, 11.0, 13.0, 9.0)        // tight
+    val b = Seq(5.0, 25.0, 1.0, 30.0, 14.0, 2.0)    // wide
+    val rows = a.map(("alpha", _)) ++ b.map(("beta", _)) ++
+      Seq(("zeta", 99.0)) // third variant must be ignored
+    val out = Behavior.welchTTest(
+      rows.toDF("variant", "value"), "variant", "value")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .head()
+    def stats(xs: Seq[Double]) = {
+      val n = xs.length
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(a)
+    val (nb, mb, vb) = stats(b)
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(out._1 === "alpha" && out._2 === "beta")
+    assert(out._3 === na.toLong && out._4 === nb.toLong)
+    assert(math.abs(out._5 - ma) < 1e-6)
+    assert(math.abs(out._7 - t) < 1e-5, s"t ${out._7} vs $t")
+    assert(math.abs(out._8 - df) < 1e-4, s"df ${out._8} vs $df")
+    // Welch df must sit strictly below the pooled n-2 when variances
+    // differ (the whole reason to use it)
+    assert(out._8 < (na + nb - 2).toDouble)
+  }
 }
