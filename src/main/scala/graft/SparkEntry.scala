@@ -634,6 +634,46 @@ object SparkEntry {
         TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text"),
         GopherGates)),
 
+    // [EXT] Matryoshka truncation eval: recall@10 of retrieval over
+    // the FIRST 16 DIMS against the full-64-dim ground truth — "can
+    // we serve the cheap prefix embedding" (Kusupati et al. '22).
+    "q_mrl_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", 10),
+        Similarity.bruteForceTopK(
+          trunc, trunc.filter(col("vec_id") < 50), "vec_id", "embedding", 10),
+        k = 10)
+    }),
+
+    // [EXT] l-diversity audit: (segment, balance-band) classes whose
+    // sensitive attribute (nation) shows fewer than l=10 distinct
+    // values — the homogeneity-attack complement of q_kanon.
+    "q_ldiversity" -> ((s, dir) =>
+      graft.ops.Quality.lDiversityAudit(
+        Tables.customer(s, dir)
+          .withColumn("bal_band", floor(col("c_acctbal") / 50.0)
+            .cast("long")),
+        Seq("c_mktsegment", "bal_band"), "c_nationkey", 10L)),
+
+    // [EXT] Kaplan–Meier user-lifetime curve: duration = days between
+    // first and last activity; censored when the user is still active
+    // within 3 days of the corpus horizon.
+    "q_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hz = ev.agg(max(col("ts")).as("__hz"))
+      val subjects = ev.groupBy(col("user_id"))
+        .agg(
+          datediff(max(col("ts")), min(col("ts"))).as("duration"),
+          max(col("ts")).as("__last"))
+        .crossJoin(broadcast(hz))
+        .withColumn("observed", datediff(col("__hz"), col("__last")) > 3)
+      Behavior.kaplanMeier(subjects, "duration", "observed")
+    }),
+
     // [EXT] Welch's unequal-variance t-test on the value metric
     // between the two lowest variants (click vs error).
     "q_welch_ttest" -> ((s, dir) =>
@@ -2069,6 +2109,38 @@ SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
   CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / 10e0 AS recall
 FROM j GROUP BY 1"""
 
+  /** Matryoshka recall oracle: the same brute-force top-10 chain run
+    * over the full 64-dim and the [1:16] prefix embeddings, joined in
+    * the annRecall shape.
+    */
+  private def mrlRecallOracleSql: String = {
+    def topkCte(src: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(list_inner_product(q.emb, c.emb)
+         |          / (sqrt(list_inner_product(q.emb, q.emb))
+         |            * sqrt(list_inner_product(c.emb, c.emb))), 6) DESC,
+         |        c.vec_id) AS rnk
+         |    FROM $src q JOIN $src c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 50)
+         |  WHERE rnk <= 10""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+t AS (SELECT vec_id, emb[1:16] AS emb FROM e),
+ex AS (
+  ${topkCte("e")}),
+ap AS (
+  ${topkCte("t")}),
+j AS (
+  SELECT e.query_id,
+    CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex e LEFT JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+  CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / 10e0 AS recall
+FROM j GROUP BY 1"""
+  }
+
   /** The Gopher gate columns, in rule order — shared by the
     * q_gate_ablation query and its oracle generator.
     */
@@ -2613,6 +2685,76 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // Per-gate UNION arms generated from the same gate list as the
     // query; counts are exact integers.
     "q_gate_ablation" -> gateAblationOracleSql,
+
+    "q_mrl_recall" -> mrlRecallOracleSql,
+
+    "q_ldiversity" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 5e1) AS BIGINT) AS bal_band,
+        |    c_nationkey, COUNT(*) AS cc
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT c_mktsegment, bal_band,
+        |    CAST(SUM(cc) AS BIGINT) AS class_size,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sensitive_values
+        |  FROM c GROUP BY 1, 2)
+        |SELECT * FROM g WHERE n_sensitive_values < 10""".stripMargin,
+
+    // Running product as exact integer prefix sums of floor-quantized
+    // lnq factors; survival via the expq chain (PSI discipline applied
+    // to a product).
+    "q_kaplan_meier" ->
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) AS BIGINT)
+        |      AS duration,
+        |    MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT MAX(ts) AS h FROM events),
+        |subj AS (
+        |  SELECT duration,
+        |    ((CAST(h AS DATE) - CAST(last_ts AS DATE)) > 3) AS observed
+        |  FROM pu CROSS JOIN hz),
+        |byt AS (
+        |  SELECT duration,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT *, n_events + n_censored AS dc,
+        |    SUM(n_events + n_censored) OVER (ORDER BY duration) AS cum_dc,
+        |    (SELECT SUM(n_events + n_censored) FROM byt) AS nn
+        |  FROM byt),
+        |t1 AS (
+        |  SELECT duration, n_events, n_censored,
+        |    CAST(nn - (cum_dc - dc) AS BIGINT) AS n_risk,
+        |    CASE WHEN nn - (cum_dc - dc) = n_events THEN 1 ELSE 0 END
+        |      AS zero
+        |  FROM r),
+        |t2 AS (
+        |  SELECT duration, n_events, n_censored, n_risk, zero,
+        |    GREATEST(CAST(n_risk - n_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE), 1e-300) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |  CASE WHEN zero = 1 THEN 0 WHEN n_events = 0 THEN 0
+        |    ELSE CAST(FLOOR(__lnx * 1e12) AS BIGINT) END AS tq
+        |  FROM t1),
+        |t3 AS (
+        |  SELECT duration, n_events, n_censored, n_risk,
+        |    SUM(tq) OVER (ORDER BY duration) AS cum_tq,
+        |    SUM(zero) OVER (ORDER BY duration) AS cum_zero
+        |  FROM t2),
+        |t4 AS (
+        |  SELECT duration, n_events, n_censored, n_risk, cum_zero,
+        |    CAST(cum_tq AS DOUBLE) / 1e12 AS __sx,
+        |  ${expSqlChain("__sx", "__ex")}
+        |  FROM t3)
+        |SELECT duration, n_risk, n_events, n_censored,
+        |  CASE WHEN cum_zero > 0 THEN 0e0 ELSE __ex END AS survival
+        |FROM t4""".stripMargin,
 
     // Same op tree as Behavior.welchTTest over decimal-exact moments.
     "q_welch_ttest" ->

@@ -219,6 +219,71 @@ object Behavior {
         "t_stat", "df_welch")
   }
 
+  /** Kaplan–Meier survival curve — the censoring-correct retention
+    * estimate ([[retentionWeekly]] counts who CAME BACK; this
+    * estimates how long users LAST when many are still alive at the
+    * observation edge, which naive "avg lifetime" silently
+    * understates). Input: one row per subject with an integer
+    * `durationCol` and boolean `observedCol` (true = the terminal
+    * event happened; false = censored at that duration).
+    *
+    * Estimator: over distinct durations t ascending, with n_t = at
+    * risk, d_t = events at t: S(t) = Π_{u≤t} (1 − d_u/n_u).
+    *
+    * Determinism: each factor is 1−d/n = (n−d)/n, an exact integer
+    * ratio, so ln(factor) is ONE [[graft.functions.DetMath.lnq]] on
+    * it, floor-quantized to ⌊ln·10¹²⌋; the product becomes an exact
+    * integer prefix sum and S(t) is one [[graft.functions
+    * .DetMath.expq]] per output row — bit-identical cross-engine, the
+    * PSI/DSIR discipline applied to a running product. A duration
+    * where everyone at risk dies (n = d) zeroes the curve from there
+    * on (flagged, not ln(0)).
+    *
+    * Scale shape: one duration-keyed count aggregate collapses the
+    * population to ≤ |distinct durations| rows, then TWO
+    * [[graft.plans.Prefix.withRunningSums]] passes over that bounded
+    * table (at-risk needs the prior-row sum before the term exists;
+    * the survival sum needs the term) — no unpartitioned window
+    * anywhere. Output: (duration, n_risk, n_events, n_censored,
+    * survival).
+    */
+  def kaplanMeier(
+      df: DataFrame, durationCol: String, observedCol: String): DataFrame = {
+    val byT = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(
+        sum(when(col(observedCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("n_censored"))
+      .withColumn("__dc", col("n_events") + col("n_censored"))
+    val total = byT.agg(sum(col("__dc")).as("__N"))
+    val withRisk = graft.plans.Prefix
+      .withRunningSum(byT, Seq(col("duration")), "__dc", "__cum_dc")
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__N") - (col("__cum_dc") - col("__dc")))
+    val termed = withRisk
+      .withColumn("__zero", when(col("n_risk") === col("n_events"), 1L)
+        .otherwise(0L))
+      // clamp keeps the (n=d ⇒ ratio 0) row finite in engines that
+      // evaluate the whole ln chain before the CASE; the term is
+      // discarded by the zero flag either way.
+      .withColumn("__tq",
+        when(col("__zero") === 1L, 0L)
+          .when(col("n_events") === 0L, 0L)
+          .otherwise(floor(graft.functions.DetMath.lnq(greatest(
+            (col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk").cast("double"), lit(1e-300))) * lit(1e12))
+            .cast("long")))
+    graft.plans.Prefix
+      .withRunningSums(termed, Seq(col("duration")),
+        Seq("__tq" -> "__cum_tq", "__zero" -> "__cum_zero"))
+      .withColumn("survival",
+        when(col("__cum_zero") > 0L, lit(0.0))
+          .otherwise(graft.functions.DetMath.expq(
+            col("__cum_tq").cast("double") / lit(1e12))))
+      .select("duration", "n_risk", "n_events", "n_censored", "survival")
+  }
+
   /** Decile lift table (gains chart): rank rows by score descending,
     * cut into `buckets` equal tiles, and report each tile's positive
     * rate against the base rate — "the top decile converts at 3.1×

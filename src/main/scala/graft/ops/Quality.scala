@@ -125,6 +125,30 @@ object Quality {
           .as("exposed_share")): _*)
   }
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s homogeneity-attack
+    * complement: a class can be large (k-anonymous) yet expose its
+    * members anyway if nearly all of them share the SENSITIVE value
+    * ("everyone in this zip-and-age bucket has the same diagnosis").
+    * Flags every quasi-identifier class whose sensitive attribute
+    * takes fewer than `l` distinct values.
+    *
+    * Same bounded shape as the k-audit: one two-level aggregate —
+    * (QI, sensitive)-keyed collapse, then QI-keyed counts — both
+    * map-side combinable; output is the violating classes only.
+    */
+  def lDiversityAudit(
+      df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy((quasiIdCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(sum(col("__c")).as("class_size"),
+        count(lit(1)).as("n_sensitive_values"))
+      .filter(col("n_sensitive_values") < l)
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val digits = df
       .filter(col(valueCol) >= 1)

@@ -318,4 +318,31 @@ class BehaviorSpec extends SparkSpec {
     // differ (the whole reason to use it)
     assert(out._8 < (na + nb - 2).toDouble)
   }
+
+  test("kaplanMeier: textbook curve with censoring and a terminal " +
+    "n=d zero, partition-invariant") {
+    val subj = Seq(
+      (1L, true), (2L, true), (2L, false), (3L, true),
+      (4L, false), (5L, true))
+      .toDF("duration", "observed")
+    val out = Behavior.kaplanMeier(subj, "duration", "observed")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // (duration, n_risk, n_events, n_censored, survival)
+    assert(out(1L)._2 === 6L && out(1L)._3 === 1L)
+    assert(math.abs(out(1L)._5 - 5.0 / 6.0) < 1e-9)
+    assert(out(2L)._2 === 5L && out(2L)._3 === 1L && out(2L)._4 === 1L)
+    assert(math.abs(out(2L)._5 - 2.0 / 3.0) < 1e-9)
+    assert(out(3L)._2 === 3L)
+    assert(math.abs(out(3L)._5 - 4.0 / 9.0) < 1e-9)
+    // censoring-only duration leaves the curve flat
+    assert(out(4L)._3 === 0L && out(4L)._5 === out(3L)._5)
+    // last subject dies: n_risk = n_events -> survival exactly 0
+    assert(out(5L)._2 === 1L && out(5L)._5 === 0.0)
+    val again = Behavior.kaplanMeier(
+      subj.repartition(8), "duration", "observed")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === out)
+  }
 }

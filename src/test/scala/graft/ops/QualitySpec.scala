@@ -90,4 +90,21 @@ class QualitySpec extends SparkSpec {
       Seq("check_name", "n_rows", "n_violations", "pass_rate"))
     assert(rep.count() === 2L)
   }
+
+  test("lDiversityAudit: homogeneous classes flagged even when " +
+    "k-anonymous; diverse classes pass") {
+    val rows = Seq(
+      // class (a,x): 4 members, all same diagnosis -> 1 distinct
+      ("a", "x", "flu"), ("a", "x", "flu"), ("a", "x", "flu"),
+      ("a", "x", "flu"),
+      // class (b,y): 3 members, 3 distinct -> diverse
+      ("b", "y", "flu"), ("b", "y", "cold"), ("b", "y", "cough"))
+      .toDF("zip", "age", "diag")
+    val out = Quality.lDiversityAudit(rows, Seq("zip", "age"), "diag", 2L)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toList === List(("a", "x", 4L, 1L)))
+    // the homogeneous class is k-anonymous at k=3 — k alone missed it
+    assert(Quality.kAnonymityAudit(
+      rows, Seq("zip", "age"), 3L).count() === 0L)
+  }
 }
