@@ -682,6 +682,14 @@ object SparkEntry {
           .filter(col("event_type").isin("click", "error") && valueValid),
         "event_type", "value")),
 
+    // [EXT] The join planner's decision table for events ⋈ orders:
+    // key-statistics aggregates + an exact-integer CASE (thresholds
+    // chosen so the verdict is the non-trivial branch here).
+    "q_join_plan" -> ((s, dir) =>
+      graft.ops.JoinPlanner.planReport(
+        Tables.events(s, dir), Tables.orders(s, dir), Seq("user_id"),
+        broadcastMaxRows = 1000L, skewRatio = 16L)),
+
     // [EXT] Exact join-output cardinality WITHOUT running the join
     // (events × orders on the customer key — the M×N blowup case a
     // planner wants quantified before committing to a plan).
@@ -2687,6 +2695,22 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_gate_ablation" -> gateAblationOracleSql,
 
     "q_mrl_recall" -> mrlRecallOracleSql,
+
+    "q_join_plan" ->
+      """WITH b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS build_rows FROM orders),
+        |p0 AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS probe_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS probe_keys,
+        |    CAST(MAX(c) AS BIGINT) AS probe_max_key_rows
+        |  FROM p0)
+        |SELECT build_rows, probe_rows, probe_keys, probe_max_key_rows,
+        |  CASE WHEN build_rows <= 1000 THEN 'broadcast'
+        |       WHEN probe_max_key_rows * probe_keys >= 16 * probe_rows
+        |         THEN 'salted'
+        |       ELSE 'shuffle' END AS strategy
+        |FROM b CROSS JOIN p""".stripMargin,
 
     "q_ldiversity" ->
       """WITH c AS (
