@@ -587,6 +587,20 @@ object SparkEntry {
       Sampling.largestRemainderAllocate(tok, "source", "weight_q", 20000L)
     }),
 
+    // [EXT] Capacity-capped water-filling: √n-flattened 25k-token mix
+    // where no source can give more than it has — capped prefix +
+    // exact residual apportionment, one pass.
+    "q_mix_capped" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("weight_q",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+            .cast("long"))
+      Sampling.cappedAllocate(tok, "source", "weight_q", "n_tokens", 25000L)
+    }),
+
     // [EXT] General-temperature (T=3) mixture apportionment — weights
     // n^(1/3) via the deterministic lnq/expq pair, exact Hamilton
     // allocation of a 20k-token target.
@@ -809,6 +823,11 @@ object SparkEntry {
     // consumer of the deterministic-exp kernel (bit-exact, no round).
     "q_doc_perplexity" -> ((s, dir) =>
       Vocab.docPerplexity(Tables.documents(s, dir), "doc_id", "text")),
+
+    // [EXT] Held-out perplexity: LM fit on the 80% hash-split train
+    // slice, only test docs scored, reserved mass for unseen terms.
+    "q_heldout_ppl" -> ((s, dir) =>
+      Vocab.heldOutPerplexity(Tables.documents(s, dir), "doc_id", "text")),
 
     // [EXT] Bigram-LM conditional surprisal (one model order up: catches
     // shuffled-word junk that unigram statistics cannot see).
@@ -3422,6 +3441,60 @@ FROM deg GROUP BY 1"""
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r""".stripMargin,
 
+    // Water-filling: capped set = prefix of the cap/weight order
+    // (ROWS frame), exact HUGEINT membership test, residual through
+    // the Hamilton chain; capped rows union back with alloc = cap.
+    "q_mix_capped" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(LEN(str_split(TRIM(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT source, n_tokens,
+        |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS weight_q
+        |  FROM tok),
+        |tot AS (SELECT CAST(SUM(weight_q) AS HUGEINT) AS tw FROM s),
+        |o AS (
+        |  SELECT source, n_tokens, weight_q,
+        |    CAST(SUM(n_tokens) OVER win AS HUGEINT) - n_tokens
+        |      AS cumcap_prev,
+        |    CAST(SUM(weight_q) OVER win AS HUGEINT) - weight_q
+        |      AS cumw_prev
+        |  FROM s
+        |  WINDOW win AS (
+        |    ORDER BY CAST(n_tokens AS DOUBLE) / CAST(weight_q AS DOUBLE),
+        |      source ROWS UNBOUNDED PRECEDING)),
+        |f AS (
+        |  SELECT o.*,
+        |    ((25000 - cumcap_prev) * weight_q >=
+        |      CAST(n_tokens AS HUGEINT) * (tw - cumw_prev)) AS capped
+        |  FROM o CROSS JOIN tot),
+        |cappedrows AS (
+        |  SELECT source, weight_q, n_tokens, capped,
+        |    CAST(n_tokens AS BIGINT) AS alloc
+        |  FROM f WHERE capped),
+        |res AS (
+        |  SELECT 25000 - COALESCE(SUM(alloc), 0) AS rt FROM cappedrows),
+        |u AS (SELECT source, weight_q, n_tokens, capped
+        |      FROM f WHERE NOT capped),
+        |utw AS (SELECT CAST(SUM(weight_q) AS HUGEINT) AS t FROM u),
+        |s2 AS (
+        |  SELECT u.*,
+        |    ((SELECT rt FROM res) * weight_q) // t AS base,
+        |    ((SELECT rt FROM res) * weight_q) % t AS frac
+        |  FROM u CROSS JOIN utw),
+        |us AS (SELECT SUM(base) AS used FROM s2),
+        |r2 AS (SELECT s2.*, ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+        |         AS rk FROM s2)
+        |SELECT source, weight_q, n_tokens, capped,
+        |  CAST(base + CASE WHEN rk <= (SELECT rt FROM res)
+        |    - (SELECT used FROM us) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r2
+        |UNION ALL
+        |SELECT source, weight_q, n_tokens, capped, alloc
+        |FROM cappedrows""".stripMargin,
+
     // n^(1/3) via the mirrored lnq->scale->expq chain, then the
     // Hamilton apportionment in HUGEINT (the q_mix_plan chain).
     "q_mix_temp_general" ->
@@ -3703,6 +3776,52 @@ FROM deg GROUP BY 1"""
     "q_unigram_surprisal" ->
       s"""WITH $surprisalSqlCtes
         |SELECT doc_id, n_tokens, surprisal FROM surp""".stripMargin,
+
+    // Train-slice LM (md5 split gate), one lnq per distinct train
+    // term + one for the reserved unseen mass; exact integer per-doc
+    // sums; mean and perplexity are mirrored IEEE trees.
+    "q_heldout_ppl" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 < 80 AS tr,
+        |    unnest(str_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE tr GROUP BY 1),
+        |model AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) + 1
+        |    AS m FROM counts),
+        |lam AS (
+        |  SELECT term,
+        |    CAST(m AS DOUBLE) / CAST(c + 1 AS DOUBLE) AS __x,
+        |  ${lnSqlChain("__x", "__lnx")},
+        |  CAST(FLOOR(__lnx * 1e9) AS BIGINT) AS lamq
+        |  FROM counts CROSS JOIN model),
+        |lam0 AS (
+        |  SELECT CAST(m AS DOUBLE) AS __x0,
+        |  ${lnSqlChain("__x0", "__lnx0")},
+        |  CAST(FLOOR(__lnx0 * 1e9) AS BIGINT) AS lam0q
+        |  FROM model),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(l.lamq, (SELECT lam0q FROM lam0)) AS q
+        |  FROM toks t LEFT JOIN lam l USING (term) WHERE NOT t.tr),
+        |g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(q) AS BIGINT) AS sq
+        |  FROM sc GROUP BY 1),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    (CAST(sq AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE)
+        |      AS surprisal
+        |  FROM g),
+        |px AS (
+        |  SELECT doc_id, n_tokens, surprisal,
+        |  ${expSqlChain("surprisal", "perplexity")}
+        |  FROM f)
+        |SELECT doc_id, n_tokens, surprisal, perplexity FROM px""".stripMargin,
 
     "q_doc_perplexity" ->
       s"""WITH $surprisalSqlCtes,

@@ -434,6 +434,70 @@ object Sampling {
     largestRemainderAllocate(w, keyCol, "weight_q", target)
   }
 
+  /** Capacity-capped proportional apportionment (water-filling) — the
+    * REAL mixture problem: allocate `target` tokens ∝ weights, but no
+    * stratum can give more than it has (`capCol`). Plain
+    * [[largestRemainderAllocate]] happily assigns a small source 3×
+    * its size; this one caps it and re-levels the excess onto the
+    * uncapped strata — in ONE pass, no iteration: sorted by the
+    * exhaustion ratio cap/weight ascending, the capped set is a
+    * PREFIX, and membership is an exact-integer cross-multiplied test
+    * per row ((T − caps-before)·w ≥ cap·(weight-at-or-after)); the
+    * residual then flows through the exact Hamilton apportionment.
+    * The +1 largest-remainder unit cannot breach a cap (an uncapped
+    * stratum's real share is strictly below its integer cap, so
+    * ⌊share⌋+1 ≤ cap).
+    *
+    * If `target` ≥ Σcaps every stratum caps and the shortfall is
+    * visible as Σalloc < target — reported, not hidden.
+    *
+    * Determinism: the only double is the SORT key cap/w (one
+    * correctly-rounded division, ties by key); every decision and
+    * allocation is exact DECIMAL(38,0) integer arithmetic. Bounded:
+    * everything runs on the strata table.
+    *
+    * Output: (key, weight, cap, capped, alloc).
+    */
+  def cappedAllocate(
+      strata: DataFrame, keyCol: String, weightCol: String,
+      capCol: String, target: Long): DataFrame = {
+    require(target >= 0, s"target must be >= 0: $target")
+    val dec = "decimal(38,0)"
+    val w = col(weightCol).cast(dec)
+    val cap = col(capCol).cast(dec)
+    // ROWS frame (not the default RANGE): tied ratios must not pool
+    // into one frame — the (ratio, key) order is a total order.
+    val byRatio = org.apache.spark.sql.expressions.Window
+      .orderBy(col(capCol).cast("double") / col(weightCol).cast("double"),
+        col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = strata.agg(sum(w).as("__tw"))
+    val flagged = strata
+      .withColumn("__cumcap_prev", sum(cap).over(byRatio).cast(dec) - cap)
+      .withColumn("__cumw_prev", sum(w).over(byRatio).cast(dec) - w)
+      .crossJoin(broadcast(tot))
+      .withColumn("capped",
+        (lit(target).cast(dec) - col("__cumcap_prev")) * w >=
+          cap * (col("__tw") - col("__cumw_prev")))
+    val cappedRows = flagged.filter(col("capped"))
+      .select(col(keyCol), col(weightCol), col(capCol),
+        col("capped"), col(capCol).cast("long").as("alloc"))
+    // The residual is a driver-side exact integer (one bounded
+    // collect — the IVF-centroid class of driver state).
+    val used: Long = cappedRows
+      .agg(coalesce(sum(col("alloc")), lit(0L))).collect()(0).getLong(0)
+    val uncapped = flagged.filter(!col("capped"))
+      .select(col(keyCol), col(weightCol), col(capCol), col("capped"))
+    val allocated =
+      if (uncapped.isEmpty) uncapped.withColumn("alloc", lit(0L))
+      else largestRemainderAllocate(uncapped, keyCol, weightCol,
+        math.max(0L, target - used))
+    cappedRows.unionByName(
+      allocated.select(col(keyCol), col(weightCol), col(capCol),
+        col("capped"), col("alloc")))
+  }
+
   /** EXACTLY-k deterministic uniform sample: the k keys with the
     * smallest portable md5 hashes. [[hashSample]]'s gate gives a
     * BINOMIAL size (±√n) — fine for rates, wrong when the contract is

@@ -102,6 +102,59 @@ object Vocab {
       .withColumn("perplexity",
         graft.functions.DetMath.expq(col("surprisal")))
 
+  /** HELD-OUT perplexity — the methodologically-honest version of
+    * [[docPerplexity]]: that one scores every document under a model
+    * fit on the whole corpus (fine as a relative quality signal,
+    * biased as an eval — each doc helped train its own model). Here
+    * the corpus hash-splits (portable md5 gate, `trainPct`%), an
+    * add-1-smoothed unigram LM fits on TRAIN tokens only, and only
+    * TEST documents are scored — unseen terms get the reserved-mass
+    * probability 1/(N+V+1).
+    *
+    * Exactness (the DSIR discipline): each term's nll is ONE
+    * [[graft.functions.DetMath.lnq]] on the exact integer ratio
+    * (N+V+1)/(c+1), floor-quantized to ⌊ln·10⁹⌋; per-doc totals are
+    * exact integer sums; the mean and its expq are fixed IEEE trees.
+    *
+    * Scale shape: the model table is vocabulary-bounded and broadcast
+    * into the scoring pass; two tokenize passes (fit + score), one
+    * doc-keyed aggregate.
+    */
+  def heldOutPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"bad trainPct: $trainPct")
+    val isTrain = graft.ext.Sampling.hashGate(col(idCol), lit(trainPct))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTrain.as("__train"),
+        explode(tokens(col(textCol))).as("term"))
+    val counts = toks.filter(col("__train"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val model = counts.agg(
+      sum(col("__c")).as("__N"), count(lit(1)).as("__V"))
+      .withColumn("__M", col("__N") + col("__V") + lit(1L))
+    val lam = counts.crossJoin(broadcast(model))
+      .select(col("term"),
+        floor(graft.functions.DetMath.lnq(
+          col("__M").cast("double") / (col("__c") + lit(1L)).cast("double"))
+          * lit(1e9)).cast("long").as("__lam"))
+    val lam0 = model.select(
+      floor(graft.functions.DetMath.lnq(col("__M").cast("double"))
+        * lit(1e9)).cast("long").as("__lam0"))
+    toks.filter(!col("__train"))
+      .join(broadcast(lam), Seq("term"), "left")
+      .crossJoin(broadcast(lam0))
+      .select(col(idCol), coalesce(col("__lam"), col("__lam0")).as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("__sq"))
+      .withColumn("surprisal",
+        (col("__sq").cast("double") / lit(1e9)) /
+          col("n_tokens").cast("double"))
+      .withColumn("perplexity",
+        graft.functions.DetMath.expq(col("surprisal")))
+      .select(idCol, "n_tokens", "surprisal", "perplexity")
+  }
+
   /** Per-document top term by TF-IDF: score = tf · ln(N / df), rounded
     * to 6 dp in-engine (cross-engine float determinism — see the oracle
     * conventions in SparkEntry). Rank ties break by term asc; exactly

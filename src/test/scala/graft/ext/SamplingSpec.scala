@@ -440,4 +440,82 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(v - direct(k)) <= 1L, s"$k: $v vs ${direct(k)}")
     }
   }
+
+  test("cappedAllocate: exact target when feasible, caps never " +
+    "breached, shortfall visible when infeasible") {
+    val strata = Seq(
+      ("a", 10L, 5L), ("b", 10L, 100L), ("c", 10L, 100L))
+      .toDF("k", "w", "cap")
+    val out = Sampling.cappedAllocate(strata, "k", "w", "cap", 35L)
+      .select("k", "capped", "alloc").as[(String, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // a's proportional share 35/3 > 5 -> capped at 5; 30 splits 15/15
+    assert(out === Map(
+      "a" -> ((true, 5L)), "b" -> ((false, 15L)), "c" -> ((false, 15L))))
+
+    // uncappable target: everything caps, shortfall visible
+    val all = Sampling.cappedAllocate(strata, "k", "w", "cap", 10000L)
+      .select("capped", "alloc").as[(Boolean, Long)].collect()
+    assert(all.forall(_._1))
+    assert(all.map(_._2).sum === 205L)
+
+    // non-binding caps reduce to plain Hamilton apportionment
+    val loose = Seq(("a", 7L, 999L), ("b", 2L, 999L), ("c", 1L, 999L))
+      .toDF("k", "w", "cap")
+    val got = Sampling.cappedAllocate(loose, "k", "w", "cap", 101L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    val plain = Sampling.largestRemainderAllocate(
+      loose, "k", "w", 101L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    assert(got === plain)
+  }
+
+  test("cappedAllocate: cascade where capping one source caps the " +
+    "next; total still exact") {
+    // b is generous only until a caps; then b's share overflows too.
+    val strata = Seq(
+      ("a", 50L, 1L), ("b", 30L, 9L), ("c", 20L, 1000L))
+      .toDF("k", "w", "cap")
+    val out = Sampling.cappedAllocate(strata, "k", "w", "cap", 40L)
+      .select("k", "capped", "alloc").as[(String, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // shares: a 20 >= 1 cap; then b: (40-1)*30 >= 9*(30+20)? 1170 >=
+    // 450 -> capped at 9; c takes the remaining 30.
+    assert(out === Map(
+      "a" -> ((true, 1L)), "b" -> ((true, 9L)), "c" -> ((false, 30L))))
+    assert(out.values.map(_._2).sum === 40L)
+  }
+
+  test("heldOutPerplexity scores only test docs and matches the " +
+    "scalar model incl. the unseen-term reserved mass") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) s"alpha beta gamma tok$i" else "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    def bucket(k: Long): Long = graft.functions.Md5Ops.prefix60(
+      k.toString.getBytes("UTF-8")) % 100
+    val trainIds = (0L until 40L).filter(bucket(_) < 80).toSet
+    val out = Vocab.heldOutPerplexity(docs, "doc_id", "text", 80)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === (0L until 40L).toSet.diff(trainIds))
+    // scalar model
+    val trainToks = (0L until 40L).filter(trainIds)
+      .flatMap(i => (if (i % 4 == 0) s"alpha beta gamma tok$i"
+        else "alpha beta gamma").split(" "))
+    val counts = trainToks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val m = trainToks.size.toLong + counts.size.toLong + 1L
+    def lam(t: String): Long = math.floor(
+      graft.functions.DetMath.lnqDouble(
+        m.toDouble / (counts.getOrElse(t, 0L) + 1L).toDouble) * 1e9).toLong
+    out.keySet.foreach { id =>
+      val toks = (if (id % 4 == 0) s"alpha beta gamma tok$id"
+        else "alpha beta gamma").split(" ")
+      val sq = toks.map(lam).sum
+      val surp = (sq.toDouble / 1e9) / toks.length.toDouble
+      assert(out(id)._3 === surp, s"doc $id")
+      assert(out(id)._4 ===
+        graft.functions.DetMath.expqDouble(surp), s"doc $id ppl")
+    }
+  }
 }
