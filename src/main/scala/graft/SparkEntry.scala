@@ -641,6 +641,22 @@ object SparkEntry {
       graft.ext.Curation.disposition(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] Dedup self-eval: precision/recall of the shingle-MinHash
+    // candidate pairs against exact token-Jaccard ≥ 0.5 truth, both
+    // restricted to the lower-id < 200 pair universe. An end-metric
+    // eval of the LSH path, not a self-consistency check.
+    "q_dedup_eval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.pairEval(
+        Dedup.jaccardPairs(d, d.filter(col("doc_id") < 200),
+          "doc_id", "text", threshold = 0.5),
+        "doc_a", "doc_b",
+        Dedup.portableMinHashNearDuplicates(d, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .filter(col("id_a") < 200),
+        "id_a", "id_b")
+    }),
+
     // [EXT] Gate ablation: per Gopher rule, any-failure vs
     // sole-failure (marginal) document counts — one aggregate pass.
     "q_gate_ablation" -> ((s, dir) =>
@@ -2708,6 +2724,37 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_lsh" -> simLshOracleSql,
 
     "q_ann_recall" -> annRecallOracleSql,
+
+    // Truth = the q_dedup_ngram exact-Jaccard chain; candidates = the
+    // q_dedup_minhash chain filtered to the same pair universe.
+    "q_dedup_eval" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, list_distinct(str_split(TRIM(LOWER(text)), ' '))
+        |    AS toks
+        |  FROM documents),
+        |truthp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t0 a JOIN t0 b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 200
+        |    AND CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(LEN(a.toks) + LEN(b.toks)
+        |          - LEN(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5),
+        |candp AS (
+        |  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+        |  FROM ($minHashOracleSql) mh WHERE id_a < 200),
+        |tn AS (SELECT DISTINCT a, b, 1 AS t FROM truthp),
+        |cn AS (SELECT DISTINCT a, b, 1 AS c FROM candp),
+        |j AS (
+        |  SELECT COALESCE(t, 0) AS t, COALESCE(c, 0) AS c
+        |  FROM tn FULL JOIN cn USING (a, b))
+        |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+        |  CAST(SUM(c) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(t * c) AS BIGINT) AS n_hits,
+        |  CAST(CAST(SUM(t * c) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS precision,
+        |  CAST(CAST(SUM(t * c) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS recall
+        |FROM j""".stripMargin,
 
     // Per-gate UNION arms generated from the same gate list as the
     // query; counts are exact integers.

@@ -418,6 +418,38 @@ object Dedup {
     * EAGER: returns a persisted pair frame the caller owns —
     * `unpersist()` it when done (see [[withCleanup]]).
     */
+  /** Pair-table evaluation — precision/recall of a CANDIDATE pair set
+    * against a TRUTH pair set (both normalized to unordered pairs):
+    * the dedup analog of [[Similarity.recallAtK]], closing the
+    * "measure, don't guess" loop for the approximate dedup paths
+    * (how much do the LSH candidates actually recover, and how much
+    * of what they flag is real). One normalize-distinct per side +
+    * one pair-keyed full-outer join + a one-row aggregate — scales
+    * with the PAIR tables, never the corpus.
+    *
+    * Output: one row (n_truth, n_candidates, n_hits, precision,
+    * recall) — counts exact, ratios single IEEE divisions.
+    */
+  def pairEval(
+      truth: DataFrame, ta: String, tb: String,
+      cand: DataFrame, ca: String, cb: String): DataFrame = {
+    def norm(df: DataFrame, a: String, b: String) = df.select(
+      least(col(a), col(b)).as("__a"),
+      greatest(col(a), col(b)).as("__b")).distinct()
+    norm(truth, ta, tb).withColumn("__t", lit(1L))
+      .join(norm(cand, ca, cb).withColumn("__c", lit(1L)),
+        Seq("__a", "__b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(coalesce(col("__t"), lit(0L)) * coalesce(col("__c"), lit(0L)))
+          .as("n_hits"))
+      .withColumn("precision",
+        col("n_hits").cast("double") / col("n_candidates").cast("double"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** The 60-bit portable SimHash signature table (id, simhash): bit i
     * is the sign of Σ_tokens ±1 by bit i of the md5-prefix token hash.
     * Shared by [[portableSimHashNearDuplicates]] and the streaming

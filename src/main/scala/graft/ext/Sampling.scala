@@ -427,10 +427,26 @@ object Sampling {
       counts: DataFrame, keyCol: String, countCol: String,
       target: Long, temperature: Double): DataFrame = {
     require(temperature > 0.0, s"temperature must be > 0: $temperature")
-    val w = counts.withColumn("weight_q",
-      floor(graft.functions.DetMath.expq(
-        graft.functions.DetMath.lnq(col(countCol).cast("double")) *
-          lit(1.0 / temperature)) * lit(1e6)).cast("long"))
+    // The strata table is bounded by contract, so the weights are
+    // computed DRIVER-SIDE with the scalar DetMath kernels —
+    // bit-identical to the Column forms (DetMathSpec pins it), and it
+    // sidesteps what measurement showed to be the real cost: inlining
+    // the ~200-op lnq∘expq tree into the allocator's four references
+    // made PLANNING+codegen the bottleneck (64 s for a 20-row
+    // allocation; 9 s with a localCheckpoint leaf; ~1 s this way).
+    // The one collect is the IVF-centroid class of driver state.
+    val spark = counts.sparkSession
+    val rows = counts.select(col(keyCol).cast("string"),
+      col(countCol).cast("long")).collect()
+    val weights = rows.map { r =>
+      val n = r.getLong(1)
+      val wq = math.floor(graft.functions.DetMath.expqDouble(
+        graft.functions.DetMath.lnqDouble(n.toDouble) *
+          (1.0 / temperature)) * 1e6).toLong
+      (r.getString(0), n, wq)
+    }.toSeq
+    import spark.implicits._
+    val w = weights.toDF(keyCol, countCol, "weight_q")
     largestRemainderAllocate(w, keyCol, "weight_q", target)
   }
 

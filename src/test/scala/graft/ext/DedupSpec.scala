@@ -442,4 +442,13 @@ class DedupSpec extends SparkSpec {
       .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
     assert(out7 === out)
   }
+
+  test("pairEval: unordered-pair precision/recall with exact counts") {
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    // one hit (reversed order), one false positive, one duplicate row
+    val cand = Seq((2L, 1L), (2L, 1L), (7L, 8L)).toDF("x", "y")
+    val out = Dedup.pairEval(truth, "a", "b", cand, "x", "y")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((3L, 2L, 1L, 0.5, 1.0 / 3.0)))
+  }
 }
