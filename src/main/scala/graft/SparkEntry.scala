@@ -899,13 +899,13 @@ object SparkEntry {
     // integer normal equations + Cramer trunc-division.
     "q_ridge_quality" -> ((s, dir) =>
       graft.ext.Regression.ridgeFit2(
-        Tables.documents(s, dir).filter(col("text").isNotNull)
-          .select(
-            TextStats.tokenCount(col("text")).cast("long").as("x1"),
-            size(filter(TextStats.tokens(col("text")),
-              w => w.isin(TextStats.enStopwords: _*))).cast("long").as("x2"),
-            TextStats.qualityScoreMicro(col("text")).as("y")),
-        "x1", "x2", "y", lambda = 100L)),
+        ridgeFeatures(s, dir), "x1", "x2", "y", lambda = 100L)),
+
+    // [EXT] Fit-quality eval of the same model: exact-integer MAE,
+    // worst residual, and R² at the 10⁶ grid.
+    "q_ridge_eval" -> ((s, dir) =>
+      graft.ext.Regression.ridgeEval2(
+        ridgeFeatures(s, dir), "x1", "x2", "y", lambda = 100L)),
 
     // [EXT] PMI collocations (word2vec-style phrase mining): pairs that
     // co-occur far above their marginal rates, ranked on the rounded
@@ -2151,6 +2151,61 @@ j AS (
 SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
   CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / 10e0 AS recall
 FROM j GROUP BY 1"""
+
+  /** The integer feature frame shared by the ridge fit and its eval:
+    * (token count, stopword count, quality micro-score).
+    */
+  private def ridgeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(
+        TextStats.tokenCount(col("text")).cast("long").as("x1"),
+        size(filter(TextStats.tokens(col("text")),
+          w => w.isin(TextStats.enStopwords: _*))).cast("long").as("x2"),
+        TextStats.qualityScoreMicro(col("text")).as("y"))
+
+  /** The q_ridge_quality fit chain (features -> moments -> Cramer ->
+    * quantized weights) as shared CTEs ending in `f` and `wq` — the
+    * eval oracle scores over the same chain so fit and eval can never
+    * drift.
+    */
+  private def ridgeFitCtes: String =
+    """f AS (
+      |  SELECT CAST(LEN(str_split(TRIM(text), ' ')) AS HUGEINT) AS x1,
+      |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
+      |      t -> t IN ('the','a','an','of','and','to','in','is','on',
+      |                 'for','with','at','by','from','as','it','that',
+      |                 'this'))) AS HUGEINT) AS x2,
+      |    CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
+      |      + (600000 * LEN(list_filter(str_split(TRIM(text), ' '),
+      |           t -> t IN ('the','a','an','of','and','to','in','is','on',
+      |                      'for','with','at','by','from','as','it','that',
+      |                      'this'))) + LEN(str_split(TRIM(text), ' ')))
+      |        // (2 * LEN(str_split(TRIM(text), ' '))) AS HUGEINT) AS y
+      |  FROM documents WHERE text IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x1) AS s1, SUM(x2) AS s2,
+      |    SUM(x1 * x1) + 100 AS s11, SUM(x1 * x2) AS s12,
+      |    SUM(x2 * x2) + 100 AS s22,
+      |    SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      |  FROM f),
+      |d AS (
+      |  SELECT n,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM m),
+      |wq AS (
+      |  SELECT n,
+      |    (det0 * 1000000 - (det0 * 1000000) % det) // det AS w0q,
+      |    (det1 * 1000000 - (det1 * 1000000) % det) // det AS w1q,
+      |    (det2 * 1000000 - (det2 * 1000000) % det) // det AS w2q
+      |  FROM d)""".stripMargin
 
   /** Matryoshka recall oracle: the same brute-force top-10 chain run
     * over the full 64-dim and the [1:16] prefix embeddings, joined in
@@ -4050,43 +4105,7 @@ FROM deg GROUP BY 1"""
     // same fixed cofactor order as Regression.ridgeFit2; λ=100 on the
     // feature diagonal. y is the exact quality micro-score.
     "q_ridge_quality" ->
-      """WITH f AS (
-        |  SELECT CAST(LEN(str_split(TRIM(text), ' ')) AS HUGEINT) AS x1,
-        |    CAST(LEN(list_filter(str_split(TRIM(text), ' '),
-        |      t -> t IN ('the','a','an','of','and','to','in','is','on',
-        |                 'for','with','at','by','from','as','it','that',
-        |                 'this'))) AS HUGEINT) AS x2,
-        |    CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
-        |      + (600000 * LEN(list_filter(str_split(TRIM(text), ' '),
-        |           t -> t IN ('the','a','an','of','and','to','in','is','on',
-        |                      'for','with','at','by','from','as','it','that',
-        |                      'this'))) + LEN(str_split(TRIM(text), ' ')))
-        |        // (2 * LEN(str_split(TRIM(text), ' '))) AS HUGEINT) AS y
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-        |    SUM(x1) AS s1, SUM(x2) AS s2,
-        |    SUM(x1 * x1) + 100 AS s11, SUM(x1 * x2) AS s12,
-        |    SUM(x2 * x2) + 100 AS s22,
-        |    SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
-        |  FROM f),
-        |d AS (
-        |  SELECT n,
-        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-        |      + s2 * (s1 * s12 - s11 * s2) AS det,
-        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
-        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
-        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
-        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
-        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
-        |      + sy * (s1 * s12 - s11 * s2) AS det2
-        |  FROM m),
-        |wq AS (
-        |  SELECT n,
-        |    (det0 * 1000000 - (det0 * 1000000) % det) // det AS w0q,
-        |    (det1 * 1000000 - (det1 * 1000000) % det) // det AS w1q,
-        |    (det2 * 1000000 - (det2 * 1000000) % det) // det AS w2q
-        |  FROM d)
+      s"""WITH $ridgeFitCtes
         |SELECT CAST(n AS BIGINT) AS n_rows,
         |  CAST(w0q AS BIGINT) AS w0_q, CAST(w1q AS BIGINT) AS w1_q,
         |  CAST(w2q AS BIGINT) AS w2_q,
@@ -4094,6 +4113,35 @@ FROM deg GROUP BY 1"""
         |  CAST(CAST(w1q AS BIGINT) AS DOUBLE) / 1e6 AS w1,
         |  CAST(CAST(w2q AS BIGINT) AS DOUBLE) / 1e6 AS w2
         |FROM wq""".stripMargin,
+
+    // Scoring pass over the same fit chain: residuals and R-squared
+    // in exact HUGEINT trunc arithmetic.
+    "q_ridge_eval" ->
+      s"""WITH $ridgeFitCtes,
+        |sc AS (
+        |  SELECT (w0q + w1q * x1 + w2q * x2 - 1000000 * y) AS err,
+        |    1000000 * y AS yp
+        |  FROM f CROSS JOIN wq),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(ABS(err)) AS sae,
+        |    MAX(ABS(err)) AS mx, SUM(err * err) AS sse,
+        |    SUM(yp) AS sy, SUM(yp * yp) AS syy
+        |  FROM sc),
+        |fin AS (
+        |  SELECT n, sae, mx, sse, (n * syy - sy * sy) AS sst FROM mm),
+        |r AS (
+        |  SELECT n, mx,
+        |    (sae - sae % n) // n AS maeq,
+        |    (((sst - n * sse) * 1000000)
+        |      - ((sst - n * sse) * 1000000) % sst) // sst AS r2q
+        |  FROM fin)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(maeq AS BIGINT) AS mae_q,
+        |  CAST(mx AS BIGINT) AS max_abs_err_q,
+        |  CAST(r2q AS BIGINT) AS r2_q,
+        |  CAST(CAST(maeq AS BIGINT) AS DOUBLE) / 1e6 AS mae,
+        |  CAST(CAST(r2q AS BIGINT) AS DOUBLE) / 1e6 AS r2
+        |FROM r""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (

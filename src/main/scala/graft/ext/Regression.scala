@@ -82,4 +82,52 @@ object Regression {
       .withColumn("w1", col("w1_q").cast("double") / lit(1e6))
       .withColumn("w2", col("w2_q").cast("double") / lit(1e6))
   }
+
+  /** Fit-quality evaluation of [[ridgeFit2]] — the summary a scorer
+    * calibration reads before trusting the linear model: MAE and R²
+    * of the quantized predictions against the integer targets, still
+    * exact: pred·10⁶ = w0_q + w1_q·x1 + w2_q·x2 is an exact integer,
+    * residuals are exact integers at the 10⁶ grid, and
+    *   R²·10⁶ = trunc((SST′ − n·SSE)·10⁶ / SST′),
+    *   SST′ = n·Σy′² − (Σy′)²  (y′ = 10⁶·y)
+    * is all integer arithmetic. One scoring pass (fit broadcast in) +
+    * one moment aggregate. Magnitude bound: n·SSE·10⁶ < 10³⁸ holds to
+    * ~10⁵ rows at 10⁶-scale targets — pre-scale y beyond (the
+    * [[Vocab.sourceKlMatrix]] contract style).
+    *
+    * Output: one row (n_rows, mae_q, mae, max_abs_err_q, r2_q, r2).
+    */
+  def ridgeEval2(
+      df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      lambda: Long = 0L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val fit = ridgeFit2(df, x1Col, x2Col, yCol, lambda)
+      .select(col("w0_q").cast(dec).as("__w0"),
+        col("w1_q").cast(dec).as("__w1"),
+        col("w2_q").cast(dec).as("__w2"))
+    val scored = df.crossJoin(broadcast(fit))
+      .withColumn("__err",
+        col("__w0") + col("__w1") * col(x1Col).cast(dec) +
+          col("__w2") * col(x2Col).cast(dec) -
+          lit(1000000L).cast(dec) * col(yCol).cast(dec))
+      .withColumn("__yp", lit(1000000L).cast(dec) * col(yCol).cast(dec))
+    val m = scored.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(abs(col("__err"))).as("__sae"),
+      max(abs(col("__err"))).cast(dec).as("__mx"),
+      sum(col("__err") * col("__err")).as("__sse"),
+      sum(col("__yp")).as("__sy"),
+      sum(col("__yp") * col("__yp")).as("__syy"))
+    def truncDiv(a: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = ((a - a % d) / d).cast("long")
+    val sst = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val r2num = (sst - col("__n") * col("__sse")) * lit(1000000L).cast(dec)
+    m.select(
+      col("__n").cast("long").as("n_rows"),
+      truncDiv(col("__sae"), col("__n")).as("mae_q"),
+      col("__mx").cast("long").as("max_abs_err_q"),
+      truncDiv(r2num, sst).as("r2_q"))
+      .withColumn("mae", col("mae_q").cast("double") / lit(1e6))
+      .withColumn("r2", col("r2_q").cast("double") / lit(1e6))
+  }
 }

@@ -74,4 +74,44 @@ class RegressionSpec extends SparkSpec {
     assert(row._4 === row._3 / 1e6)
     assert(row._6 === row._5 / 1e6)
   }
+
+  test("ridgeEval2: perfect fit scores R2=1 and zero error; noisy fit " +
+    "matches the BigInt model") {
+    val exact = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 5L), (5L, 3L))
+      .map { case (x1, x2) => (x1, x2, 3L + 2L * x1 - x2) }
+    val out = Regression.ridgeEval2(
+      exact.toDF("x1", "x2", "y"), "x1", "x2", "y", lambda = 0L)
+      .selectExpr("n_rows", "mae_q", "max_abs_err_q", "r2_q")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out === ((5L, 0L, 0L, 1000000L)))
+
+    // noisy data: recompute the whole chain in BigInt
+    val pts = (0L until 30L).map(i =>
+      (i % 7 + 1, (i * 5) % 9, ((i * 31) % 23) * 10))
+    val (w0, w1, w2) = {
+      // reuse the fit model from the other spec via ridgeFit2 output
+      val f = Regression.ridgeFit2(
+        pts.toDF("x1", "x2", "y"), "x1", "x2", "y", 10L)
+        .selectExpr("w0_q", "w1_q", "w2_q")
+        .as[(Long, Long, Long)].head()
+      (BigInt(f._1), BigInt(f._2), BigInt(f._3))
+    }
+    val errs = pts.map { case (x1, x2, y) =>
+      w0 + w1 * x1 + w2 * x2 - BigInt(1000000L) * y
+    }
+    val yps = pts.map(p => BigInt(1000000L) * p._3)
+    val n = BigInt(pts.size)
+    val sae = errs.map(_.abs).sum
+    val sse = errs.map(e => e * e).sum
+    val sy = yps.sum
+    val syy = yps.map(v => v * v).sum
+    val sst = n * syy - sy * sy
+    val got = Regression.ridgeEval2(
+      pts.toDF("x1", "x2", "y"), "x1", "x2", "y", 10L)
+      .selectExpr("n_rows", "mae_q", "max_abs_err_q", "r2_q")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((pts.size.toLong, (sae / n).toLong,
+      errs.map(_.abs).max.toLong,
+      ((sst - n * sse) * 1000000 / sst).toLong)))
+  }
 }
