@@ -488,6 +488,23 @@ object SparkEntry {
     // (dims derived from n_chars), parse them back with the byte-level
     // MediaCodec; the oracle recomputes the same fields arithmetically
     // — the parse must invert the synthesis bit-exactly.
+    // [EXT] REAL audio decode: 16-bit PCM WAVs synthesized from a
+    // deterministic per-doc waveform, decoded back byte-for-byte and
+    // reduced to exact integer energy moments. The oracle recomputes
+    // from the generator FORMULA — the hash matches only if the
+    // byte-level decode is exact.
+    "q_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 100).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt)
+          (id, "audio", graft.ext.MediaCodec.synthesizeWavPcm16(16000, samples))
+        }).toDF("doc_id", "media_type", "payload")
+      graft.ext.Multimodal.audioEnergy(s, media)
+    }),
+
     "q_media_headers" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -3387,6 +3404,24 @@ FROM deg GROUP BY 1"""
     // The oracle predicts the parsed fields from the synthesis
     // formulas (doc_id % 4 cycles bmp/wav/png/jpeg); the Spark side
     // must round-trip them through REAL byte encode + parse to match.
+    // Moments from the waveform GENERATOR formula — not the bytes —
+    // so the hash proves the byte decode exact.
+    "q_audio_energy" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + u.i * 17) % 65536 - 32768 AS v
+        |  FROM d, unnest(range(0, 200 + doc_id % 100)) AS u(i)),
+        |g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |    CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, n_samples, peak, sum_sq,
+        |  CAST(FLOOR(sqrt(CAST(sum_sq AS DOUBLE)
+        |    / CAST(n_samples AS DOUBLE)) * 1e6) AS BIGINT) AS rms_q
+        |FROM g""".stripMargin,
+
     "q_media_headers" ->
       """SELECT doc_id,
         |  CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'

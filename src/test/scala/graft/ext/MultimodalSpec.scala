@@ -219,4 +219,31 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.parseWebp(badVer))
     intercept[IllegalArgumentException](MediaCodec.synthesizeWebp(20000, 1, lossless = true))
   }
+
+  test("PCM16 round-trip is byte-exact and the decoder chunk-walks " +
+    "past inserted chunks") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = MediaCodec.synthesizeWavPcm16(8000, samples)
+    assert(MediaCodec.decodePcm16(wav).toList === samples.toList)
+    // splice a LIST chunk (odd size -> pad byte) between fmt and data
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    // fix RIFF size
+    val b = spliced.clone()
+    val riff = 36 + extra.length + samples.length * 2
+    b(4) = (riff & 0xff).toByte; b(5) = ((riff >> 8) & 0xff).toByte
+    b(6) = ((riff >> 16) & 0xff).toByte; b(7) = ((riff >> 24) & 0xff).toByte
+    assert(MediaCodec.decodePcm16(b).toList === samples.toList)
+  }
+
+  test("audioEnergy: exact integer moments and quantized RMS") {
+    val samples = Array(3, -4, 0, 12)
+    val media = Seq((7L, "audio",
+      MediaCodec.synthesizeWavPcm16(16000, samples)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.audioEnergy(spark, media)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // sum_sq = 9+16+0+144 = 169; rms = sqrt(169/4) = 6.5
+    assert(out === ((7L, 4L, 12L, 169L, 6500000L)))
+  }
 }
