@@ -505,6 +505,23 @@ object SparkEntry {
       graft.ext.Multimodal.audioEnergy(s, media)
     }),
 
+    // [EXT] REAL image decode + resize: 24-bit BMPs with
+    // formula-generated pixels (bottom-up rows, padding, BGR), decoded
+    // and nearest-neighbor resized to 5×3; the oracle recomputes the
+    // resized channel stats from the pixel formula.
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (5 + id % 7).toInt
+          (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
+            (x, y, c) => ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
+        }).toDF("doc_id", "media_type", "payload")
+      graft.ext.Multimodal.imageResizeStats(s, media, outW = 5, outH = 3)
+        .toDF()
+    }),
+
     "q_media_headers" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -3404,6 +3421,34 @@ FROM deg GROUP BY 1"""
     // The oracle predicts the parsed fields from the synthesis
     // formulas (doc_id % 4 cycles bmp/wav/png/jpeg); the Spark side
     // must round-trip them through REAL byte encode + parse to match.
+    // Resized-image stats from the pixel GENERATOR formula evaluated
+    // at the nearest-neighbor source coordinates — proves decode and
+    // resize math exact.
+    "q_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, c.c AS chan,
+        |    (doc_id * 7 + ((u.x * w) // 5) * 13
+        |      + ((v.y * h) // 3) * 31 + c.c * 5) % 256 AS val
+        |  FROM d, unnest(range(0, 5)) u(x), unnest(range(0, 3)) v(y),
+        |    unnest(range(0, 3)) c(c)),
+        |g AS (
+        |  SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+        |    CAST(MAX(h) AS BIGINT) AS height,
+        |    CAST(SUM(CASE WHEN chan = 0 THEN val ELSE 0 END) AS BIGINT)
+        |      AS b_sum,
+        |    CAST(SUM(CASE WHEN chan = 1 THEN val ELSE 0 END) AS BIGINT)
+        |      AS g_sum,
+        |    CAST(SUM(CASE WHEN chan = 2 THEN val ELSE 0 END) AS BIGINT)
+        |      AS r_sum,
+        |    CAST(MIN(val) AS BIGINT) AS px_min,
+        |    CAST(MAX(val) AS BIGINT) AS px_max
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, width, height, b_sum, g_sum, r_sum, px_min, px_max
+        |FROM g""".stripMargin,
+
     // Moments from the waveform GENERATOR formula — not the bytes —
     // so the hash proves the byte decode exact.
     "q_audio_energy" ->

@@ -224,6 +224,65 @@ object MediaCodec {
     b
   }
 
+  /** 24-bit BMP with REAL pixel data — `pixel(x, y, c)` returns the
+    * channel byte for channel c ∈ {0=B, 1=G, 2=R} at TOP-DOWN
+    * coordinates; the writer stores rows BOTTOM-UP with each row
+    * padded to a 4-byte boundary (the two classic BMP traps).
+    */
+  def synthesizeBmp24(
+      width: Int, height: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((3 * width + 3) / 4) * 4
+    val dataBytes = rowBytes * height
+    val b = new Array[Byte](54 + dataBytes)
+    System.arraycopy(synthesizeBmp(width, height), 0, b, 0, 54)
+    putLe32(b, 2, 54 + dataBytes)  // file size
+    putLe32(b, 34, dataBytes)      // image size
+    var y = 0
+    while (y < height) {
+      val row = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          b(row + 3 * x + c) = (pixel(x, y, c) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  final case class Bmp24(width: Int, height: Int, pixels: Array[Int]) {
+    /** Channel byte at top-down (x, y), c ∈ {0=B,1=G,2=R}. */
+    def apply(x: Int, y: Int, c: Int): Int = pixels(3 * (y * width + x) + c)
+  }
+
+  /** REAL 24-bit BMP pixel decode: un-flips the bottom-up rows, strips
+    * row padding, returns top-down row-major BGR bytes.
+    */
+  def decodeBmp24(b: Array[Byte]): Bmp24 = {
+    require(detect(b) == "bmp", "not a BMP payload")
+    val h = parseBmp(b)
+    require(h.bitsPerPixel == 24, s"not 24bpp: ${h.bitsPerPixel}")
+    val off = le32(b, 10)
+    val rowBytes = ((3 * h.width + 3) / 4) * 4
+    val out = new Array[Int](3 * h.width * h.height)
+    var y = 0
+    while (y < h.height) {
+      val row = off + (h.height - 1 - y) * rowBytes
+      var i = 0
+      while (i < 3 * h.width) {
+        out(3 * y * h.width + i) = b(row + i) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    Bmp24(h.width, h.height, out)
+  }
+
   /** Canonical PCM WAV with REAL 16-bit LE mono sample data — the
     * payload the energy extractor decodes back byte-for-byte.
     */

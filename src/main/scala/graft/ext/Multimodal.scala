@@ -235,4 +235,54 @@ object Multimodal {
         floor(sqrt(col("sum_sq").cast("double") /
           col("n_samples").cast("double")) * lit(1e6)).cast("long"))
   }
+
+  final case class ImageStats(
+      doc_id: Long, width: Long, height: Long,
+      b_sum: Long, g_sum: Long, r_sum: Long, px_min: Long, px_max: Long)
+
+  /** REAL image path: decode 24-bit BMP pixels
+    * ([[MediaCodec.decodeBmp24]] — bottom-up rows, padding, BGR),
+    * nearest-neighbor resize to `outW`×`outH` (source coordinate =
+    * (dst·src)/dst in integer division), and reduce to exact integer
+    * channel statistics of the RESIZED image. With a formula oracle,
+    * the hash match proves decode AND resize coordinate math exact —
+    * the image analog of [[audioEnergy]]; the remaining stub surface
+    * is only the non-BMP pixel formats.
+    */
+  def imageResizeStats(
+      spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val img = MediaCodec.decodeBmp24(p)
+        var (bs, gs, rs) = (0L, 0L, 0L)
+        var mn = 255L
+        var mx = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = y * img.height / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * img.width / outW
+            var c = 0
+            while (c < 3) {
+              val v = img(sx, sy, c).toLong
+              c match {
+                case 0 => bs += v
+                case 1 => gs += v
+                case _ => rs += v
+              }
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(id, img.width.toLong, img.height.toLong,
+          bs, gs, rs, mn, mx)
+      })
+  }
 }

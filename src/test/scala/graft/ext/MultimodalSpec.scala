@@ -246,4 +246,23 @@ class MultimodalSpec extends SparkSpec {
     // sum_sq = 9+16+0+144 = 169; rms = sqrt(169/4) = 6.5
     assert(out === ((7L, 4L, 12L, 169L, 6500000L)))
   }
+
+  test("BMP24 round-trip: bottom-up rows, padding, BGR all inverted " +
+    "correctly; resize hits the exact source pixels") {
+    // 3x2 -> rowBytes = 12 (9 data + 3 pad): padding exercised
+    def f(x: Int, y: Int, c: Int): Int = 100 * c + 10 * y + x
+    val bmp = MediaCodec.synthesizeBmp24(3, 2, f)
+    val img = MediaCodec.decodeBmp24(bmp)
+    assert((img.width, img.height) === ((3, 2)))
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      assert(img(x, y, c) === f(x, y, c), s"($x,$y,$c)")
+    // resize 3x2 -> 2x1: srcX = x*3/2 in {0,1}, srcY = 0
+    val media = Seq((1L, "image", bmp)).toDF("doc_id", "media_type", "payload")
+    val st = Multimodal.imageResizeStats(spark, media, 2, 1).head()
+    // pixels sampled: (0,0),(1,0) -> per channel c: f(0,0,c)+f(1,0,c)
+    assert(st.b_sum === (f(0, 0, 0) + f(1, 0, 0)).toLong)
+    assert(st.g_sum === (f(0, 0, 1) + f(1, 0, 1)).toLong)
+    assert(st.r_sum === (f(0, 0, 2) + f(1, 0, 2)).toLong)
+    assert(st.px_min === 0L && st.px_max === 201L)
+  }
 }
