@@ -738,6 +738,21 @@ object SparkEntry {
       Behavior.kaplanMeier(subjects, "duration", "observed")
     }),
 
+    // [EXT] PSI drift TREND: per-day PSI of the value distribution
+    // against the first day — the monitoring table behind the
+    // one-number q_psi_drift alarm.
+    "q_psi_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(valueValid)
+        .withColumn("day", to_date(col("ts")))
+      val d0 = ev.agg(min(col("day")).as("__d0"))
+      graft.ext.Drift.psiTrend(
+        ev.join(broadcast(d0), col("day") === col("__d0"))
+          .select(col("value")),
+        ev.join(broadcast(d0), col("day") > col("__d0"))
+          .select(col("day"), col("value")),
+        "value", "day", width = 16L)
+    }),
+
     // [EXT] Welch's unequal-variance t-test on the value metric
     // between the two lowest variants (click vs error).
     "q_welch_ttest" -> ((s, dir) =>
@@ -2934,6 +2949,50 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |SELECT duration, n_risk, n_events, n_censored,
         |  CASE WHEN cum_zero > 0 THEN 0e0 ELSE __ex END AS survival
         |FROM t4""".stripMargin,
+
+    // Per-day grid = (ref bins ∪ day bins); same eps/quantized-term
+    // chain as the pair PSI oracle, grouped by day.
+    "q_psi_daily" ->
+      s"""WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE value IS NOT NULL AND value BETWEEN 0e0 AND 2e2),
+        |d0 AS (SELECT MIN(day) AS d0 FROM e),
+        |r AS (
+        |  SELECT CAST(FLOOR(value / 16e0) AS BIGINT) AS bin,
+        |    COUNT(*) AS n_ref
+        |  FROM e CROSS JOIN d0 WHERE day = d0 GROUP BY 1),
+        |rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS nr FROM r),
+        |c AS (
+        |  SELECT day, CAST(FLOOR(value / 16e0) AS BIGINT) AS bin,
+        |    COUNT(*) AS n_cur
+        |  FROM e CROSS JOIN d0 WHERE day > d0 GROUP BY 1, 2),
+        |ct AS (SELECT day, CAST(SUM(n_cur) AS BIGINT) AS nc
+        |       FROM c GROUP BY 1),
+        |gs AS (SELECT DISTINCT day FROM c),
+        |grid AS (
+        |  SELECT COALESCE(a.day, c.day) AS day,
+        |    COALESCE(a.n_ref, 0) AS br, COALESCE(c.n_cur, 0) AS bc
+        |  FROM (SELECT g.day, r.bin, r.n_ref FROM gs g CROSS JOIN r) a
+        |  FULL JOIN c ON a.day = c.day AND a.bin = c.bin
+        |  WHERE COALESCE(a.n_ref, 0) > 0 OR COALESCE(c.n_cur, 0) > 0),
+        |lx AS (
+        |  SELECT grid.day,
+        |    CASE WHEN br = 0 THEN 1e-6
+        |         ELSE br / CAST(rt.nr AS DOUBLE) END AS pp,
+        |    CASE WHEN bc = 0 THEN 1e-6
+        |         ELSE bc / CAST(ct.nc AS DOUBLE) END AS qq,
+        |    qq / pp AS __x,
+        |  ${lnSqlChain("__x", "__lnx")}
+        |  FROM grid JOIN ct USING (day) CROSS JOIN rt),
+        |terms AS (
+        |  SELECT day,
+        |    CAST(FLOOR((qq - pp) * __lnx * 1e12) AS DECIMAL(20,0)) AS term
+        |  FROM lx)
+        |SELECT t.day, CAST(SUM(t.term) AS DOUBLE) / 1e12 AS psi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  (SELECT nr FROM rt) AS n_ref, ct.nc AS n_cur
+        |FROM terms t JOIN ct ON ct.day = t.day
+        |GROUP BY t.day, ct.nc""".stripMargin,
 
     // Same op tree as Behavior.welchTTest over decimal-exact moments.
     "q_welch_ttest" ->

@@ -76,6 +76,56 @@ object Drift {
       .select("psi", "n_bins", "n_ref", "n_cur")
   }
 
+  /** PSI TREND: one PSI row per `groupCol` value (typically the day),
+    * each against the same fixed reference — the monitoring TABLE a
+    * drift dashboard plots, where [[psi]] is the one-number alarm.
+    * Per-group semantics match [[psi]] exactly: the bin universe for
+    * group g is (ref bins ∪ g's bins), absent sides take eps, terms
+    * floor-quantize at 10¹² with the deterministic ln.
+    *
+    * Scale shape: ref collapses to its bin table once (broadcast with
+    * its one-row total); current data collapses to a (group, bin)
+    * aggregate; the grid is groups × bins — bounded by the value
+    * range over the bin width times the day count, never row counts.
+    */
+  def psiTrend(
+      ref: DataFrame, cur: DataFrame, valueCol: String, groupCol: String,
+      width: Long, eps: Double = 1e-6): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val bin = floor(col(valueCol) / lit(width.toDouble)).cast("long")
+    val r = ref.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n_ref"))
+    val rTot = r.agg(sum(col("n_ref")).as("__nr"))
+    val c = cur.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val cTot = c.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__nc"))
+    // grid: every group × (ref bins ∪ that group's bins)
+    val groups = c.select(col(groupCol)).distinct()
+    val grid = groups.crossJoin(broadcast(r))
+      .select(col(groupCol), col("bin"), col("n_ref"))
+      .join(c, Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), coalesce(col("n_ref"), lit(0L)).as("br"),
+        coalesce(col("n_cur"), lit(0L)).as("bc"))
+      .filter(col("br") > 0 || col("bc") > 0)
+    val p = when(col("br") === 0, lit(eps))
+      .otherwise(col("br").cast("double") / col("__nr").cast("double"))
+    val q = when(col("bc") === 0, lit(eps))
+      .otherwise(col("bc").cast("double") / col("__nc").cast("double"))
+    grid
+      .join(broadcast(cTot), Seq(groupCol))
+      .crossJoin(broadcast(rTot))
+      .withColumn("__term",
+        floor((q - p) * graft.functions.DetMath.lnq(q / p) * lit(1e12))
+          .cast("decimal(20,0)"))
+      .groupBy(col(groupCol))
+      .agg(
+        (sum(col("__term")).cast("double") / lit(1e12)).as("psi"),
+        count(lit(1)).as("n_bins"),
+        max(col("__nr")).as("n_ref"),
+        max(col("__nc")).as("n_cur"))
+  }
+
   /** Jensen–Shannon divergence between two CATEGORICAL distributions,
     * in nats — the drift test for label/source/language mixes where
     * PSI's log-ratio blows up on empty categories: JSD is defined for

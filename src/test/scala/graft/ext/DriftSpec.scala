@@ -205,4 +205,28 @@ class DriftSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"single-partition window:\n$plan")
   }
+
+  test("psiTrend: each day's row equals the pair psi against the " +
+    "same reference") {
+    val ref = (0L until 200L).map(i => (i % 64).toDouble).toDF("value")
+    val cur = (
+      (0L until 150L).map(i => ("d1", (i % 64).toDouble)) ++     // same
+      (0L until 150L).map(i => ("d2", (i % 32).toDouble + 32)))  // shifted
+      .toDF("day", "value")
+    val trend = Drift.psiTrend(ref, cur, "value", "day", width = 16L)
+      .as[(String, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (d <- Seq("d1", "d2")) {
+      val pair = Drift.psi(ref, cur.filter($"day" === d).select("value"),
+        "value", width = 16L)
+        .as[(Double, Long, Long, Long)].head()
+      assert(trend(d)._2 === pair._1, s"$d psi")
+      assert(trend(d)._3 === pair._2, s"$d n_bins")
+      assert((trend(d)._4, trend(d)._5) === ((pair._3, pair._4)), d)
+    }
+    // near-identical distribution (150%64 vs 200%64 differ slightly)
+    // ~ small drift; the shifted day is an order of magnitude above
+    assert(math.abs(trend("d1")._2) < 0.05)
+    assert(trend("d2")._2 > 0.5)
+  }
 }
