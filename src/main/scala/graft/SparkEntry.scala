@@ -522,6 +522,23 @@ object SparkEntry {
         .toDF()
     }),
 
+    // [EXT] REAL video decode: GVID containers of BMP24 frames,
+    // every 2nd frame sampled and reduced to exact channel sums; the
+    // oracle recomputes from the per-frame pixel formula.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = (3 + id % 4).toInt
+          val frames = (0 until nf).map(f =>
+            graft.ext.MediaCodec.synthesizeBmp24(4, 3,
+              (x, y, c) =>
+                ((id * 7 + f * 11 + x * 13 + y * 31 + c * 5) % 256).toInt))
+          (id, "video", graft.ext.MediaCodec.synthesizeVideo(frames))
+        }).toDF("doc_id", "media_type", "payload")
+      graft.ext.Multimodal.videoFrameStats(s, media, stride = 2).toDF()
+    }),
+
     "q_media_headers" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -3480,6 +3497,30 @@ FROM deg GROUP BY 1"""
     // The oracle predicts the parsed fields from the synthesis
     // formulas (doc_id % 4 cycles bmp/wav/png/jpeg); the Spark side
     // must round-trip them through REAL byte encode + parse to match.
+    // Sampled-frame channel sums from the per-frame pixel formula
+    // (4×3 frames, stride 2) — proves container walk + frame decode.
+    "q_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, u.f AS frame_idx
+        |  FROM d, unnest(range(0, nf)) AS u(f)
+        |  WHERE u.f % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, frame_idx, c.c AS chan,
+        |    (doc_id * 7 + frame_idx * 11 + x.x * 13 + y.y * 31 + c.c * 5)
+        |      % 256 AS val
+        |  FROM fr, unnest(range(0, 4)) x(x), unnest(range(0, 3)) y(y),
+        |    unnest(range(0, 3)) c(c))
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN chan = 0 THEN val ELSE 0 END) AS BIGINT)
+        |    AS b_sum,
+        |  CAST(SUM(CASE WHEN chan = 1 THEN val ELSE 0 END) AS BIGINT)
+        |    AS g_sum,
+        |  CAST(SUM(CASE WHEN chan = 2 THEN val ELSE 0 END) AS BIGINT)
+        |    AS r_sum
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
     // Resized-image stats from the pixel GENERATOR formula evaluated
     // at the nearest-neighbor source coordinates — proves decode and
     // resize math exact.

@@ -283,6 +283,40 @@ object MediaCodec {
     Bmp24(h.width, h.height, out)
   }
 
+  /** Minimal video container ("GVID"): magic + u32le frame count,
+    * then length-prefixed frames (any embedded codec — here BMP24).
+    * The 1→N decode shape of real video without an external codec.
+    */
+  def synthesizeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val b = new Array[Byte](total)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    putLe32(b, 4, frames.length)
+    var off = 8
+    frames.foreach { f =>
+      putLe32(b, off, f.length)
+      System.arraycopy(f, 0, b, off + 4, f.length)
+      off += 4 + f.length
+    }
+    b
+  }
+
+  def decodeVideoFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    require(b.length >= 8 && b(0) == 'G' && b(1) == 'V' &&
+      b(2) == 'I' && b(3) == 'D', "not a GVID payload")
+    val n = le32(b, 4)
+    val out = new Array[Array[Byte]](n)
+    var off = 8
+    var i = 0
+    while (i < n) {
+      val len = le32(b, off)
+      out(i) = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+      off += 4 + len
+      i += 1
+    }
+    out
+  }
+
   /** Canonical PCM WAV with REAL 16-bit LE mono sample data — the
     * payload the energy extractor decodes back byte-for-byte.
     */

@@ -265,4 +265,18 @@ class MultimodalSpec extends SparkSpec {
     assert(st.r_sum === (f(0, 0, 2) + f(1, 0, 2)).toLong)
     assert(st.px_min === 0L && st.px_max === 201L)
   }
+
+  test("GVID container round-trips frames; stride sampling keeps " +
+    "exactly the even frames") {
+    def frame(f: Int) = MediaCodec.synthesizeBmp24(2, 2,
+      (x, y, c) => (f * 50 + 10 * y + x + c) % 256)
+    val vid = MediaCodec.synthesizeVideo((0 until 5).map(frame))
+    val back = MediaCodec.decodeVideoFrames(vid)
+    assert(back.length === 5)
+    (0 until 5).foreach(f => assert(back(f).toList === frame(f).toList))
+    val media = Seq((9L, "video", vid)).toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.videoFrameStats(spark, media, stride = 2)
+      .collect().map(r => r.frame_idx).sorted.toList
+    assert(out === List(0L, 2L, 4L))
+  }
 }
