@@ -66,6 +66,11 @@ object VersionedLake {
       }.toSeq.sorted
   }
 
+  /** The data dirs a committed version references (public: the
+    * streaming sink reads batch markers out of dir names).
+    */
+  def manifest(path: String, v: Long): Seq[String] = readManifest(path, v)
+
   private def readManifest(path: String, v: Long): Seq[String] = {
     val raw = Files.readString(versionFile(path, v)).trim
     if (raw.isEmpty) Seq.empty else raw.split("\n").toSeq
@@ -85,8 +90,10 @@ object VersionedLake {
     */
   def commit(
       df: DataFrame, path: String, overwrite: Boolean,
-      expectedBase: Option[Long] = None): Long = {
-    val dataDir = s"data/${java.util.UUID.randomUUID().toString}"
+      expectedBase: Option[Long] = None,
+      dataDirPrefix: String = ""): Long = {
+    val dataDir =
+      s"data/$dataDirPrefix${java.util.UUID.randomUUID().toString}"
     df.write.mode("errorifexists").parquet(s"$path/$dataDir")
     Files.createDirectories(logPath(path))
     val prior = versions(path)
