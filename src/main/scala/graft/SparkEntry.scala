@@ -1704,6 +1704,37 @@ object SparkEntry {
         threshold = 0.9)
     }),
 
+    // [EXT] Golden records: originals (priority 2, acctbal nulled for
+    // k%7=0) + perturbed twins (priority 1, segment nulled for k%3=0)
+    // collapse per entity with field-level survivorship — the trusted
+    // source's null must NOT erase the twin's real value.
+    "q_golden_record" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val k = col("c_custkey")
+      val originals = c.select(
+        k.cast("long").as("rec_id"), lit(2L).as("priority"),
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        when(k % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+      val twins = c.select(
+        (k + 1000000L).cast("long").as("rec_id"), lit(1L).as("priority"),
+        concat(substring(col("c_name"), 1, 17),
+          when(k % 3 === 0, lit("X"))
+            .otherwise(substring(col("c_name"), 18, 1))).as("name"),
+        col("c_nationkey").as("nationkey"),
+        when(k % 5 === 0, col("c_acctbal") + lit(0.5))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        when(k % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("mktsegment"))
+      graft.ops.Linkage.goldenRecords(
+        originals.unionByName(twins), "rec_id", "priority",
+        c.select(k.cast("long").as("id_a"),
+          (k + 1000000L).cast("long").as("id_b")),
+        "id_a", "id_b",
+        Seq("name", "nationkey", "acctbal", "mktsegment"))
+    }),
+
     // [EXT] Graph analytics: 3-iteration PageRank over the undirected
     // co-purchase item graph — 12-dp-rounded contributions summed as
     // decimals, so the ranking is partition-order-independent.
@@ -5504,6 +5535,19 @@ FROM deg GROUP BY 1"""
 
     // The unbanded levenshtein + "> 2 -> 0" CASE is equivalent to the
     // Spark side's banded levenshtein(a, b, 2) (-1 beyond the band).
+    // Survivorship closed-form: the priority-2 original wins every
+    // field it has; its engineered nulls fall through to the twin.
+    "q_golden_record" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS entity_id,
+        |  CAST(2 AS BIGINT) AS n_members,
+        |  c_name AS name, c_nationkey AS nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+        |         ELSE c_acctbal END
+        |  ELSE c_acctbal END AS acctbal,
+        |  c_mktsegment AS mktsegment
+        |FROM customer""".stripMargin,
+
     "q_record_link" ->
       """WITH r AS (
         |  SELECT c_custkey AS r_custkey,

@@ -58,4 +58,44 @@ object Linkage {
       .filter(col("score") >= threshold)
       .select(col(leftId), col(rightId), col("score"))
   }
+
+  /** GOLDEN RECORDS — the step after [[scoredLink]]: collapse the
+    * accepted match pairs into entity clusters (connected components,
+    * [[graft.ext.Dedup.clusterPairs]] — min-id representative) and
+    * materialize ONE row per entity by FIELD-LEVEL survivorship: each
+    * field independently takes the value of the best NON-NULL member,
+    * best = highest `priorityCol` (source trust rank), ties by lowest
+    * member id. That is the MDM contract: a trusted source's stale
+    * null must not erase a lesser source's real value.
+    *
+    * Mechanics: one struct-max per field inside a single entity-keyed
+    * aggregate — `max(struct(present ? priority : −1, −id, value))`
+    * picks the survivor without a window or a per-field join; a field
+    * null in EVERY member survives as null (the −1 rank wins only
+    * alone). One CC pass + one aggregate; per-entity state is one
+    * struct per field.
+    *
+    * Output: (entity_id, n_members, fields…).
+    */
+  def goldenRecords(
+      records: DataFrame, idCol: String, priorityCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "at least one survivorship field")
+    val comp = graft.ext.Dedup.clusterPairs(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cid")
+    val keyed = records
+      .join(comp, records(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("entity_id",
+        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+    val aggs = fields.map { f =>
+      max(struct(
+        when(col(f).isNotNull, col(priorityCol).cast("long"))
+          .otherwise(lit(-1L)).as("p"),
+        (-col(idCol).cast("long")).as("nid"),
+        col(f).as("v"))).getField("v").as(f)
+    } :+ count(lit(1)).as("n_members")
+    keyed.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("entity_id") +: col("n_members") +: fields.map(col): _*)
+  }
 }

@@ -518,4 +518,32 @@ class SamplingSpec extends SparkSpec {
         graft.functions.DetMath.expqDouble(surp), s"doc $id ppl")
     }
   }
+
+  test("cappedAllocate properties over randomized strata: exact total " +
+    "when feasible, caps never breached, capped-iff-prefix") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { trial =>
+      val n = 2 + rnd.nextInt(8)
+      val strata = (0 until n).map { i =>
+        (s"s$i", 1L + rnd.nextInt(1000).toLong, rnd.nextInt(500).toLong)
+      }
+      val target = rnd.nextInt(2000).toLong
+      val out = Sampling.cappedAllocate(
+        strata.toDF("k", "w", "cap"), "k", "w", "cap", target)
+        .select("k", "capped", "alloc")
+        .as[(String, Boolean, Long)].collect()
+      val byK = out.map(r => r._1 -> r).toMap
+      val caps = strata.map(s => s._1 -> s._3).toMap
+      out.foreach { case (k, capped, alloc) =>
+        assert(alloc >= 0L, s"trial $trial $k")
+        assert(alloc <= caps(k), s"trial $trial $k alloc=$alloc")
+        if (capped) assert(alloc === caps(k), s"trial $trial $k")
+      }
+      val total = out.map(_._3).sum
+      val capSum = strata.map(_._3).sum
+      assert(total === math.min(target, capSum),
+        s"trial $trial: $total vs min($target, $capSum)")
+      assert(byK.size === n)
+    }
+  }
 }

@@ -55,4 +55,39 @@ class LinkageSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin")
       && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("goldenRecords: field survivorship — trusted null falls " +
+    "through, all-null stays null, unpaired records pass through") {
+    val records = Seq(
+      // entity {1,2}: rec 1 trusted (p=2) but has null city;
+      // rec 2 lesser (p=1) with a real city and a worse name
+      (1L, 2L, "Alice Smith", Option.empty[String], Some(10.0)),
+      (2L, 1L, "alice smyth", Some("Berlin"), Some(11.5)),
+      // entity {3,4}: city null in BOTH members -> survives as null
+      (3L, 2L, "Bob", Option.empty[String], Some(1.0)),
+      (4L, 1L, "Bobby", Option.empty[String], Option.empty[Double]),
+      // unpaired record: passes through as its own entity
+      (9L, 1L, "Solo", Some("Oslo"), Some(7.0)))
+      .toDF("rec_id", "priority", "name", "city", "bal")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = Linkage.goldenRecords(
+      records, "rec_id", "priority", pairs, "a", "b",
+      Seq("name", "city", "bal"))
+      .as[(Long, Long, String, Option[String], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, "Alice Smith", Some("Berlin"), Some(10.0))))
+    assert(out(3L) === ((3L, 2L, "Bob", None, Some(1.0))))
+    assert(out(9L) === ((9L, 1L, "Solo", Some("Oslo"), Some(7.0))))
+  }
+
+  test("goldenRecords: equal priority ties break by lowest member id") {
+    val records = Seq(
+      (5L, 1L, "first"), (6L, 1L, "second"))
+      .toDF("rec_id", "priority", "name")
+    val out = Linkage.goldenRecords(
+      records, "rec_id", "priority",
+      Seq((5L, 6L)).toDF("a", "b"), "a", "b", Seq("name"))
+      .as[(Long, Long, String)].head()
+    assert(out === ((5L, 2L, "first")))
+  }
 }
