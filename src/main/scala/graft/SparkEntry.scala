@@ -692,6 +692,29 @@ object SparkEntry {
       graft.ext.Curation.disposition(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] Mix shift: event-type composition of the second half of
+    // the time range vs the first — exact micro shares.
+    "q_mix_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val us = unix_micros(col("ts"))
+      val mid = ev.agg(
+        ((min(us) + max(us)) / 2).cast("long").as("__mid"))
+      graft.ext.Analytics.mixShift(
+        ev.crossJoin(broadcast(mid)).filter(us < col("__mid")),
+        ev.crossJoin(broadcast(mid)).filter(us >= col("__mid")),
+        "event_type")
+    }),
+
+    // [EXT] Cross-source duplication matrix over the portable MinHash
+    // pairs — which sources copy from which.
+    "q_source_dup_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.sourceDupMatrix(
+        Dedup.portableMinHashNearDuplicates(d, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b", d, "doc_id", "source")
+    }),
+
     // [EXT] Dedup self-eval: precision/recall of the shingle-MinHash
     // candidate pairs against exact token-Jaccard ≥ 0.5 truth, both
     // restricted to the lower-id < 200 pair universe. An end-metric
@@ -2876,6 +2899,44 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_lsh" -> simLshOracleSql,
 
     "q_ann_recall" -> annRecallOracleSql,
+
+    "q_mix_shift" ->
+      """WITH m AS (
+        |  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2
+        |    AS BIGINT) AS mid FROM events),
+        |p AS (
+        |  SELECT event_type, COUNT(*) AS n_prev
+        |  FROM events CROSS JOIN m
+        |  WHERE epoch_us(ts) < mid AND event_type IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, COUNT(*) AS n_cur
+        |  FROM events CROSS JOIN m
+        |  WHERE epoch_us(ts) >= mid AND event_type IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(p.event_type, c.event_type) AS event_type,
+        |    COALESCE(n_prev, 0) AS n_prev, COALESCE(n_cur, 0) AS n_cur
+        |  FROM p FULL JOIN c ON p.event_type = c.event_type),
+        |t AS (SELECT SUM(n_prev) AS tp, SUM(n_cur) AS tc FROM j)
+        |SELECT event_type, CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(n_cur - n_prev AS BIGINT) AS delta,
+        |  CAST((n_prev * 1000000) // tp AS BIGINT) AS share_prev_micro,
+        |  CAST((n_cur * 1000000) // tc AS BIGINT) AS share_cur_micro,
+        |  CAST((n_cur * 1000000) // tc - (n_prev * 1000000) // tp
+        |    AS BIGINT) AS share_shift_micro
+        |FROM j CROSS JOIN t""".stripMargin,
+
+    // Pair table from the q_dedup_minhash chain + two label joins.
+    "q_source_dup_matrix" ->
+      s"""WITH mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+        |lab AS (SELECT doc_id, source FROM documents),
+        |cells AS (
+        |  SELECT LEAST(a.source, b.source) AS source_a,
+        |    GREATEST(a.source, b.source) AS source_b
+        |  FROM mh JOIN lab a ON a.doc_id = mh.id_a
+        |    JOIN lab b ON b.doc_id = mh.id_b)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM cells GROUP BY 1, 2""".stripMargin,
 
     // Truth = the q_dedup_ngram exact-Jaccard chain; candidates = the
     // q_dedup_minhash chain filtered to the same pair universe.

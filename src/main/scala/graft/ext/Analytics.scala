@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -558,6 +558,45 @@ object Analytics {
         col("join_rows").cast("long").as("join_rows"),
         col("__top.p").cast("long").as("max_key_rows"),
         col("__top.k").as("max_key"))
+  }
+
+  /** Mix-shift decomposition — the period-over-period "why did the
+    * corpus composition move" table: per category, previous and
+    * current counts, the absolute delta, and both period SHARES at
+    * exact micro quantization (trunc((n·10⁶)/total) — integer
+    * arithmetic, so ΣΔshare ties out to 0 ± rounding and the table
+    * is hash-exact). The reading: a category can GROW in rows yet
+    * SHRINK in share — composition drift that raw deltas hide.
+    *
+    * Scale shape: one category-keyed count aggregate per period
+    * (map-side combined), a full-outer join on the bounded category
+    * table, one-row totals broadcast back.
+    */
+  def mixShift(
+      prev: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as(n))
+    val p = counts(prev, "n_prev")
+    val c = counts(cur, "n_cur")
+    val joined = p.join(c, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum(col("n_prev")).as("__tp"), sum(col("n_cur")).as("__tc"))
+    def shareMicro(n: Column, t: Column) = {
+      val num = n.cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)")
+      ((num - num % t.cast("decimal(38,0)")) / t.cast("decimal(38,0)"))
+        .cast("long")
+    }
+    joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_prev"), col("n_cur"),
+        (col("n_cur") - col("n_prev")).as("delta"),
+        shareMicro(col("n_prev"), col("__tp")).as("share_prev_micro"),
+        shareMicro(col("n_cur"), col("__tc")).as("share_cur_micro"))
+      .withColumn("share_shift_micro",
+        col("share_cur_micro") - col("share_prev_micro"))
   }
 
   /** Top-k categories with an "(other)" rollup — the honest version of

@@ -450,6 +450,31 @@ object Dedup {
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }
 
+  /** Cross-source duplication matrix — which sources copy from which:
+    * near-dup PAIRS (any [[Dedup]] builder) joined to each side's
+    * source label and counted per (source_a, source_b) cell, both
+    * orientations normalized so the matrix is upper-triangular-with-
+    * diagonal (within-source duplication sits on the diagonal). The
+    * table a crawl-dedup owner reads before deciding which source to
+    * demote. Pair-table-sized work: two id-keyed label joins + one
+    * bounded-cell aggregate.
+    */
+  def sourceDupMatrix(
+      pairs: DataFrame, aCol: String, bCol: String,
+      docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val lab = docs.select(col(idCol).cast("long").as("__id"),
+      col(sourceCol).as("__src"))
+    pairs
+      .join(lab.withColumnRenamed("__src", "__sa"),
+        col(aCol).cast("long") === col("__id")).drop("__id")
+      .join(lab.withColumnRenamed("__src", "__sb"),
+        col(bCol).cast("long") === col("__id")).drop("__id")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The 60-bit portable SimHash signature table (id, simhash): bit i
     * is the sign of Σ_tokens ±1 by bit i of the md5-prefix token hash.
     * Shared by [[portableSimHashNearDuplicates]] and the streaming

@@ -403,4 +403,21 @@ class AnalyticsSpec extends SparkSpec {
     // ground truth via the actual join
     assert(a.join(b, a("k") === b("j")).count() === 9L)
   }
+
+  test("mixShift: exact micro shares, growth-vs-share divergence " +
+    "visible, vanished and new categories covered") {
+    val prev = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("x"))
+      .toDF("cat")
+    val cur = (Seq.fill(90)("a") ++ Seq.fill(100)("b") ++ Seq.fill(10)("c"))
+      .toDF("cat")
+    val out = Analytics.mixShift(prev, cur, "cat")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: grows 60->90 rows but share falls 600000 -> 450000
+    assert(out("a") === (("a", 60L, 90L, 30L, 600000L, 450000L, -150000L)))
+    assert(out("b") === (("b", 30L, 100L, 70L, 300000L, 500000L, 200000L)))
+    // x vanished, c is new
+    assert(out("x") === (("x", 10L, 0L, -10L, 100000L, 0L, -100000L)))
+    assert(out("c") === (("c", 0L, 10L, 10L, 0L, 50000L, 50000L)))
+  }
 }

@@ -451,4 +451,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(out === ((3L, 2L, 1L, 0.5, 1.0 / 3.0)))
   }
+
+  test("sourceDupMatrix: cells normalized to unordered source pairs, " +
+    "within-source pairs on the diagonal") {
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "A"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.sourceDupMatrix(pairs, "id_a", "id_b",
+      docs, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(("A", "B") -> 2L, ("A", "A") -> 2L))
+  }
 }
