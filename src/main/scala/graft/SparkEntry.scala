@@ -916,6 +916,12 @@ object SparkEntry {
       Vocab.oovRate(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 20)),
 
+    // [EXT] BM25 + RM3 pseudo-relevance feedback: expand the query
+    // with the top-3 terms of the top-5 first-pass docs, re-retrieve.
+    "q_bm25_rm3" -> ((s, dir) =>
+      Vocab.bm25Rm3(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "query", "merge"), k = 50)),
+
     // Corpus vocabulary: top 100 tokens by occurrences with doc freq.
     "q_vocab_top" -> ((s, dir) =>
       Vocab.topVocabulary(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -5983,6 +5989,59 @@ FROM deg GROUP BY 1"""
         |  FROM s2)
         |SELECT doc_id, TRIM(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS clean
         |FROM s3""".stripMargin,
+
+    // Two passes of the BM25 chain; the expansion set derives purely
+    // in SQL (count desc, term asc, limit 3 — the same total order
+    // the Spark side collects).
+    "q_bm25_rm3" -> {
+      def pass(cond: String, sfx: String) =
+        s"""tf$sfx AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE $cond GROUP BY 1, 2),
+           |dfr$sfx AS (
+           |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term)
+           |    AS df
+           |  FROM tf$sfx),
+           |sc$sfx AS (
+           |  SELECT f.doc_id,
+           |    ROUND(SUM(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           |      * f.tf * 2.2
+           |      / (f.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n)))), 6)
+           |      AS score
+           |  FROM dfr$sfx f JOIN dl d USING (doc_id) CROSS JOIN stats s
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(str_split(trim(lower(text)), ' ')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(dl) AS DOUBLE) AS tot
+         |  FROM dl),
+         |${pass("term IN ('spark', 'query', 'merge')", "1")},
+         |top1 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |      AS r FROM sc1)
+         |  WHERE r <= 5),
+         |exp AS (
+         |  SELECT term FROM (
+         |    SELECT t.term, COUNT(*) AS c
+         |    FROM toks t JOIN top1 USING (doc_id)
+         |    WHERE t.term NOT IN ('spark', 'query', 'merge')
+         |      AND len(t.term) > 0
+         |    GROUP BY 1)
+         |  ORDER BY c DESC, term LIMIT 3),
+         |${pass("term IN ('spark', 'query', 'merge') " +
+            "OR term IN (SELECT term FROM exp)", "2")},
+         |ew AS (SELECT string_agg(term, ',' ORDER BY term) AS e FROM exp)
+         |SELECT doc_id, score, rank, (SELECT e FROM ew) AS expanded_with
+         |FROM (
+         |  SELECT doc_id, score,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc2)
+         |WHERE rank <= 50""".stripMargin
+    },
 
     "q_bm25_search" ->
       """WITH toks AS (

@@ -578,6 +578,40 @@ object Vocab {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** BM25 with RM3-style pseudo-relevance feedback (Lavrenko & Croft
+    * '01 lineage; the standard "no relevance labels" query expansion):
+    * retrieve once, mine the top `fbDocs` documents for their
+    * `fbTerms` most frequent non-query terms (count desc, term asc —
+    * a total order), append them to the query, retrieve again. Lexical
+    * recall goes up without any model — the classic complement to the
+    * dense retrievers ([[graft.ext.Similarity]]) that RRF fusion
+    * combines.
+    *
+    * The expansion term set is data-dependent but TINY (`fbTerms`
+    * rows) — collected once (the IVF-centroid class of driver state)
+    * and inlined as literals into the second [[bm25TopK]] pass; the
+    * oracle derives the same set purely in SQL. Output: the second
+    * pass's top-`k` plus `expanded_with` (comma-joined sorted
+    * expansion terms — the audit column).
+    */
+  def bm25Rm3(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs and fbTerms must be >= 1")
+    val round1 = bm25TopK(docs, idCol, textCol, queryTerms, fbDocs)
+    val expansion: Seq[String] = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(round1.select(col(idCol)), Seq(idCol))
+      .filter(!col("term").isin(queryTerms: _*) && length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc)
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, idCol, textCol, queryTerms ++ expansion, k)
+      .withColumn("expanded_with", lit(expansion.sorted.mkString(",")))
+  }
+
   /** Interpolated Kneser–Ney bigram language model (Kneser & Ney '95,
     * the standard n-gram smoothing; the reference repo has no LM at
     * all — north-star extension). Produces the trained model table:

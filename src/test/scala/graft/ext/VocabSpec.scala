@@ -346,4 +346,23 @@ class VocabSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(got16 === got)
   }
+
+  test("bm25Rm3: expansion comes from feedback docs and lifts docs " +
+    "sharing only expansion terms into the results") {
+    // 'target' docs contain the query term; they all also contain
+    // 'special'; a disjoint doc contains ONLY 'special' and can rank
+    // in round 2 alone.
+    val docs = (
+      (0L until 5L).map(i => (i, "query special words here")) ++
+      Seq((10L, "special special content no q-term")) ++
+      (20L until 40L).map(i => (i, s"filler f$i things"))
+    ).toDF("doc_id", "text")
+    val out = Vocab.bm25Rm3(docs, "doc_id", "text",
+      Seq("query"), k = 10, fbDocs = 3, fbTerms = 2)
+    val rows = out.as[(Long, Double, Long, String)].collect()
+    val expansion = rows.head._4.split(",").toSet
+    assert(expansion.contains("special"), s"expansion: $expansion")
+    assert(rows.map(_._1).contains(10L),
+      "doc matching only expansion terms must enter round 2")
+  }
 }
