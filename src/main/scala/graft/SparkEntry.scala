@@ -692,6 +692,19 @@ object SparkEntry {
       graft.ext.Curation.disposition(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // [EXT] Quality-aware dedup collapse: keep each near-dup
+    // cluster's BEST doc by the exact quality micro-score (CCNet
+    // convention), not its earliest.
+    "q_dedup_collapse_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("quality",
+          coalesce(TextStats.qualityScoreMicro(col("text")), lit(-1L)))
+      Dedup.collapseNearDuplicatesBest(d, "doc_id", "quality",
+        Dedup.portableMinHashNearDuplicates(d, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    }),
+
     // [EXT] Mix shift: event-type composition of the second half of
     // the time range vs the first — exact micro shares.
     "q_mix_shift" -> ((s, dir) => {
@@ -2905,6 +2918,41 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_sim_lsh" -> simLshOracleSql,
 
     "q_ann_recall" -> annRecallOracleSql,
+
+    // Same recursive-CC chain as q_dedup_collapse; the survivor is
+    // the (quality desc, id asc) argmax per entity.
+    "q_dedup_collapse_best" ->
+      s"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ($minHashOracleSql) q),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM mh
+        |  UNION SELECT id_b, id_a FROM mh),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep
+        |  FROM reach GROUP BY s),
+        |keyed AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+        |    COALESCE(c.cluster_rep, d.doc_id) AS entity,
+        |    COALESCE(CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
+        |      + (600000 * LEN(list_filter(str_split(TRIM(text), ' '),
+        |           t -> t IN ('the','a','an','of','and','to','in','is','on',
+        |                      'for','with','at','by','from','as','it','that',
+        |                      'this'))) + LEN(str_split(TRIM(text), ' ')))
+        |        // (2 * LEN(str_split(TRIM(text), ' '))) AS BIGINT), -1)
+        |      AS quality
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |win AS (
+        |  SELECT entity, doc_id FROM (
+        |    SELECT entity, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY entity
+        |        ORDER BY quality DESC, doc_id ASC) AS r
+        |    FROM keyed)
+        |  WHERE r = 1)
+        |SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars, k.quality
+        |FROM keyed k JOIN win w
+        |  ON w.entity = k.entity AND w.doc_id = k.doc_id""".stripMargin,
 
     "q_mix_shift" ->
       """WITH m AS (

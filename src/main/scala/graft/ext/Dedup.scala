@@ -915,6 +915,35 @@ object Dedup {
       .drop("cluster_rep")
   }
 
+  /** Quality-aware near-dup collapse — [[collapseNearDuplicates]]
+    * keeps each cluster's MIN-ID doc (reproducible without any score);
+    * this keeps its BEST doc by `scoreCol` (desc, ties by id asc),
+    * the CCNet convention: when a page and its boilerplate-mangled
+    * re-crawl collide, keep the clean one, not the earliest one.
+    *
+    * One struct-max per cluster (the [[graft.ops.Linkage]]
+    * survivorship shape — no window over members) decides the
+    * survivor; unpaired docs survive as themselves. Same shuffle
+    * classes as the min-id form plus one bounded cluster aggregate.
+    */
+  def collapseNearDuplicatesBest(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = clusterPairs(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_rep"))
+    val keyed = docs.join(comp, Seq(idCol), "left")
+      .withColumn("__entity",
+        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+    val winners = keyed
+      .groupBy(col("__entity"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol).cast("long")).as("nid"))).as("__w"))
+      .select(col("__entity"), (-col("__w.nid")).as("__keep"))
+    keyed.join(winners, Seq("__entity"))
+      .filter(col(idCol).cast("long") === col("__keep"))
+      .drop("__entity", "__keep", "cluster_rep")
+  }
+
   // ---- Edit-distance (typo) dedup -----------------------------------
 
   /** Distinct-string pairs within Levenshtein distance 1 — the fuzzy

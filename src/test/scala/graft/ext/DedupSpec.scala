@@ -464,4 +464,22 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(out === Map(("A", "B") -> 2L, ("A", "A") -> 2L))
   }
+
+  test("collapseNearDuplicatesBest keeps the top-quality doc per " +
+    "cluster, min-id only on ties; unpaired pass through") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (tie 2<3)
+      (7L, 5L))                        // unpaired
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.collapseNearDuplicatesBest(
+      docs, "doc_id", "q", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+    // contrast: the min-id collapse keeps doc 1
+    val minKept = Dedup.collapseNearDuplicates(
+      docs, "doc_id", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(minKept === Set(1L, 7L))
+  }
 }
