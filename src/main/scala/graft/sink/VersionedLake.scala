@@ -122,7 +122,8 @@ object VersionedLake {
     */
   def read(
       spark: SparkSession, path: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
@@ -132,7 +133,12 @@ object VersionedLake {
       require(Files.isDirectory(Paths.get(d.stripPrefix("file:"))),
         s"data dir vacuumed away: $d (time travel past the vacuum horizon)")
     }
-    spark.read.parquet(dirs: _*)
+    // mergeSchema = schema EVOLUTION on read: a version whose commits
+    // added columns reads as the union schema, older rows null-filled
+    // (the Delta/Iceberg add-column contract). Off by default — the
+    // merge pays one footer read per data dir.
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirs: _*)
   }
 
   /** Drop all but the newest `keepVersions` manifests and delete every

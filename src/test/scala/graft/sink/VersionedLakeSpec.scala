@@ -78,4 +78,20 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.read(spark, path)
       .as[(Long, String)].collect().toSet === Set((9L, "z")))
   }
+
+  test("schema evolution: an added column reads as the union schema " +
+    "with older rows null-filled; time travel keeps the old schema") {
+    val path = fresh()
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "v"), path,
+      overwrite = true)
+    VersionedLake.commit(
+      Seq((2L, "b", 99L)).toDF("id", "v", "w"), path, overwrite = false)
+    val latest = VersionedLake.read(spark, path, mergeSchema = true)
+    assert(latest.columns.sorted.toSeq === Seq("id", "v", "w"))
+    assert(latest.select("id", "v", "w").as[(Long, String, Option[Long])]
+      .collect().toSet === Set((1L, "a", None), (2L, "b", Some(99L))))
+    // v1 time travel: the old two-column schema, untouched
+    assert(VersionedLake.read(spark, path, Some(1L))
+      .columns.sorted.toSeq === Seq("id", "v"))
+  }
 }
