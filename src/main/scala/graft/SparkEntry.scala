@@ -365,7 +365,7 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
-    // xxhash64-family variant (Spark-internal hashes; rows-only check).
+    // xxhash64-family variant — oracled via the XxSql XXH64 emulation.
     "q_dedup_minhash_fast" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text",
@@ -444,7 +444,7 @@ object SparkEntry {
       Dedup.portableSimHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text")),
 
-    // xxhash64 64-bit variant (Spark-internal hashes; rows-only check).
+    // xxhash64 64-bit variant — oracled via the XxSql XXH64 emulation.
     "q_dedup_simhash_fast" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(
         Tables.documents(s, dir), "doc_id", "text", maxDist = 6)),
@@ -2808,6 +2808,12 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     "q_dedup_simhash" -> simHashOracleSql,
 
     "q_dedup_minhash" -> minHashOracleSql,
+
+    // Engine-native xxhash64 paths, now fully oracled: XXH64 emulated
+    // in exact HUGEINT arithmetic (see graft.XxSql) — the last two
+    // rows-only queries become hash-checked.
+    "q_dedup_minhash_fast" -> XxSql.minHashFastOracleSql(0.5),
+    "q_dedup_simhash_fast" -> XxSql.simHashFastOracleSql(6),
 
     "q_dedup_incremental" -> incrementalOracleSql,
 
