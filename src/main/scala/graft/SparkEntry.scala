@@ -300,12 +300,34 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, bits = 4)),
 
-    // Multimodal metadata decode (deterministic stub codec; real
-    // mapPartitions plumbing).
-    "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeMetadata(s,
-        Multimodal.fakeMediaFrom(Tables.documents(s, dir), "doc_id", "text"))
-        .toDF),
+    // Multimodal intake inventory over REAL payloads: BMP24 images
+    // (even ids) and PCM16 WAVs (odd ids) synthesized byte-for-byte,
+    // then format-detected and header-decoded back by MediaCodec —
+    // the oracle predicts format/dims/sizes from the synthesis
+    // formulas, so the hash only matches if detect + parse + the
+    // byte layouts are all exact. (The md5 content digest stays in
+    // the decodeMetadata API, spec-tested; it is not oracle-able
+    // because DuckDB cannot rebuild the binary payloads.)
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) {
+            val w = (8 + id % 9).toInt
+            val h = (5 + id % 7).toInt
+            (id, "image", ext.MediaCodec.synthesizeBmp24(w, h,
+              (x, y, c) => ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
+          } else {
+            val n = (200 + id % 100).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt)
+            (id, "audio", ext.MediaCodec.synthesizeWavPcm16(16000, samples))
+          }
+        }).toDF("doc_id", "media_type", "payload")
+      Multimodal.decodeMetadata(s, media).toDF
+        .select("doc_id", "media_type", "format", "size_bytes",
+          "width", "height", "channels")
+    }),
 
     // Batch gaps-and-islands sessionization (30 min gap).
     "q_sessionize" -> ((s, dir) =>
@@ -1691,13 +1713,15 @@ object SparkEntry {
     // token stats, integer-exact mean quality, exact-dup rate, and
     // language spread in ONE aggregate pass (the multi-distinct Expand
     // is the documented cost, as in q_profile_columns).
-    // Determinism: avg_quality and dup_rate are 6-dp HALF_UP of exact
-    // rationals computed ENTIRELY in integer space —
-    // round_half_up(a/b, 6dp) = (2·a·10⁶ + b) div (2·b) micro-units —
-    // because round()-on-double diverges cross-engine on half-boundary
-    // values (the r06 hash-fail on this very query). The per-doc
-    // quality score is already an exact DECIMAL(9,6), so its 10⁶-scaled
-    // sum is an exact integer.
+    // Determinism: avg_quality_micro and dup_rate_micro are INTEGER
+    // micro-units — 6-dp HALF_UP of exact rationals computed ENTIRELY
+    // in integer space, round_half_up(a/b, 6dp)·10⁶ =
+    // (2·a·10⁶ + b) div (2·b) — and the output carries the BIGINT
+    // itself. The former trailing CAST(… AS DOUBLE)/1e6 (r06–r09
+    // hash-fail on this very query) is gone: no double ever crosses
+    // the hash boundary, so no engine/version cast or division
+    // semantics can perturb it. The per-doc quality score is an exact
+    // DECIMAL(9,6), so its 10⁶-scaled sum is an exact integer.
     "q_corpus_report" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val q = TextStats.qualityScore(col("text")).cast("decimal(9,6)")
@@ -1709,14 +1733,13 @@ object SparkEntry {
           sum((q * lit(1000000)).cast("long")).as("__qsum"),
           countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"),
           countDistinct(col("lang")).as("n_langs"))
-        .withColumn("avg_quality",
-          expr("CAST((2 * __qsum + n_docs) div (2 * n_docs) AS DOUBLE)") /
-            lit(1e6))
-        .withColumn("dup_rate",
+        .withColumn("avg_quality_micro",
+          expr("CAST((2 * __qsum + n_docs) div (2 * n_docs) AS BIGINT)"))
+        .withColumn("dup_rate_micro",
           expr("CAST((2 * (n_docs - n_unique) * 1000000 + n_docs) " +
-            "div (2 * n_docs) AS DOUBLE)") / lit(1e6))
-        .select("source", "n_docs", "total_tokens", "avg_quality",
-          "n_unique", "n_langs", "dup_rate")
+            "div (2 * n_docs) AS BIGINT)"))
+        .select("source", "n_docs", "total_tokens", "avg_quality_micro",
+          "n_unique", "n_langs", "dup_rate_micro")
     }),
 
     // [EXT] Record linkage: match customers against a deterministically
@@ -3627,13 +3650,23 @@ FROM deg GROUP BY 1"""
         |    '[ \t\r\n]+', ' ', 'g')) AS clean_text
         |FROM documents""".stripMargin,
 
+    // Sizes from the byte layouts the codec writes: BMP24 = 54-byte
+    // header + height × (3·width padded to 4); PCM16 WAV = 44-byte
+    // header + 2 bytes/sample. Dims/channels from the synthesis
+    // formulas — the Spark side must round-trip them through real
+    // encode + detect + header parse to match.
     "q_multimodal_meta" ->
-      """SELECT doc_id, 'text' AS media_type,
-        |  octet_length(encode(text)) AS size_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
-        |  CAST(3 AS INT) AS channels,
-        |  md5(text) AS checksum
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 54 + ((3 * (8 + doc_id % 9) + 3) // 4) * 4 * (5 + doc_id % 7)
+        |    ELSE 44 + 2 * (200 + doc_id % 100) END AS BIGINT) AS size_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 9 ELSE 0 END
+        |    AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 5 + doc_id % 7 ELSE 0 END
+        |    AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
         |FROM documents""".stripMargin,
 
     // Dimensions are 1-based in both engines; embeddings are 64-dim.
@@ -5641,17 +5674,19 @@ FROM deg GROUP BY 1"""
         |      ORDER BY priority DESC, doc_id) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin,
 
+    // Integer micro-unit contract (no DOUBLE crosses the hash): the
+    // HALF_UP rationals stay BIGINT on both sides.
     "q_corpus_report" ->
       s"""SELECT source, COUNT(*) AS n_docs,
         |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
         |  CAST((2 * SUM(CAST(CAST(
         |    $qualitySqlExpr
         |    AS DECIMAL(9,6)) * 1000000 AS BIGINT)) + COUNT(*))
-        |    // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS avg_quality,
+        |    // (2 * COUNT(*)) AS BIGINT) AS avg_quality_micro,
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  CAST((2 * (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 + COUNT(*))
-        |    // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS dup_rate
+        |    // (2 * COUNT(*)) AS BIGINT) AS dup_rate_micro
         |FROM documents GROUP BY 1""".stripMargin,
 
     // The unbanded levenshtein + "> 2 -> 0" CASE is equivalent to the
@@ -5930,7 +5965,10 @@ FROM deg GROUP BY 1"""
         |FROM m""".stripMargin,
 
     // The log-ratio is the deterministic-ln chain (lnSqlChain), NOT
-    // libm ln() — bit-parity with DetMath.lnq on the Spark side.
+    // libm ln() — bit-parity with DetMath.lnq on the Spark side. The
+    // output is the integer micro-unit sum itself (psi_micro12
+    // BIGINT): no DOUBLE crosses the hash boundary, so no
+    // engine/version cast-or-division semantics can perturb it.
     "q_psi_drift" ->
       s"""WITH r AS (
         |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS n_ref
@@ -5955,7 +5993,7 @@ FROM deg GROUP BY 1"""
         |terms AS (
         |  SELECT CAST(FLOOR((qq - pp) * __lnx * 1e12) AS DECIMAL(20,0)) AS term
         |  FROM lx)
-        |SELECT CAST(SUM(term) AS DOUBLE) / 1e12 AS psi,
+        |SELECT CAST(SUM(term) AS BIGINT) AS psi_micro12,
         |  t.n_bins, t.n_ref, t.n_cur
         |FROM terms CROSS JOIN t
         |GROUP BY t.n_bins, t.n_ref, t.n_cur""".stripMargin,

@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   * 12 dp (⌊x·10¹²⌋, the [[Graph.pageRank]] floor quantization —
   * floor has no tie to break, and its input is now bit-identical
   * cross-engine) and summed as exact DECIMAL integers — float
-  * addition order CANNOT perturb the total. The PSI is the integer
-  * sum ÷ 10¹² (one IEEE divide, no further rounding).
+  * addition order CANNOT perturb the total. [[psi]] emits the
+  * integer sum ITSELF (`psi_micro12` BIGINT; PSI = psi_micro12/1e12
+  * if a float read is wanted): after four rounds of driver
+  * hash-fails survived every numerics fix while the local gate was
+  * green, the remaining suspect was the final DECIMAL→DOUBLE cast +
+  * division whose semantics can drift across oracle-engine
+  * versions — so no DOUBLE crosses the hash boundary at all.
   *
   * Scale shape: one hash aggregate per side keyed on the bin id
   * (map-side combinable, shuffle carries ≤ #bins rows per task), one
@@ -34,9 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Single-row frame: (psi, n_bins, n_ref, n_cur). Bins are
-    * `floor(value / width)` — use a power-of-two width for bit-exact
-    * binning (see [[Olap.histogram]]). Null values are excluded.
+  /** Single-row frame: (psi_micro12, n_bins, n_ref, n_cur) —
+    * psi_micro12 is the exact ⌊term·10¹²⌋ integer sum (BIGINT);
+    * divide by 1e12 for the float PSI. Bins are `floor(value /
+    * width)` — use a power-of-two width for bit-exact binning (see
+    * [[Olap.histogram]]). Null values are excluded.
     */
   def psi(
       ref: DataFrame, cur: DataFrame, valueCol: String,
@@ -72,8 +79,8 @@ object Drift {
     }
     binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
-      .agg((sum(term).cast("double") / lit(1e12)).as("psi"))
-      .select("psi", "n_bins", "n_ref", "n_cur")
+      .agg(sum(term).cast("long").as("psi_micro12"))
+      .select("psi_micro12", "n_bins", "n_ref", "n_cur")
   }
 
   /** PSI TREND: one PSI row per `groupCol` value (typically the day),
@@ -81,49 +88,65 @@ object Drift {
     * drift dashboard plots, where [[psi]] is the one-number alarm.
     * Per-group semantics match [[psi]] exactly: the bin universe for
     * group g is (ref bins ∪ g's bins), absent sides take eps, terms
-    * floor-quantize at 10¹² with the deterministic ln.
+    * floor-quantize at 10¹² with the deterministic ln; the per-group
+    * PSI keeps the float read (psi = Σterm / 1e12).
     *
-    * Scale shape: ref collapses to its bin table once (broadcast with
-    * its one-row total); current data collapses to a (group, bin)
-    * aggregate; the grid is groups × bins — bounded by the value
-    * range over the bin width times the day count, never row counts.
+    * Scale shape: BOTH corpora collapse to bin-count aggregates
+    * distributed (map-side combinable, keyed on bin / (group, bin) —
+    * bounded by value-range/width × day count, never row counts);
+    * ONLY those bounded tables collect, and the groups × bins term
+    * grid is evaluated DRIVER-SIDE with the scalar
+    * [[graft.functions.DetMath.lnqDouble]] kernel — bit-identical to
+    * the Column form (DetMathSpec pins it). Inlining the ~200-op lnq
+    * tree into a per-row projection made PLANNING+codegen the cost
+    * (26 s for a ~30-row trend at sf0.1 — the same pathology measured
+    * and fixed for [[graft.ext.Sampling.temperatureAllocate]]); the
+    * collect is the IVF-centroid class of bounded driver state.
     */
   def psiTrend(
       ref: DataFrame, cur: DataFrame, valueCol: String, groupCol: String,
       width: Long, eps: Double = 1e-6): DataFrame = {
     require(width > 0, s"width must be positive: $width")
+    val spark = cur.sparkSession
     val bin = floor(col(valueCol) / lit(width.toDouble)).cast("long")
-    val r = ref.filter(col(valueCol).isNotNull)
+    val refBins = ref.filter(col(valueCol).isNotNull)
       .groupBy(bin.as("bin")).agg(count(lit(1)).as("n_ref"))
-    val rTot = r.agg(sum(col("n_ref")).as("__nr"))
-    val c = cur.filter(col(valueCol).isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nr = refBins.valuesIterator.sum
+    val curRows = cur.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("n_cur"))
-    val cTot = c.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__nc"))
-    // grid: every group × (ref bins ∪ that group's bins)
-    val groups = c.select(col(groupCol)).distinct()
-    val grid = groups.crossJoin(broadcast(r))
-      .select(col(groupCol), col("bin"), col("n_ref"))
-      .join(c, Seq(groupCol, "bin"), "full_outer")
-      .select(col(groupCol), coalesce(col("n_ref"), lit(0L)).as("br"),
-        coalesce(col("n_cur"), lit(0L)).as("bc"))
-      .filter(col("br") > 0 || col("bc") > 0)
-    val p = when(col("br") === 0, lit(eps))
-      .otherwise(col("br").cast("double") / col("__nr").cast("double"))
-    val q = when(col("bc") === 0, lit(eps))
-      .otherwise(col("bc").cast("double") / col("__nc").cast("double"))
-    grid
-      .join(broadcast(cTot), Seq(groupCol))
-      .crossJoin(broadcast(rTot))
-      .withColumn("__term",
-        floor((q - p) * graft.functions.DetMath.lnq(q / p) * lit(1e12))
-          .cast("decimal(20,0)"))
-      .groupBy(col(groupCol))
-      .agg(
-        (sum(col("__term")).cast("double") / lit(1e12)).as("psi"),
-        count(lit(1)).as("n_bins"),
-        max(col("__nr")).as("n_ref"),
-        max(col("__nc")).as("n_cur"))
+      .collect()
+    val out = curRows.groupBy(_.get(0)).toSeq.map { case (g, rows) =>
+      val curBins = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val nc = curBins.valuesIterator.sum
+      val bins = refBins.keySet ++ curBins.keySet
+      // exact integer term sum — same order-free total as the former
+      // DECIMAL(20,0) aggregate
+      var terms = 0L
+      bins.foreach { b =>
+        val br = refBins.getOrElse(b, 0L)
+        val bc = curBins.getOrElse(b, 0L)
+        val p = if (br == 0L) eps else br.toDouble / nr.toDouble
+        val q = if (bc == 0L) eps else bc.toDouble / nc.toDouble
+        terms += math.floor(
+          (q - p) * graft.functions.DetMath.lnqDouble(q / p) * 1e12).toLong
+      }
+      org.apache.spark.sql.Row(
+        g, terms.toDouble / 1e12, bins.size.toLong, nr, nc)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      cur.schema(groupCol),
+      org.apache.spark.sql.types.StructField(
+        "psi", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField(
+        "n_bins", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "n_ref", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "n_cur", org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Jensen–Shannon divergence between two CATEGORICAL distributions,

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * [[graft.schema.Schemas.multimodal]]). North-star extension; no
   * reference equivalent.
   *
-  * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode — is real. Header-level decode is ALSO real for BMP and
-  * canonical PCM WAV ([[MediaCodec]], byte-level parsing via
-  * [[parseMediaHeaders]]); pixel/sample decode beyond the header is
-  * STUBBED (no image/audio libraries in this environment) behind
-  * [[FakeCodec]], a deterministic stand-in with the same signature a
-  * real decoder (javacv / a `mapInPandas` PIL worker on the PySpark
-  * side) would have.
+  * Every path here decodes REAL bytes via [[MediaCodec]]: header
+  * parse for all six formats, full pixel decode for 24-bit BMP, full
+  * sample decode for 16-bit PCM WAV, container walk + frame decode
+  * for GVID video. The only remaining stub boundary — clearly labeled
+  * at each site — is pixel/sample decode of EXTERNALLY-COMPRESSED
+  * formats (JPEG/PNG/GIF/WebP pixel streams, non-PCM audio): those
+  * need codec libraries this environment doesn't ship, and a real
+  * deployment swaps in javacv / a `mapInPandas` PIL worker at exactly
+  * those branches.
   *
   * Design for 100 TB: payloads are decoded per-partition via
   * `mapPartitions` over a typed Dataset, so one task holds one batch of
@@ -29,30 +30,8 @@ object Multimodal {
       doc_id: Long, media_type: String, payload: Array[Byte])
 
   final case class DecodedMedia(
-      doc_id: Long, media_type: String, size_bytes: Long,
+      doc_id: Long, media_type: String, format: String, size_bytes: Long,
       width: Int, height: Int, channels: Int, checksum: String)
-
-  /** STUB decoder — deterministic fake. A real implementation replaces
-    * exactly this object (signature-compatible) with e.g. an image
-    * library; everything around it (schema, mapPartitions batch shape,
-    * partitioning) is production plumbing.
-    */
-  object FakeCodec {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      // ??? <- real codec goes here; deterministic fake dimensions:
-      val n = if (payload == null) 0 else payload.length
-      (n % 640 + 1, (n * 31) % 480 + 1, 3)
-    }
-  }
-
-  /** Wrap a text table as fake media rows (payload = utf-8 bytes) so the
-    * decode pipeline is exercisable on the driver testdata.
-    */
-  def fakeMediaFrom(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      lit("text").as("media_type"),
-      col(textCol).cast("binary").as("payload"))
 
   final case class MediaFeatures(doc_id: Long, feature: Array[Float])
   final case class ResizedMedia(
@@ -60,11 +39,45 @@ object Multimodal {
       width: Int, height: Int)
   final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Feature extraction stub: a deterministic fixed-width float vector
-    * per payload (a real implementation runs an image/audio encoder
-    * here). Same mapPartitions batch shape as production: one encoder
-    * instance per partition, vectors sized for a downstream
-    * [[Similarity]] index.
+  /** Real header-level dimensions per format: (width, height,
+    * channels). Audio has no spatial dims (0, 0, channels); WebP's
+    * header variants carry no depth (channels 0 — honest, not
+    * invented); unknown payloads are all-zero.
+    */
+  private def headerDims(payload: Array[Byte]): (String, Int, Int, Int) =
+    MediaCodec.detect(payload) match {
+      case "bmp" =>
+        val h = MediaCodec.parseBmp(payload)
+        ("bmp", h.width, h.height, h.bitsPerPixel / 8)
+      case "wav" =>
+        val h = MediaCodec.parseWav(payload)
+        ("wav", 0, 0, h.channels)
+      case "png" =>
+        val h = MediaCodec.parsePng(payload)
+        ("png", h.width, h.height, h.channels)
+      case "jpeg" =>
+        val h = MediaCodec.parseJpeg(payload)
+        ("jpeg", h.width, h.height, h.components)
+      case "gif" =>
+        // GIF pixels decode through an RGB palette — 3 channels is the
+        // decode reality even though the stream stores palette indices
+        val h = MediaCodec.parseGif(payload)
+        ("gif", h.width, h.height, 3)
+      case "webp" =>
+        val h = MediaCodec.parseWebp(payload)
+        ("webp", h.width, h.height, 0)
+      case _ => ("unknown", 0, 0, 0)
+    }
+
+  /** Feature extraction over REAL decoded content — the fixed-width
+    * float vector a downstream [[Similarity]] index consumes, one
+    * encoder pass per partition. BMP features come from the actual
+    * pixel decode (dims + exact per-channel means + min/max); WAV
+    * features from the actual PCM samples (count, peak, RMS, mean);
+    * compressed formats get header dims only, zero-padded — the
+    * LABELED STUB boundary: replacing the zeros with learned-encoder
+    * output is exactly where a PIL/torchvision `mapInPandas` worker
+    * plugs in.
     */
   def extractFeatures(
       spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
@@ -73,21 +86,65 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition "model load" happens here in a real codec
         rows.map { r =>
-          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-          val f = Array.tabulate(dim) { i =>
-            // ??? <- real encoder; deterministic fake projection:
-            var acc = 0
-            var j = i
-            while (j < bytes.length) { acc = acc * 31 + bytes(j); j += dim }
-            (acc % 1000) / 1000.0f
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val stats: Array[Float] = MediaCodec.detect(p) match {
+            case "bmp" if MediaCodec.parseBmp(p).bitsPerPixel == 24 =>
+              val img = MediaCodec.decodeBmp24(p)
+              val npx = math.max(1, img.width * img.height)
+              var (bs, gs, rs) = (0L, 0L, 0L)
+              var mn = 255
+              var mx = 0
+              var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i)
+                (i % 3) match {
+                  case 0 => bs += v
+                  case 1 => gs += v
+                  case _ => rs += v
+                }
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              Array(img.width.toFloat, img.height.toFloat,
+                bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
+                mn.toFloat, mx.toFloat, npx.toFloat)
+            case "wav" if p.length >= 36 && MediaCodec.parseWav(p).bitsPerSample == 16 =>
+              val s = MediaCodec.decodePcm16(p)
+              var peak = 0L
+              var sum = 0L
+              var ss = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sum += v
+                ss += v * v
+                i += 1
+              }
+              val n = math.max(1, s.length)
+              Array(s.length.toFloat, peak.toFloat,
+                math.sqrt(ss.toDouble / n).toFloat, sum.toFloat / n,
+                0f, 0f, 0f, 0f)
+            case _ =>
+              // compressed pixels / unknown codec: header dims only —
+              // STUB boundary (external codec library required)
+              val (_, w, h, c) = headerDims(p)
+              Array(w.toFloat, h.toFloat, c.toFloat, 0f, 0f, 0f, 0f, 0f)
           }
-          MediaFeatures(r.doc_id, f)
+          MediaFeatures(r.doc_id, stats.padTo(dim, 0f).take(dim))
         }
       }
   }
 
-  /** Resize stub: recomputes payload + dimensions deterministically
-    * (truncation stands in for the pixel work; schema/flow is real).
+  /** REAL thumbnail path: 24-bit BMP payloads are pixel-decoded,
+    * nearest-neighbor resampled (the [[imageResizeStats]] coordinate
+    * math) and RE-ENCODED as a valid BMP24 payload — decode → resample
+    * → encode, all byte-level. Non-BMP payloads pass through UNCHANGED
+    * with their parsed header dimensions: resampling a compressed
+    * format needs an external codec (the labeled stub boundary), and
+    * an untouched payload is the honest fallback — never a fabricated
+    * one.
     */
   def resize(
       spark: SparkSession, media: DataFrame,
@@ -95,30 +152,40 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .mapPartitions(_.map { r =>
-        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        // ??? <- real scaler; fake: clamp payload to width*height/64 bytes
-        val n = math.max(1, math.min(bytes.length, width * height / 64))
-        ResizedMedia(r.doc_id, r.media_type, bytes.take(n), width, height)
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        MediaCodec.detect(p) match {
+          case "bmp" if MediaCodec.parseBmp(p).bitsPerPixel == 24 =>
+            val img = MediaCodec.decodeBmp24(p)
+            val out = MediaCodec.synthesizeBmp24(width, height,
+              (x, y, c) => img(x * img.width / width, y * img.height / height, c))
+            ResizedMedia(r.doc_id, r.media_type, out, width, height)
+          case _ =>
+            val (_, w, h, _) = headerDims(p)
+            ResizedMedia(r.doc_id, r.media_type, p, w, h)
+        }
       })
   }
 
-  /** Frame sampling stub: the 1→N row shape of video decode. Emits
-    * `n` deterministic "frames" per payload via flatMap — partition
-    * parallel, no driver involvement, output size n× input rows.
+  /** REAL frame grab: walk the GVID container
+    * ([[MediaCodec.decodeVideoFrames]]) and emit every `stride`-th
+    * frame's actual bytes — the 1→N flatMap shape of video decode,
+    * partition parallel, no driver involvement. Non-video payloads
+    * produce no frames (honest empty, not fabricated slices).
     */
   def sampleFrames(
-      spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+      spark: SparkSession, media: DataFrame, stride: Int): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .flatMap { r =>
-        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        (0 until n).map { i =>
-          // ??? <- real frame grab; fake: strided slice per frame index
-          val slice = bytes.zipWithIndex.collect {
-            case (b, j) if j % n == i => b
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        if (p.length >= 8 && p(0) == 'G' && p(1) == 'V' &&
+          p(2) == 'I' && p(3) == 'D') {
+          val frames = MediaCodec.decodeVideoFrames(p)
+          frames.indices.collect {
+            case i if i % stride == 0 => Frame(r.doc_id, i, frames(i))
           }
-          Frame(r.doc_id, i, slice)
-        }
+        } else Seq.empty
       }
   }
 
@@ -181,21 +248,24 @@ object Multimodal {
       })
   }
 
-  /** Partition-parallel decode: one `mapPartitions` pass, no shuffle.
-    * Output is a typed Dataset with payloads dropped (decoded metadata
-    * only) — the common shape for feature-extraction stages.
+  /** Partition-parallel metadata decode: one `mapPartitions` pass, no
+    * shuffle. Output is a typed Dataset with payloads dropped —
+    * format, REAL header-parsed dimensions ([[headerDims]], byte-level
+    * [[MediaCodec]] parsing), exact payload size, and the payload's
+    * md5 content digest — the intake inventory a multimodal corpus
+    * builds before any expensive pixel work.
     */
   def decodeMetadata(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val (w, h, c) = FakeCodec.decode(r.payload)
-          val sz = if (r.payload == null) 0L else r.payload.length.toLong
-          val sum = java.security.MessageDigest.getInstance("MD5")
-            .digest(if (r.payload == null) Array.emptyByteArray else r.payload)
-            .map("%02x".format(_)).mkString
-          DecodedMedia(r.doc_id, r.media_type, sz, w, h, c, sum)
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val (fmt, w, h, c) = headerDims(p)
+          md.reset()
+          val sum = md.digest(p).map("%02x".format(_)).mkString
+          DecodedMedia(r.doc_id, r.media_type, fmt, p.length.toLong, w, h, c, sum)
         }
       }
   }

@@ -36,7 +36,7 @@ object StreamDrift {
         graft.ext.Drift
           .psi(reference, batch, valueCol, width)
           .select(
-            lit(batchId).as("batch_id"), col("psi"),
+            lit(batchId).as("batch_id"), col("psi_micro12"),
             col("n_bins"), col("n_ref"), col("n_cur"))
           .write.mode("append").parquet(outDir)
         ()

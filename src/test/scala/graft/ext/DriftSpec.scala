@@ -9,8 +9,8 @@ class DriftSpec extends SparkSpec {
   test("psi is zero for identical distributions") {
     val a = (1L to 100L).map(i => (i % 10) * 10.0).toDF("v")
     val out = Drift.psi(a, a, "v", width = 16L)
-      .as[(Double, Long, Long, Long)].head()
-    assert(out == ((0.0, 6L, 100L, 100L)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((0L, 6L, 100L, 100L)))
   }
 
   test("psi matches the hand-computed value on a two-bin shift") {
@@ -18,13 +18,12 @@ class DriftSpec extends SparkSpec {
     val ref = (Seq.fill(80)(1.0) ++ Seq.fill(20)(20.0)).toDF("v")
     val cur = (Seq.fill(20)(1.0) ++ Seq.fill(80)(20.0)).toDF("v")
     val out = Drift.psi(ref, cur, "v", width = 16L)
-      .as[(Double, Long, Long, Long)].head()
-    // mirrors the floor-quantization contract: ⌊term·10¹²⌋ summed
-    // exactly, psi = sum / 10¹²
+      .as[(Long, Long, Long, Long)].head()
+    // mirrors the contract: psi_micro12 = Σ⌊term·10¹²⌋ exactly
     val expected = {
       val t0 = (0.2 - 0.8) * math.log(0.2 / 0.8)
       val t1 = (0.8 - 0.2) * math.log(0.8 / 0.2)
-      (math.floor(t0 * 1e12) + math.floor(t1 * 1e12)) / 1e12
+      math.floor(t0 * 1e12).toLong + math.floor(t1 * 1e12).toLong
     }
     assert(out._1 == expected && out._2 == 2L)
   }
@@ -33,12 +32,13 @@ class DriftSpec extends SparkSpec {
     val ref = Seq(1.0, 1.0, 1.0, 1.0).toDF("v")
     val cur = Seq(1.0, 1.0, 100.0, 100.0).toDF("v") // bin 6 unseen in ref
     val out = Drift.psi(ref, cur, "v", width = 16L)
-      .as[(Double, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long)].head()
     // (0.5 - 1.0)ln(0.5) + (0.5 - 1e-6)ln(0.5/1e-6), each ⌊·10¹²⌋
-    val t0 = math.floor((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12)
-    val t1 = math.floor((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12)
-    assert(out._1 == (t0 + t1) / 1e12)
-    assert(out._1 > 0.25) // reads as "shifted" on the rule-of-thumb scale
+    val t0 = math.floor((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12).toLong
+    val t1 = math.floor((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12).toLong
+    assert(out._1 == t0 + t1)
+    // reads as "shifted" on the rule-of-thumb scale (psi > 0.25)
+    assert(out._1 > 250000000000L)
   }
 
   test("psi aggregates bins, never joining corpora row-to-row") {
@@ -219,8 +219,10 @@ class DriftSpec extends SparkSpec {
     for (d <- Seq("d1", "d2")) {
       val pair = Drift.psi(ref, cur.filter($"day" === d).select("value"),
         "value", width = 16L)
-        .as[(Double, Long, Long, Long)].head()
-      assert(trend(d)._2 === pair._1, s"$d psi")
+        .as[(Long, Long, Long, Long)].head()
+      // trend keeps the float read; pair emits micro-units — the
+      // division is the same one the float read performs
+      assert(trend(d)._2 === pair._1.toDouble / 1e12, s"$d psi")
       assert(trend(d)._3 === pair._2, s"$d n_bins")
       assert((trend(d)._4, trend(d)._5) === ((pair._3, pair._4)), d)
     }

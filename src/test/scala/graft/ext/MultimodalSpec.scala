@@ -6,58 +6,99 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode plumbing: schema, determinism, partition parallelism") {
-    val docs = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
-    val media = Multimodal.fakeMediaFrom(docs, "doc_id", "text").repartition(2)
+  test("decodeMetadata: real format detect + header dims + content digest") {
+    val bmp = MediaCodec.synthesizeBmp24(3, 2, (x, y, c) => x + y + c)
+    val wav = MediaCodec.synthesizeWavPcm16(16000, Array(1, -2, 3))
+    val media = Seq(
+      (1L, "image", bmp), (2L, "audio", wav),
+      (3L, "junk", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media_type", "payload").repartition(2)
     val out = Multimodal.decodeMetadata(spark, media)
     assert(out.columns.toSeq === Seq(
-      "doc_id", "media_type", "size_bytes", "width", "height", "channels",
-      "checksum"))
+      "doc_id", "media_type", "format", "size_bytes", "width", "height",
+      "channels", "checksum"))
     val rows = out.collect().map(r => r.doc_id -> r).toMap
-    assert(rows(1L).size_bytes === 5L)
-    assert(rows(1L).width === 5 % 640 + 1)
-    assert(rows(1L).checksum === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(rows(1L).format === "bmp")
+    assert((rows(1L).width, rows(1L).height, rows(1L).channels) === ((3, 2, 3)))
+    assert(rows(1L).size_bytes === bmp.length.toLong)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bmp).map("%02x".format(_)).mkString
+    assert(rows(1L).checksum === md5)
+    assert(rows(2L).format === "wav")
+    assert((rows(2L).width, rows(2L).height, rows(2L).channels) === ((0, 0, 1)))
+    assert(rows(2L).size_bytes === (44 + 6).toLong)
+    assert(rows(3L).format === "unknown")
+    assert((rows(3L).width, rows(3L).channels) === ((0, 0)))
     // deterministic across runs
     val again = Multimodal.decodeMetadata(spark, media).collect()
       .map(r => r.doc_id -> r.checksum).toMap
     assert(again(2L) === rows(2L).checksum)
   }
 
-  test("feature extraction: fixed-width deterministic vectors, partition parallel") {
-    val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
-    val media = Multimodal.fakeMediaFrom(docs, "doc_id", "text").repartition(2)
-    val f1 = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+  test("extractFeatures: real pixel/sample statistics, header-dim " +
+    "fallback for compressed formats") {
+    // 2x1 BMP, known channel bytes: f(x,0,c) = 10c + x
+    val bmp = MediaCodec.synthesizeBmp24(2, 1, (x, _, c) => 10 * c + x)
+    val wav = MediaCodec.synthesizeWavPcm16(8000, Array(3, -4, 0, 12))
+    val png = MediaCodec.synthesizePng(512, 384) // header-only: stub path
+    val media = Seq(
+      (1L, "image", bmp), (2L, "audio", wav), (3L, "image", png))
+      .toDF("doc_id", "media_type", "payload").repartition(2)
+    val f = Multimodal.extractFeatures(spark, media, dim = 8).collect()
       .map(r => r.doc_id -> r.feature.toSeq).toMap
-    val f2 = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    // bmp: [w, h, bMean, gMean, rMean, min, max, npx]
+    assert(f(1L) === Seq(2f, 1f, 0.5f, 10.5f, 20.5f, 0f, 21f, 2f))
+    // wav: [n, peak, rms, mean, 0, 0, 0, 0]; ss = 9+16+0+144 = 169
+    assert(f(2L) === Seq(4f, 12f, math.sqrt(169.0 / 4).toFloat,
+      11f / 4, 0f, 0f, 0f, 0f))
+    // png: header dims + channels, zero-padded (labeled stub boundary)
+    assert(f(3L) === Seq(512f, 384f, 3f, 0f, 0f, 0f, 0f, 0f))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, media, dim = 8).collect()
       .map(r => r.doc_id -> r.feature.toSeq).toMap
-    assert(f1.keySet === Set(1L, 2L))
-    assert(f1.values.forall(_.length === 8))
-    assert(f1 === f2) // deterministic
-    assert(f1(1L) !== f1(2L))
+    assert(f === again)
   }
 
-  test("resize bounds payload and stamps dimensions") {
-    val docs = Seq((1L, "x" * 10000)).toDF("doc_id", "text")
-    val media = Multimodal.fakeMediaFrom(docs, "doc_id", "text")
-    val out = Multimodal.resize(spark, media, 64, 64).head()
-    assert(out.width === 64 && out.height === 64)
-    assert(out.payload.length === 64 * 64 / 64)
+  test("resize: BMP payloads are really resampled and re-encoded; " +
+    "non-BMP passes through untouched") {
+    def f(x: Int, y: Int, c: Int): Int = 100 * c + 10 * y + x
+    val bmp = MediaCodec.synthesizeBmp24(3, 2, f)
+    val wav = MediaCodec.synthesizeWavPcm16(8000, Array(5, 6))
+    val media = Seq((1L, "image", bmp), (2L, "audio", wav))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resize(spark, media, 2, 1).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert((out(1L).width, out(1L).height) === ((2, 1)))
+    // the output payload is a REAL BMP: decode it and check the NN
+    // source pixels (srcX = x*3/2 in {0,1}, srcY = 0)
+    val img = MediaCodec.decodeBmp24(out(1L).payload)
+    assert((img.width, img.height) === ((2, 1)))
+    for (x <- 0 until 2; c <- 0 until 3)
+      assert(img(x, 0, c) === f(x * 3 / 2, 0, c), s"($x,$c)")
+    // non-BMP: payload byte-identical, dims 0 (audio has none)
+    assert(out(2L).payload.toList === wav.toList)
+    assert((out(2L).width, out(2L).height) === ((0, 0)))
   }
 
-  test("frame sampling emits n rows per media item") {
-    val docs = Seq((1L, "abcdefghij"), (2L, "0123456789")).toDF("doc_id", "text")
-    val media = Multimodal.fakeMediaFrom(docs, "doc_id", "text")
-    val frames = Multimodal.sampleFrames(spark, media, 4).collect()
-    assert(frames.length === 8)
-    assert(frames.map(_.frame_idx).toSet === Set(0, 1, 2, 3))
-    // frames partition the payload bytes
-    val total = frames.filter(_.doc_id == 1L).map(_.payload.length).sum
-    assert(total === 10)
+  test("sampleFrames: real GVID frame grab at a stride; non-video " +
+    "yields no frames") {
+    def frame(f: Int) = MediaCodec.synthesizeBmp24(2, 2,
+      (x, y, c) => (f * 50 + 10 * y + x + c) % 256)
+    val vid = MediaCodec.synthesizeVideo((0 until 5).map(frame))
+    val media = Seq(
+      (1L, "video", vid), (2L, "junk", Array[Byte](9, 9)))
+      .toDF("doc_id", "media_type", "payload")
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+    assert(frames.forall(_.doc_id == 1L))
+    assert(frames.map(_.frame_idx).sorted.toList === List(0, 2, 4))
+    // the grabbed payloads are the REAL frame bytes
+    frames.foreach(fr =>
+      assert(fr.payload.toList === frame(fr.frame_idx).toList))
   }
 
   test("metadata-only reads never deserialize payload column (pruning-friendly schema)") {
-    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
-    val media = Multimodal.fakeMediaFrom(docs, "doc_id", "text")
+    val media = Seq((1L, "image", MediaCodec.synthesizeBmp(2, 2)))
+      .toDF("doc_id", "media_type", "payload")
     // payload is a separate top-level binary column -> parquet can prune it
     assert(media.schema("payload").dataType.typeName === "binary")
     assert(media.select("doc_id", "media_type").columns.length === 2)

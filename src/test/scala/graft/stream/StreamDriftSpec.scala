@@ -24,14 +24,14 @@ class StreamDriftSpec extends SparkSpec {
       mem.addData(Seq.fill(2)(1.0) ++ Seq.fill(8)(20.0): _*)
       q.processAllAvailable()
       val log = spark.read.parquet(out)
-        .select("batch_id", "psi").as[(Long, Double)].collect().toMap
-      assert(log(0L) == 0.0)
+        .select("batch_id", "psi_micro12").as[(Long, Long)].collect().toMap
+      assert(log(0L) == 0L)
       val expected = graft.ext.Drift.psi(
           reference,
           (Seq.fill(2)(1.0) ++ Seq.fill(8)(20.0)).toDF("v"),
           "v", width = 16L)
-        .select("psi").as[Double].head()
-      assert(log(1L) == expected && expected > 0.25)
+        .select("psi_micro12").as[Long].head()
+      assert(log(1L) == expected && expected > 250000000000L)
     } finally q.stop()
   }
 }
