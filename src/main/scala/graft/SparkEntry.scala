@@ -365,10 +365,13 @@ object SparkEntry {
         col("doc_id"),
         ext.TextClean.scrub(col("text")).as("clean_text"))),
 
-    // Exact per-group quantiles (matches DuckDB quantile_cont).
+    // Per-group quantiles — the FLAGSHIP path is the bounded-memory
+    // histogram estimator (per-group state = bins, independent of
+    // group size); the exact valueQuantiles (percentile(), buffers the
+    // group multiset — bounded-group contract only) stays library API.
     "q_quantiles" -> ((s, dir) =>
-      ext.Analytics.valueQuantiles(
-        Tables.events(s, dir), Seq("event_type"), "value")),
+      ext.Analytics.histogramQuantilesByGroup(
+        Tables.events(s, dir), Seq("event_type"), "value", width = 32.0)),
 
     // [EXT] The oracle-able sketch path of q_quantiles: fixed-width
     // histogram bins (bounded memory at any row count), distributed
@@ -728,12 +731,16 @@ object SparkEntry {
     }),
 
     // [EXT] Mix shift: event-type composition of the second half of
-    // the time range vs the first — exact micro shares.
+    // the time range vs the first — exact micro shares. The midpoint
+    // is EXACT integer floor-division on both sides ((min+max) div 2
+    // here, // in the oracle): the former double-average-then-cast
+    // truncated while DuckDB's CAST rounds-to-nearest, so an odd
+    // min+max put a boundary event in different halves per engine.
     "q_mix_shift" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val us = unix_micros(col("ts"))
-      val mid = ev.agg(
-        ((min(us) + max(us)) / 2).cast("long").as("__mid"))
+      val mid = ev.agg(min(us).as("__mn"), max(us).as("__mx"))
+        .select(expr("(__mn + __mx) div 2").as("__mid"))
       graft.ext.Analytics.mixShift(
         ev.crossJoin(broadcast(mid)).filter(us < col("__mid")),
         ev.crossJoin(broadcast(mid)).filter(us >= col("__mid")),
@@ -2985,8 +2992,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
 
     "q_mix_shift" ->
       """WITH m AS (
-        |  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2
-        |    AS BIGINT) AS mid FROM events),
+        |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |    AS mid FROM events),
         |p AS (
         |  SELECT event_type, COUNT(*) AS n_prev
         |  FROM events CROSS JOIN m
@@ -3611,12 +3618,29 @@ FROM deg GROUP BY 1"""
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Grouped histogram-quantile mirror of q_quantile_hist: per-group
+    // prefix sum over the bounded bin table; rank and interpolation
+    // are double ops on exact integer counts, FLOOR-quantized.
     "q_quantiles" ->
-      """SELECT event_type,
-        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
-        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
-        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH b AS (
+        |  SELECT event_type, CAST(FLOOR(value / 32.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM b),
+        |t AS (SELECT event_type, SUM(cnt) AS n FROM b GROUP BY 1),
+        |q AS (SELECT label, CAST(p AS DOUBLE) AS p
+        |      FROM (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+        |        AS v(label, p))
+        |SELECT c.event_type, q.label, c.bin,
+        |  FLOOR((CAST(c.bin AS DOUBLE) * 32.0 + 32.0 *
+        |    ((q.p * (t.n - 1) - (c.cum - c.cnt)) / c.cnt)) * 1e6) / 1e6
+        |    AS est
+        |FROM c JOIN t USING (event_type) CROSS JOIN q
+        |WHERE (c.cum - c.cnt) <= q.p * (t.n - 1)
+        |  AND q.p * (t.n - 1) < c.cum""".stripMargin,
 
     // Histogram-quantile mirror: window prefix sum stands in for
     // plans/Prefix; rank and interpolation are double ops on exact

@@ -61,10 +61,18 @@ object XxSql {
       s"${byteAt(s"${pfx}hx", (o + j).toString)} * ${BigInt(2).pow(8 * j)}::HUGEINT")
       .mkString(" + ") + ")"
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // ≥ 32 UTF-8 bytes would need XXH64's 4-accumulator block rounds
+    // (deliberately unimplemented) — without this guard an oversize
+    // input silently hashes WRONG and only surfaces later as a
+    // confusing bit-diff in the dedup gate; error() fails at the
+    // point of contract violation instead.
     stages += (s"${pfx}s0" ->
       s"""SELECT $ks,
          |  hex(encode($valCol)) AS ${pfx}hx,
-         |  (octet_length(encode($valCol)))::BIGINT AS ${pfx}n,
+         |  CASE WHEN octet_length(encode($valCol)) >= 32
+         |    THEN CAST(error(concat('xxh64 emulation supports <32-byte ',
+         |      'inputs; got ', octet_length(encode($valCol)))) AS BIGINT)
+         |    ELSE (octet_length(encode($valCol)))::BIGINT END AS ${pfx}n,
          |  (42::HUGEINT + $P5 + (octet_length(encode($valCol)))::HUGEINT)
          |    % $M64 AS ${pfx}h0
          |FROM $src""".stripMargin)

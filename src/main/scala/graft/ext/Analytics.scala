@@ -220,6 +220,51 @@ object Analytics {
         (floor(est * lit(1e6)) / lit(1e6)).as("est"))
   }
 
+  /** Per-GROUP [[histogramQuantiles]] — the FLAGSHIP quantile path:
+    * bounded memory at any group size (state per group = bins, i.e.
+    * value-range / `width`, independent of row count), where
+    * [[valueQuantiles]]'s exact `percentile` buffers each group's full
+    * value multiset on its reducer and is safe ONLY under a documented
+    * bounded-group contract. Same exact-integer determinism contract
+    * as the ungrouped form: per-(group, bin) counts are exact; the
+    * running cumulative count is a window over the BOUNDED bin table
+    * (partitioned by group — never a single-partition window over the
+    * row stream); rank and in-bin interpolation are IEEE double ops on
+    * exact integers, floor-quantized to 6 dp.
+    *
+    * Output: (groupCols…, label, bin, est) — one row per group ×
+    * requested quantile.
+    */
+  def histogramQuantilesByGroup(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      width: Double,
+      quantiles: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gCols = groupCols.map(col)
+    val bins = df.filter(col(valueCol).isNotNull)
+      .groupBy(gCols :+
+        floor(col(valueCol) / lit(width)).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("bin"))
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = bins.groupBy(gCols: _*).agg(sum(col("cnt")).as("n"))
+    val spine = quantiles.toDF("label", "p")
+    val r = col("p") * (col("n") - lit(1L)).cast("double")
+    val cumBefore = (col("cum") - col("cnt")).cast("double")
+    val est = col("bin").cast("double") * lit(width) +
+      lit(width) * ((r - cumBefore) / col("cnt").cast("double"))
+    cum.join(tot, groupCols).crossJoin(broadcast(spine))
+      .filter(cumBefore <= r && r < col("cum").cast("double"))
+      .select(gCols ++ Seq(col("label"), col("bin"),
+        (floor(est * lit(1e6)) / lit(1e6)).as("est")): _*)
+  }
+
   /** First-order transition counts of the per-user event sequence (the
     * Markov-chain / clickstream matrix): for each user's events in
     * (`tsCol`, `tieCol`) order, count (state → next state) pairs.

@@ -67,18 +67,41 @@ object Similarity {
           count(lit(1)), 6).as("centroid"),
         count(lit(1)).as("n_vectors"))
 
+  /** Runtime enforcement of a documented bounded-broadcast contract:
+    * the operators below broadcast their query side, which is safe
+    * ONLY while it stays small — and "the caller promised" does not
+    * survive a 100× scale-up. The probe is `limit(max+1).count()`,
+    * which short-circuits after max+1 rows (one cheap job, never a
+    * full scan of a huge side), so an oversized side fails LOUDLY at
+    * the contract boundary instead of OOMing executors mid-broadcast.
+    */
+  private def requireBoundedSide(
+      df: DataFrame, max: Int, what: String, alternative: String): Unit = {
+    val n = df.limit(max + 1).count()
+    require(n <= max,
+      s"$what exceeds the bounded-broadcast contract (> $max rows); " +
+        s"route the unbounded side through $alternative instead")
+  }
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param candidates (idCol, vecCol) — the full corpus
     * @param queries    (idCol, vecCol) — the (small) query set; gets
-    *                    broadcast so the corpus is never shuffled
+    *                    broadcast so the corpus is never shuffled.
+    *                    BOUNDED-SIDE CONTRACT, runtime-enforced: at
+    *                    most `maxQueries` rows, else this throws — use
+    *                    [[lshBucketedTopK]] / [[ivfTopK]] for an
+    *                    unbounded query set.
     * @param k          neighbors per query
     * Similarities are rounded to 6 dp BEFORE ranking, with the id as a
     * tiebreaker — ranks stay deterministic across engines/partitionings.
     */
   def bruteForceTopK(
       candidates: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Int = 1 << 16): DataFrame = {
+    requireBoundedSide(queries, maxQueries,
+      "bruteForceTopK query side", "lshBucketedTopK/ivfTopK")
     // Norms are computed once per ROW (not per pair); the pair loop is
     // one codegen'd dot product. Arithmetic stays identical to the
     // oracle formula dot/(sqrt(qq)*sqrt(cc)).
@@ -128,12 +151,17 @@ object Similarity {
     * inequality prunes pairs before the rank, and the top-k is a
     * WindowGroupLimit (map-side k-prune), never a global sort. For
     * unbounded query sides, bucket with [[lshBucket]] first — the
-    * [[graft.ext.Dedup.embeddingNearDuplicatesLsh]] path.
+    * [[graft.ext.Dedup.embeddingNearDuplicatesLsh]] path. The
+    * bounded-side contract is runtime-enforced like
+    * [[bruteForceTopK]]'s: > `maxQueries` query rows throws.
     */
   def hardNegatives(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, queryMax: Long): DataFrame = {
-    val q = emb.filter(col(idCol) < queryMax).select(
+      k: Int, queryMax: Long, maxQueries: Int = 1 << 16): DataFrame = {
+    val bounded = emb.filter(col(idCol) < queryMax)
+    requireBoundedSide(bounded, maxQueries,
+      "hardNegatives query side", "lshBucket-prefiltered candidates")
+    val q = bounded.select(
       col(idCol).as("query_id"), col(labelCol).as("__ql"),
       col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))

@@ -25,13 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     references it yet);
   *  2. read the latest manifest, build the next (append: old dirs +
   *     new; overwrite: just new);
-  *  3. CREATE_NEW the next `v{N+1}.json` — on a correct filesystem
-  *     create-exclusive is atomic, so of two racing committers
+  *  3. publish the next `v{N+1}.json` as temp-write + LINK: the
+  *     manifest bytes are fully written to a temp name first, then
+  *     hard-linked to the version name — link(2) fails atomically
+  *     with EEXIST if the target exists, so of two racing committers
   *     exactly one wins and the loser gets
   *     [[CommitConflictException]] to retry from the new snapshot
-  *     (optimistic concurrency). Readers never see a partial commit:
-  *     a manifest is written to a temp name and MOVEd into place
-  *     only after its data dir is complete.
+  *     (optimistic concurrency), AND the winning manifest appears
+  *     with its full content in one atomic step — no reader (or
+  *     crash) can ever observe an existing-but-partial newest
+  *     manifest. (A plain create-then-write has that torn window; a
+  *     rename silently replaces an existing target on POSIX and
+  *     loses the single-winner race.)
   *
   * Scale shape: manifests are one line per data dir (bounded driver
   * state, the Delta-log contract); data files are never rewritten or
@@ -55,15 +60,23 @@ object VersionedLake {
   private def versionFile(path: String, v: Long) =
     logPath(path).resolve(f"v$v%08d.json")
 
-  /** Committed versions, ascending (empty for a fresh path). */
+  /** Committed versions, ascending (empty for a fresh path). The
+    * directory stream is closed eagerly — a long-running streaming
+    * sink calls this every micro-batch, and an unclosed Files.list
+    * leaks one fd per call.
+    */
   def versions(path: String): Seq[Long] = {
     val lp = logPath(path)
     if (!Files.isDirectory(lp)) Seq.empty
-    else Files.list(lp).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.json") =>
-        s.substring(1, 9).toLong
-      }.toSeq.sorted
+    else {
+      val ds = Files.list(lp)
+      try ds.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{8}\\.json") =>
+          s.substring(1, 9).toLong
+        }.toSeq.sorted
+      finally ds.close()
+    }
   }
 
   /** The data dirs a committed version references (public: the
@@ -105,16 +118,21 @@ object VersionedLake {
     val dirs =
       if (overwrite || prior.isEmpty) Seq(dataDir)
       else readManifest(path, prior.last) :+ dataDir
+    // Temp-write + atomic LINK to the version name: the commit point.
+    // link(2) is create-exclusive (EEXIST loses the race atomically)
+    // and the target appears with its complete content — a concurrent
+    // reader or a crash can never observe a partial newest manifest.
+    val tmp = logPath(path).resolve(
+      s".tmp-$next-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, dirs.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
     try {
-      // CREATE_NEW = atomic create-exclusive: the commit point.
-      Files.write(versionFile(path, next),
-        dirs.mkString("\n").getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
+      Files.createLink(versionFile(path, next), tmp)
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(next)
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Read a specific version (default: latest). Fails on an empty or
@@ -142,25 +160,47 @@ object VersionedLake {
   }
 
   /** Drop all but the newest `keepVersions` manifests and delete every
-    * data dir no kept manifest references. Bounded driver work: the
-    * log and the data-dir listing are both one-entry-per-commit.
+    * data dir no SURVIVING manifest references — both dirs referenced
+    * only by dropped manifests and true orphans no manifest ever
+    * referenced (conflict losers, crashes between data write and
+    * commit point). Orphan deletion is age-gated by `orphanGraceMs`
+    * (last-modified older than the grace window) so a commit currently
+    * between step 1 and its commit point is never swept out from under
+    * the committer. Bounded driver work: the log and the data-dir
+    * listing are both one-entry-per-commit.
     */
-  def vacuum(path: String, keepVersions: Int): Unit = {
+  def vacuum(
+      path: String, keepVersions: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     val live = keep.flatMap(readManifest(path, _)).toSet
+    def deleteDir(dir: java.nio.file.Path): Unit =
+      if (Files.isDirectory(dir)) {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
     drop.foreach { v =>
-      readManifest(path, v)
-        .filterNot(live)
-        .foreach { d =>
-          val dir = Paths.get(path, d)
-          if (Files.isDirectory(dir)) {
-            Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(Files.deleteIfExists(_))
-          }
-        }
+      readManifest(path, v).filterNot(live)
+        .foreach(d => deleteDir(Paths.get(path, d)))
       Files.deleteIfExists(versionFile(path, v))
+    }
+    // Orphans: data dirs referenced by NO surviving manifest. Without
+    // this sweep, conflict losers and crashed commits accumulate
+    // forever — their dirs were never in any manifest, so the
+    // dropped-manifest pass above can never find them.
+    val dataRoot = Paths.get(path, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      val ds = Files.list(dataRoot)
+      try ds.iterator().asScala.toSeq
+        .filter(d => !live(s"data/${d.getFileName}"))
+        .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+        .foreach(deleteDir)
+      finally ds.close()
     }
   }
 }

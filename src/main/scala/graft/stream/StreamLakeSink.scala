@@ -22,12 +22,27 @@ import graft.sink.VersionedLake
   */
 object StreamLakeSink {
 
+  // Incremental manifest scan: manifests are immutable, so each lake
+  // path caches (highest version scanned, batch ids seen) and every
+  // call reads only the manifests committed SINCE — without this a
+  // long-running stream does O(versions) manifest reads per
+  // micro-batch, i.e. O(n²) over the stream's life. One set entry per
+  // committed batch — the same bounded driver state as the log itself.
+  private val scanned =
+    scala.collection.mutable.Map[String, (Long, Set[Long])]()
+
+  private val BatchDir = "data/b(\\d+)-.*".r
+
   /** True iff some committed manifest references `batchId`'s dir. */
-  def batchCommitted(path: String, batchId: Long): Boolean =
-    VersionedLake.versions(path).exists { v =>
-      VersionedLake.manifest(path, v)
-        .exists(_.startsWith(s"data/b$batchId-"))
-    }
+  def batchCommitted(path: String, batchId: Long): Boolean = synchronized {
+    val (hi, ids) = scanned.getOrElse(path, (0L, Set.empty[Long]))
+    val fresh = VersionedLake.versions(path).filter(_ > hi)
+    val all = ids ++ fresh.iterator
+      .flatMap(v => VersionedLake.manifest(path, v))
+      .collect { case BatchDir(id) => id.toLong }
+    scanned(path) = (fresh.lastOption.getOrElse(hi), all)
+    all.contains(batchId)
+  }
 
   /** Commit one micro-batch idempotently; returns the version, or
     * None when the batch was already committed (replay) or empty.

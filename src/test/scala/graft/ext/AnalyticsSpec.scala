@@ -93,6 +93,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
   }
 
+  test("histogramQuantilesByGroup matches the ungrouped estimator per " +
+    "group and is partition-invariant") {
+    val df = ((0 until 100).map(i => ("a", i.toDouble)) ++
+      (0 until 60).map(i => ("b", (i * 3).toDouble))).toDF("k", "v")
+    val grouped = Analytics.histogramQuantilesByGroup(
+        df, Seq("k"), "v", width = 10.0,
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Analytics.histogramQuantiles(
+          df.filter($"k" === g), "v", width = 10.0,
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      for (p <- Seq("p50", "p90", "p99"))
+        assert(grouped((g, p)) === solo(p), s"$g/$p")
+    }
+    val many = Analytics.histogramQuantilesByGroup(
+        df.repartition(13), Seq("k"), "v", width = 10.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val one = Analytics.histogramQuantilesByGroup(
+        df.repartition(1), Seq("k"), "v", width = 10.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(many === one)
+  }
+
   test("eventTransitions counts ordered per-user bigrams, ties broken by id") {
     val ev = Seq(
       (1L, "a", ts("2024-01-01 00:00:00"), 1L),

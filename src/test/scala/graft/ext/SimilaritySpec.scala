@@ -183,4 +183,26 @@ class SimilaritySpec extends SparkSpec {
     // degrees: 1->0, 2->3, 3->2, 4->0, 5->0
     assert(out === Map(0L -> 3L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("bounded-broadcast contract is runtime-enforced: an oversized " +
+    "query side throws instead of broadcasting") {
+    val emb = (1L to 40L).map(i =>
+      (i, Array(i.toFloat, 1f), if (i % 2 == 0) "a" else "b"))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.select("vec_id", "embedding")
+    // under the cap: works
+    assert(Similarity.bruteForceTopK(
+      q, q.filter($"vec_id" <= 3), "vec_id", "embedding", k = 2,
+      maxQueries = 10).count() === 6L)
+    // over the cap: loud failure naming the scale path
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(
+        q, q, "vec_id", "embedding", k = 2, maxQueries = 10))
+    assert(e1.getMessage.contains("lshBucketedTopK"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.hardNegatives(
+        emb, "vec_id", "embedding", "label", k = 2, queryMax = 100L,
+        maxQueries = 10))
+    assert(e2.getMessage.contains("bounded-broadcast"))
+  }
 }

@@ -79,6 +79,46 @@ class VersionedLakeSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((9L, "z")))
   }
 
+  test("vacuum sweeps never-referenced orphan data dirs (conflict " +
+    "losers / lost commits) past the grace window, not fresh ones") {
+    import java.nio.file.{Files, Paths}
+    val path = fresh()
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "v"), path,
+      overwrite = true)
+    // simulate a commit that died between data write and commit point:
+    // a data dir no manifest has ever referenced
+    val orphan = Paths.get(path, "data", "orphan-lost-commit")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    // within the grace window: an in-flight commit must not be swept
+    VersionedLake.vacuum(path, keepVersions = 1)
+    assert(Files.isDirectory(orphan))
+    // past the grace window (negative grace puts the cutoff in the
+    // future — avoids same-millisecond flake): swept, live untouched
+    VersionedLake.vacuum(path, keepVersions = 1, orphanGraceMs = -1000L)
+    assert(!Files.exists(orphan))
+    assert(VersionedLake.read(spark, path)
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
+
+  test("the manifest commit point is atomic-content: no temp files " +
+    "linger and a reader never sees a torn newest manifest") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = fresh()
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "v"), path,
+      overwrite = true)
+    VersionedLake.commit(Seq((2L, "b")).toDF("id", "v"), path,
+      overwrite = false)
+    // every published manifest is complete the instant it exists; the
+    // temp staging names are cleaned up win or lose
+    val log = Files.list(Paths.get(path, "_graft_log"))
+    val names = try log.iterator().asScala
+      .map(_.getFileName.toString).toSeq finally log.close()
+    assert(names.sorted === Seq("v00000001.json", "v00000002.json"))
+    assert(VersionedLake.manifest(path, 2L).size === 2)
+  }
+
   test("schema evolution: an added column reads as the union schema " +
     "with older rows null-filled; time travel keeps the old schema") {
     val path = fresh()
