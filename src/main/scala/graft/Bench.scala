@@ -49,9 +49,11 @@ object Bench {
     // Self-defense against shared-box contention: a one-off CPU spike
     // during a query's window can inflate its wall-clock ~25× (observed
     // r05 q_rollup_sales 31.5 s→1.2 s, r06 q_json_extract 0.6 s→17 s on
-    // UNCHANGED code). Any query slower than 5× its previous-round
-    // figure (and > 2 s absolute) is re-timed once after the sweep; the
-    // report carries the min as the figure plus both raw numbers, so a
+    // UNCHANGED code). Any query slower than 2.5× its previous-round
+    // figure (and > 2 s absolute) is re-timed once after the sweep
+    // (tightened from 5× after r09, where ten 2-5× contention outliers
+    // sailed under the trigger and read as regressions); the report
+    // carries the min as the figure plus both raw numbers, so a
     // contended run can't masquerade as a real regression.
     val prevTimes: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
@@ -104,7 +106,7 @@ object Bench {
     var retimed = List.empty[(String, Double, Double)]
     val results = firstPass.map { case (name, fn, dt, err) =>
       val suspicious = err.isEmpty && dt > 2.0 &&
-        prevTimes.get(name).exists(prev => dt > 5.0 * prev)
+        prevTimes.get(name).exists(prev => dt > 2.5 * prev)
       if (suspicious) {
         val (dt2, err2) = timeOne(name, fn)
         retimed ::= ((name, dt, dt2))
@@ -135,7 +137,7 @@ object Bench {
     // "queries_omitted") if the line would exceed the budget.
     def fmt(v: Double) = f"$v%.3f"
     val bySlowest = results.sortBy(-_._2)
-    // Contention re-times ride in the fixed part (bounded: only >5×
+    // Contention re-times ride in the fixed part (bounded: only >2.5×
     // regressions appear): [first, second] raw timings per query; the
     // "queries" map already carries the min of the two.
     val retimedJson = retimed.reverse.map { case (k, a, b) =>
