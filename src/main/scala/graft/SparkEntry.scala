@@ -1731,13 +1731,12 @@ object SparkEntry {
     // DECIMAL(9,6), so its 10⁶-scaled sum is an exact integer.
     "q_corpus_report" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val q = TextStats.qualityScore(col("text")).cast("decimal(9,6)")
       d.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(TextStats.tokenCount(col("text")).cast("long"))
             .as("total_tokens"),
-          sum((q * lit(1000000)).cast("long")).as("__qsum"),
+          sum(TextStats.qualityScoreMicro(col("text"))).as("__qsum"),
           countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"),
           countDistinct(col("lang")).as("n_langs"))
         .withColumn("avg_quality_micro",
@@ -2225,11 +2224,20 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
       |    AND sym * 10 <= n_words AND alpha * 5 >= n_words * 4
       |    AND stp >= 2""".stripMargin
 
-  private def qualitySqlExpr: String =
-    s"""(CAST(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
+  /** The exact-integer score·10⁶ mirror of
+    * [[graft.ext.TextStats.qualityScoreMicro]] — pure integer
+    * arithmetic (`//` = Spark's proven-exact floored division), the
+    * form to SUM when a hash-compared contract must stay
+    * double-free.
+    */
+  private def qualityMicroSqlExpr: String =
+    s"""(7000 * LEAST(LEN(str_split(TRIM(text), ' ')), 100)
        |    + ((600000 * LEN(list_filter(str_split(TRIM(text), ' '),
        |         t -> t IN ${stopwordSqlList})) + LEN(str_split(TRIM(text), ' ')))
-       |       // (2 * LEN(str_split(TRIM(text), ' ')))) AS DOUBLE) / 1e6)""".stripMargin
+       |       // (2 * LEN(str_split(TRIM(text), ' ')))))""".stripMargin
+
+  private def qualitySqlExpr: String =
+    s"(CAST($qualityMicroSqlExpr AS DOUBLE) / 1e6)"
 
   /** DuckDB lateral-column-alias chain computing
     * [[graft.functions.DetMath.lnq]] — graft's cross-engine
@@ -2258,6 +2266,38 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
        |    $u * ((2e0/15e0) + $u * ((2e0/17e0) + $u * ((2e0/19e0) +
        |    $u * ((2e0/21e0) + $u * (2e0/23e0)))))))))))) AS $s,
        |  $s + CAST($k AS DOUBLE) * 6.931471805599453e-1 AS $out""".stripMargin
+  }
+
+  /** DuckDB lateral-alias chain mirroring
+    * [[graft.functions.DetMath.lnRatioFp]] — the EXACT-INTEGER
+    * fixed-point ⌊ln(a/b)·10¹⁸⌋-class kernel — over prior aliases
+    * `a`, `b` (positive BIGINTs, a ≥ b ≥ 1), emitting HUGEINT alias
+    * `out`. Every op is an integer compare / multiply / truncating
+    * divide (`//` on non-negative HUGEINTs = Spark's `div`), and the
+    * Horner coefficients are the SAME pinned integer literals as
+    * [[graft.functions.DetMath.LnFpCoeffs]] — both engines run the
+    * identical integer program, so any engine VERSION reproduces the
+    * value bit-for-bit: no double exists anywhere in the chain.
+    */
+  private def lnRatioFpSql(a: String, b: String, out: String): String = {
+    val q = graft.functions.DetMath.FpQ
+    val cs = graft.functions.DetMath.LnFpCoeffs
+    val (k0, k, b2, t, u) = (s"__k0$out", s"__k$out", s"__b2$out",
+      s"__t$out", s"__u$out")
+    val acc = cs.indices.map(i => s"__a$i$out")
+    val horner = (cs.size - 2 to 0 by -1).map { i =>
+      s"  ${cs(i)}::HUGEINT + ($u * ${acc(i + 1)}) // $q AS ${acc(i)},"
+    }.mkString("\n")
+    s"""LENGTH(bin($a)) - LENGTH(bin($b)) AS $k0,
+       |  CASE WHEN $a >= ($b << $k0) THEN $k0 ELSE $k0 - 1 END AS $k,
+       |  ($b << $k) AS $b2,
+       |  (($a - $b2)::HUGEINT * $q) // ($a + $b2) AS $t,
+       |  ($t * $t) // $q AS $u,
+       |  ${cs.last}::HUGEINT AS ${acc.last},
+       |$horner
+       |  ($t * ${acc.head}) // $q
+       |    + $k::HUGEINT * ${graft.functions.DetMath.Ln2Fp} AS $out"""
+      .stripMargin
   }
 
   /** The sign-LSH bucket id as DuckDB SQL over a column `emb`
@@ -3176,16 +3216,19 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
         |  WHERE COALESCE(a.n_ref, 0) > 0 OR COALESCE(c.n_cur, 0) > 0),
         |lx AS (
         |  SELECT grid.day,
-        |    CASE WHEN br = 0 THEN 1e-6
-        |         ELSE br / CAST(rt.nr AS DOUBLE) END AS pp,
-        |    CASE WHEN bc = 0 THEN 1e-6
-        |         ELSE bc / CAST(ct.nc AS DOUBLE) END AS qq,
-        |    qq / pp AS __x,
-        |  ${lnSqlChain("__x", "__lnx")}
+        |    (CASE WHEN bc = 0 THEN 1 ELSE bc END)
+        |      * (CASE WHEN br = 0 THEN 1000000 ELSE rt.nr END) AS __ra,
+        |    (CASE WHEN br = 0 THEN 1 ELSE br END)
+        |      * (CASE WHEN bc = 0 THEN 1000000 ELSE ct.nc END) AS __rb,
+        |    (CASE WHEN br = 0 THEN 1000000 ELSE rt.nr END)
+        |      * (CASE WHEN bc = 0 THEN 1000000 ELSE ct.nc END) AS __m,
+        |    GREATEST(__ra, __rb) AS __ga, LEAST(__ra, __rb) AS __gb,
+        |    ABS(__ra - __rb) AS __d,
+        |  ${lnRatioFpSql("__ga", "__gb", "__lnfp")}
         |  FROM grid JOIN ct USING (day) CROSS JOIN rt),
         |terms AS (
         |  SELECT day,
-        |    CAST(FLOOR((qq - pp) * __lnx * 1e12) AS DECIMAL(20,0)) AS term
+        |    (__d::HUGEINT * __lnfp) // (__m::HUGEINT * 1000000) AS term
         |  FROM lx)
         |SELECT t.day, CAST(SUM(t.term) AS DOUBLE) / 1e12 AS psi,
         |  CAST(COUNT(*) AS BIGINT) AS n_bins,
@@ -5700,12 +5743,13 @@ FROM deg GROUP BY 1"""
 
     // Integer micro-unit contract (no DOUBLE crosses the hash): the
     // HALF_UP rationals stay BIGINT on both sides.
+    // Double-free: the per-doc quality is summed in its exact-integer
+    // micro form directly — no DOUBLE→DECIMAL round-trip whose
+    // cast/rounding semantics an engine version could move.
     "q_corpus_report" ->
       s"""SELECT source, COUNT(*) AS n_docs,
         |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
-        |  CAST((2 * SUM(CAST(CAST(
-        |    $qualitySqlExpr
-        |    AS DECIMAL(9,6)) * 1000000 AS BIGINT)) + COUNT(*))
+        |  CAST((2 * SUM($qualityMicroSqlExpr) + COUNT(*))
         |    // (2 * COUNT(*)) AS BIGINT) AS avg_quality_micro,
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(DISTINCT lang) AS n_langs,
@@ -5993,6 +6037,11 @@ FROM deg GROUP BY 1"""
     // output is the integer micro-unit sum itself (psi_micro12
     // BIGINT): no DOUBLE crosses the hash boundary, so no
     // engine/version cast-or-division semantics can perturb it.
+    // PURE-INTEGER mirror of [[graft.ext.Drift.psi]]: exact rational
+    // proportions (eps = 1/10⁶ for an absent side), the exact-integer
+    // fixed-point ln, truncating divides on non-negative operands —
+    // no DOUBLE exists anywhere in either engine's computation, so no
+    // engine-version drift can move the hash.
     "q_psi_drift" ->
       s"""WITH r AS (
         |  SELECT CAST(FLOOR(value / 32.0) AS BIGINT) AS bin, COUNT(*) AS n_ref
@@ -6007,15 +6056,22 @@ FROM deg GROUP BY 1"""
         |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
         |t AS (
         |  SELECT SUM(br) AS n_ref, SUM(bc) AS n_cur, COUNT(*) AS n_bins FROM j),
-        |lx AS (
+        |rat AS (
         |  SELECT
-        |    CASE WHEN br = 0 THEN 1e-6 ELSE br / CAST(t.n_ref AS DOUBLE) END AS pp,
-        |    CASE WHEN bc = 0 THEN 1e-6 ELSE bc / CAST(t.n_cur AS DOUBLE) END AS qq,
-        |    qq / pp AS __x,
-        |  ${lnSqlChain("__x", "__lnx")}
+        |    (CASE WHEN bc = 0 THEN 1 ELSE bc END)
+        |      * (CASE WHEN br = 0 THEN 1000000 ELSE t.n_ref END) AS __ra,
+        |    (CASE WHEN br = 0 THEN 1 ELSE br END)
+        |      * (CASE WHEN bc = 0 THEN 1000000 ELSE t.n_cur END) AS __rb,
+        |    (CASE WHEN br = 0 THEN 1000000 ELSE t.n_ref END)
+        |      * (CASE WHEN bc = 0 THEN 1000000 ELSE t.n_cur END) AS __m
         |  FROM j CROSS JOIN t),
+        |lx AS (
+        |  SELECT GREATEST(__ra, __rb) AS __ga, LEAST(__ra, __rb) AS __gb,
+        |    ABS(__ra - __rb) AS __d, __m,
+        |  ${lnRatioFpSql("__ga", "__gb", "__lnfp")}
+        |  FROM rat),
         |terms AS (
-        |  SELECT CAST(FLOOR((qq - pp) * __lnx * 1e12) AS DECIMAL(20,0)) AS term
+        |  SELECT (__d::HUGEINT * __lnfp) // (__m::HUGEINT * 1000000) AS term
         |  FROM lx)
         |SELECT CAST(SUM(term) AS BIGINT) AS psi_micro12,
         |  t.n_bins, t.n_ref, t.n_cur

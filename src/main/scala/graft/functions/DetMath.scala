@@ -127,6 +127,94 @@ object DetMath {
     s * pow(lit(2.0), k)
   }
 
+  /** Fixed-point scale for [[lnRatioFp]]: Q = 10¹⁸. */
+  val FpQ: Long = 1000000000000000000L
+
+  /** ⌊ln2 · 10¹⁸⌋ — pinned INTEGER constant, mirrored verbatim in the
+    * oracle SQL ([[graft.SparkEntry]]'s `lnRatioFpSql`).
+    */
+  val Ln2Fp: Long = 693147180559945309L
+
+  /** Horner coefficients ⌊2·10¹⁸/(2i+1)⌋, i = 0..11 — pinned integer
+    * literals (NOT computed at runtime), mirrored verbatim in the SQL
+    * chain so both engines run the identical integer program.
+    */
+  val LnFpCoeffs: Seq[Long] = Seq(
+    2000000000000000000L, 666666666666666666L, 400000000000000000L,
+    285714285714285714L, 222222222222222222L, 181818181818181818L,
+    153846153846153846L, 133333333333333333L, 117647058823529411L,
+    105263157894736842L, 95238095238095238L, 86956521739130434L)
+
+  /** ⌊ln(a/b) · 10¹⁸⌋-class fixed-point natural log of a ratio of
+    * POSITIVE integers, computed in EXACT integer arithmetic only —
+    * the step past [[lnq]] for contracts that may not let ANY double
+    * cross an engine boundary. [[lnq]] is bit-identical across
+    * engines whose basic binary64 ops are correctly rounded (IEEE
+    * requires it, and every engine tested complies); this kernel
+    * removes even that assumption: integer compare / multiply /
+    * truncating divide have exactly one possible answer in ANY
+    * engine or version, so the result is reproducible by
+    * construction, not by standards-compliance.
+    *
+    * Algorithm (the [[lnq]] atanh series, re-expressed in Q = 10¹⁸
+    * fixed point):
+    *   1. k = ⌊log2(a/b)⌋ exactly: first guess bitlen(a) − bitlen(b)
+    *      via the engines' binary-string `bin()` (no leading zeros in
+    *      both Spark and DuckDB), corrected by one shift-compare.
+    *   2. m = a/(b·2ᵏ) ∈ [1,2); t = (m−1)/(m+1) ∈ [0,⅓] as
+    *      t_fp = ((a−b·2ᵏ)·Q) div (a+b·2ᵏ) — one truncating divide.
+    *   3. 2·atanh(t) by the 12-term Horner in u = t² with the pinned
+    *      ⌊2Q/(2i+1)⌋ coefficients, every product re-normalized by a
+    *      truncating div Q.
+    *   4. + k·⌊ln2·Q⌋ (exact integer multiply-add).
+    *
+    * Value error vs true ln: series truncation ≤ 2·(⅓)²⁵/25 ≈ 1e-13
+    * plus ≤ ~15 unit-truncations ≈ 1e-17 — identical in every engine
+    * (accuracy bounds metric error; determinism is exact).
+    *
+    * Domain: 1 ≤ b ≤ a < 2⁶¹ (callers order the ratio ≥ 1 and carry
+    * the sign; intermediates stay within decimal(38,0)/HUGEINT).
+    * Returns decimal; a = b returns exactly 0.
+    */
+  def lnRatioFp(a: Column, b: Column): Column = {
+    def dec(c: Column, p: Int): Column = c.cast(s"decimal($p,0)")
+    def idiv(x: Column, y: Column): Column = call_function("div", x, y)
+    val q = lit(FpQ)
+    val k0 = (length(bin(a)) - length(bin(b))).cast("int")
+    val k = when(a >= call_function("shiftleft", b, k0), k0)
+      .otherwise(k0 - lit(1))
+    val b2 = call_function("shiftleft", b, k)
+    val t = idiv(dec(a - b2, 19) * dec(q, 19), a + b2)
+    val u = idiv(dec(t, 18) * dec(t, 18), q)
+    val acc = LnFpCoeffs.init.foldRight(lit(LnFpCoeffs.last)) {
+      (c, accCol) => lit(c) + idiv(dec(u, 18) * dec(accCol, 19), q)
+    }
+    val s = idiv(dec(t, 18) * dec(acc, 19), q)
+    dec(s, 19) + dec(k, 3) * dec(lit(Ln2Fp), 18)
+  }
+
+  /** Scalar reference model of [[lnRatioFp]] — the same integer
+    * program in BigInt (BigInt `/` truncates toward zero = `div`;
+    * all operands here are non-negative so floor = trunc). Specs pin
+    * Column ≡ scalar; bounded driver-side evaluations may use it
+    * directly (the [[lnqDouble]] precedent).
+    */
+  def lnRatioFpBig(a: Long, b: Long): BigInt = {
+    require(b >= 1 && a >= b && a < (1L << 61),
+      s"lnRatioFp domain: 1 <= b <= a < 2^61, got a=$a b=$b")
+    val bitlen = (x: Long) => 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val k0 = bitlen(a) - bitlen(b)
+    val k = if (a >= (b << k0)) k0 else k0 - 1
+    val b2 = b << k
+    val Q = BigInt(FpQ)
+    val t = (BigInt(a - b2) * Q) / BigInt(a + b2)
+    val u = (t * t) / Q
+    val acc = LnFpCoeffs.init.foldRight(BigInt(LnFpCoeffs.last)) {
+      (c, a0) => BigInt(c) + (u * a0) / Q
+    }
+    (t * acc) / Q + BigInt(k) * BigInt(Ln2Fp)
+  }
+
   /** Deterministic natural log; see object doc. Bit-identical in any
     * IEEE-754 engine evaluating the mirrored formula.
     */

@@ -6,6 +6,19 @@ import graft.SparkSpec
 class DriftSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Scalar mirror of [[Drift.psi]]'s pure-integer term contract:
+    * term12 = (|A−B| · lnRatioFp(max,min)) div (M·10⁶) with exact
+    * rational proportions (eps = 1/10⁶ on an absent side).
+    */
+  private def termMicro12(br: Long, nr: Long, bc: Long, nc: Long): Long = {
+    val (pn, pd) = if (br == 0) (1L, 1000000L) else (br, nr)
+    val (qn, qd) = if (bc == 0) (1L, 1000000L) else (bc, nc)
+    val a = qn * pd
+    val b = pn * qd
+    val lnFp = graft.functions.DetMath.lnRatioFpBig(a max b, a min b)
+    ((BigInt((a - b).abs) * lnFp) / (BigInt(pd * qd) * 1000000L)).toLong
+  }
+
   test("psi is zero for identical distributions") {
     val a = (1L to 100L).map(i => (i % 10) * 10.0).toDF("v")
     val out = Drift.psi(a, a, "v", width = 16L)
@@ -13,19 +26,19 @@ class DriftSpec extends SparkSpec {
     assert(out == ((0L, 6L, 100L, 100L)))
   }
 
-  test("psi matches the hand-computed value on a two-bin shift") {
+  test("psi matches the scalar-mirror value on a two-bin shift") {
     // ref: 80/20 across bins 0/1; cur: 20/80
     val ref = (Seq.fill(80)(1.0) ++ Seq.fill(20)(20.0)).toDF("v")
     val cur = (Seq.fill(20)(1.0) ++ Seq.fill(80)(20.0)).toDF("v")
     val out = Drift.psi(ref, cur, "v", width = 16L)
       .as[(Long, Long, Long, Long)].head()
-    // mirrors the contract: psi_micro12 = Σ⌊term·10¹²⌋ exactly
-    val expected = {
-      val t0 = (0.2 - 0.8) * math.log(0.2 / 0.8)
-      val t1 = (0.8 - 0.2) * math.log(0.8 / 0.2)
-      math.floor(t0 * 1e12).toLong + math.floor(t1 * 1e12).toLong
-    }
+    val expected = termMicro12(80, 100, 20, 100) + termMicro12(20, 100, 80, 100)
     assert(out._1 == expected && out._2 == 2L)
+    // and the integer sum is within a 12-dp quantum per term of the
+    // IEEE-double PSI — accuracy check, not the equality contract
+    val ieee = (0.2 - 0.8) * math.log(0.2 / 0.8) +
+      (0.8 - 0.2) * math.log(0.8 / 0.2)
+    assert(math.abs(out._1 - ieee * 1e12) <= 2.0)
   }
 
   test("psi survives a bin present on only one side via the eps floor") {
@@ -33,10 +46,7 @@ class DriftSpec extends SparkSpec {
     val cur = Seq(1.0, 1.0, 100.0, 100.0).toDF("v") // bin 6 unseen in ref
     val out = Drift.psi(ref, cur, "v", width = 16L)
       .as[(Long, Long, Long, Long)].head()
-    // (0.5 - 1.0)ln(0.5) + (0.5 - 1e-6)ln(0.5/1e-6), each ⌊·10¹²⌋
-    val t0 = math.floor((0.5 - 1.0) * math.log(0.5 / 1.0) * 1e12).toLong
-    val t1 = math.floor((0.5 - 1e-6) * math.log(0.5 / 1e-6) * 1e12).toLong
-    assert(out._1 == t0 + t1)
+    assert(out._1 == termMicro12(4, 4, 2, 4) + termMicro12(0, 4, 2, 4))
     // reads as "shifted" on the rule-of-thumb scale (psi > 0.25)
     assert(out._1 > 250000000000L)
   }

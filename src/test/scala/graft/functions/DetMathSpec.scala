@@ -92,4 +92,38 @@ class DetMathSpec extends SparkSpec {
       assert(math.abs(rt - x) / x < 1e-12, s"x=$x")
     }
   }
+
+  test("Column lnRatioFp equals the BigInt scalar model on " +
+    "count-ratio-shaped inputs") {
+    val pairs = ((1 to 3000).map { i =>
+      val a = 1L + (i.toLong * 2654435761L) % 999999937L
+      val b = 1L + (i.toLong * 40503L) % (a)
+      (a max b, a min b)
+    } ++ Seq(
+      (1L, 1L), (2L, 1L), (3L, 2L), (1000000L, 1L),
+      (999999999999L, 1L), (1L << 60, 1L), (1L << 60, (1L << 60) - 1),
+      ((1L << 60) + 12345L, 977L))).distinct
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        DetMath.lnRatioFp(col("a"), col("b")).cast("string").as("fp"))
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (a, b, fp) =>
+      assert(BigInt(fp) == DetMath.lnRatioFpBig(a, b), s"a=$a b=$b")
+    }
+  }
+
+  test("lnRatioFp tracks libm log within 1e-12 relative-to-Q and is " +
+    "exactly 0 at a=b") {
+    assert(DetMath.lnRatioFpBig(7L, 7L) == 0)
+    var worst = 0.0
+    (1 to 20000).foreach { i =>
+      val a = 1L + (i.toLong * 2654435761L) % 999999937L
+      val b = 1L + (i.toLong * 48271L) % a
+      val fp = DetMath.lnRatioFpBig(a max b, a min b)
+      val err = math.abs(fp.toDouble / 1e18 -
+        math.log((a max b).toDouble / (a min b).toDouble))
+      if (err > worst) worst = err
+    }
+    assert(worst < 1e-12, s"worst=$worst")
+  }
 }
