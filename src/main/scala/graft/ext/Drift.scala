@@ -131,24 +131,45 @@ object Drift {
     * (26 s for a ~30-row trend at sf0.1 — the same pathology measured
     * and fixed for [[graft.ext.Sampling.temperatureAllocate]]); the
     * collect is the IVF-centroid class of bounded driver state.
+    *
+    * The bound is DATA-dependent (value-range/width × groups), so —
+    * like [[Similarity.bruteForceTopK]]'s query-side contract — it is
+    * ENFORCED at runtime: each collect short-circuits at
+    * `maxGridCells` rows and fails loudly naming the scale paths (a
+    * coarser `width`, or per-group [[psi]] which never collects bins)
+    * instead of silently materializing an unbounded grid on the
+    * driver.
     */
   def psiTrend(
       ref: DataFrame, cur: DataFrame, valueCol: String, groupCol: String,
-      width: Long, eps: Double = 1e-6): DataFrame = {
+      width: Long, eps: Double = 1e-6,
+      maxGridCells: Int = 1 << 21): DataFrame = {
     require(width > 0, s"width must be positive: $width")
     val epsDen = math.round(1.0 / eps)
     require(epsDen >= 1 && 1.0 / epsDen.toDouble == eps,
       s"eps must be an exact reciprocal 1/N (rational contract): $eps")
+    def boundedCollect(df: DataFrame, what: String) = {
+      val rows = df.limit(maxGridCells + 1).collect()
+      require(rows.length <= maxGridCells,
+        s"psiTrend $what exceeds maxGridCells=$maxGridCells — the " +
+          "driver-side term grid is for BOUNDED bin universes; use a " +
+          "coarser `width`, or run Drift.psi per group (fully " +
+          "distributed, never collects bins)")
+      rows
+    }
     val spark = cur.sparkSession
     val bin = floor(col(valueCol) / lit(width.toDouble)).cast("long")
-    val refBins = ref.filter(col(valueCol).isNotNull)
-      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n_ref"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refBins = boundedCollect(
+      ref.filter(col(valueCol).isNotNull)
+        .groupBy(bin.as("bin")).agg(count(lit(1)).as("n_ref")),
+      "reference bin table")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nr = refBins.valuesIterator.sum
-    val curRows = cur.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), bin.as("bin"))
-      .agg(count(lit(1)).as("n_cur"))
-      .collect()
+    val curRows = boundedCollect(
+      cur.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol), bin.as("bin"))
+        .agg(count(lit(1)).as("n_cur")),
+      "(group, bin) table")
     val out = curRows.groupBy(_.get(0)).toSeq.map { case (g, rows) =>
       val curBins = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
       val nc = curBins.valuesIterator.sum

@@ -241,4 +241,15 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(trend("d1")._2) < 0.05)
     assert(trend("d2")._2 > 0.5)
   }
+
+  test("psiTrend enforces its bounded-grid contract at runtime") {
+    val ref = (0L until 64L).map(_.toDouble).toDF("value")
+    val cur = (0L until 64L).map(i => ("d1", i.toDouble)).toDF("day", "value")
+    val e = intercept[IllegalArgumentException] {
+      Drift.psiTrend(ref, cur, "value", "day", width = 16L,
+        maxGridCells = 2)
+    }
+    assert(e.getMessage.contains("maxGridCells"))
+    assert(e.getMessage.contains("Drift.psi"))
+  }
 }
