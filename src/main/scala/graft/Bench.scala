@@ -104,9 +104,18 @@ object Bench {
       (name, fn, dt, err)
     }
     var retimed = List.empty[(String, Double, Double)]
+    // A query ABSENT from the previous report was truncated out of its
+    // slowest-first detail map, i.e. it ran FASTER than everything
+    // reported — so min(reported) is a conservative upper bound on its
+    // previous figure. Without this fallback, contention spikes on
+    // previously-fast queries could never trigger the re-time (observed
+    // this round: a 0.7 s funnel read 18 s in a contended full sweep
+    // and had no baseline to trip the defense).
+    val prevFloor = if (prevTimes.isEmpty) None else Some(prevTimes.values.min)
     val results = firstPass.map { case (name, fn, dt, err) =>
+      val prevOpt = prevTimes.get(name).orElse(prevFloor)
       val suspicious = err.isEmpty && dt > 2.0 &&
-        prevTimes.get(name).exists(prev => dt > 2.5 * prev)
+        prevOpt.exists(prev => dt > 2.5 * prev)
       if (suspicious) {
         val (dt2, err2) = timeOne(name, fn)
         retimed ::= ((name, dt, dt2))
