@@ -110,7 +110,10 @@ object Bench {
     // previous figure. Without this fallback, contention spikes on
     // previously-fast queries could never trigger the re-time (observed
     // this round: a 0.7 s funnel read 18 s in a contended full sweep
-    // and had no baseline to trip the defense).
+    // and had no baseline to trip the defense). Trade-off: a
+    // genuinely NEW slow query also has no baseline and gets one
+    // extra timed run in its first sweep — accepted (self-corrects
+    // once it enters the report, and both raw numbers are published).
     val prevFloor = if (prevTimes.isEmpty) None else Some(prevTimes.values.min)
     val results = firstPass.map { case (name, fn, dt, err) =>
       val prevOpt = prevTimes.get(name).orElse(prevFloor)
@@ -119,7 +122,12 @@ object Bench {
       if (suspicious) {
         val (dt2, err2) = timeOne(name, fn)
         retimed ::= ((name, dt, dt2))
-        (name, math.min(dt, dt2), err.orElse(err2))
+        // A failed RE-time must not mark a query that already
+        // succeeded as failed — the re-run exists to defend against
+        // the very contention that can also kill it transiently. The
+        // first pass's valid result stands; only its timing improves.
+        if (err2.isEmpty) (name, math.min(dt, dt2), err)
+        else (name, dt, err)
       } else (name, dt, err)
     }
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }

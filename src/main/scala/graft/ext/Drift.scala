@@ -58,11 +58,13 @@ object Drift {
     * of an external hash disagreeing while the local gate was green,
     * the only version-proof contract is no doubles at all.)
     *
-    * Domain note at 100 TB: pn·qd etc. multiply raw bin counts by
-    * proportion denominators in BIGINT — exact up to counts ~2⁳⁰ per
-    * side with the default epsDen = 10⁶ (A,B < 2⁶¹ is required by
-    * the ln kernel and asserted there). Beyond that, pre-aggregate
-    * per shard or widen to DECIMAL — the shape (two bin aggregates,
+    * Domain note at 100 TB: A = qn·pd and B = pn·qd multiply raw bin
+    * counts by proportion denominators in BIGINT, and the ln kernel
+    * requires its inputs < 2⁶¹ — exact up to ~2³⁰ rows PER SIDE with
+    * the default epsDen = 10⁶. The bound is ENFORCED in the plan: a
+    * side total past 2³⁰ raises a clear error (never a silent Long
+    * wrap); the divides themselves run in DECIMAL. Past that scale,
+    * widen A/B/M to decimal columns — the shape (two bin aggregates,
     * one bounded join) is unchanged.
     */
   def psi(
@@ -103,12 +105,26 @@ object Drift {
       val lnFp =
         graft.functions.DetMath.lnRatioFp(greatest(a, b), least(a, b))
       // term·10¹² = d·lnFp/(M·10⁶) exactly (lnFp is Q=10¹⁸ scale);
-      // d·lnFp ≤ 2⁶¹·ln(2⁶¹)·10¹⁸ < 10³⁸ stays exact in decimal(38,0).
-      idiv(dec(abs(a - b), 19) * lnFp, pd * qd * lit(1000000L))
+      // d·lnFp ≤ 2⁶¹·ln(2⁶¹)·10¹⁸ < 10³⁸ stays exact in decimal(38,0),
+      // and M·10⁶ is computed in DECIMAL — a Long product pd·qd·10⁶
+      // wraps as early as ~3·10⁶ rows per side. The 2³⁰-per-side
+      // domain (A, B < 2⁶¹ for the ln kernel) is enforced loudly, not
+      // assumed: raise_error beats a silently wrapped A·B.
+      val maxSide = 1L << 30
+      val term0 = idiv(dec(abs(a - b), 19) * lnFp,
+        dec(pd, 19) * dec(qd, 19) * lit(1000000L))
+      when(col("n_ref") > maxSide || col("n_cur") > maxSide,
+        raise_error(lit("Drift.psi: side totals past 2^30 rows " +
+          "overflow the BIGINT rational terms — widen A/B/M to " +
+          "decimal (see scaladoc)")).cast("long"))
+        .otherwise(term0)
     }
+    // Terms sum in DECIMAL (the oracle sums HUGEINT): ~41e12 per term
+    // would overflow a Long sum past ~2·10⁵ bins, and the bin count is
+    // value-range/width — unbounded by design.
     binTable.crossJoin(broadcast(totals))
       .groupBy(col("n_ref"), col("n_cur"), col("n_bins"))
-      .agg(sum(term).as("psi_micro12"))
+      .agg(sum(term.cast("decimal(20,0)")).cast("long").as("psi_micro12"))
       .select("psi_micro12", "n_bins", "n_ref", "n_cur")
   }
 
@@ -176,8 +192,10 @@ object Drift {
       val bins = refBins.keySet ++ curBins.keySet
       // exact integer term sum, the SAME pure-integer term contract
       // as [[psi]] (scalar form) — trend rows and the pair alarm can
-      // never disagree by a quantization ulp
-      var terms = 0L
+      // never disagree by a quantization ulp. BigInt accumulator: a
+      // Long sum can overflow past ~2·10⁵ bins; the ln kernel's own
+      // require rejects side totals past its 2⁶¹ input domain loudly.
+      var terms = BigInt(0)
       bins.foreach { b =>
         val br = refBins.getOrElse(b, 0L)
         val bc = curBins.getOrElse(b, 0L)
@@ -187,8 +205,8 @@ object Drift {
         val c = pn * qd
         val lnFp =
           graft.functions.DetMath.lnRatioFpBig(a max c, a min c)
-        terms += ((BigInt((a - c).abs) * lnFp) /
-          (BigInt(pd) * BigInt(qd) * 1000000L)).toLong
+        terms += (BigInt((a - c).abs) * lnFp) /
+          (BigInt(pd) * BigInt(qd) * 1000000L)
       }
       org.apache.spark.sql.Row(
         g, terms.toDouble / 1e12, bins.size.toLong, nr, nc)

@@ -5,9 +5,10 @@ package graft.ext
   * (BITMAPINFOHEADER), canonical PCM WAV (RIFF/fmt), PNG (IHDR),
   * JPEG/JFIF (SOF marker scan), GIF (logical screen descriptor), and
   * WebP (VP8X extended header / VP8L lossless bitstream header). Pure
-  * byte arithmetic — this replaces [[Multimodal.FakeCodec]] for
-  * payloads that actually carry these magics, and is exactly the seam
-  * where a full decoder (pixel data, samples) would plug in.
+  * byte arithmetic — the real-decode backend behind every
+  * [[Multimodal]] media path (the former fake codec is gone), and
+  * exactly the seam where a full compressed-pixel decoder would plug
+  * in.
   *
   * Layout references (public format specs):
   *   BMP: "BM" magic; BITMAPINFOHEADER at offset 14 — width i32le@18,
@@ -260,15 +261,84 @@ object MediaCodec {
     def apply(x: Int, y: Int, c: Int): Int = pixels(3 * (y * width + x) + c)
   }
 
+  /** True iff `b` is a canonical 16-bit PCM WAV whose data chunk is
+    * present and complete — the safe-dispatch twin of
+    * [[isCompleteBmp24]] for sample-reading paths.
+    */
+  def isCompletePcm16(b: Array[Byte]): Boolean =
+    detect(b) == "wav" && le16(b, 34) == 16 && {
+      var off = 12
+      var ok = false
+      var done = false
+      while (!done && off + 8 <= b.length) {
+        if (b(off) == 'd' && b(off + 1) == 'a' &&
+          b(off + 2) == 't' && b(off + 3) == 'a') {
+          val sz = le32(b, off + 4)
+          ok = sz >= 0 && off + 8L + sz <= b.length
+          done = true
+        } else {
+          val sz = le32(b, off + 4)
+          if (sz < 0) done = true
+          else off += 8 + sz + (sz & 1)
+        }
+      }
+      ok
+    }
+
+  /** True iff `b` is a GVID container whose frame count and every
+    * frame length are in-bounds — the safe-dispatch twin of
+    * [[isCompleteBmp24]] for frame-walking paths.
+    */
+  def isCompleteGvid(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 'G' && b(1) == 'V' &&
+      b(2) == 'I' && b(3) == 'D' && {
+        val n = le32(b, 4)
+        var ok = n >= 0 && n.toLong <= (b.length - 8L) / 4L
+        var off = 8
+        var i = 0
+        while (ok && i < n) {
+          if (off + 4 > b.length) ok = false
+          else {
+            val len = le32(b, off)
+            if (len < 0 || off + 4L + len > b.length) ok = false
+            else off += 4 + len
+          }
+          i += 1
+        }
+        ok
+      }
+
   /** REAL 24-bit BMP pixel decode: un-flips the bottom-up rows, strips
     * row padding, returns top-down row-major BGR bytes.
     */
+  /** True iff `b` is a 24bpp BMP whose pixel array is actually
+    * present and complete — the dispatch guard for pixel-reading
+    * paths ([[synthesizeBmp]] header-only payloads and truncated
+    * uploads carry a valid header but no/partial pixels, and must
+    * route to the header-metadata path instead of crashing a task).
+    */
+  def isCompleteBmp24(b: Array[Byte]): Boolean =
+    detect(b) == "bmp" && {
+      val h = parseBmp(b)
+      val off = le32(b, 10)
+      val rowBytes = ((3L * h.width + 3) / 4) * 4
+      h.bitsPerPixel == 24 && h.width > 0 && h.height > 0 &&
+        off >= 54 && off + rowBytes * h.height <= b.length
+    }
+
   def decodeBmp24(b: Array[Byte]): Bmp24 = {
     require(detect(b) == "bmp", "not a BMP payload")
     val h = parseBmp(b)
     require(h.bitsPerPixel == 24, s"not 24bpp: ${h.bitsPerPixel}")
     val off = le32(b, 10)
     val rowBytes = ((3 * h.width + 3) / 4) * 4
+    // Truncation is a data fault, not a code fault — fail with a
+    // clear message instead of an ArrayIndexOutOfBounds mid-row.
+    require(h.width > 0 && h.height > 0,
+      s"non-positive BMP dimensions: ${h.width}x${h.height}")
+    require(off >= 54 && off.toLong + rowBytes.toLong * h.height <= b.length,
+      s"truncated BMP24: pixel array needs ${off.toLong +
+        rowBytes.toLong * h.height} bytes, payload has ${b.length}")
     val out = new Array[Int](3 * h.width * h.height)
     var y = 0
     while (y < h.height) {
@@ -305,11 +375,20 @@ object MediaCodec {
     require(b.length >= 8 && b(0) == 'G' && b(1) == 'V' &&
       b(2) == 'I' && b(3) == 'D', "not a GVID payload")
     val n = le32(b, 4)
+    // The embedded count/lengths are untrusted corpus bytes: a
+    // truncated or corrupt container must fail with a clear message
+    // (or a bounded allocation), never AIOOBE / NegativeArraySize /
+    // a 2³¹-slot allocation from a bogus count.
+    require(n >= 0 && n.toLong <= (b.length - 8L) / 4L,
+      s"corrupt GVID frame count: $n for ${b.length}-byte payload")
     val out = new Array[Array[Byte]](n)
     var off = 8
     var i = 0
     while (i < n) {
+      require(off + 4 <= b.length, s"truncated GVID: frame $i length")
       val len = le32(b, off)
+      require(len >= 0 && off + 4L + len <= b.length,
+        s"truncated GVID: frame $i claims $len bytes past payload end")
       out(i) = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
       off += 4 + len
       i += 1
@@ -344,14 +423,23 @@ object MediaCodec {
   def decodePcm16(b: Array[Byte]): Array[Int] = {
     require(detect(b) == "wav", "not a WAV payload")
     require(le16(b, 34) == 16, s"not 16-bit PCM: ${le16(b, 34)}")
+    // Bounds-check BEFORE each chunk-header read: corrupt chunk sizes
+    // must hit the loud "no data chunk" require, not an AIOOBE from
+    // walking past the buffer.
     var off = 12
+    require(off + 8 <= b.length, "no data chunk")
     while (!(b(off) == 'd' && b(off + 1) == 'a' &&
       b(off + 2) == 't' && b(off + 3) == 'a')) {
       val sz = le32(b, off + 4)
+      require(sz >= 0, s"corrupt WAV chunk size: $sz")
       off += 8 + sz + (sz & 1) // chunks are word-aligned
       require(off + 8 <= b.length, "no data chunk")
     }
-    val n = le32(b, off + 4) / 2
+    val dataBytes = le32(b, off + 4)
+    require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
+      s"truncated WAV data chunk: claims $dataBytes bytes, " +
+        s"payload has ${b.length - off - 8}")
+    val n = dataBytes / 2
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {

@@ -87,8 +87,12 @@ object Multimodal {
         // per-partition "model load" happens here in a real codec
         rows.map { r =>
           val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          // Completeness-guarded dispatch: a header-only or truncated
+          // payload (valid magic, missing pixels/samples) routes to
+          // the header-dims fallback instead of killing the task —
+          // corpus bytes are untrusted.
           val stats: Array[Float] = MediaCodec.detect(p) match {
-            case "bmp" if MediaCodec.parseBmp(p).bitsPerPixel == 24 =>
+            case "bmp" if MediaCodec.isCompleteBmp24(p) =>
               val img = MediaCodec.decodeBmp24(p)
               val npx = math.max(1, img.width * img.height)
               var (bs, gs, rs) = (0L, 0L, 0L)
@@ -109,7 +113,7 @@ object Multimodal {
               Array(img.width.toFloat, img.height.toFloat,
                 bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
                 mn.toFloat, mx.toFloat, npx.toFloat)
-            case "wav" if p.length >= 36 && MediaCodec.parseWav(p).bitsPerSample == 16 =>
+            case "wav" if MediaCodec.isCompletePcm16(p) =>
               val s = MediaCodec.decodePcm16(p)
               var peak = 0L
               var sum = 0L
@@ -154,7 +158,10 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
         MediaCodec.detect(p) match {
-          case "bmp" if MediaCodec.parseBmp(p).bitsPerPixel == 24 =>
+          // isCompleteBmp24, not bitsPerPixel alone: a header-only
+          // BMP (synthesizeBmp) or truncated upload must pass through
+          // untouched, not crash the pixel decode.
+          case "bmp" if MediaCodec.isCompleteBmp24(p) =>
             val img = MediaCodec.decodeBmp24(p)
             val out = MediaCodec.synthesizeBmp24(width, height,
               (x, y, c) => img(x * img.width / width, y * img.height / height, c))
@@ -179,8 +186,9 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .flatMap { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
-        if (p.length >= 8 && p(0) == 'G' && p(1) == 'V' &&
-          p(2) == 'I' && p(3) == 'D') {
+        // isCompleteGvid: corrupt counts/lengths in untrusted corpus
+        // bytes produce the honest empty, never a task-killing AIOOBE
+        if (MediaCodec.isCompleteGvid(p)) {
           val frames = MediaCodec.decodeVideoFrames(p)
           frames.indices.collect {
             case i if i % stride == 0 => Frame(r.doc_id, i, frames(i))

@@ -33,36 +33,60 @@ object StreamLakeSink {
 
   private val BatchDir = "data/b(\\d+)-.*".r
 
-  /** True iff some committed manifest references `batchId`'s dir. */
-  def batchCommitted(path: String, batchId: Long): Boolean = synchronized {
+  /** One incremental scan: (highest version seen, all batch ids
+    * committed up to it). The high-water mark is what makes the
+    * absent-check usable as a commit precondition — see
+    * [[commitBatch]].
+    */
+  private def scanState(path: String): (Long, Set[Long]) = synchronized {
     val (hi, ids) = scanned.getOrElse(path, (0L, Set.empty[Long]))
     val fresh = VersionedLake.versions(path).filter(_ > hi)
     val all = ids ++ fresh.iterator
       .flatMap(v => VersionedLake.manifest(path, v))
       .collect { case BatchDir(id) => id.toLong }
-    scanned(path) = (fresh.lastOption.getOrElse(hi), all)
-    all.contains(batchId)
+    val newHi = fresh.lastOption.getOrElse(hi)
+    scanned(path) = (newHi, all)
+    (newHi, all)
   }
+
+  /** True iff some committed manifest references `batchId`'s dir. */
+  def batchCommitted(path: String, batchId: Long): Boolean =
+    scanState(path)._2.contains(batchId)
 
   /** Commit one micro-batch idempotently; returns the version, or
     * None when the batch was already committed (replay) or empty.
+    *
+    * The absent-check alone is check-then-act: a replay twin can
+    * commit this very batch BETWEEN our check and our commit, and
+    * since our commit would build on the twin's manifest (no version
+    * collision) the batch would be applied twice. So every commit
+    * carries `expectedBase` = the high-water version of the SAME scan
+    * that proved the batch absent — any intervening commit (twin or
+    * not) turns ours into a CommitConflictException, and we re-scan
+    * and either skip (twin won with OUR batch) or retry on the new
+    * base.
     */
   def commitBatch(
       batch: DataFrame, path: String, batchId: Long): Option[Long] = {
-    if (batch.isEmpty || batchCommitted(path, batchId)) None
+    if (batch.isEmpty) None
     else {
-      try Some(VersionedLake.commit(
-        batch, path, overwrite = false,
-        dataDirPrefix = s"b$batchId-"))
-      catch {
-        case _: VersionedLake.CommitConflictException =>
-          // lost the version race — re-check (the winner may have
-          // been OUR replay twin) and retry once
-          if (batchCommitted(path, batchId)) None
-          else Some(VersionedLake.commit(
+      var attempts = 0
+      while (attempts < 5) {
+        val (base, ids) = scanState(path)
+        if (ids.contains(batchId)) return None
+        try {
+          return Some(VersionedLake.commit(
             batch, path, overwrite = false,
+            expectedBase = Some(base),
             dataDirPrefix = s"b$batchId-"))
+        } catch {
+          case _: VersionedLake.CommitConflictException =>
+            attempts += 1 // someone committed since our scan — rescan
+        }
       }
+      throw new IllegalStateException(
+        s"batch $batchId lost the commit race 5 times at $path — " +
+          "a writer outside this sink is committing concurrently")
     }
   }
 

@@ -320,4 +320,45 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.frame_idx).sorted.toList
     assert(out === List(0L, 2L, 4L))
   }
+
+  test("truncated/corrupt payloads fail loudly in the decoders and " +
+    "route to honest fallbacks in the operators") {
+    // header-only BMP (valid magic, no pixel array): complete=false,
+    // decode refuses with a clear message instead of AIOOBE
+    val headerOnly = MediaCodec.synthesizeBmp(4, 3)
+    assert(!MediaCodec.isCompleteBmp24(headerOnly))
+    val e1 = intercept[IllegalArgumentException](
+      MediaCodec.decodeBmp24(headerOnly))
+    assert(e1.getMessage.contains("truncated"))
+    val full = MediaCodec.synthesizeBmp24(4, 3, (x, y, c) => x + y + c)
+    assert(MediaCodec.isCompleteBmp24(full))
+    // truncated GVID: in-bounds magic, frame length past the end
+    val vid = MediaCodec.synthesizeVideo(
+      Seq(MediaCodec.synthesizeBmp24(2, 2, (_, _, _) => 1)))
+    val cut = java.util.Arrays.copyOf(vid, vid.length - 3)
+    assert(MediaCodec.isCompleteGvid(vid) && !MediaCodec.isCompleteGvid(cut))
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodec.decodeVideoFrames(cut))
+    assert(e2.getMessage.contains("truncated"))
+    // truncated WAV data chunk
+    val wav = MediaCodec.synthesizeWavPcm16(8000, Array(1, -2, 3, -4))
+    val wcut = java.util.Arrays.copyOf(wav, wav.length - 2)
+    assert(MediaCodec.isCompletePcm16(wav) && !MediaCodec.isCompletePcm16(wcut))
+    val e3 = intercept[IllegalArgumentException](
+      MediaCodec.decodePcm16(wcut))
+    assert(e3.getMessage.contains("truncated"))
+    // operator surfaces: header-only BMP passes through resize
+    // untouched; truncated GVID yields honest-empty frames; the
+    // truncated WAV routes to the header fallback — no task death
+    val media = Seq(
+      (1L, "image", headerOnly), (2L, "video", cut), (3L, "audio", wcut))
+      .toDF("doc_id", "media_type", "payload")
+    val rs = Multimodal.resize(spark, media, 2, 2).collect()
+      .map(r => r.doc_id -> r.payload.length).toMap
+    assert(rs(1L) === headerOnly.length) // pass-through, not re-encoded
+    assert(Multimodal.sampleFrames(spark, media, 1).collect().isEmpty)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.feature).toMap
+    assert(feats(3L)(3) === 0f) // header fallback shape, not samples
+  }
 }

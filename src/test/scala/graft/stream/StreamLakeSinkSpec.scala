@@ -51,4 +51,27 @@ class StreamLakeSinkSpec extends SparkSpec {
     assert(StreamLakeSink.commitBatch(
       Seq.empty[(Long, String)].toDF("id", "v"), path, 2L) === None)
   }
+
+  test("a twin's commit landing after the cache was warmed is still " +
+    "seen (incremental rescan), and stale bases conflict loudly") {
+    val path = fresh("graft_slake3")
+    assert(StreamLakeSink.commitBatch(
+      Seq((1L, "a")).toDF("id", "v"), path, 0L) === Some(1L))
+    // warm this driver's scan cache, then simulate the replay TWIN
+    // committing batch 1 directly through the lake
+    assert(!StreamLakeSink.batchCommitted(path, 1L))
+    VersionedLake.commit(Seq((2L, "twin")).toDF("id", "v"), path,
+      overwrite = false, dataDirPrefix = "b1-")
+    // our own batch-1 commit must now be a no-op, not a duplicate
+    assert(StreamLakeSink.commitBatch(
+      Seq((2L, "ours")).toDF("id", "v"), path, 1L) === None)
+    assert(VersionedLake.read(spark, path).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "twin")))
+    // and the precondition commitBatch relies on: a commit with a
+    // stale expectedBase throws instead of silently stacking
+    intercept[VersionedLake.CommitConflictException] {
+      VersionedLake.commit(Seq((9L, "x")).toDF("id", "v"), path,
+        overwrite = false, expectedBase = Some(1L))
+    }
+  }
 }
