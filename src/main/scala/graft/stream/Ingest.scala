@@ -25,8 +25,16 @@ import graft.sink.{BatchSink, FsRouting}
   *     (`pipeline.py:308-324`) → one `foreachBatch` that groups by
   *     `input_file_name()` and routes each file atomically;
   *   - DB failure leaves the file in `data/` for the next scan
-  *     (`pipeline.py:326-328`) → sink returns false ⇒ no move; the
-  *     replayed write is idempotent (delete-by-file / upsert).
+  *     (`pipeline.py:326-328`) → sink returns false ⇒ no move, AND
+  *     the file is recorded in a durable retry ledger
+  *     (`<checkpoint>/graft-retry/`): the checkpointed file source
+  *     NEVER re-emits a seen path (its dedup is binding where the
+  *     reference's is advisory), so without the ledger a retained
+  *     file would be retained forever. Pending entries are re-driven
+  *     through the same validate→commit path at query start and at
+  *     every subsequent data-bearing trigger; the replayed write is
+  *     idempotent (delete-by-file / upsert), and a still-failing sink
+  *     keeps the entry for the next attempt.
   *
   * Scale note: the per-file commit loop is the reference's contract
   * (file = transaction). Throughput at scale comes from file-level
@@ -55,23 +63,78 @@ object Ingest {
 
     // V6: per-file header check (reference `pipeline.py:100-105`) — with
     // an explicit schema Spark's CSV reader matches columns by POSITION
-    // and ignores header names, so a malformed header must be caught
-    // here or bad data flows through silently.
-    val headerBad: Map[String, String] = batch
+    // and ignores header names, so the header must be classified here
+    // or bad data flows through silently. Three classes:
+    //   canonical  — exactly the expected columns in order: the
+    //                positional batch read is already correct;
+    //   remappable — all required columns present but reordered or
+    //                with extras: the POSITIONAL read has the wrong
+    //                values under the wrong names (the reference's
+    //                pandas maps by NAME and accepts these), so the
+    //                file is re-read by name and processed alone;
+    //   bad        — required columns missing: quarantine.
+    val fileTokens: Map[String, Option[Seq[String]]] = batch
       .select("__file").distinct().collect().map(_.getString(0))
-      .flatMap { uri =>
-        val path = FsRouting.toLocalPath(uri)
-        missingHeaderColumns(path) match {
-          case Nil => None
-          case missing => Some(uri ->
-            (s"Missing critical columns: ${missing.mkString(", ")}. " +
-              "Quarantining."))
-        }
-      }.toMap
+      .map(uri => uri -> headerTokens(FsRouting.toLocalPath(uri))).toMap
+    val headerBad: Map[String, String] = fileTokens.flatMap {
+      case (uri, Some(tokens)) =>
+        val missing = Schemas.sensorColumns.filterNot(tokens.toSet)
+        if (missing.isEmpty) None
+        else Some(uri ->
+          (s"Missing critical columns: ${missing.mkString(", ")}. " +
+            "Quarantining."))
+      case _ => None // unreadable/moved ⇒ let validation decide
+    }
+    val remappable: Seq[String] = fileTokens.collect {
+      case (uri, Some(tokens))
+        if !headerBad.contains(uri) && tokens != Schemas.sensorColumns =>
+        uri
+    }.toSeq
+    val excluded = headerBad.keys.toSeq ++ remappable
     val batchOk =
-      if (headerBad.isEmpty) batch
-      else batch.filter(!col("__file").isin(headerBad.keys.toSeq: _*))
+      if (excluded.isEmpty) batch
+      else batch.filter(!col("__file").isin(excluded: _*))
 
+    processValidated(conf, sink, batchOk, outcomes)
+
+    // Remappable files: re-read by NAME (header row, all-string — the
+    // same string-first contract as the schema'd read) and run each
+    // through the identical validate→route path.
+    remappable.foreach { uri =>
+      val path = FsRouting.toLocalPath(uri)
+      log.info(s"File '${path.getFileName}': header reordered/extended — " +
+        "re-reading by column name.")
+      val spark = batch.sparkSession
+      val byName = spark.read.option("header", "true").csv(path.toString)
+      val actual = byName.columns.map(c => normToken(c) -> c).toMap
+      val mapped = byName
+        .select(Schemas.sensorColumns.map(c => byName.col(actual(c)).as(c)): _*)
+        .withColumn("__file", lit(uri))
+      processValidated(conf, sink, mapped, outcomes)
+    }
+
+    // Physical moves of bad-header files happen LAST: the batch frame
+    // may still lazily re-read the underlying CSVs until every Spark
+    // action above has completed.
+    headerBad.foreach { case (uri, reason) =>
+      val path = FsRouting.toLocalPath(uri)
+      log.error(s"File '${path.getFileName}': $reason")
+      FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+      log.warn(s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
+      outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+        Some(reason), 0L)
+    }
+    outcomes ++= sweepEmptyFiles(conf)
+    outcomes.toSeq
+  }
+
+  /** The shared validate→route core over a header-clean batch frame
+    * (positional or name-remapped — both arrive in canonical column
+    * order with string-first types).
+    */
+  private def processValidated(
+      conf: PipelineConf, sink: BatchSink, batchOk: DataFrame,
+      outcomes: scala.collection.mutable.ArrayBuffer[FileOutcome]): Unit = {
     if (!batchOk.isEmpty) {
       // NA normalization (S1) then per-file line numbers: the window is
       // partitioned per file — parallelism = files per batch, matching
@@ -122,9 +185,13 @@ object Ingest {
                 if (dropped > 0) Some(s"$dropped invalid rows dropped") else None,
                 committedRows)
             } else {
-              // retained in data/ for retry next batch (T5). Report the
-              // ATTEMPTED row count — in lenient mode that is the valid
-              // subset, not the whole file.
+              // retained in data/ AND recorded in the retry ledger
+              // (T5): the checkpointed source will never re-emit this
+              // path, so the ledger is what actually drives the retry
+              // (at query start and at each later trigger). Report the
+              // ATTEMPTED row count — in lenient mode that is the
+              // valid subset, not the whole file.
+              recordRetry(conf, name)
               log.error(s"Failed to store data for '$name' in DB. " +
                 "File remains in data folder for retry.")
               outcomes += FileOutcome(name, "retained", Some("sink failure"),
@@ -175,20 +242,6 @@ object Ingest {
         }
       } finally validated.unpersist()
     }
-
-    // Physical moves of bad-header files happen LAST: the batch frame
-    // may still lazily re-read the underlying CSVs until every Spark
-    // action above has completed.
-    headerBad.foreach { case (uri, reason) =>
-      val path = FsRouting.toLocalPath(uri)
-      log.error(s"File '${path.getFileName}': $reason")
-      FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-      log.warn(s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
-      outcomes += FileOutcome(path.getFileName.toString, "quarantined",
-        Some(reason), 0L)
-    }
-    outcomes ++= sweepEmptyFiles(conf)
-    outcomes.toSeq
   }
 
   /** S5: header-only/zero-line files produce no rows, so they never
@@ -216,14 +269,75 @@ object Ingest {
     } finally listing.close()
   }
 
-  /** Required columns absent from the file's header line (V6). */
-  private def missingHeaderColumns(p: Path): Seq[String] =
+  /** T5 retry ledger: one empty marker per sink-failed file, named
+    * after it, under `<checkpoint>/graft-retry/`. Durable across
+    * restarts (it lives with the checkpoint), bounded by the number
+    * of currently-failing files, and idempotent to re-record.
+    */
+  private def retryLedger(conf: PipelineConf): Path =
+    Paths.get(conf.checkpointDir, "graft-retry")
+
+  private def recordRetry(conf: PipelineConf, fileName: String): Unit = {
+    val dir = Files.createDirectories(retryLedger(conf))
+    val marker = dir.resolve(fileName)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
+  /** Re-drive every ledgered file that still sits in `data/` through
+    * the SAME validate→route path (a direct batch read of just those
+    * files — the streaming source cannot re-emit them). An entry is
+    * cleared when its file leaves `data/` (committed+moved,
+    * quarantined, or externally removed); a still-failing sink keeps
+    * it for the next attempt.
+    */
+  def retryPending(
+      spark: SparkSession, conf: PipelineConf,
+      sink: BatchSink): Seq[FileOutcome] = {
+    val dir = retryLedger(conf)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val listing = Files.list(dir)
+    val markers =
+      try listing.iterator().asScala.toSeq
+      finally listing.close()
+    val (stale, live) = markers.partition(m =>
+      !Files.exists(Paths.get(conf.dataDir).resolve(m.getFileName)))
+    stale.foreach(Files.deleteIfExists(_))
+    if (live.isEmpty) return Seq.empty
+    val files = live.map(m =>
+      Paths.get(conf.dataDir).resolve(m.getFileName).toString)
+    log.info(s"Retrying ${files.size} retained file(s) from the ledger.")
+    val batch = spark.read
+      .option("header", "true")
+      .schema(Schemas.sensorCsvRaw)
+      .csv(files: _*)
+      .withColumn("__file", input_file_name())
+    val outcomes = processBatch(conf, sink, batch)
+    live.foreach { m =>
+      if (!Files.exists(Paths.get(conf.dataDir).resolve(m.getFileName)))
+        Files.deleteIfExists(m)
+    }
+    outcomes
+  }
+
+  /** Header-token normalization: strip a UTF-8 BOM and surrounding
+    * RFC-4180 quotes before comparing — '"timestamp"' and a
+    * BOM-prefixed first column are valid CSV the reference's pandas
+    * accepts, and comparing them raw spuriously quarantined whole
+    * valid files.
+    */
+  private def normToken(s: String): String =
+    s.stripPrefix("\uFEFF").trim
+      .stripPrefix("\"").stripSuffix("\"").trim.toLowerCase
+
+  /** The file's normalized header tokens, or None when the file is
+    * unreadable/moved (⇒ let validation decide). V6.
+    */
+  private def headerTokens(p: Path): Option[Seq[String]] =
     try {
       val s = Files.lines(p)
       val header = try s.findFirst().orElse("") finally s.close()
-      val present = header.split(",").map(_.trim.toLowerCase).toSet
-      Schemas.sensorColumns.filterNot(present.contains)
-    } catch { case _: Exception => Nil } // moved/unreadable ⇒ let validation decide
+      Some(header.split(",", -1).toSeq.map(normToken))
+    } catch { case _: Exception => None }
 
   private def countDataLines(p: Path): Long =
     try {
@@ -243,6 +357,11 @@ object Ingest {
     */
   def start(spark: SparkSession, conf: PipelineConf, sink: BatchSink,
       onBatch: Seq[FileOutcome] => Unit = _ => ()): StreamingQuery = {
+    // T5: files whose sink write failed in a PREVIOUS run are re-driven
+    // here, before the stream starts — a same-checkpoint restart must
+    // recover them (the source itself never re-emits a seen path).
+    val startupRetries = retryPending(spark, conf, sink)
+    if (startupRetries.nonEmpty) onBatch(startupRetries)
     val reader = spark.readStream
       .option("header", "true")
       .option("pathGlobFilter", "*.csv")
@@ -259,7 +378,10 @@ object Ingest {
       .trigger(Trigger.ProcessingTime(s"${conf.monitorIntervalSec} seconds"))
       .option("checkpointLocation", conf.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(processBatch(conf, sink, batch)); ()
+        // Ledgered retries ride each data-bearing trigger, oldest
+        // work first — the reference's next-scan ordering.
+        onBatch(retryPending(spark, conf, sink) ++
+          processBatch(conf, sink, batch)); ()
       }
       .start()
   }

@@ -1,6 +1,6 @@
 package graft.stream
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import graft.SparkSpec
 import graft.config.PipelineConf
 import graft.sink.ParquetSink
@@ -11,6 +11,7 @@ import graft.sink.ParquetSink
   * checkpoint and verify exactly-once (T3/T5).
   */
 class IngestSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmp(prefix: String): Path =
     Files.createTempDirectory(prefix)
@@ -353,21 +354,47 @@ class IngestSpec extends SparkSpec {
 
     val q1 = Ingest.start(spark, conf, flaky)
     try { q1.processAllAvailable() } finally q1.stop()
-    // sink failed ⇒ file retained in data/ (T5)
+    // sink failed ⇒ file retained in data/ (T5) and ledgered for retry
     assert(Files.exists(dataDir.resolve("retry.csv")))
     assert(!Files.exists(root.resolve("processed/retry.csv")))
+    assert(Files.exists(
+      Paths.get(conf.checkpointDir, "graft-retry", "retry.csv")))
 
-    // NOTE: the checkpointed source will not re-emit the same file; the
-    // reference re-reads it on the next SCAN because its dedup set is
-    // advisory. Retry here = a fresh query over the retained file with a
-    // separate checkpoint (operationally: restart with clean offsets, or
-    // an external retry queue; the sink's delete-then-insert keeps it
-    // idempotent either way).
+    // The checkpointed source never re-emits a seen path, so recovery
+    // MUST come from the ledger: restart on the SAME checkpoint with
+    // the sink healthy — the startup retry commits the retained file,
+    // and a new file proves the stream itself still progresses.
     fail = false
-    val retryConf = conf.copy(checkpointDir = root.resolve("cp2").toString)
-    val q2 = Ingest.start(spark, retryConf, flaky)
+    writeCsv(dataDir, "after.csv",
+      "2025-05-26 05:00:00,S2,21.00,0.50,1001.00")
+    val q2 = Ingest.start(spark, conf, flaky)
     try { q2.processAllAvailable() } finally q2.stop()
-    assert(spark.read.parquet(rawOut).count() === 1)
+    assert(spark.read.parquet(rawOut).count() === 2)
     assert(Files.exists(root.resolve("processed/retry.csv")))
+    assert(Files.exists(root.resolve("processed/after.csv")))
+    // ledger entry cleared once the file left data/
+    assert(!Files.exists(
+      Paths.get(conf.checkpointDir, "graft-retry", "retry.csv")))
+  }
+
+  test("a reordered-or-extended header is re-read by column NAME, " +
+    "never misparsed positionally (pandas name-mapping parity)") {
+    val root = tmp("graft_remap")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+    // temperature and humidity SWAPPED, plus an extra trailing column
+    // and RFC-4180 quoted names — valid for the reference's pandas,
+    // value-corrupting under a positional schema read
+    Files.writeString(dataDir.resolve("swapped.csv"),
+      "\"timestamp\",sensor_id,humidity,temperature,pressure,extra\n" +
+        "2025-05-26 04:36:08,S1,0.95,26.41,1014.74,zzz\n")
+    val q = Ingest.start(spark, conf, new ParquetSink(rawOut, aggOut))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(Files.exists(root.resolve("processed/swapped.csv")))
+    val row = spark.read.parquet(rawOut)
+      .select("temperature", "humidity").as[(Double, Double)].head()
+    assert(row === ((26.41, 0.95))) // by NAME: not swapped
   }
 }
