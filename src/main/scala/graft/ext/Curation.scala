@@ -42,11 +42,16 @@ object Curation {
         coalesce(col("cluster_rep"), col(idCol).cast("long")) ===
           col(idCol).cast("long"))
       .drop("cluster_rep")
-    Sampling.splitAssign(keyed, idCol)
-      .select(col(idCol), col("pass").as("quality_pass"), col("is_canonical"),
-        when(!col("pass"), lit("rejected_quality"))
-          .when(!col("is_canonical"), lit("rejected_duplicate"))
-          .otherwise(col("split")).as("disposition"))
+    // EAGER: both the pair frame (caller-owned persist from the
+    // builder) and clusterPairs' labels are internal here — release
+    // them once the disposition is materialized.
+    Dedup.materializeAndRelease(
+      Sampling.splitAssign(keyed, idCol)
+        .select(col(idCol), col("pass").as("quality_pass"), col("is_canonical"),
+          when(!col("pass"), lit("rejected_quality"))
+            .when(!col("is_canonical"), lit("rejected_duplicate"))
+            .otherwise(col("split")).as("disposition")),
+      Seq(comp, pairs))
   }
 
   /** Filter-gate ablation — the observability table a curation run

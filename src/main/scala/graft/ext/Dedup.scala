@@ -31,10 +31,24 @@ object Dedup {
     */
   private def withCleanup(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
     val out = result.persist()
-    out.count()
-    cached.foreach(_.unpersist(blocking = false))
+    // finally: a failed materialization (executor loss, OOM) must not
+    // leak the cached intermediates — or the half-persisted result —
+    // for the session's lifetime.
+    try out.count()
+    catch {
+      case t: Throwable => out.unpersist(blocking = false); throw t
+    } finally cached.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** [[withCleanup]] for the operators OUTSIDE this object that
+    * consume [[clusterPairs]]' (or a pair builder's) internal caches:
+    * materialize the result, release the intermediates the caller
+    * never sees a handle to.
+    */
+  private[graft] def materializeAndRelease(
+      result: DataFrame, cached: Seq[DataFrame]): DataFrame =
+    withCleanup(result, cached)
 
   /** Exact dedup: deterministic representative (min of `repCol`) + copy
     * count per distinct key. One hash aggregation.
@@ -248,19 +262,27 @@ object Dedup {
           lit(s"$side signature width != $numHashes slots: "),
           size(col("signature"))))))
     // new-vs-new via the standard pair generator (new side banded once,
-    // each pair evaluated once) + new-vs-HISTORY-ONLY join. A pair is
-    // in exactly one part, so no cross-part dedup is needed.
+    // each pair evaluated once) + new-vs-HISTORY-ONLY join. "History
+    // only" is enforced with an anti-join, not assumed: a re-ingested
+    // id present on BOTH sides would otherwise emit its pairs from
+    // both parts (with different est_jaccard when its signatures
+    // differ) — the new side's signature is authoritative for such
+    // ids. With the exclusion the parts are disjoint by construction
+    // and no cross-part dedup is needed.
     val nsigs = widthChecked(newSigs, "new")
     val newNew = minHashCandidatePairs(nsigs, idCol, numHashes, bands)
     val bandedNew = bandExplode(nsigs, idCol, numHashes, bands)
       .select(col(idCol).as("__id_n"), col("signature").as("__sig_n"),
         col("__band"), col("__bandhash"))
     val bandedHist = bandExplode(
-      widthChecked(historySigs, "history"), idCol, numHashes, bands)
+      widthChecked(historySigs, "history")
+        .join(nsigs.select(col(idCol)), Seq(idCol), "left_anti"),
+      idCol, numHashes, bands)
       .select(col(idCol).as("__id_o"), col("signature").as("__sig_o"),
         col("__band"), col("__bandhash"))
     val newHist = bandedNew.join(bandedHist, Seq("__band", "__bandhash"))
-      // guards the re-ingested-id case (same id on both sides)
+      // belt-and-braces: the anti-join above already removed shared
+      // ids, so this self-pair filter is vacuous but cheap
       .filter(col("__id_n") =!= col("__id_o"))
       .select(
         least(col("__id_n"), col("__id_o")).as("id_a"),
@@ -691,6 +713,10 @@ object Dedup {
     * sf0.1 near-dup-rich case (880 k candidates) from ~5 s to ~2 s by
     * removing two shuffle joins and a second corpus tokenize.
     */
+  /* Output orientation contract: one row per unordered pair. When
+   * querySide ⊆ corpus (the self-dedup pattern) doc_a < doc_b; when
+   * the sides are disjoint (incremental pattern) doc_a is the
+   * query-side id and doc_b the corpus-side id regardless of order. */
   def jaccardPairs(
       corpus: DataFrame, querySide: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
@@ -752,14 +778,31 @@ object Dedup {
     val overlapReq = ceil(
       lit(threshold / (1.0 + threshold)) *
         (col("n_a") + col("n_b")) - lit(1e-9))
+    // Pair dedup is on the UNORDERED pair with a DETERMINISTIC
+    // orientation (min doc_a over the orientations that survive the
+    // prunes). A plain `doc_a < doc_b` filter here silently dropped
+    // every pair whose query-side id exceeds its corpus-side id — an
+    // incremental caller with new ids ABOVE the history's got an
+    // empty result with no error. When querySide ⊆ corpus both
+    // orientations arrive and the aggregate keeps (lo, hi) — the same
+    // rows the old filter kept; when the sides are disjoint only the
+    // (query, corpus) orientation exists and is kept as-is, so the
+    // verification joins (q on doc_a, c on doc_b) always find their
+    // docs.
     val cands = pq.join(pc, Seq("__tok"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .filter(col("doc_a") =!= col("doc_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
           greatest(col("n_a"), col("n_b")).cast("double") * threshold &&
         lit(1) + least(col("n_a") - col("__r_a"), col("n_b") - col("__r_b"))
           >= overlapReq)
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .groupBy(
+        least(col("doc_a"), col("doc_b")).as("__lo"),
+        greatest(col("doc_a"), col("doc_b")).as("__hi"))
+      .agg(min(col("doc_a")).as("__a0"))
+      .select(
+        col("__a0").as("doc_a"),
+        when(col("__a0") === col("__lo"), col("__hi"))
+          .otherwise(col("__lo")).as("doc_b"))
 
     // Exact verification on candidates only.
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
@@ -857,8 +900,22 @@ object Dedup {
   def clusterPairs(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("__s"), col(bCol).cast("long").as("__d"))
-      .union(pairs.select(col(bCol).cast("long").as("__s"), col(aCol).cast("long").as("__d")))
+    // Ids must cast to long EXACTLY: a string/URL/hash id silently
+    // casts to null (non-ANSI), every edge collapses onto the null
+    // key, and clustering degrades to a no-op with no error — map
+    // non-integral ids to a surrogate long first. raise_error makes
+    // that caller bug loud at the first edge.
+    def asId(c: Column, name: String) = {
+      val v = c.cast("long")
+      when(v.isNull, raise_error(concat(
+        lit(s"clusterPairs: $name id not integral (or null): "),
+        coalesce(c.cast("string"), lit("null")),
+        lit(" — map ids to longs first")))).otherwise(v)
+    }
+    val edges = pairs
+      .select(asId(col(aCol), aCol).as("__s"), asId(col(bCol), bCol).as("__d"))
+      .union(pairs
+        .select(asId(col(bCol), bCol).as("__s"), asId(col(aCol), aCol).as("__d")))
       .distinct()
       .persist()
     var labels = edges
@@ -908,11 +965,18 @@ object Dedup {
   def collapseNearDuplicates(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // clusterPairs' labels cache is consumed INTERNALLY here, so the
+    // caller has no handle to free it — materialize the survivors and
+    // release it (withCleanup), or repeated collapses leak one cached
+    // labels frame per call for the session's life. EAGER result,
+    // caller-owned persist (the Dedup convention).
     val comp = clusterPairs(pairs, aCol, bCol)
       .select(col("id").as(idCol), col("cluster_rep"))
-    docs.join(comp, Seq(idCol), "left")
-      .filter(col("cluster_rep").isNull || col("cluster_rep") === col(idCol))
-      .drop("cluster_rep")
+    withCleanup(
+      docs.join(comp, Seq(idCol), "left")
+        .filter(col("cluster_rep").isNull || col("cluster_rep") === col(idCol))
+        .drop("cluster_rep"),
+      Seq(comp))
   }
 
   /** Quality-aware near-dup collapse — [[collapseNearDuplicates]]
@@ -929,6 +993,8 @@ object Dedup {
   def collapseNearDuplicatesBest(
       docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Same internal-cache contract as [[collapseNearDuplicates]]:
+    // EAGER result, labels cache released here.
     val comp = clusterPairs(pairs, aCol, bCol)
       .select(col("id").as(idCol), col("cluster_rep"))
     val keyed = docs.join(comp, Seq(idCol), "left")
@@ -939,9 +1005,11 @@ object Dedup {
       .agg(max(struct(col(scoreCol).as("s"),
         (-col(idCol).cast("long")).as("nid"))).as("__w"))
       .select(col("__entity"), (-col("__w.nid")).as("__keep"))
-    keyed.join(winners, Seq("__entity"))
-      .filter(col(idCol).cast("long") === col("__keep"))
-      .drop("__entity", "__keep", "cluster_rep")
+    withCleanup(
+      keyed.join(winners, Seq("__entity"))
+        .filter(col(idCol).cast("long") === col("__keep"))
+        .drop("__entity", "__keep", "cluster_rep"),
+      Seq(comp))
   }
 
   // ---- Edit-distance (typo) dedup -----------------------------------

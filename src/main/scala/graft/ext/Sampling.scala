@@ -164,7 +164,10 @@ object Sampling {
       .withColumn("split_key",
         coalesce(col("cluster_rep"), col(idCol).cast("long")))
       .drop("cluster_rep")
-    splitAssign(keyed, "split_key")
+    // EAGER: clusterPairs' labels cache has no caller-visible handle —
+    // materialize the split and release it here.
+    graft.ext.Dedup.materializeAndRelease(
+      splitAssign(keyed, "split_key"), Seq(comp))
   }
 
   /** Per-group document quota: keep the top `n` rows of each group by

@@ -95,7 +95,12 @@ object Linkage {
         (-col(idCol).cast("long")).as("nid"),
         col(f).as("v"))).getField("v").as(f)
     } :+ count(lit(1)).as("n_members")
-    keyed.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("entity_id") +: col("n_members") +: fields.map(col): _*)
+    // EAGER: clusterPairs' labels cache has no caller-visible handle —
+    // materialize the golden records and release it here.
+    graft.ext.Dedup.materializeAndRelease(
+      keyed.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
+        .select(
+          col("entity_id") +: col("n_members") +: fields.map(col): _*),
+      Seq(comp))
   }
 }

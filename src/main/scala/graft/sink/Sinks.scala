@@ -26,16 +26,28 @@ trait BatchSink {
   * parquet analog of delete-by-file-then-insert.
   */
 final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ParquetSink])
+
   override def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean =
     try {
-      val spark = raw.sparkSession
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Writer-scoped option, NOT spark.conf.set: mutating the
+      // session-global partitionOverwriteMode would silently change
+      // every later partitioned overwrite in the session (stale
+      // partitions surviving where the caller expected a full wipe).
       raw.withColumn("file_name", lit(fileName))
-        .write.mode("overwrite").partitionBy("file_name").parquet(rawDir)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_name").parquet(rawDir)
       agg.withColumn("file_name", lit(fileName))
-        .write.mode("overwrite").partitionBy("file_name").parquet(aggDir)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_name").parquet(aggDir)
       true
-    } catch { case _: Exception => false }
+    } catch {
+      case e: Exception =>
+        log.error(s"Parquet sink write failed for '$fileName'", e)
+        false
+    }
 }
 
 /** JDBC sink reproducing the reference's store_data
@@ -197,7 +209,13 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
       conn.commit()
       true
     } catch {
-      case _: Exception =>
+      case e: Exception =>
+        // The exception must reach the run log: without it an operator
+        // cannot distinguish a dead DB from a schema mismatch from a
+        // constraint violation — the reference logs the DB error too
+        // (`pipeline.py:259-261`).
+        log.error(s"DB transaction failed for '$fileName' " +
+          s"(rolling back): ${e.getMessage}", e)
         if (conn != null) { try conn.rollback() catch { case _: Exception => } }
         false
     } finally {

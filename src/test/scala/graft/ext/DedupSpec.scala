@@ -482,4 +482,46 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(minKept === Set(1L, 7L))
   }
+
+  test("jaccardPairs finds pairs when query ids are ABOVE corpus ids " +
+    "(disjoint incremental pattern)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words about spark engines")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "no overlap with anything whatsoever here")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(corpus, newBatch, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // doc_a is the query-side id, doc_b the corpus-side id — the old
+    // doc_a < doc_b dedup filter silently returned EMPTY here
+    assert(out === Set((100L, 1L)))
+  }
+
+  test("incrementalMinHashCandidatePairs emits each pair once when an " +
+    "id is re-ingested on both sides") {
+    val text = "the quick brown fox jumps over the lazy dog near the river"
+    val history = Seq((5L, text), (1L, "unrelated completely different " +
+      "terms about databases and engines")).toDF("doc_id", "text")
+    // id 5 re-ingested in the new batch alongside a near-dup new doc 9
+    val batch = Seq((5L, text), (9L, text)).toDF("doc_id", "text")
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignatures(d, "doc_id", "text", shingleN = 3, numHashes = 16)
+    val got = Dedup.incrementalMinHashCandidatePairs(
+      sigs(batch), sigs(history), "doc_id", 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toList
+    // (5,9) must appear exactly ONCE (new-side signature authoritative),
+    // not once per part
+    assert(got.count(_ == ((5L, 9L))) === 1, got.toString)
+  }
+
+  test("clusterPairs rejects non-integral ids loudly instead of " +
+    "silently clustering nothing") {
+    val pairs = Seq(("url-a", "url-b")).toDF("a", "b")
+    val e = intercept[Exception] {
+      Dedup.clusterPairs(pairs, "a", "b").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("integral"),
+      s"got: ${e.getMessage}")
+  }
 }
