@@ -4074,8 +4074,8 @@ FROM deg GROUP BY 1"""
         |          CAST(SUM(cr) AS BIGINT) AS tr FROM bc),
         |lam AS (
         |  SELECT bucket,
-        |    CAST((ct + 1) * (tr + 64) AS DOUBLE)
-        |      / CAST((tt + 64) * (cr + 1) AS DOUBLE) AS __x,
+        |    (CAST(ct + 1 AS DOUBLE) * CAST(tr + 64 AS DOUBLE))
+        |      / (CAST(tt + 64 AS DOUBLE) * CAST(cr + 1 AS DOUBLE)) AS __x,
         |  ${lnSqlChain("__x", "__lnx")},
         |    CAST(FLOOR(__lnx * 1e9) AS BIGINT) AS lambda_q
         |  FROM bc CROSS JOIN tot)

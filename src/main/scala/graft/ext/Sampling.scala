@@ -162,12 +162,12 @@ object Sampling {
       .join(comp, docs(idCol) === comp("__cid"), "left")
       .drop("__cid")
       .withColumn("split_key",
-        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+        coalesce(col("cluster_rep"), longId(col(idCol), "leakageSafeSplit")))
       .drop("cluster_rep")
     // EAGER: clusterPairs' labels cache has no caller-visible handle —
     // materialize the split and release it here.
     graft.ext.Dedup.materializeAndRelease(
-      splitAssign(keyed, "split_key"), Seq(comp))
+      splitAssign(keyed, "split_key", trainPct, valPct), Seq(comp))
   }
 
   /** Per-group document quota: keep the top `n` rows of each group by
@@ -186,11 +186,23 @@ object Sampling {
     * Output: one row per kept document — (groupCols..., idCol, scoreCol,
     * rank) with rank 1-based in quota order.
     */
+  /** Guarded long cast for TopKAgg-backed samplers: a non-integral id
+    * (string/URL/hash) casts to null under non-ANSI and TopKAgg then
+    * SKIPS the row — silent total data loss. Make that caller bug
+    * loud; genuinely-null ids keep the documented skip semantics.
+    */
+  private def longId(c: Column, what: String): Column = {
+    val v = c.cast("long")
+    when(c.isNotNull && v.isNull, raise_error(concat(
+      lit(s"$what: id not integral: "), c.cast("string"),
+      lit(" — map ids to longs first")))).otherwise(v)
+  }
+
   def quotaCap(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       idCol: String, n: Int): DataFrame = {
     val topk = graft.functions.TopKAgg.topK(
-      col(scoreCol).cast("double"), col(idCol).cast("long"), n)
+      col(scoreCol).cast("double"), longId(col(idCol), "quotaCap"), n)
     df.groupBy(groupCols.map(col): _*)
       .agg(topk.as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__p", "__e")): _*)
@@ -233,7 +245,7 @@ object Sampling {
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol), aesPriority(idCol, weightCol).as("__pri"))
     val topk = graft.functions.TopKAgg.topK(
-      col("__pri"), col(idCol).cast("long"), k)
+      col("__pri"), longId(col(idCol), "weightedSample"), k)
     scored.agg(topk.as("__top"))
       .select(posexplode(col("__top")).as(Seq("__p", "__e")))
       .select(
@@ -290,7 +302,18 @@ object Sampling {
     val w = col(weightCol).cast("decimal(38,0)")
     val tot = weights.agg(sum(w).as("__W"))
     val scaled = weights.crossJoin(broadcast(tot))
-      .withColumn("__num", lit(target).cast("decimal(38,0)") * w)
+      // W <= 0 (all-zero weights) would make every __base/alloc NULL
+      // silently, breaking the sums-to-target contract with no error;
+      // negative weights break the largest-remainder invariants.
+      .withColumn("__W",
+        when(col("__W") <= 0 || isnull(col("__W")),
+          raise_error(lit("largestRemainderAllocate: total weight " +
+            "must be > 0")).cast("decimal(38,0)"))
+          .otherwise(col("__W")))
+      .withColumn("__num",
+        when(w < 0, raise_error(lit("largestRemainderAllocate: " +
+          "negative weight")).cast("decimal(38,0)"))
+          .otherwise(lit(target).cast("decimal(38,0)") * w))
       .withColumn("__base",
         ((col("__num") - col("__num") % col("__W")) / col("__W"))
           .cast("long"))
@@ -373,12 +396,17 @@ object Sampling {
     val totals = bucketCounts.agg(
       sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
     val lambda = bucketCounts.crossJoin(broadcast(totals))
+      // Each factor casts to double BEFORE the multiply: the Long
+      // product (count+1)·(total+B) wraps past 2⁶³ at large-corpus
+      // token counts (silently, non-ANSI) — the double product is
+      // correctly rounded at any scale and identical to the old value
+      // wherever the long product was exact (< 2⁵³).
       .withColumn("lambda_q",
         floor(graft.functions.DetMath.lnq(
-          ((col("__ct") + lit(1L)) * (col("__tr") + lit(numBuckets.toLong)))
-            .cast("double") /
-          ((col("__tt") + lit(numBuckets.toLong)) * (col("__cr") + lit(1L)))
-            .cast("double")) * lit(1e9)).cast("long"))
+          ((col("__ct") + lit(1L)).cast("double") *
+            (col("__tr") + lit(numBuckets.toLong)).cast("double")) /
+          ((col("__tt") + lit(numBuckets.toLong)).cast("double") *
+            (col("__cr") + lit(1L)).cast("double"))) * lit(1e9)).cast("long"))
       .select(col("bucket"), col("lambda_q"))
     toks.join(broadcast(lambda), Seq("bucket"))
       .groupBy(col(idCol))

@@ -95,6 +95,14 @@ object Similarity {
     * @param k          neighbors per query
     * Similarities are rounded to 6 dp BEFORE ranking, with the id as a
     * tiebreaker — ranks stay deterministic across engines/partitionings.
+    *
+    * ID-NAMESPACE CONTRACT (all retrievers here): queries and
+    * candidates must share one id namespace — the self-pair exclusion
+    * compares ids, so two INDEPENDENT auto-increment id spaces would
+    * silently drop candidate i from query i's neighbors on a mere
+    * collision. Re-key one side if the sets come from different
+    * tables. Zero-norm vectors are excluded on both sides (cosine is
+    * undefined; their NaN sims would rank above every real neighbor).
     */
   def bruteForceTopK(
       candidates: DataFrame, queries: DataFrame,
@@ -108,9 +116,14 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      // zero-norm vectors have no cosine direction: 0/0 = NaN and
+      // Spark ranks NaN ABOVE every real sim, so an all-zero embedding
+      // would poison rank 1 of every query — exclude them.
+      .filter(col("__qn") > 0)
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -165,10 +178,15 @@ object Similarity {
       col(idCol).as("query_id"), col(labelCol).as("__ql"),
       col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      // zero-norm vectors have no cosine direction: 0/0 = NaN and
+      // Spark ranks NaN ABOVE every real sim, so an all-zero embedding
+      // would poison rank 1 of every query — exclude them.
+      .filter(col("__qn") > 0)
     val c = emb.select(
       col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"),
       col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("neg_label") =!= col("__ql"))
       .withColumn("sim",
@@ -216,10 +234,15 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       lshBucket(col(vecCol), dim, bits).as("__bucket"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      // zero-norm vectors have no cosine direction: 0/0 = NaN and
+      // Spark ranks NaN ABOVE every real sim, so an all-zero embedding
+      // would poison rank 1 of every query — exclude them.
+      .filter(col("__qn") > 0)
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), dim, bits).as("__bucket"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
     val pairs = c.join(q, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -249,6 +272,8 @@ object Similarity {
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1,
+      s"nlist/nprobe must be >= 1: nlist=$nlist nprobe=$nprobe")
     // Deterministic centroid table, collected once (nlist rows) and
     // inlined as literals so assignment is pure projection.
     val centroids: Array[(Int, Array[Double])] = candidates
@@ -257,6 +282,11 @@ object Similarity {
       .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble).toArray
       }
+      // a zero-norm centroid would make every row's sim to it NaN and
+      // the struct argmax would always pick it — drop such seeds
+      .filter { case (_, c) => c.exists(_ != 0.0) }
+    require(centroids.nonEmpty,
+      "ivfTopK: no nonzero centroid seeds in the candidate set")
 
     // array of (similarity, centroidId) structs; argmax = last of the
     // sorted array (struct ordering compares sim first, id breaks ties).
@@ -282,12 +312,22 @@ object Similarity {
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
       .withColumn("__list", nearestList(col("__cv"), col("__cn")))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      // zero-norm vectors have no cosine direction: 0/0 = NaN and
+      // Spark ranks NaN ABOVE every real sim, so an all-zero embedding
+      // would poison rank 1 of every query — exclude them.
+      .filter(col("__qn") > 0)
       .withColumn("__list",
-        explode(probeLists(col("__qv"), col("__qn"), nprobe)))
+        // probes are capped at the CENTROID count: element_at past the
+        // ranked array's end is null (non-ANSI) — null probe lists
+        // would silently vanish in the join (lost recall, no warning)
+        // — or an INVALID_ARRAY_INDEX error under ANSI.
+        explode(probeLists(col("__qv"), col("__qn"),
+          math.min(nprobe, centroids.length))))
     val pairs = c.join(q, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",

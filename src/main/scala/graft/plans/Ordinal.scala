@@ -79,6 +79,14 @@ object Ordinal {
     * The total row count is taken in a separate count-only job (cheap:
     * no sort, no zipWithIndex) and folded in as a literal; everything
     * after the Ordinal shuffle is a pure projection.
+    *
+    * PRECONDITION: `df` must be stable across jobs (an immutable
+    * snapshot). The count job and the numbering job each evaluate
+    * `df` from source; a source that mutates between them (e.g. a
+    * lake path receiving a commit) skews the tile boundaries
+    * silently — read a pinned version (VersionedLake time travel)
+    * when the source is mutable. Every call site in this repo reads
+    * immutable parquet snapshots.
     */
   def withNtile(
       df: DataFrame, order: Seq[Column], k: Int,

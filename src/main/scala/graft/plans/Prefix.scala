@@ -119,8 +119,11 @@ object Prefix {
       binCol: String = "bin_id"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     withRunningSum(df, order, tokenCountCol, cumCol)
-      // Non-negative longs: `div` (integral division) == floor division.
+      // Non-negative longs: `div` (integral division) == floor
+      // division. Identifiers are backtick-quoted: a raw interpolation
+      // of a name like `n-tokens` would PARSE as arithmetic (or
+      // resolve against unrelated columns) instead of erroring.
       .withColumn(binCol,
-        expr(s"($cumCol - $tokenCountCol) div $budget"))
+        expr(s"(`$cumCol` - `$tokenCountCol`) div $budget"))
   }
 }

@@ -193,14 +193,27 @@ object VersionedLake {
     // forever — their dirs were never in any manifest, so the
     // dropped-manifest pass above can never find them.
     val dataRoot = Paths.get(path, "data")
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     if (Files.isDirectory(dataRoot)) {
-      val cutoff = System.currentTimeMillis() - orphanGraceMs
       val ds = Files.list(dataRoot)
       try ds.iterator().asScala.toSeq
         .filter(d => !live(s"data/${d.getFileName}"))
         .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
         .foreach(deleteDir)
       finally ds.close()
+    }
+    // Torn temp manifests: a committer that dies between the temp
+    // write and the link/delete leaves `.tmp-*` in the log forever
+    // (the commit path's finally can't run). Same age gate — a LIVE
+    // committer's temp file is milliseconds old and never touched.
+    val logDir = logPath(path)
+    if (Files.isDirectory(logDir)) {
+      val ls = Files.list(logDir)
+      try ls.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .filter(f => Files.getLastModifiedTime(f).toMillis < cutoff)
+        .foreach(Files.deleteIfExists(_))
+      finally ls.close()
     }
   }
 }

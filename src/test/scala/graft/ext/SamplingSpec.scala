@@ -546,4 +546,35 @@ class SamplingSpec extends SparkSpec {
       assert(byK.size === n)
     }
   }
+
+  test("leakageSafeSplit honors non-default split percentages") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(
+      docs, "doc_id", pairs, "id_a", "id_b", trainPct = 60, valPct = 20)
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // hash split: proportions approximate but a 60/20/20 request must
+    // NOT come back 80/10/10 (train would be ~320 under the old bug)
+    assert(counts("train") < 300L, counts.toString)
+    assert(counts("val") > 40L && counts("test") > 40L, counts.toString)
+  }
+
+  test("largestRemainderAllocate fails loudly on zero total weight") {
+    val w = Seq(("a", 0L), ("b", 0L)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Sampling.largestRemainderAllocate(w, "k", "w", 100L).collect()
+    }
+    assert(e.getMessage.contains("total weight"), e.getMessage)
+  }
+
+  test("quotaCap rejects non-integral ids loudly instead of silently " +
+    "dropping every row") {
+    val docs = Seq(("urlA", "s", 1.0), ("urlB", "s", 2.0))
+      .toDF("doc_id", "source", "quality")
+    val e = intercept[Exception] {
+      Sampling.quotaCap(docs, Seq("source"), "quality", "doc_id", 1).collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

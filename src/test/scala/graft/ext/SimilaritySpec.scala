@@ -205,4 +205,27 @@ class SimilaritySpec extends SparkSpec {
         maxQueries = 10))
     assert(e2.getMessage.contains("bounded-broadcast"))
   }
+
+  test("a zero-norm vector never poisons top-k ranks (NaN guard), and " +
+    "ivf caps probes at the centroid count") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)),
+      (4L, Array(0f, 0f))) // zero-norm: cosine undefined
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect()
+    // the zero vector appears as neither query nor neighbor; real
+    // neighbors hold rank 1 (NaN would have displaced them)
+    assert(!out.exists(r => r.getAs[Long]("query_id") == 4L ||
+      r.getAs[Long]("neighbor_id") == 4L))
+    val rank1 = out.filter(_.getAs[Long]("rnk") == 1L)
+    assert(rank1.forall(r => !r.getAs[Double]("sim").isNaN))
+    assert(rank1.exists(r => r.getAs[Long]("query_id") == 1L &&
+      r.getAs[Long]("neighbor_id") == 2L))
+    // nprobe far above nlist/centroids: still returns results (capped),
+    // no null-probe silent recall loss, no ANSI array error
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, nlist = 16, nprobe = 99)
+    assert(ivf.count() > 0)
+  }
 }
