@@ -591,8 +591,13 @@ object Analytics {
       .agg(count(lit(1)).as("__ca"))
     val cb = b.filter(col(keyB).isNotNull).groupBy(col(keyB).as("__k"))
       .agg(count(lit(1)).as("__cb"))
+    // decimal product: two ~1e10-row hot keys give __ca*__cb ~ 1e20,
+    // which wraps LongType silently (ANSI off) — garbage exactly for
+    // the quadratic join this diagnostic exists to catch
     ca.join(cb, Seq("__k"))
-      .select(col("__k"), (col("__ca") * col("__cb")).as("__prod"))
+      .select(col("__k"),
+        (col("__ca").cast("decimal(19,0)") *
+          col("__cb").cast("decimal(19,0)")).as("__prod"))
       .agg(
         count(lit(1)).as("n_matching_keys"),
         sum(col("__prod")).as("join_rows"),
@@ -823,6 +828,12 @@ object Analytics {
       .agg(percentile(col(refValueCol),
         array(probs.map(lit(_)): _*)).as("__qs"))
       .head().getSeq[Double](0)
+    // percentile() over zero rows returns null → a bare NPE on the
+    // driver; an empty reference slice is a foreseeable caller input
+    // and deserves a clear message.
+    require(qRow != null,
+      "quantileNormalize: reference frame has no non-null values in " +
+        s"'$refValueCol' — cannot build a reference distribution")
     val qs = qRow.map(q =>
       BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP))
     val grid = array(qs.map(q =>

@@ -157,6 +157,15 @@ object Behavior {
     val pooled = (col("conv_a") + col("conv_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
     a.crossJoin(b)
+      // one-variant input would pair the variant with ITSELF (the
+      // limit(2)-desc-limit(1) frame returns the same row) and emit a
+      // nonsense 0/0 = NaN z — a misconfigured experiment must fail
+      // loudly, not render as a self-comparison row on a dashboard
+      .withColumn("variant_b",
+        when(col("variant_a") === col("variant_b"),
+          raise_error(lit("conversionZTest: only one variant present " +
+            "— a two-proportion test needs two")))
+          .otherwise(col("variant_b")))
       .withColumn("rate_a", round(ra, 6))
       .withColumn("rate_b", round(rb, 6))
       .withColumn("z_score", round(
@@ -206,6 +215,12 @@ object Behavior {
     val va = varOverN(col("__s1a"), col("__s2a"), col("n_a"))
     val vb = varOverN(col("__s1b"), col("__s2b"), col("n_b"))
     a.crossJoin(b)
+      // same single-variant guard as [[conversionZTest]]
+      .withColumn("variant_b",
+        when(col("variant_a") === col("variant_b"),
+          raise_error(lit("welchTTest: only one variant present — a " +
+            "two-sample test needs two")))
+          .otherwise(col("variant_b")))
       .withColumn("mean_a", round(mean(col("__s1a"), col("n_a")), 6))
       .withColumn("mean_b", round(mean(col("__s1b"), col("n_b")), 6))
       .withColumn("t_stat", round(

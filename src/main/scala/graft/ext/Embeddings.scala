@@ -505,7 +505,12 @@ object Embeddings {
       .agg(
         count(lit(1)).as("n"),
         sum(col("qx").cast("decimal(38,0)")).as("__s"),
-        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("__p"),
+        // each factor casts BEFORE the square: qx ~ 1e10 for the very
+        // badly-scaled dimensions this diagnostic exists to expose,
+        // and a LongType qx*qx wraps at 9.2e18 silently (ANSI off) —
+        // the decimal product is exact to 1e38
+        sum(col("qx").cast("decimal(19,0)") *
+          col("qx").cast("decimal(19,0)")).as("__p"),
         min(col("qx")).as("qmin"), max(col("qx")).as("qmax"))
     val num = col("n").cast("decimal(38,0)") * col("__p") -
       col("__s") * col("__s")

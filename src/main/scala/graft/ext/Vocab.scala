@@ -244,8 +244,18 @@ object Vocab {
             (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 6).as("__score"))
-    val topk = graft.functions.TopKAgg.topK(
-      col("__score"), col(idCol).cast("long"), k)
+    // Guarded id cast (the Sampling.quotaCap discipline): a string doc
+    // id would cast to null and TopKAgg would silently skip EVERY row,
+    // returning an empty result with no error. Genuinely-null ids keep
+    // the skip semantics; non-integral ids fail loudly.
+    val idLong = {
+      val v = col(idCol).cast("long")
+      when(col(idCol).isNotNull && v.isNull, raise_error(concat(
+        lit("bm25TopK: id not integral: "), col(idCol).cast("string"),
+        lit(" — map ids to longs first (or use topKStr)"))))
+        .otherwise(v)
+    }
+    val topk = graft.functions.TopKAgg.topK(col("__score"), idLong, k)
     scored.agg(topk.as("__top"))
       .select(posexplode(col("__top")).as(Seq("__p", "__e")))
       .select(
@@ -726,16 +736,22 @@ object Vocab {
     val numer = n * col("__sxy") - sx * sy
     val denom = n * col("__sxx") - sx * sx
     // β = numer/denom (quantizations cancel); ln K = (sy/10⁶ − β·sx/10⁶)/n
-    // = (sy·denom − numer·sx) / (10⁶·n·denom). Trunc-toward-zero
+    // = (sy·denom − numer·sx)/(10⁶·n·denom), which REDUCES exactly by
+    // a factor of n: sy·denom − numer·sx = n·(sy·sxx − sx·sxy), so
+    // ln K = (sy·sxx − sx·sxy)/(10⁶·denom) — same rational, same
+    // truncation, but the intermediate grows as n²·7e22 instead of
+    // n³ (the unreduced form silently NULLED past ~1e5 docs when the
+    // decimal(38,0) product overflowed with ANSI off; the reduced
+    // form is exact to ~3·10⁷ docs per curve). Trunc-toward-zero
     // integer division, identical cross-engine for either sign.
     def truncDiv(a: org.apache.spark.sql.Column,
         d: org.apache.spark.sql.Column) = ((a - a % d) / d).cast("long")
     val bNum = numer * lit(1000000L).cast(dec)
-    val kNum = sy * denom - numer * sx
+    val kNum = sy * col("__sxx") - sx * col("__sxy")
     m.select(
       col("__n").cast("long").as("n_docs"),
       truncDiv(bNum, denom).as("beta_q"),
-      truncDiv(kNum, n * denom).as("ln_k_q"))
+      truncDiv(kNum, denom).as("ln_k_q"))
       .withColumn("beta", col("beta_q").cast("double") / lit(1e6))
       .withColumn("ln_k", col("ln_k_q").cast("double") / lit(1e6))
   }
