@@ -33,7 +33,8 @@ object AsOf {
     * would make "latest" placement-dependent), and right payload values
     * are assumed non-null — a null payload in a right row is looked
     * THROUGH to the previous right row by `last(ignoreNulls)`, not
-    * propagated.
+    * propagated. Right rows with a NULL `rightTs` are dropped ("as of
+    * null" matches nothing — the DuckDB ASOF semantics).
     *
     * @param left     probe side (keeps all rows; null-filled when no
     *                 earlier right row exists — LEFT as-of semantics)
@@ -54,7 +55,12 @@ object AsOf {
     require(leftOnly.intersect(payload).isEmpty,
       s"column collision: ${leftOnly.intersect(payload).mkString(", ")}")
 
-    val taggedRight = right.select(
+    // A null right timestamp sorts FIRST (asc = nulls first) and its
+    // payload would back-fill every left row that precedes any real
+    // right row — but "as of null" matches nothing in any as-of
+    // semantics (DuckDB ASOF excludes it via comparison-with-null).
+    // Drop such rows, matching Scd.scd2FromChangelog's null-ts policy.
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col): _*)
@@ -109,7 +115,10 @@ object AsOf {
     def epochOf(ts: Column): Column =
       floor(unix_micros(ts) / lit(epochSeconds * 1000000L)).cast("long")
 
-    val taggedRight = right.select(
+    // same null-right-ts policy as [[asOfJoin]]: a null __epoch
+    // partition would sort first in the carry window and back-fill
+    // every later epoch
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col): _*)

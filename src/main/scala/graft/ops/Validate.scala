@@ -95,9 +95,16 @@ object Validate {
     * clean flag, and the reference's first-error reason string
     * `"Validation failed at row {N}: {errors}"` (`pipeline.py:164`).
     * Runs as a single hash aggregation keyed on the file column.
+    *
+    * `rowNumCol` must be the same column `withValidation` was given —
+    * it was previously hardcoded to "row_num" while the producer was
+    * parameterized, an implicit contract that broke (or silently
+    * misnumbered first_error) for any other column name.
     */
-  def strictVerdicts(validated: DataFrame, fileCol: String): DataFrame = {
-    val lineNo = col("row_num") + lit(1)
+  def strictVerdicts(
+      validated: DataFrame, fileCol: String,
+      rowNumCol: String = "row_num"): DataFrame = {
+    val lineNo = col(rowNumCol) + lit(1)
     validated
       .groupBy(col(fileCol))
       .agg(

@@ -4,13 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** [EXT] Streaming per-source token-budget gate — the continuous
-  * analog of [[graft.ext.Sampling.tokenBudgetSelect]]: each source
+  * sibling of [[graft.ext.Sampling.tokenBudgetSelect]]: each source
   * stratum may contribute at most `budget` tokens to the curated
-  * output; once a source's running total would exceed it, its later
-  * documents are rejected (audited, not silently dropped). The gate a
-  * continuously-ingesting pretraining mix uses to stop a crawl source
-  * from flooding the corpus between rebalances. No reference
-  * equivalent (north-star extension).
+  * output. Admission is GREEDY whole-doc best-effort fill: a document
+  * is admitted iff it fits ENTIRELY in the remaining budget; a
+  * rejection is per-document, so a later smaller document that still
+  * fits IS admitted (spec-pinned). This deliberately differs from the
+  * batch operator's maximal-PREFIX rule — a stream cannot know the
+  * future ordering a prefix is defined over, and best-effort fill
+  * wastes less budget; rejected documents are audited, not silently
+  * dropped. The gate a continuously-ingesting pretraining mix uses to
+  * stop a crawl source from flooding the corpus between rebalances.
+  * No reference equivalent (north-star extension).
   *
   * Engine mapping: `KeyValueGroupedDataset.flatMapGroupsWithState`
   * with per-SOURCE state = one running token count — constant-size
@@ -48,7 +53,10 @@ object StreamBudget {
         (source: String, it: Iterator[Doc], state: GroupState[Long]) =>
           var cum = state.getOption.getOrElse(0L)
           val out = it.toSeq.sortBy(_.doc_id).map { d =>
-            val fits = cum + d.n_tokens <= budget
+            // A negative token count (upstream corruption) would
+            // silently UN-spend lifetime budget; reject it — audited
+            // like any rejection, and the invariant cum is monotone.
+            val fits = d.n_tokens >= 0 && cum + d.n_tokens <= budget
             if (fits) cum += d.n_tokens
             Verdict(source, d.doc_id, d.n_tokens, fits, cum)
           }

@@ -23,9 +23,19 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Determinism: within a micro-batch, arrivals are pre-counted per
   * key and applied in ascending key order — the emitted summary
   * depends on batch CONTENT, not arrival order (the [[StreamBudget]]
-  * discipline). Output (append): one row per key TOUCHED this batch
-  * with its post-batch (count, error) — downstream keeps the latest
-  * row per key (count is monotone).
+  * discipline). Output (append): one row per key touched this batch
+  * AND STILL TRACKED at batch end, with its post-batch (count,
+  * error) — emitting per-update rows would leak a stale row for a
+  * key inserted then evicted WITHIN the batch, and a downstream
+  * latest-row-per-key view would double-count its inherited total.
+  * Downstream keeps the latest row per key (count is monotone);
+  * rows of keys evicted in LATER batches linger by construction of
+  * an append stream — treat the view as the sketch's over-approximate
+  * candidate set (the classic SpaceSaving read), not an exact top-m.
+  *
+  * Null keys are dropped (a hot "null" is upstream corruption, and a
+  * null would poison-pill the query: the hash NPEs, the batch fails,
+  * and the checkpoint replays it forever).
   */
 object StreamHeavyHitters {
 
@@ -45,6 +55,7 @@ object StreamHeavyHitters {
     val spark = items.sparkSession
     import spark.implicits._
     items.selectExpr("key")
+      .filter("key IS NOT NULL")
       .as[String]
       .map(k => Keyed(
         graft.functions.Md5Ops.prefix60(
@@ -63,14 +74,12 @@ object StreamHeavyHitters {
           // ascending key order
           val batch = it.toSeq.groupBy(_.key).view
             .mapValues(_.map(_.n).sum).toSeq.sortBy(_._1)
-          val touched = batch.map { case (k, add) =>
+          batch.foreach { case (k, add) =>
             val i = keys.indexOf(k)
             if (i >= 0) {
               counts(i) += add
-              Hit(bucket, k, counts(i), errors(i))
             } else if (keys.length < m) {
               keys += k; counts += add; errors += 0L
-              Hit(bucket, k, add, 0L)
             } else {
               // evict the minimum counter (ties: smallest key — a
               // total order, so eviction is deterministic)
@@ -85,11 +94,16 @@ object StreamHeavyHitters {
               keys(mi) = k
               errors(mi) = inherited
               counts(mi) = inherited + add
-              Hit(bucket, k, counts(mi), errors(mi))
             }
           }
           state.update(Summary(keys.toArray, counts.toArray, errors.toArray))
-          touched.iterator
+          // Emit from the FINAL state: a key inserted then evicted
+          // within this batch emits nothing (a per-update row would be
+          // stale the moment it was evicted — see object doc).
+          val at = keys.zipWithIndex.toMap
+          batch.flatMap { case (k, _) =>
+            at.get(k).map(i => Hit(bucket, k, counts(i), errors(i)))
+          }.iterator
       }
   }
 }

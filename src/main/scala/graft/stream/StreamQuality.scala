@@ -55,13 +55,27 @@ object StreamQuality {
         if (batch.isEmpty) {
           onReport(BatchVerdict(batchId, pass = true, Seq.empty))
         } else {
-          // One aggregate pass; ≤ |checks| rows reach the driver.
-          val report = graft.ops.Quality.rowChecks(batch, checks).collect()
-          val pass = report.forall { r =>
-            r.getAs[Double]("pass_rate") >= minPassRate
-          }
-          if (pass) commit(batch) else quarantine(batch)
-          onReport(BatchVerdict(batchId, pass, report.toSeq))
+          // persist: the batch lineage is evaluated by the audit AND
+          // the commit/quarantine write — without the cache each
+          // action re-scans/re-decodes the source (Ingest.scala's
+          // validated.persist() discipline).
+          batch.persist()
+          try {
+            // One aggregate pass; ≤ |checks| rows reach the driver.
+            val report = graft.ops.Quality.rowChecks(batch, checks).collect()
+            // Gate on the EXACT counts, not the 6-dp-rounded
+            // pass_rate: at >= ~2M rows a single violation rounds to
+            // 1.0 and would sail through a strict minPassRate = 1.0
+            // gate — the exact comparison makes 1.0 mean "zero
+            // violations" at any batch size.
+            val pass = report.forall { r =>
+              val n = r.getAs[Long]("n_rows")
+              val v = r.getAs[Long]("n_violations")
+              (n - v).toDouble >= minPassRate * n.toDouble
+            }
+            if (pass) commit(batch) else quarantine(batch)
+            onReport(BatchVerdict(batchId, pass, report.toSeq))
+          } finally batch.unpersist()
         }
         ()
       }
@@ -98,16 +112,21 @@ object StreamQuality {
         if (batch.isEmpty) {
           onReport(BatchVerdict(batchId, pass = true, Seq.empty))
         } else {
-          val report = graft.ops.Quality.rowChecks(batch, checks).collect()
-          val clean = report.forall(_.getAs[Long]("n_violations") == 0L)
-          // null-evaluating predicates count as NOT violating (a check
-          // that cares about nulls must say isNull explicitly) — the
-          // coalesce keeps the split a true partition of the batch.
-          val bad = batch.filter(coalesce(violates, lit(false)))
-          val good = batch.filter(!coalesce(violates, lit(false)))
-          commit(good)
-          if (!clean) quarantine(bad)
-          onReport(BatchVerdict(batchId, pass = clean, report.toSeq))
+          // persist: audit + the two split writes would otherwise
+          // re-evaluate the source lineage up to three times.
+          batch.persist()
+          try {
+            val report = graft.ops.Quality.rowChecks(batch, checks).collect()
+            val clean = report.forall(_.getAs[Long]("n_violations") == 0L)
+            // null-evaluating predicates count as NOT violating (a check
+            // that cares about nulls must say isNull explicitly) — the
+            // coalesce keeps the split a true partition of the batch.
+            val bad = batch.filter(coalesce(violates, lit(false)))
+            val good = batch.filter(!coalesce(violates, lit(false)))
+            commit(good)
+            if (!clean) quarantine(bad)
+            onReport(BatchVerdict(batchId, pass = clean, report.toSeq))
+          } finally batch.unpersist()
         }
         ()
       }

@@ -79,14 +79,26 @@ object WindowedAgg {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.lastSeen), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // Null timestamps cannot be sessionized and would NPE the
+            // sort — a poison record must not kill the query forever
+            // (the checkpoint would replay it on every restart).
+            val sorted = rows.filter(_.ts != null).toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMs =>
-                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, sum = s.sum + e.value))
+                  // A LATE cross-batch event (t < lastSeen) joins the
+                  // session but must never move lastSeen BACKWARDS
+                  // (the next gap test would close the session against
+                  // a stale clock and emit session_end earlier than
+                  // events already counted) — and it may extend the
+                  // session start earlier.
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += Session(userId, new Timestamp(s.start),
                     new Timestamp(s.lastSeen), s.n, s.sum)

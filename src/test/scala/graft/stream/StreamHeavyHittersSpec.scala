@@ -57,4 +57,20 @@ class StreamHeavyHittersSpec extends SparkSpec {
     val out2 = run(Seq(Seq("z", "x", "x", "y", "x")), m = 2)
     assert(out1 === out2)
   }
+
+  test("a key inserted then evicted WITHIN a batch emits no stale row, " +
+    "and null keys don't poison the query") {
+    // m=2, one batch, key order a < b < c < d: a(5) and b(7) fill
+    // capacity; c evicts a (min 5) -> (6,5); d then evicts c (new min
+    // 6) -> (7,6). Post-batch state is {b, d} — a per-update emission
+    // would have published a stale c=(6,5) that a latest-row-per-key
+    // view double-counts alongside d's inherited 7.
+    val rows =
+      Seq.fill(5)("a") ++ Seq.fill(7)("b") ++ Seq("c", "d", null)
+    val out = run(Seq(rows), m = 2)
+    assert(!out.contains("c"), out.toString)
+    assert(out("b") === ((7L, 0L)))
+    assert(out("d") === ((7L, 6L)))
+    assert(!out.contains(null))
+  }
 }
