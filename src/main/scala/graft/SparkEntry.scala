@@ -5746,9 +5746,15 @@ FROM deg GROUP BY 1"""
     // Double-free: the per-doc quality is summed in its exact-integer
     // micro form directly — no DOUBLE→DECIMAL round-trip whose
     // cast/rounding semantics an engine version could move.
+    // total_tokens MUST be cast: DuckDB SUM(BIGINT) returns HUGEINT
+    // (int128), which survives to the client as float64 — the r06–r10
+    // hash-fail on this query was THAT export type, not the math.
+    // Every output column of every oracle must be a type with a
+    // faithful int64/float64/bool/str export (tools/exact_check.py
+    // now rejects INT128 columns at the gate).
     "q_corpus_report" ->
       s"""SELECT source, COUNT(*) AS n_docs,
-        |  SUM(LEN(str_split(TRIM(text), ' '))) AS total_tokens,
+        |  CAST(SUM(LEN(str_split(TRIM(text), ' '))) AS BIGINT) AS total_tokens,
         |  CAST((2 * SUM($qualityMicroSqlExpr) + COUNT(*))
         |    // (2 * COUNT(*)) AS BIGINT) AS avg_quality_micro,
         |  COUNT(DISTINCT md5(text)) AS n_unique,
@@ -6055,7 +6061,8 @@ FROM deg GROUP BY 1"""
         |  SELECT COALESCE(r.n_ref, 0) AS br, COALESCE(c.n_cur, 0) AS bc
         |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
         |t AS (
-        |  SELECT SUM(br) AS n_ref, SUM(bc) AS n_cur, COUNT(*) AS n_bins FROM j),
+        |  SELECT CAST(SUM(br) AS BIGINT) AS n_ref,
+        |    CAST(SUM(bc) AS BIGINT) AS n_cur, COUNT(*) AS n_bins FROM j),
         |rat AS (
         |  SELECT
         |    (CASE WHEN bc = 0 THEN 1 ELSE bc END)

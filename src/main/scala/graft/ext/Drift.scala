@@ -186,9 +186,20 @@ object Drift {
         .groupBy(col(groupCol), bin.as("bin"))
         .agg(count(lit(1)).as("n_cur")),
       "(group, bin) table")
+    // Same per-side bound [[psi]] enforces: the a = qn·pd / c = pn·qd
+    // products below are Long multiplies, and past 2^31-per-factor a
+    // wrapped (non-ANSI) product can land back INSIDE the ln kernel's
+    // accepted [1, 2^61) domain — silently wrong PSI instead of a loud
+    // require. 2^30 per side (and per epsDen) caps products at 2^60.
+    require(epsDen <= (1L << 30),
+      s"psiTrend eps too fine for exact Long terms: 1/$epsDen")
+    require(nr <= (1L << 30),
+      s"psiTrend reference side too large for exact Long terms: $nr")
     val out = curRows.groupBy(_.get(0)).toSeq.map { case (g, rows) =>
       val curBins = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
       val nc = curBins.valuesIterator.sum
+      require(nc <= (1L << 30),
+        s"psiTrend group '$g' too large for exact Long terms: $nc")
       val bins = refBins.keySet ++ curBins.keySet
       // exact integer term sum, the SAME pure-integer term contract
       // as [[psi]] (scalar form) — trend rows and the pair alarm can

@@ -331,14 +331,19 @@ object MediaCodec {
     val h = parseBmp(b)
     require(h.bitsPerPixel == 24, s"not 24bpp: ${h.bitsPerPixel}")
     val off = le32(b, 10)
-    val rowBytes = ((3 * h.width + 3) / 4) * 4
+    // Long row stride: a hostile header width above ~715M wraps
+    // 3*width negative in Int BEFORE any .toLong, sneaking past the
+    // truncation require below only to die in the array math. The
+    // payload-length require then bounds everything back to Int.
+    val rowBytesL = ((3L * h.width + 3) / 4) * 4
     // Truncation is a data fault, not a code fault — fail with a
     // clear message instead of an ArrayIndexOutOfBounds mid-row.
     require(h.width > 0 && h.height > 0,
       s"non-positive BMP dimensions: ${h.width}x${h.height}")
-    require(off >= 54 && off.toLong + rowBytes.toLong * h.height <= b.length,
+    require(off >= 54 && off.toLong + rowBytesL * h.height <= b.length,
       s"truncated BMP24: pixel array needs ${off.toLong +
-        rowBytes.toLong * h.height} bytes, payload has ${b.length}")
+        rowBytesL * h.height} bytes, payload has ${b.length}")
+    val rowBytes = rowBytesL.toInt
     val out = new Array[Int](3 * h.width * h.height)
     var y = 0
     while (y < h.height) {

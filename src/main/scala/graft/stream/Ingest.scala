@@ -104,13 +104,36 @@ object Ingest {
       val path = FsRouting.toLocalPath(uri)
       log.info(s"File '${path.getFileName}': header reordered/extended — " +
         "re-reading by column name.")
-      val spark = batch.sparkSession
-      val byName = spark.read.option("header", "true").csv(path.toString)
-      val actual = byName.columns.map(c => normToken(c) -> c).toMap
-      val mapped = byName
-        .select(Schemas.sensorColumns.map(c => byName.col(actual(c)).as(c)): _*)
-        .withColumn("__file", lit(uri))
-      processValidated(conf, sink, mapped, outcomes)
+      // Guarded: a header whose quote-aware parse disagrees with the
+      // classification split (or with duplicate names) would throw out
+      // of foreachBatch, kill the stream, and checkpoint-replay the
+      // same batch forever. One malformed file must cost one
+      // quarantine, not the pipeline.
+      try {
+        val spark = batch.sparkSession
+        val byName = spark.read.option("header", "true").csv(path.toString)
+        val actual = byName.columns.map(c => normToken(c) -> c).toMap
+        val missing = Schemas.sensorColumns.filterNot(actual.contains)
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"columns missing on by-name re-read: ${missing.mkString(", ")}")
+        val mapped = byName
+          .select(
+            Schemas.sensorColumns.map(c => byName.col(actual(c)).as(c)): _*)
+          .withColumn("__file", lit(uri))
+        processValidated(conf, sink, mapped, outcomes)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val reason =
+            s"Header remap failed: ${Option(e.getMessage).getOrElse(e.toString)
+              .linesIterator.next()}. Quarantining."
+          log.error(s"File '${path.getFileName}': $reason")
+          FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+          log.warn(
+            s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
+          outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+            Some(reason), 0L)
+      }
     }
 
     // Physical moves of bad-header files happen LAST: the batch frame
@@ -336,8 +359,39 @@ object Ingest {
     try {
       val s = Files.lines(p)
       val header = try s.findFirst().orElse("") finally s.close()
-      Some(header.split(",", -1).toSeq.map(normToken))
+      Some(splitCsvLine(header).map(normToken))
     } catch { case _: Exception => None }
+
+  /** Minimal RFC-4180 field split for ONE line: commas inside quoted
+    * fields don't separate, doubled quotes unescape. A raw
+    * `split(",")` fragments a legitimately quoted header name
+    * containing a comma, misclassifying the whole file (spurious
+    * remap, or quarantine when a required name sits inside the quoted
+    * field).
+    */
+  private[stream] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case o => cur.append(o)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
 
   private def countDataLines(p: Path): Long =
     try {

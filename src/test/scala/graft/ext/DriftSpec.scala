@@ -252,4 +252,15 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("maxGridCells"))
     assert(e.getMessage.contains("Drift.psi"))
   }
+
+  test("psiTrend rejects an eps too fine for exact Long term products") {
+    // epsDen past 2^30 could wrap qn·pd back inside the ln kernel's
+    // accepted domain — must fail loudly, never compute silently wrong
+    val ref = (0L until 16L).map(_.toDouble).toDF("value")
+    val cur = (0L until 16L).map(i => ("d1", i.toDouble)).toDF("day", "value")
+    val e = intercept[IllegalArgumentException] {
+      Drift.psiTrend(ref, cur, "value", "day", width = 4L, eps = 1e-12)
+    }
+    assert(e.getMessage.contains("eps too fine"))
+  }
 }

@@ -119,6 +119,22 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseBmp(golden) === MediaCodec.BmpHeader(2, 3, 24))
   }
 
+  test("decodeBmp24 rejects a hostile header width that wraps the Int " +
+    "row stride, with the truncation message — not an allocation crash") {
+    // width 800M: 3*width wraps negative in Int; the Long stride must
+    // keep the truncation require in force
+    val hostile = MediaCodec.synthesizeBmp(2, 3)
+    val w = 800000000
+    hostile(18) = (w & 0xff).toByte
+    hostile(19) = ((w >> 8) & 0xff).toByte
+    hostile(20) = ((w >> 16) & 0xff).toByte
+    hostile(21) = ((w >> 24) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](
+      MediaCodec.decodeBmp24(hostile))
+    assert(e.getMessage.contains("truncated"))
+    assert(!MediaCodec.isCompleteBmp24(hostile))
+  }
+
   test("MediaCodec parses golden WAV bytes and round-trips synthesis") {
     // canonical mono 8000 Hz 16-bit header
     val golden = MediaCodec.synthesizeWav(1, 8000)

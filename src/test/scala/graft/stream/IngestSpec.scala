@@ -397,4 +397,51 @@ class IngestSpec extends SparkSpec {
       .select("temperature", "humidity").as[(Double, Double)].head()
     assert(row === ((26.41, 0.95))) // by NAME: not swapped
   }
+
+  test("header tokenizer is quote-aware: a quoted name containing a " +
+    "comma is ONE token, and the file still routes correctly") {
+    assert(Ingest.splitCsvLine("a,\"b,c\",d") === Seq("a", "b,c", "d"))
+    assert(Ingest.splitCsvLine("\"he said \"\"hi\"\"\",x") ===
+      Seq("he said \"hi\"", "x"))
+    assert(Ingest.splitCsvLine("plain,tokens") === Seq("plain", "tokens"))
+    val root = tmp("graft_quoted_hdr")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    // extra column whose quoted name contains a comma: a raw split
+    // would fragment it into two phantom tokens
+    Files.writeString(dataDir.resolve("quoted.csv"),
+      "timestamp,sensor_id,temperature,humidity,pressure,\"notes, extra\"\n" +
+        "2025-05-26 04:36:08,S1,26.41,0.95,1014.74,\"z,z\"\n")
+    val q = Ingest.start(spark, conf,
+      new ParquetSink(rawOut, root.resolve("agg").toString))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(Files.exists(root.resolve("processed/quoted.csv")))
+    val row = spark.read.parquet(rawOut)
+      .select("temperature", "humidity").as[(Double, Double)].head()
+    assert(row === ((26.41, 0.95)))
+  }
+
+  test("a remappable file whose by-name re-read fails is quarantined " +
+    "with the failure reason — the stream survives (no crash loop)") {
+    val root = tmp("graft_remap_fail")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    // all required names present (so: remappable, not headerBad), but
+    // 'temperature' DUPLICATED — Spark's by-name re-read cannot map it
+    Files.writeString(dataDir.resolve("dup.csv"),
+      "timestamp,sensor_id,temperature,temperature,humidity,pressure\n" +
+        "2025-05-26 04:36:08,S1,26.41,26.42,0.95,1014.74\n")
+    // a clean file alongside proves the batch is unharmed
+    writeCsv(dataDir, "clean.csv",
+      "2025-05-26 04:36:08,S1,22.5,0.45,1013.25")
+    val q = Ingest.start(spark, conf, new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(Files.exists(root.resolve("quarantine/dup.csv")))
+    assert(Files.exists(root.resolve("processed/clean.csv")))
+    val log = root.resolve("quarantine/quarantine_log.txt")
+    assert(Files.exists(log) &&
+      Files.readString(log).contains("Header remap failed"))
+  }
 }

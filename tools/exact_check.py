@@ -66,6 +66,21 @@ def main(sf_dir, out_dir, only=None, verbose=False):
             n_fail += 1
             continue
         try:
+            # HUGEINT (int128) has no faithful client export — DuckDB
+            # hands it to pandas/arrow as float64, so an oracle column
+            # of that type hashes differently from Spark's int64 on the
+            # driver even when every VALUE matches. cells_equal below
+            # coerces int-vs-float to float compare, so this tool was
+            # blind to exactly that class (the r06–r10 q_corpus_report
+            # / q_psi_drift failures). Reject the TYPE at the gate.
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, map(str, rel.types))
+                    if t.upper() in ("HUGEINT", "INT128", "UHUGEINT", "UINT128")]
+            if huge:
+                print(f"FAIL {q}: oracle emits HUGEINT column(s) {huge} "
+                      "(no faithful export; CAST to BIGINT in the SQL)")
+                n_fail += 1
+                continue
             got = canon(con, f"SELECT * FROM '{spark_dir}/*.parquet'")
             want = canon(con, sql)
         except Exception as e:
@@ -78,6 +93,16 @@ def main(sf_dir, out_dir, only=None, verbose=False):
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {q}: cols {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1
+            continue
+        # Same class from the other direction: an integer column on one
+        # side vs a float column on the other hashes differently on the
+        # driver even when float-coerced values agree.
+        kind_bad = [(c, got[c].dtype.kind, want[c].dtype.kind)
+                    for c in got.columns
+                    if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}]
+        if kind_bad:
+            print(f"FAIL {q}: int-vs-float dtype mismatch {kind_bad}")
             n_fail += 1
             continue
         diffs = []
