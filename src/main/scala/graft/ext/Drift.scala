@@ -93,31 +93,19 @@ object Drift {
       sum(col("br")).as("n_ref"),
       sum(col("bc")).as("n_cur"),
       count(lit(1)).as("n_bins"))
+    // One expression node per term, evaluating the shared exact
+    // scalar [[graft.functions.DetMath.psiTermMicro12]] (which also
+    // enforces the 2³⁰ per-side/epsDen domain loudly — including the
+    // epsDen leg the former Column-tree guard missed). The previous
+    // inline decimal ln tree (~200 nodes) made runtime CODEGEN the
+    // cost of the whole query: 5.5 s of a 6.5 s sf0.1 run spent
+    // compiling a projection that executes over ~32 bin rows.
     val term = {
-      def dec(x: Column, p: Int): Column = x.cast(s"decimal($p,0)")
-      def idiv(x: Column, y: Column): Column = call_function("div", x, y)
-      val pn = when(col("br") === 0, lit(1L)).otherwise(col("br"))
-      val pd = when(col("br") === 0, lit(epsDen)).otherwise(col("n_ref"))
-      val qn = when(col("bc") === 0, lit(1L)).otherwise(col("bc"))
-      val qd = when(col("bc") === 0, lit(epsDen)).otherwise(col("n_cur"))
-      val a = qn * pd
-      val b = pn * qd
-      val lnFp =
-        graft.functions.DetMath.lnRatioFp(greatest(a, b), least(a, b))
-      // term·10¹² = d·lnFp/(M·10⁶) exactly (lnFp is Q=10¹⁸ scale);
-      // d·lnFp ≤ 2⁶¹·ln(2⁶¹)·10¹⁸ < 10³⁸ stays exact in decimal(38,0),
-      // and M·10⁶ is computed in DECIMAL — a Long product pd·qd·10⁶
-      // wraps as early as ~3·10⁶ rows per side. The 2³⁰-per-side
-      // domain (A, B < 2⁶¹ for the ln kernel) is enforced loudly, not
-      // assumed: raise_error beats a silently wrapped A·B.
-      val maxSide = 1L << 30
-      val term0 = idiv(dec(abs(a - b), 19) * lnFp,
-        dec(pd, 19) * dec(qd, 19) * lit(1000000L))
-      when(col("n_ref") > maxSide || col("n_cur") > maxSide,
-        raise_error(lit("Drift.psi: side totals past 2^30 rows " +
-          "overflow the BIGINT rational terms — widen A/B/M to " +
-          "decimal (see scaladoc)")).cast("long"))
-        .otherwise(term0)
+      import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+      column(graft.functions.PsiTermMicro12(
+        expression(col("br")), expression(col("bc")),
+        expression(col("n_ref")), expression(col("n_cur")),
+        expression(lit(epsDen))))
     }
     // Terms sum in DECIMAL (the oracle sums HUGEINT): ~41e12 per term
     // would overflow a Long sum past ~2·10⁵ bins, and the bin count is
@@ -201,23 +189,15 @@ object Drift {
       require(nc <= (1L << 30),
         s"psiTrend group '$g' too large for exact Long terms: $nc")
       val bins = refBins.keySet ++ curBins.keySet
-      // exact integer term sum, the SAME pure-integer term contract
-      // as [[psi]] (scalar form) — trend rows and the pair alarm can
-      // never disagree by a quantization ulp. BigInt accumulator: a
-      // Long sum can overflow past ~2·10⁵ bins; the ln kernel's own
-      // require rejects side totals past its 2⁶¹ input domain loudly.
+      // THE same exact scalar term as [[psi]]'s expression — one
+      // implementation, so trend rows and the pair alarm can never
+      // disagree by a quantization ulp. BigInt accumulator: a Long
+      // sum can overflow past ~2·10⁵ bins.
       var terms = BigInt(0)
       bins.foreach { b =>
-        val br = refBins.getOrElse(b, 0L)
-        val bc = curBins.getOrElse(b, 0L)
-        val (pn, pd) = if (br == 0L) (1L, epsDen) else (br, nr)
-        val (qn, qd) = if (bc == 0L) (1L, epsDen) else (bc, nc)
-        val a = qn * pd
-        val c = pn * qd
-        val lnFp =
-          graft.functions.DetMath.lnRatioFpBig(a max c, a min c)
-        terms += (BigInt((a - c).abs) * lnFp) /
-          (BigInt(pd) * BigInt(qd) * 1000000L)
+        terms += BigInt(graft.functions.DetMath.psiTermMicro12(
+          refBins.getOrElse(b, 0L), curBins.getOrElse(b, 0L),
+          nr, nc, epsDen))
       }
       org.apache.spark.sql.Row(
         g, terms.toDouble / 1e12, bins.size.toLong, nr, nc)

@@ -115,7 +115,17 @@ object DetMath {
     * SQL mirror ([[graft.SparkEntry]]'s expSqlChain) writes
     * (1e0/6e0) so DuckDB types them DOUBLE.
     */
-  def expq(x: Column): Column = {
+  def expq(x: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      ExpqExpr(org.apache.spark.sql.GraftExpressionBridge.expression(x)))
+
+  /** [[expq]]'s op tree in Column form — the literal mirror of the
+    * SQL chain, kept as the spec vehicle proving tree ≡ scalar
+    * (hence DuckDB chain ≡ scalar). Queries use [[expq]] (one
+    * expression node): inlining this tree per call made runtime
+    * codegen the dominant cost of bounded-grid queries.
+    */
+  def expqTree(x: Column): Column = {
     val k = floor(x * lit(1.0 / Ln2) + lit(0.5))
     val r = x - k * lit(Ln2)
     val s = lit(1.0) + r * (lit(1.0) + r * (lit(1.0 / 2.0) +
@@ -215,10 +225,51 @@ object DetMath {
     (t * acc) / Q + BigInt(k) * BigInt(Ln2Fp)
   }
 
+  /** One PSI grid-cell term ·10¹², exact: the scalar shared by the
+    * [[PsiTermMicro12]] expression (distributed form) and
+    * [[graft.ext.Drift.psiTrend]]'s driver-side grid — ONE
+    * implementation, so the pair alarm and the trend can never
+    * disagree by construction. Math is the documented rational
+    * contract: absent sides take the 1/epsDen floor, A = qn·pd and
+    * B = pn·qd stay in Long (the ≤2³⁰ per-side/epsDen require below
+    * caps them at 2⁶⁰ — PAST it a Long product could wrap back inside
+    * [[lnRatioFpBig]]'s accepted domain and return silently wrong
+    * PSI, hence loud, not assumed), term = |A−B|·lnFp / (pd·qd·10⁶)
+    * in BigInt. Worst case |A−B|/M ≤ 1 so the result ≤ lnFp/10⁶
+    * < 2⁶¹·ln-scale — well inside Long.
+    */
+  def psiTermMicro12(
+      br: Long, bc: Long, nRef: Long, nCur: Long, epsDen: Long): Long = {
+    val maxSide = 1L << 30
+    require(nRef <= maxSide && nCur <= maxSide && epsDen <= maxSide,
+      "Drift.psi: side totals (or 1/eps) past 2^30 overflow the BIGINT " +
+        "rational terms — widen A/B/M to decimal (see Drift.psi scaladoc)")
+    val (pn, pd) = if (br == 0L) (1L, epsDen) else (br, nRef)
+    val (qn, qd) = if (bc == 0L) (1L, epsDen) else (bc, nCur)
+    val a = qn * pd
+    val b = pn * qd
+    val lnFp = lnRatioFpBig(a max b, a min b)
+    ((BigInt((a - b).abs) * lnFp) /
+      (BigInt(pd) * BigInt(qd) * 1000000L)).toLong
+  }
+
   /** Deterministic natural log; see object doc. Bit-identical in any
     * IEEE-754 engine evaluating the mirrored formula.
     */
-  def lnq(x: Column): Column = {
+  def lnq(x: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      LnqExpr(org.apache.spark.sql.GraftExpressionBridge.expression(x)))
+
+  /** [[lnq]]'s op tree in Column form — the literal mirror of the SQL
+    * chain ([[graft.SparkEntry]]'s lnSqlChain), kept as the spec
+    * vehicle proving tree ≡ scalar bit-for-bit (hence DuckDB chain ≡
+    * scalar). Queries use [[lnq]] (one CodegenFallback node
+    * evaluating [[lnqDouble]]): inlining this ~80-node tree at every
+    * call site made runtime CODEGEN dominate bounded-grid queries
+    * (q_psi_daily 26 s, q_js_drift ~5 s of 6) — the scalar is
+    * bit-identical by the pin, so the swap is free.
+    */
+  def lnqTree(x: Column): Column = {
     val k0 = floor(log2(x)).cast("long")
     val m0 = x * pow(lit(2.0), (-k0).cast("double"))
     val k = when(m0 >= 2.0, k0 + lit(1L))
@@ -238,4 +289,97 @@ object DetMath {
             )))))))))))
     s + k.cast("double") * lit(Ln2)
   }
+}
+
+/** `lnq(x)` as ONE expression node evaluating
+  * [[DetMath.lnqDouble]] — bit-identical to [[DetMath.lnqTree]] by
+  * DetMathSpec's pin. CodegenFallback on purpose: the scalar is ~30
+  * JIT-friendly double ops; what the tree form cost was not
+  * execution but per-query janino compilation of the inlined chain.
+  */
+case class LnqExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(x: Any): Any =
+    DetMath.lnqDouble(x.asInstanceOf[Double])
+  override protected def withNewChildInternal(c: Expression): LnqExpr =
+    copy(child = c)
+}
+
+/** `expq(x)` as ONE expression node evaluating
+  * [[DetMath.expqDouble]]; see [[LnqExpr]].
+  */
+case class ExpqExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(x: Any): Any =
+    DetMath.expqDouble(x.asInstanceOf[Double])
+  override protected def withNewChildInternal(c: Expression): ExpqExpr =
+    copy(child = c)
+}
+
+/** `psi_term_micro12(br, bc, n_ref, n_cur, eps_den)` — one PSI grid
+  * cell's exact integer term ·10¹² (see
+  * [[DetMath.psiTermMicro12]]).
+  *
+  * Exists for PLAN size, not semantics: the equivalent Column form
+  * ([[DetMath.lnRatioFp]] + decimal divides) inlines a ~200-node
+  * decimal tree whose runtime codegen dominated the whole query
+  * (measured 5.5 s of a 6.5 s sf0.1 PSI — the term stage runs over
+  * ~32 bin rows). Deliberately CodegenFallback: one interpreted call
+  * per BIN (not per input row) is nanoseconds, and it keeps the
+  * generated stage method small. Bit-identical to the Column form by
+  * shared-scalar construction; the DuckDB oracle mirrors the same
+  * integer program in SQL.
+  */
+case class PsiTermMicro12(
+    br: org.apache.spark.sql.catalyst.expressions.Expression,
+    bc: org.apache.spark.sql.catalyst.expressions.Expression,
+    nRef: org.apache.spark.sql.catalyst.expressions.Expression,
+    nCur: org.apache.spark.sql.catalyst.expressions.Expression,
+    epsDen: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  override def children: Seq[Expression] = Seq(br, bc, nRef, nCur, epsDen)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "psi_term_micro12 needs five BIGINT inputs, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else DetMath.psiTermMicro12(
+      vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Long],
+      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Long],
+      vs(4).asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PsiTermMicro12 =
+    copy(br = newChildren(0), bc = newChildren(1), nRef = newChildren(2),
+      nCur = newChildren(3), epsDen = newChildren(4))
 }

@@ -34,10 +34,14 @@ class DetMathSpec extends SparkSpec {
         i.toDouble / 19997.0 / 1e-6,     // large ratios
         math.pow(2.0, (i % 120 - 60).toDouble) * (1.0 + i / 1e8))
     }.filter(_ > 0)
+    // the TREE pin proves the SQL-chain mirror ≡ scalar; the lnq
+    // (expression-node) pin proves queries compute the same thing
     val got = xs.toDF("x")
-      .select(col("x"), DetMath.lnq(col("x")).as("lnx"))
-      .as[(Double, Double)].collect()
-    got.foreach { case (x, lnx) =>
+      .select(col("x"), DetMath.lnqTree(col("x")).as("tree"),
+        DetMath.lnq(col("x")).as("lnx"))
+      .as[(Double, Double, Double)].collect()
+    got.foreach { case (x, tree, lnx) =>
+      assert(bits(tree) == bits(DetMath.lnqDouble(x)), s"tree x=$x")
       assert(bits(lnx) == bits(DetMath.lnqDouble(x)), s"x=$x")
     }
   }
@@ -72,9 +76,11 @@ class DetMathSpec extends SparkSpec {
         (i % 1400).toDouble / 2.0 - 350.0)  // wide-exponent sweep
     }
     val got = xs.toDF("x")
-      .select(col("x"), DetMath.expq(col("x")).as("ex"))
-      .as[(Double, Double)].collect()
-    got.foreach { case (x, ex) =>
+      .select(col("x"), DetMath.expqTree(col("x")).as("tree"),
+        DetMath.expq(col("x")).as("ex"))
+      .as[(Double, Double, Double)].collect()
+    got.foreach { case (x, tree, ex) =>
+      assert(bits(tree) == bits(DetMath.expqDouble(x)), s"tree x=$x")
       assert(bits(ex) == bits(DetMath.expqDouble(x)), s"x=$x")
     }
   }
