@@ -253,6 +253,36 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("Drift.psi"))
   }
 
+  test("psiTermMicro12 scalar: eps branches, zero term, domain guard") {
+    import graft.functions.DetMath
+    // symmetric inputs → A == B → ln(1) = 0 → term 0 exactly
+    assert(DetMath.psiTermMicro12(5L, 5L, 100L, 100L, 1000000L) === 0L)
+    // pin the CONTRACT formula (rational eps floors + lnRatioFpBig +
+    // truncating BigInt divide) independent of the impl's structure
+    def model(br: Long, bc: Long, nr: Long, nc: Long, ed: Long): Long = {
+      val (pn, pd) = if (br == 0) (1L, ed) else (br, nr)
+      val (qn, qd) = if (bc == 0) (1L, ed) else (bc, nc)
+      val a = qn * pd; val b = pn * qd
+      ((BigInt((a - b).abs) * DetMath.lnRatioFpBig(a max b, a min b)) /
+        (BigInt(pd) * BigInt(qd) * 1000000L)).toLong
+    }
+    val cases = Seq(
+      (0L, 7L, 100L, 50L), (7L, 0L, 100L, 50L), (3L, 9L, 30L, 90L),
+      (1L, 1L, 2L, 2L), (1000L, 1L, 5000L, 4000L))
+    cases.foreach { case (br, bc, nr, nc) =>
+      assert(DetMath.psiTermMicro12(br, bc, nr, nc, 1000000L) ===
+        model(br, bc, nr, nc, 1000000L), s"($br,$bc,$nr,$nc)")
+    }
+    // domain guard: any leg past 2^30 must throw, never wrap
+    val big = (1L << 30) + 1
+    intercept[IllegalArgumentException](
+      DetMath.psiTermMicro12(1L, 1L, big, 10L, 1000000L))
+    intercept[IllegalArgumentException](
+      DetMath.psiTermMicro12(1L, 1L, 10L, big, 1000000L))
+    intercept[IllegalArgumentException](
+      DetMath.psiTermMicro12(1L, 1L, 10L, 10L, big))
+  }
+
   test("psiTrend rejects an eps too fine for exact Long term products") {
     // epsDen past 2^30 could wrap qn·pd back inside the ln kernel's
     // accepted domain — must fail loudly, never compute silently wrong

@@ -77,4 +77,23 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("pageRank broadcast and shuffle paths are bit-identical") {
+    // broadcastMaxNodes = 0 forces the key-partitioned shuffle plan;
+    // the default broadcasts — same exact-integer contribution sums,
+    // so the two physical strategies must agree to the last bit
+    val edges = (1L to 60L).flatMap { i =>
+      Seq((i, i % 7 + 1), (i % 11 + 1, i), (i, (i * 3) % 13 + 1))
+    }.toDF("s", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val bcast = canon(Graph.pageRank(edges, "s", "d", iters = 4))
+    val shuf = canon(Graph.pageRank(edges, "s", "d", iters = 4,
+      broadcastMaxNodes = 0L))
+    assert(bcast.map(_._1) === shuf.map(_._1))
+    bcast.zip(shuf).foreach { case ((n, a), (_, b)) =>
+      assert(java.lang.Double.doubleToLongBits(a) ===
+        java.lang.Double.doubleToLongBits(b), s"node $n")
+    }
+  }
 }

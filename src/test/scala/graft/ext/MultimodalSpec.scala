@@ -119,6 +119,37 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseBmp(golden) === MediaCodec.BmpHeader(2, 3, 24))
   }
 
+  test("codec surfaces survive arbitrary and mutated-header bytes: " +
+    "IllegalArgument or clean result, never a crash class") {
+    val rnd = new scala.util.Random(0xC0DEC)
+    def poke(b: Array[Byte]): Unit = {
+      def safe(body: => Any): Unit =
+        try { body; () } catch { case _: IllegalArgumentException => () }
+      MediaCodec.detect(b)
+      safe(MediaCodec.decodeBmp24(b))
+      safe(MediaCodec.decodePcm16(b))
+      safe(MediaCodec.decodeVideoFrames(b))
+      safe(MediaCodec.isCompleteBmp24(b))
+      safe(MediaCodec.isCompletePcm16(b))
+    }
+    // pure noise, all sizes around the header boundaries
+    for (_ <- 1 to 400) poke(Array.fill(rnd.nextInt(120))(rnd.nextInt().toByte))
+    // valid magic + corrupted header/payload bytes: hits the deep
+    // parse branches the random-magic path never reaches
+    val seeds = Seq(
+      MediaCodec.synthesizeBmp24(4, 3, (x, y, c) => x + y + c),
+      MediaCodec.synthesizeWav(2, 8000),
+      MediaCodec.synthesizeVideo(
+        Seq(MediaCodec.synthesizeBmp24(2, 2, (_, _, _) => 7))))
+    for (seed <- seeds; _ <- 1 to 400) {
+      val m = seed.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      poke(m)
+      poke(java.util.Arrays.copyOf(m, rnd.nextInt(m.length + 1)))
+    }
+  }
+
   test("decodeBmp24 rejects a hostile header width that wraps the Int " +
     "row stride, with the truncation message — not an allocation crash") {
     // width 800M: 3*width wraps negative in Int; the Long stride must

@@ -422,6 +422,22 @@ class IngestSpec extends SparkSpec {
     assert(row === ((26.41, 0.95)))
   }
 
+  test("splitCsvLine round-trips RFC-4180 encoding on randomized fields") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "ab,\"x \t_".toCharArray
+    def encode(f: String): String =
+      if (f.exists(c => c == ',' || c == '"')) {
+        "\"" + f.replace("\"", "\"\"") + "\""
+      } else f
+    for (_ <- 1 to 500) {
+      val fields = Seq.fill(1 + rnd.nextInt(6))(
+        String.valueOf(Array.fill(rnd.nextInt(8))(
+          alphabet(rnd.nextInt(alphabet.length)))))
+      val line = fields.map(encode).mkString(",")
+      assert(Ingest.splitCsvLine(line) === fields, s"line=<$line>")
+    }
+  }
+
   test("a remappable file whose by-name re-read fails is quarantined " +
     "with the failure reason — the stream survives (no crash loop)") {
     val root = tmp("graft_remap_fail")
