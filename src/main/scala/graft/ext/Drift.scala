@@ -69,18 +69,40 @@ object Drift {
     */
   def psi(
       ref: DataFrame, cur: DataFrame, valueCol: String,
+      width: Long, eps: Double = 1e-6): DataFrame =
+    psiFromBinnedRef(binCounts(ref, valueCol, width, "n_ref"),
+      cur, valueCol, width, eps)
+
+  /** The per-bin count aggregate [[psi]] runs on each side:
+    * (bin = ⌊value/width⌋, count). Public so a STATIC reference can
+    * be binned ONCE and reused across many comparisons — a streaming
+    * monitor must not rescan the training corpus every trigger.
+    */
+  def binCounts(
+      df: DataFrame, valueCol: String, width: Long,
+      countName: String): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / lit(width.toDouble)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** [[psi]] against an already-binned reference — `refBins` must be
+    * the exact [[binCounts]] shape (bin, n_ref) at the SAME width.
+    * Values are identical to [[psi]] by construction (psi delegates
+    * here); what changes is the plan: the reference aggregate becomes
+    * a reusable (persistable) table instead of a per-call rescan.
+    */
+  def psiFromBinnedRef(
+      refBins: DataFrame, cur: DataFrame, valueCol: String,
       width: Long, eps: Double = 1e-6): DataFrame = {
     require(width > 0, s"width must be positive: $width")
     val epsDen = math.round(1.0 / eps)
     require(epsDen >= 1 && math.abs(1.0 / epsDen.toDouble - eps) <= 0.0,
       s"eps must be an exact reciprocal 1/N (rational contract): $eps")
-    def binned(df: DataFrame, n: String) = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(floor(col(valueCol) / lit(width.toDouble)).cast("long")
-        .as("bin"))
-      .agg(count(lit(1)).as(n))
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+    val r = refBins
+    val c = binCounts(cur, valueCol, width, "n_cur")
     // Totals are a one-row aggregate broadcast back over the bin
     // table — NEVER a collect of the bins themselves, whose count is
     // value-range / width and not bounded by design. The bin-join

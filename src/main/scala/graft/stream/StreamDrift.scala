@@ -17,9 +17,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * right monitoring read for "input went dark" (a silent gap and a
   * broken upstream must not look alike in the log).
   *
-  * Scale shape: per batch this inherits [[graft.ext.Drift.psi]]'s
-  * shape — two bin aggregates and a tiny bin join; the parquet append
-  * is one row per trigger.
+  * Scale shape: the STATIC reference is binned ONCE at monitor start
+  * ([[graft.ext.Drift.binCounts]], persisted) — a 100 TB training
+  * corpus must not be rescanned every 1 s trigger. Per batch the
+  * monitor then inherits [[graft.ext.Drift.psiFromBinnedRef]]'s
+  * shape — one bin aggregate over the batch and a tiny bin join; the
+  * parquet append is one row per trigger.
   */
 object StreamDrift {
 
@@ -28,13 +31,16 @@ object StreamDrift {
       width: Long, outDir: String, checkpointDir: String,
       triggerMs: Long = 1000L): StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
-    stream.writeStream
+    val refBins = graft.ext.Drift
+      .binCounts(reference, valueCol, width, "n_ref").persist()
+    refBins.count() // materialize before the first trigger
+    val query = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.Drift
-          .psi(reference, batch, valueCol, width)
+          .psiFromBinnedRef(refBins, batch, valueCol, width)
           .select(
             lit(batchId).as("batch_id"), col("psi_micro12"),
             col("n_bins"), col("n_ref"), col("n_cur"))
@@ -42,5 +48,20 @@ object StreamDrift {
         ()
       }
       .start()
+    // release the reference cache when THIS query ends — a monitor
+    // that stops must not leave the binned corpus pinned in memory
+    val spark = reference.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          refBins.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 }
