@@ -81,6 +81,35 @@ def main(sf_dir, out_dir, only=None, verbose=False):
                       "(no faithful export; CAST to BIGINT in the SQL)")
                 n_fail += 1
                 continue
+            # Output KIND parity (int/float/string/date/timestamp/bool)
+            # between the Spark parquet and the oracle relation, via
+            # DuckDB's normalized types on BOTH. A kind mismatch can
+            # hash differently on the driver even when coerced values
+            # agree (the q_revenue_monthly timestamp-vs-date class).
+            def kindmap(r):
+                def k(t):
+                    t = str(t).upper()
+                    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
+                        return "int"
+                    if t in ("DOUBLE", "FLOAT", "REAL"):
+                        return "float"
+                    if t == "VARCHAR":
+                        return "str"
+                    if t.startswith("TIMESTAMP"):
+                        return "timestamp"
+                    if t == "DATE":
+                        return "date"
+                    if t == "BOOLEAN":
+                        return "bool"
+                    return t
+                return {c: k(t) for c, t in zip(r.columns, r.types)}
+            sk = kindmap(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+            ok_ = kindmap(rel)
+            kb = [(c, sk[c], ok_[c]) for c in sk if c in ok_ and sk[c] != ok_[c]]
+            if kb:
+                print(f"FAIL {q}: output kind mismatch {kb}")
+                n_fail += 1
+                continue
             got = canon(con, f"SELECT * FROM '{spark_dir}/*.parquet'")
             want = canon(con, sql)
         except Exception as e:
