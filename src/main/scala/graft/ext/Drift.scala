@@ -101,6 +101,11 @@ object Drift {
     val epsDen = math.round(1.0 / eps)
     require(epsDen >= 1 && math.abs(1.0 / epsDen.toDouble - eps) <= 0.0,
       s"eps must be an exact reciprocal 1/N (rational contract): $eps")
+    // Eager, like psiTrend: the term kernel re-checks per row, but an
+    // out-of-domain eps must fail HERE (driver-side, even on empty
+    // input), not as a wrapped task failure once data shows up.
+    require(epsDen <= (1L << 30),
+      s"psi eps too fine for exact Long terms: 1/$epsDen")
     val r = refBins
     val c = binCounts(cur, valueCol, width, "n_cur")
     // Totals are a one-row aggregate broadcast back over the bin

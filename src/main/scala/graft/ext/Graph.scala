@@ -74,16 +74,22 @@ object Graph {
     val nNodes = nodes.count()
     val small = nNodes <= broadcastMaxNodes
     def maybeBcast(df: DataFrame) = if (small) broadcast(df) else df
-    val n1 = nodes.agg(count(lit(1)).as("__n"))
+    // nNodes is already a driver Long (it gates the broadcast), so
+    // 1/N is a LITERAL — the former one-row aggregate and its
+    // crossJoin(broadcast) per iteration bought nothing.
+    val invN = lit(1.0) / lit(nNodes.toDouble)
     // 12-dp truncation: floor of the micro-unit double, back to double
     def q12(c: org.apache.spark.sql.Column) =
       floor(c * lit(1e12)).cast("double") / lit(1e12)
     import org.apache.spark.sql.GraftExpressionBridge.planLeaf
-    var pr = planLeaf(nodes.crossJoin(broadcast(n1))
-      .select(col("node"),
-        q12(lit(1.0) / col("__n").cast("double")).as("pr")))
+    var pr = planLeaf(nodes
+      .select(col("node"), q12(invN).as("pr")))
       .persist()
     pr.count() // materialize before the loop starts swapping caches
+    // e2 is fully derivable from e; materialize it now so the raw
+    // edge cache can be released instead of riding the whole loop
+    e2.count()
+    e.unpersist(blocking = false)
     for (_ <- 1 to iters) {
       val contrib = e2
         .join(maybeBcast(pr), e2("__src") === pr("node"))
@@ -93,9 +99,8 @@ object Graph {
         .groupBy("node")
         .agg(sum(col("__t")).as("__s"))
       val next = planLeaf(nodes.join(maybeBcast(contrib), Seq("node"), "left")
-        .crossJoin(broadcast(n1))
         .select(col("node"),
-          q12(lit(1.0 - damping) / col("__n").cast("double") +
+          q12(lit(1.0 - damping) / lit(nNodes.toDouble) +
             lit(damping) *
               (coalesce(col("__s"), lit(0L)).cast("double") / lit(1e12)))
             .as("pr")))
@@ -104,7 +109,6 @@ object Graph {
       pr.unpersist(blocking = false)
       pr = next
     }
-    e.unpersist(blocking = false)
     e2.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     pr

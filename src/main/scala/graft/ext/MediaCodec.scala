@@ -322,9 +322,18 @@ object MediaCodec {
       val h = parseBmp(b)
       val off = le32(b, 10)
       val rowBytes = ((3L * h.width + 3) / 4) * 4
+      // multiplyExact: width AND height near 2^31 wrap even a Long
+      // product (~1.4e19 > 2^63), landing the wrapped total back
+      // under b.length — exactEnd turns that into None, not a pass
       h.bitsPerPixel == 24 && h.width > 0 && h.height > 0 &&
-        off >= 54 && off + rowBytes * h.height <= b.length
+        off >= 54 && exactEnd(off.toLong, rowBytes, h.height)
+          .exists(_ <= b.length)
     }
+
+  /** off + rowBytes·height without wrap: None on Long overflow. */
+  private def exactEnd(off: Long, rowBytes: Long, height: Int): Option[Long] =
+    try Some(Math.addExact(off, Math.multiplyExact(rowBytes, height.toLong)))
+    catch { case _: ArithmeticException => None }
 
   def decodeBmp24(b: Array[Byte]): Bmp24 = {
     require(detect(b) == "bmp", "not a BMP payload")
@@ -338,11 +347,15 @@ object MediaCodec {
     val rowBytesL = ((3L * h.width + 3) / 4) * 4
     // Truncation is a data fault, not a code fault — fail with a
     // clear message instead of an ArrayIndexOutOfBounds mid-row.
+    // exactEnd: a width·height pair near 2^31 each wraps even the
+    // Long product — overflow means the payload cannot possibly hold
+    // the pixels, so it reports as truncation, never as a crash.
     require(h.width > 0 && h.height > 0,
       s"non-positive BMP dimensions: ${h.width}x${h.height}")
-    require(off >= 54 && off.toLong + rowBytesL * h.height <= b.length,
-      s"truncated BMP24: pixel array needs ${off.toLong +
-        rowBytesL * h.height} bytes, payload has ${b.length}")
+    val end = exactEnd(off.toLong, rowBytesL, h.height)
+    require(off >= 54 && end.exists(_ <= b.length),
+      s"truncated BMP24: pixel array needs ${end.map(_.toString)
+        .getOrElse(">2^63")} bytes, payload has ${b.length}")
     val rowBytes = rowBytesL.toInt
     val out = new Array[Int](3 * h.width * h.height)
     var y = 0

@@ -291,41 +291,53 @@ object DetMath {
   }
 }
 
-/** `lnq(x)` as ONE expression node evaluating
-  * [[DetMath.lnqDouble]] — bit-identical to [[DetMath.lnqTree]] by
-  * DetMathSpec's pin. CodegenFallback on purpose: the scalar is ~30
-  * JIT-friendly double ops; what the tree form cost was not
-  * execution but per-query janino compilation of the inlined chain.
+/** `lnq(x)` as ONE expression node computing [[DetMath.lnqDouble]] —
+  * bit-identical to [[DetMath.lnqTree]] by DetMathSpec's pin. Codegen
+  * emits a single static call to the scalar kernel (a Scala top-level
+  * object compiles with static forwarders), so every caller gets BOTH
+  * a tiny plan (what the inlined ~80-node tree cost was per-query
+  * janino compilation, not execution) AND compiled, box-free per-row
+  * evaluation in unbounded hot paths (weighted-sample keys,
+  * per-token surprisal) — a CodegenFallback here would silently
+  * interpret those.
   */
 case class LnqExpr(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{
+    CodegenContext, ExprCode}
   import org.apache.spark.sql.types.{DataType, DoubleType}
   override def inputTypes = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(x: Any): Any =
     DetMath.lnqDouble(x.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.lnqDouble($c)")
   override protected def withNewChildInternal(c: Expression): LnqExpr =
     copy(child = c)
 }
 
-/** `expq(x)` as ONE expression node evaluating
-  * [[DetMath.expqDouble]]; see [[LnqExpr]].
+/** `expq(x)` as ONE expression node computing [[DetMath.expqDouble]];
+  * see [[LnqExpr]].
   */
 case class ExpqExpr(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{
+    CodegenContext, ExprCode}
   import org.apache.spark.sql.types.{DataType, DoubleType}
   override def inputTypes = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(x: Any): Any =
     DetMath.expqDouble(x.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.expqDouble($c)")
   override protected def withNewChildInternal(c: Expression): ExpqExpr =
     copy(child = c)
 }

@@ -108,32 +108,39 @@ object Ingest {
       // classification split (or with duplicate names) would throw out
       // of foreachBatch, kill the stream, and checkpoint-replay the
       // same batch forever. One malformed file must cost one
-      // quarantine, not the pipeline.
-      try {
-        val spark = batch.sparkSession
-        val byName = spark.read.option("header", "true").csv(path.toString)
-        val actual = byName.columns.map(c => normToken(c) -> c).toMap
-        val missing = Schemas.sensorColumns.filterNot(actual.contains)
-        if (missing.nonEmpty)
-          throw new IllegalStateException(
-            s"columns missing on by-name re-read: ${missing.mkString(", ")}")
-        val mapped = byName
-          .select(
-            Schemas.sensorColumns.map(c => byName.col(actual(c)).as(c)): _*)
-          .withColumn("__file", lit(uri))
-        processValidated(conf, sink, mapped, outcomes)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          val reason =
-            s"Header remap failed: ${Option(e.getMessage).getOrElse(e.toString)
-              .linesIterator.next()}. Quarantining."
-          log.error(s"File '${path.getFileName}': $reason")
-          FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-          log.warn(
-            s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
-          outcomes += FileOutcome(path.getFileName.toString, "quarantined",
-            Some(reason), 0L)
-      }
+      // quarantine, not the pipeline. The try covers ONLY the
+      // structural re-read/mapping — a downstream processValidated
+      // failure (transient sink/FS fault on a VALID file) must keep
+      // the checkpoint-replay retry semantics, not quarantine data.
+      val mapped: Option[DataFrame] =
+        try {
+          val spark = batch.sparkSession
+          val byName = spark.read.option("header", "true").csv(path.toString)
+          val actual = byName.columns.map(c => normToken(c) -> c).toMap
+          val missing = Schemas.sensorColumns.filterNot(actual.contains)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"columns missing on by-name re-read: ${missing.mkString(", ")}")
+          Some(byName
+            .select(
+              Schemas.sensorColumns.map(c => byName.col(actual(c)).as(c)): _*)
+            .withColumn("__file", lit(uri)))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = Option(e.getMessage).getOrElse("")
+              .linesIterator.nextOption().filter(_.nonEmpty)
+              .getOrElse(e.toString.linesIterator.nextOption()
+                .getOrElse(e.getClass.getName))
+            val reason = s"Header remap failed: $msg. Quarantining."
+            log.error(s"File '${path.getFileName}': $reason")
+            FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+            log.warn(s"File '${path.getFileName}' moved to quarantine. " +
+              s"Reason: $reason")
+            outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+              Some(reason), 0L)
+            None
+        }
+      mapped.foreach(processValidated(conf, sink, _, outcomes))
     }
 
     // Physical moves of bad-header files happen LAST: the batch frame

@@ -34,34 +34,39 @@ object StreamDrift {
     val refBins = graft.ext.Drift
       .binCounts(reference, valueCol, width, "n_ref").persist()
     refBins.count() // materialize before the first trigger
-    val query = stream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Drift
-          .psiFromBinnedRef(refBins, batch, valueCol, width)
-          .select(
-            lit(batchId).as("batch_id"), col("psi_micro12"),
-            col("n_bins"), col("n_ref"), col("n_cur"))
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
-    // release the reference cache when THIS query ends — a monitor
-    // that stops must not leave the binned corpus pinned in memory
-    val spark = reference.sparkSession
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+    val query =
+      try {
+        stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime(triggerMs))
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ext.Drift
+              .psiFromBinnedRef(refBins, batch, valueCol, width)
+              .select(
+                lit(batchId).as("batch_id"), col("psi_micro12"),
+                col("n_bins"), col("n_ref"), col("n_cur"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+      } catch {
+        case t: Throwable =>
           refBins.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
+          throw t
+      }
+    // Release the reference cache when THIS query ends, however it
+    // ends. awaitTermination on a dedicated daemon thread is
+    // race-free where a StreamingQueryListener is not: a query that
+    // fails before the listener registers would post its terminated
+    // event to nobody and leak the cache for the session's lifetime.
+    val reaper = new Thread(() => {
+      try query.awaitTermination()
+      catch { case _: Throwable => () }
+      finally refBins.unpersist(blocking = false)
+    }, s"graft-streamdrift-reaper-${query.id}")
+    reaper.setDaemon(true)
+    reaper.start()
     query
   }
 }
