@@ -377,6 +377,39 @@ class IngestSpec extends SparkSpec {
       Paths.get(conf.checkpointDir, "graft-retry", "retry.csv")))
   }
 
+  test("a REMAPPED file whose sink write fails transiently keeps retry " +
+    "semantics — the quarantine guard covers only the structural remap") {
+    val root = tmp("graft_remap_retry")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+    // reordered header → the remap path; the file itself is VALID
+    Files.writeString(dataDir.resolve("swapret.csv"),
+      "timestamp,sensor_id,humidity,temperature,pressure\n" +
+        "2025-05-26 04:36:08,S1,0.95,26.41,1014.74\n")
+    var fail = true
+    val flaky = new graft.sink.BatchSink {
+      val real = new ParquetSink(rawOut, aggOut)
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean =
+        if (fail) false else real.write(f, raw, agg)
+    }
+    val q1 = Ingest.start(spark, conf, flaky)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // sink refused ⇒ retained for retry, NOT quarantined as a remap
+    // failure (the pre-fix guard swallowed exactly this class)
+    assert(Files.exists(dataDir.resolve("swapret.csv")))
+    assert(!Files.exists(root.resolve("quarantine/swapret.csv")))
+    fail = false
+    val q2 = Ingest.start(spark, conf, flaky)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(Files.exists(root.resolve("processed/swapret.csv")))
+    val row = spark.read.parquet(rawOut)
+      .select("temperature", "humidity").as[(Double, Double)].head()
+    assert(row === ((26.41, 0.95))) // still mapped by NAME on retry
+  }
+
   test("a reordered-or-extended header is re-read by column NAME, " +
     "never misparsed positionally (pandas name-mapping parity)") {
     val root = tmp("graft_remap")
