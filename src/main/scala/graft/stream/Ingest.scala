@@ -100,6 +100,8 @@ object Ingest {
     // Remappable files: re-read by NAME (header row, all-string — the
     // same string-first contract as the schema'd read) and run each
     // through the identical validate→route path.
+    val remapFailed =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     remappable.foreach { uri =>
       val path = FsRouting.toLocalPath(uri)
       log.info(s"File '${path.getFileName}': header reordered/extended — " +
@@ -112,6 +114,11 @@ object Ingest {
       // structural re-read/mapping — a downstream processValidated
       // failure (transient sink/FS fault on a VALID file) must keep
       // the checkpoint-replay retry semantics, not quarantine data.
+      // The physical quarantine is only RECORDED here: a later file's
+      // transient failure aborts this batch for replay, and a replay
+      // re-lists every file — one already moved out of data/ would
+      // fail the batch's own actions forever (the moves-LAST
+      // invariant below).
       val mapped: Option[DataFrame] =
         try {
           val spark = batch.sparkSession
@@ -131,22 +138,18 @@ object Ingest {
               .linesIterator.nextOption().filter(_.nonEmpty)
               .getOrElse(e.toString.linesIterator.nextOption()
                 .getOrElse(e.getClass.getName))
-            val reason = s"Header remap failed: $msg. Quarantining."
-            log.error(s"File '${path.getFileName}': $reason")
-            FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-            log.warn(s"File '${path.getFileName}' moved to quarantine. " +
-              s"Reason: $reason")
-            outcomes += FileOutcome(path.getFileName.toString, "quarantined",
-              Some(reason), 0L)
+            remapFailed += uri -> s"Header remap failed: $msg. Quarantining."
             None
         }
       mapped.foreach(processValidated(conf, sink, _, outcomes))
     }
 
-    // Physical moves of bad-header files happen LAST: the batch frame
-    // may still lazily re-read the underlying CSVs until every Spark
-    // action above has completed.
-    headerBad.foreach { case (uri, reason) =>
+    // Physical moves of bad-header/failed-remap files happen LAST:
+    // the batch frame may still lazily re-read the underlying CSVs
+    // until every Spark action above has completed, and an exception
+    // escaping any of those actions replays this batch — which must
+    // still find every listed file in place.
+    (headerBad ++ remapFailed).foreach { case (uri, reason) =>
       val path = FsRouting.toLocalPath(uri)
       log.error(s"File '${path.getFileName}': $reason")
       FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)

@@ -410,6 +410,54 @@ class IngestSpec extends SparkSpec {
     assert(row === ((26.41, 0.95))) // still mapped by NAME on retry
   }
 
+  test("a THROWING sink mid-batch neither quarantines the valid " +
+    "remapped file nor strands an earlier failed-remap file: moves " +
+    "are deferred, the replay converges") {
+    val root = tmp("graft_remap_throw")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+    // structural remap failure (duplicate required name) …
+    Files.writeString(dataDir.resolve("dup2.csv"),
+      "timestamp,sensor_id,temperature,temperature,humidity,pressure\n" +
+        "2025-05-26 04:36:08,S1,26.41,26.42,0.95,1014.74\n")
+    // … alongside a VALID remappable file whose sink THROWS transiently
+    Files.writeString(dataDir.resolve("swap3.csv"),
+      "timestamp,sensor_id,humidity,temperature,pressure\n" +
+        "2025-05-26 04:36:08,S1,0.95,26.41,1014.74\n")
+    @volatile var explode = true
+    val throwing = new graft.sink.BatchSink {
+      val real = new ParquetSink(rawOut, aggOut)
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean =
+        if (explode) throw new RuntimeException("transient FS outage")
+        else real.write(f, raw, agg)
+    }
+    val q1 = Ingest.start(spark, conf, throwing)
+    // the exception escapes foreachBatch by design — the query dies
+    // so the checkpoint replays the batch (retry semantics)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // NOTHING moved: the valid file is not quarantined (the guard is
+    // structural-only) and the failed-remap file is still in data/ —
+    // a file moved before the batch's actions complete would make
+    // the replayed batch unreadable forever
+    assert(Files.exists(dataDir.resolve("dup2.csv")))
+    assert(Files.exists(dataDir.resolve("swap3.csv")))
+    assert(!Files.exists(root.resolve("quarantine/dup2.csv")))
+    assert(!Files.exists(root.resolve("quarantine/swap3.csv")))
+    // recovery: same checkpoint, healthy sink — replay converges
+    explode = false
+    val q2 = Ingest.start(spark, conf, throwing)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(Files.exists(root.resolve("quarantine/dup2.csv")))
+    assert(Files.exists(root.resolve("processed/swap3.csv")))
+    val row = spark.read.parquet(rawOut)
+      .select("temperature", "humidity").as[(Double, Double)].head()
+    assert(row === ((26.41, 0.95)))
+  }
+
   test("a reordered-or-extended header is re-read by column NAME, " +
     "never misparsed positionally (pandas name-mapping parity)") {
     val root = tmp("graft_remap")
