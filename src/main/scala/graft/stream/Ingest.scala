@@ -95,7 +95,17 @@ object Ingest {
       if (excluded.isEmpty) batch
       else batch.filter(!col("__file").isin(excluded: _*))
 
-    processValidated(conf, sink, batchOk, outcomes)
+    // Physical moves out of data/ are DEFERRED to the end of the
+    // batch (None = processed/, Some(reason) = quarantine): any Spark
+    // action below may still fail (executor loss, transient FS) and
+    // abort the batch for checkpoint replay — and the replayed batch
+    // re-reads every listed file, so one already moved would fail the
+    // replay's own scan forever. Sinks are per-file idempotent
+    // (partition overwrite / delete-then-insert keyed on file_name),
+    // so re-committing an already-committed file on replay is safe.
+    val pendingMoves =
+      scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
+    processValidated(conf, sink, batchOk, outcomes, pendingMoves)
 
     // Remappable files: re-read by NAME (header row, all-string — the
     // same string-first contract as the schema'd read) and run each
@@ -141,7 +151,17 @@ object Ingest {
             remapFailed += uri -> s"Header remap failed: $msg. Quarantining."
             None
         }
-      mapped.foreach(processValidated(conf, sink, _, outcomes))
+      mapped.foreach(processValidated(conf, sink, _, outcomes, pendingMoves))
+    }
+
+    // All batch actions are done — execute the deferred moves.
+    pendingMoves.foreach {
+      case (path, None) =>
+        FsRouting.markProcessed(path, Paths.get(conf.processedDir))
+      case (path, Some(reason)) =>
+        FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+        log.warn(s"File '${path.getFileName}' moved to quarantine. " +
+          s"Reason: $reason")
     }
 
     // Physical moves of bad-header/failed-remap files happen LAST:
@@ -167,7 +187,9 @@ object Ingest {
     */
   private def processValidated(
       conf: PipelineConf, sink: BatchSink, batchOk: DataFrame,
-      outcomes: scala.collection.mutable.ArrayBuffer[FileOutcome]): Unit = {
+      outcomes: scala.collection.mutable.ArrayBuffer[FileOutcome],
+      pendingMoves: scala.collection.mutable.ArrayBuffer[(Path, Option[String])])
+      : Unit = {
     if (!batchOk.isEmpty) {
       // NA normalization (S1) then per-file line numbers: the window is
       // partitioned per file — parallelism = files per batch, matching
@@ -212,7 +234,7 @@ object Ingest {
             val agg = Aggregate.metricAggregates(
               typed, Seq("sensor_id"), Schemas.metricColumns, "timestamp")
             if (sink.write(name, typed, agg)) {
-              FsRouting.markProcessed(path, Paths.get(conf.processedDir))
+              pendingMoves += path -> None
               log.info(s"Successfully stored data from '$name'. Moving to processed.")
               outcomes += FileOutcome(name, "processed",
                 if (dropped > 0) Some(s"$dropped invalid rows dropped") else None,
@@ -241,8 +263,7 @@ object Ingest {
               val reason = firstError.getOrElse("Validation failed.")
               log.warn(s"Strict validation failed for '$name'. " +
                 s"Quarantining. Summary: $reason")
-              FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-              log.warn(s"File '$name' moved to quarantine. Reason: $reason")
+              pendingMoves += path -> Some(reason)
               outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
             } else {
               log.info(s"File '$name': All $nRows rows passed strict validation.")
@@ -263,8 +284,7 @@ object Ingest {
               // would silently discard 100% of its content. Quarantine
               // it like strict mode does.
               val reason = firstError.getOrElse("No valid rows.")
-              FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-              log.warn(s"File '$name' moved to quarantine. Reason: $reason")
+              pendingMoves += path -> Some(reason)
               outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
             } else {
               commit(
