@@ -107,11 +107,19 @@ object Ingest {
       scala.collection.mutable.ArrayBuffer.empty[(Path, Option[String])]
     processValidated(conf, sink, batchOk, outcomes, pendingMoves)
 
+    // Bad-header files quarantine through the same deferred-move
+    // buffer (their outcomes/logs at decision time, the move LAST).
+    headerBad.foreach { case (uri, reason) =>
+      val path = FsRouting.toLocalPath(uri)
+      log.error(s"File '${path.getFileName}': $reason")
+      pendingMoves += path -> Some(reason)
+      outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+        Some(reason), 0L)
+    }
+
     // Remappable files: re-read by NAME (header row, all-string — the
     // same string-first contract as the schema'd read) and run each
     // through the identical validate→route path.
-    val remapFailed =
-      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     remappable.foreach { uri =>
       val path = FsRouting.toLocalPath(uri)
       log.info(s"File '${path.getFileName}': header reordered/extended — " +
@@ -148,36 +156,38 @@ object Ingest {
               .linesIterator.nextOption().filter(_.nonEmpty)
               .getOrElse(e.toString.linesIterator.nextOption()
                 .getOrElse(e.getClass.getName))
-            remapFailed += uri -> s"Header remap failed: $msg. Quarantining."
+            val reason = s"Header remap failed: $msg. Quarantining."
+            log.error(s"File '${path.getFileName}': $reason")
+            pendingMoves += path -> Some(reason)
+            outcomes += FileOutcome(path.getFileName.toString, "quarantined",
+              Some(reason), 0L)
             None
         }
       mapped.foreach(processValidated(conf, sink, _, outcomes, pendingMoves))
     }
 
-    // All batch actions are done — execute the deferred moves.
-    pendingMoves.foreach {
-      case (path, None) =>
-        FsRouting.markProcessed(path, Paths.get(conf.processedDir))
-      case (path, Some(reason)) =>
-        FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-        log.warn(s"File '${path.getFileName}' moved to quarantine. " +
-          s"Reason: $reason")
+    // All batch actions are done — execute the deferred moves. Each
+    // move is individually guarded: a fault mid-loop (quarantine dir
+    // unwritable, file yanked by an operator) must not abort the batch
+    // AFTER earlier moves ran — the replay could no longer read the
+    // moved files. The failed move is ledgered instead: the retry pass
+    // re-drives the file (sinks are per-file idempotent) and re-decides
+    // its routing; a file no longer in data/ prunes as a stale marker.
+    pendingMoves.foreach { case (path, kind) =>
+      try kind match {
+        case None =>
+          FsRouting.markProcessed(path, Paths.get(conf.processedDir))
+        case Some(reason) =>
+          FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
+          log.warn(s"File '${path.getFileName}' moved to quarantine. " +
+            s"Reason: $reason")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.error(s"Deferred move of '${path.getFileName}' failed " +
+            s"(${e.getMessage}); ledgering for retry.")
+          recordRetry(conf, path.getFileName.toString)
+      }
     }
-
-    // Physical moves of bad-header/failed-remap files happen LAST:
-    // the batch frame may still lazily re-read the underlying CSVs
-    // until every Spark action above has completed, and an exception
-    // escaping any of those actions replays this batch — which must
-    // still find every listed file in place.
-    (headerBad ++ remapFailed).foreach { case (uri, reason) =>
-      val path = FsRouting.toLocalPath(uri)
-      log.error(s"File '${path.getFileName}': $reason")
-      FsRouting.quarantine(path, Paths.get(conf.quarantineDir), reason)
-      log.warn(s"File '${path.getFileName}' moved to quarantine. Reason: $reason")
-      outcomes += FileOutcome(path.getFileName.toString, "quarantined",
-        Some(reason), 0L)
-    }
-    outcomes ++= sweepEmptyFiles(conf)
     outcomes.toSeq
   }
 
@@ -463,9 +473,15 @@ object Ingest {
       .option("checkpointLocation", conf.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Ledgered retries ride each data-bearing trigger, oldest
-        // work first — the reference's next-scan ordering.
+        // work first — the reference's next-scan ordering. The empty-
+        // file sweep runs LAST, after BOTH processBatch passes: it
+        // physically moves files, and a header-only file discovered in
+        // THIS trigger is listed in the current batch's scan — sweeping
+        // it from inside the retry pass (as processBatch itself once
+        // did) made the outer batch's own actions unreadable on replay.
         onBatch(retryPending(spark, conf, sink) ++
-          processBatch(conf, sink, batch)); ()
+          processBatch(conf, sink, batch) ++
+          sweepEmptyFiles(conf)); ()
       }
       .start()
   }
