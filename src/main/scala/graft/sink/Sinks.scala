@@ -18,6 +18,28 @@ trait BatchSink {
   /** Write one file's raw rows and aggregates atomically.
     * @return true on commit; false leaves the file for retry. */
   def write(fileName: String, raw: DataFrame, agg: DataFrame): Boolean
+
+  /** Group-commit: write MANY files' rows and aggregates in one pass.
+    * Both frames carry a `file_name` column mapping every row to its
+    * source file. Returns the file names that FAILED (empty = all
+    * committed) — per-file failure isolation survives grouping because
+    * every sink write is per-file idempotent, so a failed subset can be
+    * replayed alone later.
+    *
+    * Default: per-file delegation to [[write]] (the reference's
+    * one-transaction-per-file contract, K3 — right for JDBC, where the
+    * transaction boundary IS the semantics). Sinks whose commit is a
+    * Spark job should override with ONE partitioned write: at scale the
+    * default serializes O(files) job submissions on the driver per
+    * micro-batch.
+    */
+  def writeAll(fileNames: Seq[String], raw: DataFrame, agg: DataFrame)
+      : Set[String] =
+    fileNames.filterNot { name =>
+      write(name,
+        raw.filter(col("file_name") === name).drop("file_name"),
+        agg.filter(col("file_name") === name).drop("file_name"))
+    }.toSet
 }
 
 /** Lake-native sink for tests/CI: parquet appends keyed by file_name.
@@ -47,6 +69,31 @@ final class ParquetSink(rawDir: String, aggDir: String) extends BatchSink {
       case e: Exception =>
         log.error(s"Parquet sink write failed for '$fileName'", e)
         false
+    }
+
+  /** Group-commit override: ONE dynamic-partition-overwrite write per
+    * table for the whole batch, regardless of file count — the lake
+    * path's scale shape (the per-file default would issue two Spark
+    * jobs per clean file, serialized on the driver). Each file is still
+    * exactly its own `file_name=` partition, so a replayed subset
+    * overwrites only itself; a failure reports EVERY file failed and
+    * the replay (idempotent) converges.
+    */
+  override def writeAll(fileNames: Seq[String], raw: DataFrame,
+      agg: DataFrame): Set[String] =
+    try {
+      raw.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_name").parquet(rawDir)
+      agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_name").parquet(aggDir)
+      Set.empty
+    } catch {
+      case e: Exception =>
+        log.error(
+          s"Parquet sink group write failed for ${fileNames.size} file(s)", e)
+        fileNames.toSet
     }
 }
 

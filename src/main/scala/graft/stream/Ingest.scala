@@ -36,10 +36,13 @@ import graft.sink.{BatchSink, FsRouting}
   *     idempotent (delete-by-file / upsert), and a still-failing sink
   *     keeps the entry for the next attempt.
   *
-  * Scale note: the per-file commit loop is the reference's contract
-  * (file = transaction). Throughput at scale comes from file-level
-  * parallelism upstream (many files per batch are validated in one
-  * distributed pass; only the commit/move tail is per-file).
+  * Scale note: validation is one distributed pass over the whole
+  * micro-batch, and the commit is ONE group write for every clean file
+  * (`BatchSink.writeAll` — per-file idempotence preserved through the
+  * `file_name` partition/lineage column, per-file transactions kept by
+  * the JDBC dialect where the txn boundary IS the reference's K3
+  * contract). Only the quarantine/move tail is per-file, bounded by
+  * `maxFilesPerTrigger`.
   */
 object Ingest {
 
@@ -50,6 +53,16 @@ object Ingest {
     */
   private val log = org.slf4j.LoggerFactory.getLogger("graft.stream.Ingest")
 
+  /** Per-file routing outcome, reported to `onBatch` observers.
+    *
+    * Outcomes are AT-LEAST-ONCE per file across triggers: a terminal
+    * `processed`/`quarantined` is emitted at decision time, and if the
+    * deferred physical move then fails, a correcting
+    * `move_deferred_failed` outcome follows in the same batch and the
+    * file re-emits a fresh outcome when the retry pass re-drives it.
+    * Consumers needing exactly-once must key on (file, status) of the
+    * LAST outcome seen.
+    */
   final case class FileOutcome(
       file: String, status: String, reason: Option[String], rows: Long)
 
@@ -64,7 +77,7 @@ object Ingest {
     // V6: per-file header check (reference `pipeline.py:100-105`) — with
     // an explicit schema Spark's CSV reader matches columns by POSITION
     // and ignores header names, so the header must be classified here
-    // or bad data flows through silently. Three classes:
+    // or bad data flows through silently. Four classes:
     //   canonical  — exactly the expected columns in order: the
     //                positional batch read is already correct;
     //   remappable — all required columns present but reordered or
@@ -72,12 +85,36 @@ object Ingest {
     //                values under the wrong names (the reference's
     //                pandas maps by NAME and accepts these), so the
     //                file is re-read by name and processed alone;
-    //   bad        — required columns missing: quarantine.
-    val fileTokens: Map[String, Option[Seq[String]]] = batch
+    //   bad        — required columns missing, header quoting
+    //                malformed (tokens Spark's parser would not
+    //                reproduce), or the file too large for the
+    //                single-split line-numbering contract: quarantine.
+    val fileTokens: Map[String, Option[Either[String, Seq[String]]]] = batch
       .select("__file").distinct().collect().map(_.getString(0))
       .map(uri => uri -> headerTokens(FsRouting.toLocalPath(uri))).toMap
+    // Line-number contract guard: `__mono` (monotonically_increasing_id)
+    // follows CSV line order only while a file maps to ONE input split,
+    // i.e. its size ≤ spark.sql.files.maxPartitionBytes. An oversize
+    // file would silently misnumber its rows (wrong row numbers in
+    // error reasons) — quarantine it with the operator action named
+    // instead. Size 0 on a stat failure ⇒ not oversize; the
+    // unreadable/moved path below decides.
+    val splitLimit = maxPartitionBytes(batch.sparkSession)
+    val oversize: Map[String, String] = fileTokens.keys.flatMap { uri =>
+      val sz =
+        try Files.size(FsRouting.toLocalPath(uri))
+        catch { case _: Exception => 0L }
+      if (sz > splitLimit)
+        Some(uri -> (s"File is $sz bytes, larger than " +
+          s"spark.sql.files.maxPartitionBytes ($splitLimit): per-file " +
+          "line numbering requires a single input split. Raise the " +
+          "conf to ingest files this large. Quarantining."))
+      else None
+    }.toMap
     val headerBad: Map[String, String] = fileTokens.flatMap {
-      case (uri, Some(tokens)) =>
+      case (uri, _) if oversize.contains(uri) => Some(uri -> oversize(uri))
+      case (uri, Some(Left(reason))) => Some(uri -> reason)
+      case (uri, Some(Right(tokens))) =>
         val missing = Schemas.sensorColumns.filterNot(tokens.toSet)
         if (missing.isEmpty) None
         else Some(uri ->
@@ -86,7 +123,7 @@ object Ingest {
       case _ => None // unreadable/moved ⇒ let validation decide
     }
     val remappable: Seq[String] = fileTokens.collect {
-      case (uri, Some(tokens))
+      case (uri, Some(Right(tokens)))
         if !headerBad.contains(uri) && tokens != Schemas.sensorColumns =>
         uri
     }.toSeq
@@ -186,6 +223,12 @@ object Ingest {
           log.error(s"Deferred move of '${path.getFileName}' failed " +
             s"(${e.getMessage}); ledgering for retry.")
           recordRetry(conf, path.getFileName.toString)
+          // Correct the already-emitted terminal outcome: the file is
+          // still in data/ and WILL re-emit when the retry re-drives it
+          // (see FileOutcome's at-least-once contract).
+          outcomes += FileOutcome(path.getFileName.toString,
+            "move_deferred_failed", Some(Option(e.getMessage)
+              .getOrElse(e.getClass.getName)), 0L)
       }
     }
     outcomes.toSeq
@@ -227,6 +270,15 @@ object Ingest {
         val verdicts = Validate.strictVerdicts(validated, "__file")
           .collect() // one row per file — driver-side routing decisions
 
+        // Routing decisions stay per-file (quarantine, logs, outcomes);
+        // the committable files then GROUP-COMMIT in one sink pass
+        // below, instead of one driver-serialized Spark job pair per
+        // file — the difference between O(files) and O(1) job
+        // submissions per micro-batch at production file counts.
+        final case class Committable(
+            uri: String, name: String, path: Path, rows: Long, dropped: Long)
+        val toCommit = scala.collection.mutable.ArrayBuffer.empty[Committable]
+
         verdicts.foreach { v =>
           val fileUri = v.getAs[String]("__file")
           val path = FsRouting.toLocalPath(fileUri)
@@ -235,34 +287,6 @@ object Ingest {
           val nInvalid = v.getAs[Long]("n_invalid")
           val isClean = v.getAs[Boolean]("is_clean")
           val firstError = Option(v.getAs[String]("first_error"))
-
-          // Commit one file's rows + aggregates; shared by both modes.
-          def commit(fileRows: DataFrame, committedRows: Long,
-              dropped: Long): Unit = {
-            val typed = Cleanse.castTyped(
-              fileRows.select(Schemas.sensorColumns.map(col): _*))
-            val agg = Aggregate.metricAggregates(
-              typed, Seq("sensor_id"), Schemas.metricColumns, "timestamp")
-            if (sink.write(name, typed, agg)) {
-              pendingMoves += path -> None
-              log.info(s"Successfully stored data from '$name'. Moving to processed.")
-              outcomes += FileOutcome(name, "processed",
-                if (dropped > 0) Some(s"$dropped invalid rows dropped") else None,
-                committedRows)
-            } else {
-              // retained in data/ AND recorded in the retry ledger
-              // (T5): the checkpointed source will never re-emit this
-              // path, so the ledger is what actually drives the retry
-              // (at query start and at each later trigger). Report the
-              // ATTEMPTED row count — in lenient mode that is the
-              // valid subset, not the whole file.
-              recordRetry(conf, name)
-              log.error(s"Failed to store data for '$name' in DB. " +
-                "File remains in data folder for retry.")
-              outcomes += FileOutcome(name, "retained", Some("sink failure"),
-                committedRows)
-            }
-          }
 
           if (conf.strictMode) {
             // Past tense: the validation pass already ran (the verdict
@@ -277,7 +301,7 @@ object Ingest {
               outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
             } else {
               log.info(s"File '$name': All $nRows rows passed strict validation.")
-              commit(validated.filter(col("__file") === fileUri), nRows, 0L)
+              toCommit += Committable(fileUri, name, path, nRows, 0L)
             }
           } else {
             // Lenient: drop bad rows with a logged summary, commit the
@@ -297,9 +321,52 @@ object Ingest {
               pendingMoves += path -> Some(reason)
               outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
             } else {
-              commit(
-                validated.filter(col("__file") === fileUri && col("is_valid")),
-                nValid, nInvalid)
+              toCommit += Committable(fileUri, name, path, nValid, nInvalid)
+            }
+          }
+        }
+
+        if (toCommit.nonEmpty) {
+          // ONE typed frame + ONE long-format aggregate for ALL
+          // committable files. `is_valid` filters nothing in strict
+          // mode (a clean file has no invalid rows) and selects the
+          // lenient subset otherwise. file_name comes from a bounded
+          // driver map (≤ files-per-trigger entries) rather than URI
+          // string surgery, so URL-encoded names stay byte-identical
+          // to the quarantine/ledger side.
+          val nameByUri =
+            typedLit(toCommit.map(c => c.uri -> c.name).toMap)
+          val committableRows = validated
+            .filter(col("__file").isin(toCommit.map(_.uri).toSeq: _*) &&
+              col("is_valid"))
+            .withColumn("file_name", element_at(nameByUri, col("__file")))
+          val typedAll = Cleanse.castTyped(committableRows
+            .select((Schemas.sensorColumns :+ "file_name").map(col): _*))
+          val aggAll = Aggregate.metricAggregates(
+            typedAll, Seq("file_name", "sensor_id"),
+            Schemas.metricColumns, "timestamp")
+          val failed = sink.writeAll(toCommit.map(_.name).toSeq,
+            typedAll, aggAll)
+          toCommit.foreach { c =>
+            if (!failed.contains(c.name)) {
+              pendingMoves += c.path -> None
+              log.info(
+                s"Successfully stored data from '${c.name}'. Moving to processed.")
+              outcomes += FileOutcome(c.name, "processed",
+                if (c.dropped > 0) Some(s"${c.dropped} invalid rows dropped")
+                else None, c.rows)
+            } else {
+              // retained in data/ AND recorded in the retry ledger
+              // (T5): the checkpointed source will never re-emit this
+              // path, so the ledger is what actually drives the retry
+              // (at query start and at each later trigger). Report the
+              // ATTEMPTED row count — in lenient mode that is the
+              // valid subset, not the whole file.
+              recordRetry(conf, c.name)
+              log.error(s"Failed to store data for '${c.name}' in DB. " +
+                "File remains in data folder for retry.")
+              outcomes += FileOutcome(c.name, "retained",
+                Some("sink failure"), c.rows)
             }
           }
         }
@@ -322,12 +389,25 @@ object Ingest {
       listing.iterator().asScala
         .filter(p => p.toString.endsWith(".csv"))
         .filter(p => countDataLines(p) == 0)
-        .map { p =>
-          log.warn(s"File '${p.getFileName}' is empty. Quarantining.")
-          FsRouting.quarantine(p, Paths.get(conf.quarantineDir),
-            FsRouting.EmptyFileReason)
-          FileOutcome(p.getFileName.toString, "quarantined",
-            Some(FsRouting.EmptyFileReason), 0L)
+        .flatMap { p =>
+          // Guarded like the deferred-move loop: the sweep runs AFTER
+          // processBatch has executed its physical moves, so a throw
+          // here (quarantine dir unwritable, file yanked mid-sweep)
+          // would abort a trigger whose files already left data/ and
+          // strand the checkpoint replay on missing files. A failed
+          // sweep just leaves the file for the next trigger's sweep.
+          try {
+            log.warn(s"File '${p.getFileName}' is empty. Quarantining.")
+            FsRouting.quarantine(p, Paths.get(conf.quarantineDir),
+              FsRouting.EmptyFileReason)
+            Some(FileOutcome(p.getFileName.toString, "quarantined",
+              Some(FsRouting.EmptyFileReason), 0L))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.error(s"Empty-file sweep of '${p.getFileName}' failed " +
+                s"(${e.getMessage}); retrying next trigger.")
+              None
+          }
         }.toSeq
     } finally listing.close()
   }
@@ -352,25 +432,36 @@ object Ingest {
     * cleared when its file leaves `data/` (committed+moved,
     * quarantined, or externally removed); a still-failing sink keeps
     * it for the next attempt.
+    *
+    * `exclude` defers markers whose files the CURRENT micro-batch also
+    * lists: on a checkpoint replay the ledgered file is about to be
+    * re-driven by processBatch itself — re-driving it here first could
+    * commit + move it out from under the replayed batch's own scan
+    * (and double-drives it when the sink is still failing). Deferred
+    * markers simply wait for the next trigger.
     */
   def retryPending(
-      spark: SparkSession, conf: PipelineConf,
-      sink: BatchSink): Seq[FileOutcome] = {
+      spark: SparkSession, conf: PipelineConf, sink: BatchSink,
+      exclude: Set[String] = Set.empty): Seq[FileOutcome] = {
     val dir = retryLedger(conf)
     if (!Files.isDirectory(dir)) return Seq.empty
     val listing = Files.list(dir)
     val markers =
       try listing.iterator().asScala.toSeq
       finally listing.close()
-    val (stale, live) = markers.partition(m =>
+    val (stale, keep) = markers.partition(m =>
       !Files.exists(Paths.get(conf.dataDir).resolve(m.getFileName)))
     stale.foreach(Files.deleteIfExists(_))
+    val live = keep.filterNot(m => exclude.contains(m.getFileName.toString))
     if (live.isEmpty) return Seq.empty
     val files = live.map(m =>
       Paths.get(conf.dataDir).resolve(m.getFileName).toString)
     log.info(s"Retrying ${files.size} retained file(s) from the ledger.")
     val batch = spark.read
       .option("header", "true")
+      // A listed-then-moved file (operator action between the exists()
+      // check above and the scan) must skip, not kill the retry pass.
+      .option("ignoreMissingFiles", "true")
       .schema(Schemas.sensorCsvRaw)
       .csv(files: _*)
       .withColumn("__file", input_file_name())
@@ -392,14 +483,18 @@ object Ingest {
     s.stripPrefix("\uFEFF").trim
       .stripPrefix("\"").stripSuffix("\"").trim.toLowerCase
 
-  /** The file's normalized header tokens, or None when the file is
-    * unreadable/moved (⇒ let validation decide). V6.
+  /** The file's normalized header tokens (Right), a quarantine reason
+    * when the header's quoting is malformed (Left), or None when the
+    * file is unreadable/moved (⇒ let validation decide). V6.
     */
-  private def headerTokens(p: Path): Option[Seq[String]] =
+  private def headerTokens(p: Path): Option[Either[String, Seq[String]]] =
     try {
       val s = Files.lines(p)
       val header = try s.findFirst().orElse("") finally s.close()
-      Some(splitCsvLine(header).map(normToken))
+      Some(splitCsvLine(header) match {
+        case Some(tokens) => Right(tokens.map(normToken))
+        case None => Left("Malformed header quoting. Quarantining.")
+      })
     } catch { case _: Exception => None }
 
   /** Minimal RFC-4180 field split for ONE line: commas inside quoted
@@ -408,11 +503,19 @@ object Ingest {
     * containing a comma, misclassifying the whole file (spurious
     * remap, or quarantine when a required name sits inside the quoted
     * field).
+    *
+    * Returns None on MALFORMED quoting — a quote opening mid-field,
+    * text after a closing quote, or an unterminated quote. A
+    * best-effort parse of such a line can disagree with what Spark's
+    * CSV parser reproduces for the same header, so the caller must
+    * route the file as a classification failure, never trust the
+    * tokens.
     */
-  private[stream] def splitCsvLine(line: String): Seq[String] = {
+  private[stream] def splitCsvLine(line: String): Option[Seq[String]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
+    var justClosed = false // a quoted field just ended; only ',' may follow
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
@@ -420,18 +523,32 @@ object Ingest {
         if (c == '"') {
           if (i + 1 < line.length && line.charAt(i + 1) == '"') {
             cur.append('"'); i += 1
-          } else inQ = false
+          } else { inQ = false; justClosed = true }
         } else cur.append(c)
       } else c match {
-        case '"' => inQ = true
-        case ',' => out += cur.result(); cur.clear()
-        case o => cur.append(o)
+        case '"' =>
+          if (cur.nonEmpty || justClosed) return None // quote mid-field
+          inQ = true
+        case ',' =>
+          out += cur.result(); cur.clear(); justClosed = false
+        case o =>
+          if (justClosed) return None // text after a closing quote
+          cur.append(o)
       }
       i += 1
     }
+    if (inQ) return None // unterminated quote
     out += cur.result()
-    out.toSeq
+    Some(out.toSeq)
   }
+
+  /** The single-split size limit for the per-file line-number contract
+    * (`spark.sql.files.maxPartitionBytes`, parsed with Spark's own
+    * byte-string rules so both "2048" and "128MB" forms work).
+    */
+  private def maxPartitionBytes(spark: SparkSession): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
 
   private def countDataLines(p: Path): Long =
     try {
@@ -459,6 +576,11 @@ object Ingest {
     val reader = spark.readStream
       .option("header", "true")
       .option("pathGlobFilter", "*.csv")
+      // A checkpoint-replayed batch lists the exact files of the failed
+      // trigger; any of them ALREADY moved (a retry pass committed it
+      // before the abort, an operator intervened) must scan as zero
+      // rows, not kill every replay of the batch forever.
+      .option("ignoreMissingFiles", "true")
       .schema(Schemas.sensorCsvRaw)
     // Backpressure: bound files per micro-batch so a restart against a
     // deep backlog doesn't become one giant batch/transaction.
@@ -473,13 +595,22 @@ object Ingest {
       .option("checkpointLocation", conf.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Ledgered retries ride each data-bearing trigger, oldest
-        // work first — the reference's next-scan ordering. The empty-
-        // file sweep runs LAST, after BOTH processBatch passes: it
-        // physically moves files, and a header-only file discovered in
-        // THIS trigger is listed in the current batch's scan — sweeping
-        // it from inside the retry pass (as processBatch itself once
-        // did) made the outer batch's own actions unreadable on replay.
-        onBatch(retryPending(spark, conf, sink) ++
+        // work first — the reference's next-scan ordering — EXCEPT
+        // markers for files the current batch itself lists (a replayed
+        // batch re-lists a file whose sink failed last attempt): those
+        // defer to processBatch, which is about to drive them anyway.
+        // The file list comes from the plan's FileIndex (driver-side,
+        // no scan). The empty-file sweep runs LAST, after BOTH
+        // processBatch passes: it physically moves files, and a
+        // header-only file discovered in THIS trigger is listed in the
+        // current batch's scan — sweeping it from inside the retry
+        // pass (as processBatch itself once did) made the outer
+        // batch's own actions unreadable on replay.
+        val batchNames =
+          try batch.inputFiles
+            .map(u => FsRouting.toLocalPath(u).getFileName.toString).toSet
+          catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+        onBatch(retryPending(spark, conf, sink, exclude = batchNames) ++
           processBatch(conf, sink, batch) ++
           sweepEmptyFiles(conf)); ()
       }

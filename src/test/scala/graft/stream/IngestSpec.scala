@@ -481,10 +481,10 @@ class IngestSpec extends SparkSpec {
 
   test("header tokenizer is quote-aware: a quoted name containing a " +
     "comma is ONE token, and the file still routes correctly") {
-    assert(Ingest.splitCsvLine("a,\"b,c\",d") === Seq("a", "b,c", "d"))
+    assert(Ingest.splitCsvLine("a,\"b,c\",d") === Some(Seq("a", "b,c", "d")))
     assert(Ingest.splitCsvLine("\"he said \"\"hi\"\"\",x") ===
-      Seq("he said \"hi\"", "x"))
-    assert(Ingest.splitCsvLine("plain,tokens") === Seq("plain", "tokens"))
+      Some(Seq("he said \"hi\"", "x")))
+    assert(Ingest.splitCsvLine("plain,tokens") === Some(Seq("plain", "tokens")))
     val root = tmp("graft_quoted_hdr")
     val conf = mkConf(root)
     val dataDir = Files.createDirectories(root.resolve("data"))
@@ -515,8 +515,197 @@ class IngestSpec extends SparkSpec {
         String.valueOf(Array.fill(rnd.nextInt(8))(
           alphabet(rnd.nextInt(alphabet.length)))))
       val line = fields.map(encode).mkString(",")
-      assert(Ingest.splitCsvLine(line) === fields, s"line=<$line>")
+      assert(Ingest.splitCsvLine(line) === Some(fields), s"line=<$line>")
     }
+  }
+
+  test("splitCsvLine flags malformed quoting instead of guessing tokens") {
+    // unterminated quote
+    assert(Ingest.splitCsvLine("timestamp,\"sensor_id") === None)
+    // quote opening mid-field
+    assert(Ingest.splitCsvLine("time\"stamp,x") === None)
+    // text after a closing quote
+    assert(Ingest.splitCsvLine("\"a\"b,x") === None)
+    // adjacent quoted fields without a separator
+    assert(Ingest.splitCsvLine("\"a\"\"b\",x") === Some(Seq("a\"b", "x")))
+    assert(Ingest.splitCsvLine("\"a\",\"b\"") === Some(Seq("a", "b")))
+  }
+
+  test("a file with malformed header quoting quarantines with the " +
+    "malformed-quoting reason (never best-effort tokens)") {
+    val root = tmp("graft_malformed_hdr")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    // unterminated quote in the header: a best-effort split would call
+    // this remappable on tokens Spark's parser won't reproduce
+    Files.writeString(dataDir.resolve("malformed.csv"),
+      "timestamp,\"sensor_id,temperature,humidity,pressure\n" +
+        "2025-05-26 04:36:08,S1,26.41,0.95,1014.74\n")
+    writeCsv(dataDir, "fine.csv",
+      "2025-05-26 04:36:08,S1,22.5,0.45,1013.25")
+    val q = Ingest.start(spark, conf, new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(Files.exists(root.resolve("quarantine/malformed.csv")))
+    assert(Files.exists(root.resolve("processed/fine.csv")))
+    val log = Files.readString(root.resolve("quarantine/quarantine_log.txt"))
+    assert(log.contains(
+      "File: malformed.csv, Reason: Malformed header quoting. Quarantining."))
+  }
+
+  test("N clean files group-commit in ONE sink write per micro-batch") {
+    val root = tmp("graft_groupcommit")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+    (1 to 5).foreach(i => writeCsv(dataDir, s"g$i.csv",
+      s"2025-05-26 04:36:0$i,S$i,2$i.5,0.65,1013.25",
+      s"2025-05-26 04:37:0$i,S$i,2$i.7,0.66,1013.50"))
+    // a dirty file alongside proves quarantine routing stays per-file
+    writeCsv(dataDir, "dirty.csv",
+      "2025-05-26 04:36:08,S9,abc,0.95,1014.74")
+
+    val writeAllCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val perFileCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val real = new ParquetSink(rawOut, aggOut)
+    val counting = new graft.sink.BatchSink {
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean = {
+        perFileCalls.incrementAndGet(); real.write(f, raw, agg)
+      }
+      override def writeAll(names: Seq[String],
+          raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Set[String] = {
+        writeAllCalls.incrementAndGet(); real.writeAll(names, raw, agg)
+      }
+    }
+    val q = Ingest.start(spark, conf, counting)
+    try { q.processAllAvailable() } finally q.stop()
+
+    // ONE group write drove all five files — never a per-file loop
+    assert(writeAllCalls.get() === 1,
+      s"expected 1 group write, got ${writeAllCalls.get()}")
+    assert(perFileCalls.get() === 0,
+      s"expected no per-file writes, got ${perFileCalls.get()}")
+    (1 to 5).foreach(i =>
+      assert(Files.exists(root.resolve(s"processed/g$i.csv"))))
+    assert(Files.exists(root.resolve("quarantine/dirty.csv")))
+    // per-file lineage survives the group write
+    val raw = spark.read.parquet(rawOut)
+    assert(raw.count() === 10)
+    assert(raw.groupBy("file_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      (1 to 5).map(i => s"g$i.csv" -> 2L).toMap)
+    val agg = spark.read.parquet(aggOut)
+    assert(agg.count() === 15) // 5 files x 1 sensor x 3 metrics
+    assert(agg.select("file_name").distinct().count() === 5)
+  }
+
+  test("a file larger than spark.sql.files.maxPartitionBytes is " +
+    "quarantined deterministically (line-number contract guard)") {
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val root = tmp("graft_oversize")
+      val conf = mkConf(root)
+      val dataDir = Files.createDirectories(root.resolve("data"))
+      // ~4 KB of perfectly valid rows: correctness of the CONTENT is
+      // not the issue — split line numbering is
+      writeCsv(dataDir, "big.csv",
+        (1 to 100).map(i =>
+          f"2025-05-26 04:${i % 60}%02d:08,S${i % 5},25.5,0.65,1013.25"): _*)
+      writeCsv(dataDir, "small.csv",
+        "2025-05-26 04:36:08,S1,22.5,0.45,1013.25")
+      val q = Ingest.start(spark, conf, new ParquetSink(
+        root.resolve("raw").toString, root.resolve("agg").toString))
+      try { q.processAllAvailable() } finally q.stop()
+      assert(Files.exists(root.resolve("quarantine/big.csv")))
+      assert(Files.exists(root.resolve("processed/small.csv")))
+      val log = Files.readString(root.resolve("quarantine/quarantine_log.txt"))
+      assert(log.contains("larger than spark.sql.files.maxPartitionBytes"),
+        log)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("retryPending defers markers for files the current batch lists " +
+    "(replay window: retry must not move a file out from under the batch)") {
+    val root = tmp("graft_retry_excl")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    writeCsv(dataDir, "x.csv",
+      "2025-05-26 04:36:08,S1,26.41,0.95,1014.74")
+    // simulate a prior trigger's sink failure: marker exists, file in data/
+    val ledger = Files.createDirectories(
+      Paths.get(conf.checkpointDir, "graft-retry"))
+    Files.createFile(ledger.resolve("x.csv"))
+    val sink = new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString)
+    // excluded: the marker survives untouched and the file stays put
+    val deferred = Ingest.retryPending(spark, conf, sink,
+      exclude = Set("x.csv"))
+    assert(deferred.isEmpty)
+    assert(Files.exists(ledger.resolve("x.csv")))
+    assert(Files.exists(dataDir.resolve("x.csv")))
+    // not excluded: the retry drives it to completion and clears the marker
+    val driven = Ingest.retryPending(spark, conf, sink)
+    assert(driven.map(_.status) === Seq("processed"))
+    assert(!Files.exists(ledger.resolve("x.csv")))
+    assert(Files.exists(root.resolve("processed/x.csv")))
+  }
+
+  test("a batch that aborts AFTER recording a sink-failure marker " +
+    "converges on restart: the startup retry commits the file and the " +
+    "replayed batch tolerates its absence") {
+    val root = tmp("graft_replay_window")
+    val conf = mkConf(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val rawOut = root.resolve("raw").toString
+    val aggOut = root.resolve("agg").toString
+    writeCsv(dataDir, "x.csv",
+      "2025-05-26 04:36:08,S1,26.41,0.95,1014.74")
+    @volatile var failSink = true
+    val flaky = new graft.sink.BatchSink {
+      val real = new ParquetSink(rawOut, aggOut)
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean =
+        if (failSink) false else real.write(f, raw, agg)
+      override def writeAll(names: Seq[String],
+          raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Set[String] =
+        if (failSink) names.toSet else real.writeAll(names, raw, agg)
+    }
+    // the batch records the retry marker for x.csv, then an observer
+    // crash aborts the trigger BEFORE the checkpoint commits — the
+    // worst-case ordering for the replay window
+    @volatile var boom = true
+    val q1 = Ingest.start(spark, conf, flaky, onBatch = o =>
+      if (boom && o.nonEmpty) { boom = false; throw new RuntimeException("observer crash") })
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(Files.exists(dataDir.resolve("x.csv")))
+    assert(Files.exists(
+      Paths.get(conf.checkpointDir, "graft-retry", "x.csv")))
+
+    // restart, sink healthy: the STARTUP retry pass re-drives x.csv and
+    // moves it to processed/ — then the replayed batch 0 still lists a
+    // file that no longer exists, which must scan as empty, not wedge
+    // the stream forever
+    failSink = false
+    val q2 = Ingest.start(spark, conf, flaky)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(Files.exists(root.resolve("processed/x.csv")))
+    assert(!Files.exists(dataDir.resolve("x.csv")))
+    assert(!Files.exists(
+      Paths.get(conf.checkpointDir, "graft-retry", "x.csv")))
+    assert(spark.read.parquet(rawOut).count() === 1)
+    // and the stream still makes progress on new files
+    writeCsv(dataDir, "y.csv",
+      "2025-05-26 05:00:00,S2,21.00,0.50,1001.00")
+    val q3 = Ingest.start(spark, conf, flaky)
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(Files.exists(root.resolve("processed/y.csv")))
+    assert(spark.read.parquet(rawOut).count() === 2)
   }
 
   test("a remappable file whose by-name re-read fails is quarantined " +
