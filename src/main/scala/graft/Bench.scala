@@ -57,10 +57,16 @@ object Bench {
     // contended run can't masquerade as a real regression.
     val prevTimes: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      // Prefer the previous run's COMPLETE map (written below, read
+      // before being overwritten): the driver report keeps only the
+      // slowest ~69, which left fast queries without a baseline and
+      // disarmed the contention re-time for them.
+      val fullPrev = Some("BENCH_FULL.json")
+        .filter(p => new java.io.File(p).isFile)
       val latest = new java.io.File(".").listFiles()
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(_.getName).lastOption.map(_.getPath)
-      explicit.orElse(latest) match {
+      explicit.orElse(fullPrev).orElse(latest) match {
         case Some(p) if new java.io.File(p).isFile =>
           val txt = scala.io.Source.fromFile(p)
           try {
@@ -160,10 +166,23 @@ object Bench {
     val retimedJson = retimed.reverse.map { case (k, a, b) =>
       s"\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
     }.mkString("{", ",", "}")
+    // The COMPLETE per-query map goes to a file: the stdout line is
+    // tail-truncated by the harness, so without this a regression in
+    // any query outside the slowest ~69 was invisible between rounds.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
+        s""""retimed":$retimedJson,"sf":"$sfDir","queries_omitted":0,""" +
+        s""""queries":${bySlowest.map { case (k, v, _) =>
+          "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
     val fixed =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
-        s""""retimed":$retimedJson,""" +
+        s""""retimed":$retimedJson,"full_map_file":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","queries_omitted":NNN,"queries":{}}"""
     val budget = 1850 - fixed.length
     val entries = bySlowest.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
@@ -174,7 +193,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
-        s""""retimed":$retimedJson,""" +
+        s""""retimed":$retimedJson,"full_map_file":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","queries_omitted":$omitted,"queries":$qs}""")
     System.out.flush()
     spark.stop()

@@ -24,6 +24,9 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     selected.foreach { case (name, fn) =>
+      // Progress marker BEFORE the run: correlates any Spark warning in
+      // the log with the query that emitted it.
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
