@@ -530,18 +530,29 @@ object SparkEntry {
       graft.ext.Multimodal.audioEnergy(s, media)
     }),
 
-    // [EXT] REAL image decode + resize: 24-bit BMPs with
-    // formula-generated pixels (bottom-up rows, padding, BGR), decoded
-    // and nearest-neighbor resized to 5×3; the oracle recomputes the
-    // resized channel stats from the pixel formula.
+    // [EXT] REAL image decode + resize over TWO real formats: even
+    // doc_ids are 24-bit BMPs with formula pixels (bottom-up rows,
+    // padding, BGR); odd doc_ids are baseline JPEGs — a REAL
+    // Huffman-coded bitstream (DC prediction, EOB, byte stuffing)
+    // whose 8×8 blocks are formula-CONSTANT with an identity quant
+    // table, which makes the lossy format decode bit-exactly
+    // (JpegCodec scaladoc) and therefore DuckDB-oracle-able. Both are
+    // decoded, nearest-neighbor resized to 5×3, and reduced to exact
+    // channel stats the oracle recomputes from the generator formulas.
     "q_image_resize" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + id % 9).toInt
           val h = (5 + id % 7).toInt
-          (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
-            (x, y, c) => ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
+          if (id % 2 == 0)
+            (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
+              (x, y, c) => ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
+          else
+            (id, "image", graft.ext.JpegCodec.encodeBaseline(w, h, 1,
+              (x, y, _) =>
+                ((id * 11 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt,
+              lumaQuant = graft.ext.JpegCodec.FlatQuant))
         }).toDF("doc_id", "media_type", "payload")
       graft.ext.Multimodal.imageResizeStats(s, media, outW = 5, outH = 3)
         .toDF()
@@ -3773,17 +3784,25 @@ FROM deg GROUP BY 1"""
         |    AS r_sum
         |FROM px GROUP BY 1, 2""".stripMargin,
 
-    // Resized-image stats from the pixel GENERATOR formula evaluated
-    // at the nearest-neighbor source coordinates — proves decode and
-    // resize math exact.
+    // Resized-image stats from the pixel GENERATOR formulas evaluated
+    // at the nearest-neighbor source coordinates — even ids the BMP
+    // pixel formula, odd ids the JPEG flat-block formula (each 8×8
+    // block constant, channel-independent, identity quant → the real
+    // Huffman bitstream decodes bit-exactly). Proves decode of BOTH
+    // formats and the resize math exact.
     "q_image_resize" ->
       """WITH d AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, w, h, c.c AS chan,
-        |    (doc_id * 7 + ((u.x * w) // 5) * 13
-        |      + ((v.y * h) // 3) * 31 + c.c * 5) % 256 AS val
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      (doc_id * 7 + ((u.x * w) // 5) * 13
+        |        + ((v.y * h) // 3) * 31 + c.c * 5) % 256
+        |    ELSE
+        |      (doc_id * 11 + (((u.x * w) // 5) // 8) * 7
+        |        + (((v.y * h) // 3) // 8) * 13) % 256
+        |    END AS val
         |  FROM d, unnest(range(0, 5)) u(x), unnest(range(0, 3)) v(y),
         |    unnest(range(0, 3)) c(c)),
         |g AS (

@@ -1,0 +1,806 @@
+package graft.ext
+
+/** [EXT] REAL baseline JPEG codec — sequential DCT, Huffman entropy
+  * coding (ITU-T T.81). Retires the former "compressed pixel decode
+  * needs an external library" stub for the one web-corpus format that
+  * matters most: the decoder below reads actual JFIF bitstreams
+  * (marker segments, DHT canonical Huffman, DC prediction, run/size AC
+  * coding, byte unstuffing, restart markers, dequantize, IDCT, chroma
+  * upsample, YCbCr→RGB) and is cross-checked in the specs against the
+  * JDK's independent ImageIO JPEG implementation in both directions.
+  *
+  * Scope (and honest limits):
+  *   - decode: baseline/extended sequential Huffman (SOF0/SOF1),
+  *     8-bit precision, 1 or 3 components, sampling factors 1 or 2
+  *     (covers grayscale, 4:4:4, 4:2:2, 4:2:0), restart intervals.
+  *     Progressive (SOF2) and arithmetic coding are rejected by
+  *     [[isBaselineDecodable]] — honest refusal, not a wrong answer.
+  *   - encode: grayscale or 4:4:4 color, any quant tables, standard
+  *     Annex K Huffman tables, optional restart interval.
+  *
+  * Determinism note for oracle queries: a JPEG whose 8×8 blocks are
+  * each CONSTANT decodes bit-exactly (DC-only blocks: FDCT DC = 8·a
+  * exactly in double precision, AC terms cancel below rounding; IDCT
+  * of a DC-only block is flat) — so a formula-generated flat-block
+  * image round-trips exactly through the REAL bitstream (Huffman, DC
+  * prediction, stuffing), which is what lets DuckDB oracle a lossy
+  * format. Non-flat content is verified against ImageIO within the
+  * ±1/pixel tolerance the JPEG standard itself allows for IDCT
+  * accuracy (T.83).
+  *
+  * All-integer hot loops, no allocation per pixel; one task decodes a
+  * bounded batch of payloads under `mapPartitions` (see [[Multimodal]]
+  * for the 100 TB shape).
+  */
+object JpegCodec {
+
+  // ---------------------------------------------------------------
+  // Shared tables
+  // ---------------------------------------------------------------
+
+  /** Zigzag scan order: index = scan position, value = block offset. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.1 luminance quant table (natural order). */
+  val StdLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quant table (natural order). */
+  val StdChromaQuant: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Identity quant table: flat-block images round-trip EXACTLY. */
+  val FlatQuant: Array[Int] = Array.fill(64)(1)
+
+  // Annex K.3 standard Huffman table specs: (code counts per length
+  // 1..16, symbol values in code order).
+  private val DcLumaBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = (0 to 11).toArray
+  private val DcChromaBits =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).toArray
+  private val AcLumaBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val AcChromaBits =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** 8-point DCT basis: cosTab(u)(x) = C(u)/2 · cos((2x+1)uπ/16). */
+  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1s (T.81 F.1.2.3). */
+    def flushScan(): Unit =
+      if (n > 0) { put(0xff, 8 - n); () }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Canonical Huffman code assignment: symbol → (code, length). */
+  private def buildEncodeTable(
+      bits: Array[Int], vals: Array[Int]): Array[Array[Int]] = {
+    val table = Array.fill(256)(null: Array[Int])
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        table(vals(k)) = Array(code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    table
+  }
+
+  /** Magnitude category (number of bits) of a coefficient value. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * CosTab(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) { // columns
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * CosTab(v)(yy); yy += 1 }
+        out(v * 8 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def segment(out: java.io.ByteArrayOutputStream, marker: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Encode a baseline JPEG: grayscale (`channels = 1`, `pixel(x, y, 0)`)
+    * or 4:4:4 color (`channels = 3`, `pixel(x, y, c)` with c = 0 B,
+    * 1 G, 2 R — the [[MediaCodec.Bmp24]] convention). Values clamped
+    * to 0..255. `restartInterval` > 0 emits DRI + RSTn markers every
+    * that many MCUs (decoder-path coverage).
+    */
+  def encodeBaseline(
+      width: Int, height: Int, channels: Int,
+      pixel: (Int, Int, Int) => Int,
+      lumaQuant: Array[Int] = StdLumaQuant,
+      chromaQuant: Array[Int] = StdChromaQuant,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels == 1 || channels == 3, s"channels must be 1|3: $channels")
+    require(lumaQuant.length == 64 && chromaQuant.length == 64)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    // APP0 JFIF 1.1
+    segment(out, 0xe0, Array[Int](
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0).map(_.toByte))
+    // DQT (table 0 = luma; table 1 = chroma when color)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      val p = new Array[Byte](65)
+      p(0) = id.toByte
+      var i = 0
+      while (i < 64) {
+        val v = q(Zigzag(i))
+        require(v >= 1 && v <= 255, s"8-bit quant entry out of range: $v")
+        p(1 + i) = v.toByte
+        i += 1
+      }
+      segment(out, 0xdb, p)
+    }
+    dqt(0, lumaQuant)
+    if (channels == 3) dqt(1, chromaQuant)
+    // SOF0
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(channels)
+    var ci = 0
+    while (ci < channels) {
+      sof.write(ci + 1)   // component id
+      sof.write(0x11)     // 1x1 sampling (4:4:4)
+      sof.write(if (ci == 0) 0 else 1) // quant table
+      ci += 1
+    }
+    segment(out, 0xc0, sof.toByteArray)
+    // DHT
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      val p = new Array[Byte](17 + vals.length)
+      p(0) = ((cls << 4) | id).toByte
+      var i = 0
+      while (i < 16) { p(1 + i) = bits(i).toByte; i += 1 }
+      i = 0
+      while (i < vals.length) { p(17 + i) = vals(i).toByte; i += 1 }
+      segment(out, 0xc4, p)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals)
+    dht(1, 0, AcLumaBits, AcLumaVals)
+    if (channels == 3) {
+      dht(0, 1, DcChromaBits, DcChromaVals)
+      dht(1, 1, AcChromaBits, AcChromaVals)
+    }
+    if (restartInterval > 0)
+      segment(out, 0xdd, Array[Byte](
+        ((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    // SOS
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(channels)
+    ci = 0
+    while (ci < channels) {
+      sos.write(ci + 1)
+      sos.write(if (ci == 0) 0x00 else 0x11) // (dc << 4) | ac table ids
+      ci += 1
+    }
+    sos.write(0); sos.write(63); sos.write(0) // Ss, Se, Ah/Al
+    segment(out, 0xda, sos.toByteArray)
+
+    // Entropy-coded scan. Component planes first (level-shifted),
+    // edge-replicated to full blocks.
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    // sample component `comp` at (x, y), replicating edges
+    def sampleAt(comp: Int, x: Int, y: Int): Double = {
+      val cx = if (x >= width) width - 1 else x
+      val cy = if (y >= height) height - 1 else y
+      if (channels == 1) clamp255(pixel(cx, cy, 0)) - 128.0
+      else {
+        val b = clamp255(pixel(cx, cy, 0))
+        val g = clamp255(pixel(cx, cy, 1))
+        val r = clamp255(pixel(cx, cy, 2))
+        // JFIF RGB → YCbCr (real-valued; quantization absorbs rounding)
+        comp match {
+          case 0 => 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          case 1 => -0.168735892 * r - 0.331264108 * g + 0.5 * b
+          case _ => 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        }
+      }
+    }
+    val encDcL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val encAcL = buildEncodeTable(AcLumaBits, AcLumaVals)
+    val encDcC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val encAcC = buildEncodeTable(AcChromaBits, AcChromaVals)
+    val bw = new BitWriter
+    val dcPred = new Array[Int](channels)
+    val block = new Array[Double](64)
+    var rstCount = 0
+    var rstIdx = 0
+    var scanTail: Array[Byte] = Array.emptyByteArray
+    val scanOut = new java.io.ByteArrayOutputStream()
+    def emitCoded(): Unit = { // flush bitwriter bytes accumulated so far
+      val b = bw.bytes
+      scanOut.write(b, scanTail.length, b.length - scanTail.length)
+      scanTail = b
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && rstCount == restartInterval) {
+          bw.flushScan(); emitCoded()
+          scanOut.write(0xff); scanOut.write(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          rstCount = 0
+          java.util.Arrays.fill(dcPred, 0)
+          // BitWriter state is byte-aligned after flushScan; continue
+        }
+        var comp = 0
+        while (comp < channels) {
+          var i = 0
+          while (i < 64) {
+            block(i) = sampleAt(comp, mx * 8 + (i % 8), my * 8 + (i / 8))
+            i += 1
+          }
+          val f = fdct(block)
+          val q = if (comp == 0) lumaQuant else chromaQuant
+          val (dcTab, acTab) =
+            if (comp == 0) (encDcL, encAcL) else (encDcC, encAcC)
+          // quantized coefficients in zigzag order
+          val zz = new Array[Int](64)
+          i = 0
+          while (i < 64) {
+            zz(i) = math.round(f(Zigzag(i)) / q(Zigzag(i))).toInt
+            i += 1
+          }
+          // DC
+          val diff = zz(0) - dcPred(comp)
+          dcPred(comp) = zz(0)
+          val dcCat = category(diff)
+          val dc = dcTab(dcCat)
+          bw.put(dc(0), dc(1))
+          if (dcCat > 0)
+            bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+          // AC with run/size, ZRL, EOB
+          var k = 1
+          var run = 0
+          while (k < 64) {
+            if (zz(k) == 0) run += 1
+            else {
+              while (run > 15) {
+                val zrl = acTab(0xf0); bw.put(zrl(0), zrl(1)); run -= 16
+              }
+              val cat = category(zz(k))
+              val sym = acTab((run << 4) | cat)
+              bw.put(sym(0), sym(1))
+              bw.put(
+                if (zz(k) < 0) zz(k) + (1 << cat) - 1 else zz(k), cat)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val eob = acTab(0x00); bw.put(eob(0), eob(1)) }
+          comp += 1
+        }
+        rstCount += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushScan(); emitCoded()
+    out.write(scanOut.toByteArray)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  private final class HuffDecodeTable(bits: Array[Int], vals: Array[Int]) {
+    // T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR decode
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.readBit()
+      var l = 1
+      while (l < 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.readBit()
+        l += 1
+      }
+      if (maxCode(l) < 0 || code > maxCode(l))
+        throw new IllegalArgumentException("JPEG: invalid Huffman code")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length)
+          throw new IllegalArgumentException("JPEG: truncated entropy stream")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length)
+            throw new IllegalArgumentException("JPEG: truncated at 0xFF")
+          val nxt = b(pos) & 0xff
+          if (nxt == 0x00) pos += 1 // stuffed data byte
+          else throw new IllegalArgumentException(
+            f"JPEG: unexpected marker 0xFF$nxt%02X inside entropy data")
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def readBits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def syncRestart(expected: Int): Unit = {
+      n = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != (0xd0 + expected))
+        throw new IllegalArgumentException(
+          s"JPEG: expected RST$expected marker")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an s-bit magnitude to a signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var x = 0
+    while (x < 8) { // columns: sum over v
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += CosTab(v)(y) * coef(v * 8 + x); v += 1 }
+        tmp(y * 8 + x) = s
+        y += 1
+      }
+      x += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) { // rows: sum over u
+      var xx = 0
+      while (xx < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosTab(u)(xx) * tmp(y * 8 + u); u += 1 }
+        val r = math.round(s + 128.0).toInt
+        out(y * 8 + xx) = if (r < 0) 0 else if (r > 255) 255 else r
+        xx += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private final case class Comp(
+      id: Int, h: Int, v: Int, qId: Int,
+      var dcId: Int = 0, var acId: Int = 0)
+
+  /** Structural pre-check: true iff [[decodeBaseline]] supports this
+    * stream (SOI, sequential-Huffman SOF0/SOF1, 8-bit, 1 or 3
+    * components with sampling factors 1..2, DQT/DHT/SOS present).
+    * Walks marker segments only — never the entropy stream — so it is
+    * cheap and safe on untrusted corpus bytes.
+    */
+  def isBaselineDecodable(b: Array[Byte]): Boolean = {
+    if (MediaCodec.detect(b) != "jpeg") return false
+    var off = 2
+    var sawSof = false
+    var sawDht = false
+    var sawDqt = false
+    try {
+      while (off + 3 < b.length) {
+        if ((b(off) & 0xff) != 0xff) return false
+        val m = b(off + 1) & 0xff
+        if (m == 0xd9) return false // EOI before SOS
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return false
+        m match {
+          case 0xc0 | 0xc1 =>
+            val prec = b(off + 4) & 0xff
+            val nc = b(off + 9) & 0xff
+            if (prec != 8 || (nc != 1 && nc != 3)) return false
+            var i = 0
+            while (i < nc) {
+              val hv = b(off + 11 + 3 * i) & 0xff
+              val h = hv >> 4
+              val v = hv & 0xf
+              if (h < 1 || h > 2 || v < 1 || v > 2) return false
+              i += 1
+            }
+            sawSof = true
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return false // progressive / arithmetic / lossless
+          case 0xc4 => sawDht = true
+          case 0xdb => sawDqt = true
+          case 0xda => return sawSof && sawDht && sawDqt
+          case _ => ()
+        }
+        off += 2 + len
+      }
+      false
+    } catch { case _: IndexOutOfBoundsException => false }
+  }
+
+  /** Decode a baseline sequential Huffman JPEG to 3-channel pixels
+    * ([[MediaCodec.Bmp24]] layout — interleaved BGR; grayscale expands
+    * to B = G = R). Throws IllegalArgumentException on unsupported or
+    * corrupt streams — gate with [[isBaselineDecodable]] on untrusted
+    * bytes.
+    */
+  def decodeBaseline(b: Array[Byte]): MediaCodec.Bmp24 = {
+    require(MediaCodec.detect(b) == "jpeg", "not a JPEG payload")
+    val quant = Array.ofDim[Int](4, 64)
+    val dcTabs = new Array[HuffDecodeTable](4)
+    val acTabs = new Array[HuffDecodeTable](4)
+    var comps: Array[Comp] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var off = 2
+    var scanStart = -1
+
+    while (scanStart < 0) {
+      if (off + 3 >= b.length)
+        throw new IllegalArgumentException("JPEG: no SOS marker")
+      if ((b(off) & 0xff) != 0xff)
+        throw new IllegalArgumentException(
+          f"JPEG: bad marker alignment at $off")
+      val m = b(off + 1) & 0xff
+      val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > b.length)
+        throw new IllegalArgumentException("JPEG: truncated segment")
+      val seg = off + 4
+      val segEnd = off + 2 + len
+      m match {
+        case 0xc0 | 0xc1 =>
+          val prec = b(seg) & 0xff
+          if (prec != 8)
+            throw new IllegalArgumentException(s"JPEG: precision $prec")
+          height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+          width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+          val nc = b(seg + 5) & 0xff
+          if (nc != 1 && nc != 3)
+            throw new IllegalArgumentException(s"JPEG: $nc components")
+          comps = Array.tabulate(nc) { i =>
+            val base = seg + 6 + 3 * i
+            val hv = b(base + 1) & 0xff
+            val c = Comp(b(base) & 0xff, hv >> 4, hv & 0xf, b(base + 2) & 0xff)
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)
+              throw new IllegalArgumentException(
+                s"JPEG: sampling ${c.h}x${c.v} unsupported")
+            c
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"JPEG: SOF 0x$m%02X not baseline sequential Huffman")
+        case 0xdb => // one or more quant tables
+          var p = seg
+          while (p < segEnd) {
+            val pq = (b(p) & 0xff) >> 4
+            val id = b(p) & 0x0f
+            if (pq != 0)
+              throw new IllegalArgumentException("JPEG: 16-bit DQT")
+            var i = 0
+            while (i < 64) {
+              quant(id)(Zigzag(i)) = b(p + 1 + i) & 0xff
+              i += 1
+            }
+            p += 65
+          }
+        case 0xc4 => // one or more huffman tables
+          var p = seg
+          while (p < segEnd) {
+            val cls = (b(p) & 0xff) >> 4
+            val id = b(p) & 0x0f
+            val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => b(p + 17 + i) & 0xff)
+            val t = new HuffDecodeTable(bits, vals)
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+            p += 17 + nv
+          }
+        case 0xdd =>
+          restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+        case 0xda =>
+          val ns = b(seg) & 0xff
+          if (comps == null || ns != comps.length)
+            throw new IllegalArgumentException("JPEG: SOS/SOF mismatch")
+          var i = 0
+          while (i < ns) {
+            val cid = b(seg + 1 + 2 * i) & 0xff
+            val tsel = b(seg + 2 + 2 * i) & 0xff
+            val comp = comps.find(_.id == cid).getOrElse(
+              throw new IllegalArgumentException(
+                s"JPEG: scan component $cid not in frame"))
+            comp.dcId = tsel >> 4
+            comp.acId = tsel & 0xf
+            i += 1
+          }
+          scanStart = segEnd
+        case _ => () // APPn / COM / others: skip
+      }
+      if (scanStart < 0) off = segEnd
+    }
+    if (width <= 0 || height <= 0)
+      throw new IllegalArgumentException("JPEG: no frame header before SOS")
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded planes
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = comps.indices.map(i =>
+      new Array[Int](planeW(i) * planeH(i))).toArray
+    val dcPred = new Array[Int](comps.length)
+    val br = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    var rstCount = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && rstCount == restartInterval) {
+          br.syncRestart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          rstCount = 0
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ciIdx = 0
+        while (ciIdx < comps.length) {
+          val c = comps(ciIdx)
+          val dcT = dcTabs(c.dcId)
+          val acT = acTabs(c.acId)
+          if (dcT == null || acT == null)
+            throw new IllegalArgumentException("JPEG: missing Huffman table")
+          val q = quant(c.qId)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              // DC
+              val s = dcT.decode(br)
+              val diff = extend(br.readBits(s), s)
+              dcPred(ciIdx) += diff
+              coef(0) = dcPred(ciIdx) * q(0)
+              // AC
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val rs = acT.decode(br)
+                val r = rs >> 4
+                val sz = rs & 0xf
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else done = true     // EOB
+                } else {
+                  k += r
+                  if (k > 63)
+                    throw new IllegalArgumentException("JPEG: AC overrun")
+                  val zz = Zigzag(k)
+                  coef(zz) = extend(br.readBits(sz), sz) * q(zz)
+                  k += 1
+                }
+              }
+              val px = idct(coef)
+              val baseX = (mx * c.h + bx) * 8
+              val baseY = (my * c.v + by) * 8
+              val pw = planeW(ciIdx)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(ciIdx)((baseY + yy) * pw + baseX + xx) =
+                    px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ciIdx += 1
+        }
+        rstCount += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // Assemble output: upsample (box replicate) + color convert.
+    val pixels = new Array[Int](3 * width * height)
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = 3 * (y * width + x)
+        if (comps.length == 1) {
+          val g = planes(0)(y * planeW(0) + x)
+          pixels(o) = g; pixels(o + 1) = g; pixels(o + 2) = g
+        } else {
+          def sample(i: Int): Int = {
+            val sx = x * comps(i).h / hMax
+            val sy = y * comps(i).v / vMax
+            planes(i)(sy * planeW(i) + sx)
+          }
+          val yv = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
+          // libjpeg-style fixed point (FIX = 1 << 16, round-half-up)
+          val r = clamp(yv + ((91881 * cr + 32768) >> 16))
+          val g = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          val bch = clamp(yv + ((116130 * cb + 32768) >> 16))
+          pixels(o) = bch; pixels(o + 1) = g; pixels(o + 2) = r
+        }
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.Bmp24(width, height, pixels)
+  }
+}

@@ -375,6 +375,25 @@ object MediaCodec {
     * then length-prefixed frames (any embedded codec — here BMP24).
     * The 1→N decode shape of real video without an external codec.
     */
+  /** Unified pixel decode over the formats with a REAL decoder: 24-bit
+    * BMP (here) and baseline sequential JPEG ([[JpegCodec]], grayscale
+    * expands to B = G = R). One return shape for every pixel consumer.
+    */
+  def decodeImage(b: Array[Byte]): Bmp24 = detect(b) match {
+    case "bmp" => decodeBmp24(b)
+    case "jpeg" => JpegCodec.decodeBaseline(b)
+    case other => throw new IllegalArgumentException(
+      s"no pixel decoder for format '$other'")
+  }
+
+  /** Guard for [[decodeImage]] on untrusted corpus bytes. */
+  def isDecodableImage(b: Array[Byte]): Boolean =
+    detect(b) match {
+      case "bmp" => isCompleteBmp24(b)
+      case "jpeg" => JpegCodec.isBaselineDecodable(b)
+      case _ => false
+    }
+
   def synthesizeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
     val total = 8 + frames.map(4 + _.length).sum
     val b = new Array[Byte](total)

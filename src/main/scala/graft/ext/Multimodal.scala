@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * reference equivalent.
   *
   * Every path here decodes REAL bytes via [[MediaCodec]]: header
-  * parse for all six formats, full pixel decode for 24-bit BMP, full
-  * sample decode for 16-bit PCM WAV, container walk + frame decode
-  * for GVID video. The only remaining stub boundary — clearly labeled
-  * at each site — is pixel/sample decode of EXTERNALLY-COMPRESSED
-  * formats (JPEG/PNG/GIF/WebP pixel streams, non-PCM audio): those
-  * need codec libraries this environment doesn't ship, and a real
-  * deployment swaps in javacv / a `mapInPandas` PIL worker at exactly
-  * those branches.
+  * parse for all six formats, full pixel decode for 24-bit BMP AND
+  * baseline sequential JPEG ([[JpegCodec]] — Huffman entropy decode,
+  * dequantize, IDCT, chroma upsample, YCbCr→RGB, cross-checked
+  * against the JDK's ImageIO in both directions), full sample decode
+  * for 16-bit PCM WAV, container walk + frame decode for GVID video.
+  * The remaining stub boundary — clearly labeled at each site — is
+  * pixel/sample decode of PNG/GIF/WebP streams and non-PCM audio:
+  * those need codec libraries this environment doesn't ship, and a
+  * real deployment swaps in javacv / a `mapInPandas` PIL worker at
+  * exactly those branches.
   *
   * Design for 100 TB: payloads are decoded per-partition via
   * `mapPartitions` over a typed Dataset, so one task holds one batch of
@@ -71,13 +73,13 @@ object Multimodal {
 
   /** Feature extraction over REAL decoded content — the fixed-width
     * float vector a downstream [[Similarity]] index consumes, one
-    * encoder pass per partition. BMP features come from the actual
-    * pixel decode (dims + exact per-channel means + min/max); WAV
-    * features from the actual PCM samples (count, peak, RMS, mean);
-    * compressed formats get header dims only, zero-padded — the
-    * LABELED STUB boundary: replacing the zeros with learned-encoder
-    * output is exactly where a PIL/torchvision `mapInPandas` worker
-    * plugs in.
+    * encoder pass per partition. BMP and baseline-JPEG features come
+    * from the actual pixel decode (dims + exact per-channel means +
+    * min/max); WAV features from the actual PCM samples (count, peak,
+    * RMS, mean); the remaining compressed formats (PNG/GIF/WebP) get
+    * header dims only, zero-padded — the LABELED STUB boundary:
+    * replacing the zeros with learned-encoder output is exactly where
+    * a PIL/torchvision `mapInPandas` worker plugs in.
     */
   def extractFeatures(
       spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
@@ -94,6 +96,29 @@ object Multimodal {
           val stats: Array[Float] = MediaCodec.detect(p) match {
             case "bmp" if MediaCodec.isCompleteBmp24(p) =>
               val img = MediaCodec.decodeBmp24(p)
+              val npx = math.max(1, img.width * img.height)
+              var (bs, gs, rs) = (0L, 0L, 0L)
+              var mn = 255
+              var mx = 0
+              var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i)
+                (i % 3) match {
+                  case 0 => bs += v
+                  case 1 => gs += v
+                  case _ => rs += v
+                }
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              Array(img.width.toFloat, img.height.toFloat,
+                bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
+                mn.toFloat, mx.toFloat, npx.toFloat)
+            case "jpeg" if MediaCodec.isDecodableImage(p) =>
+              // REAL baseline-JPEG pixel decode (JpegCodec) — the
+              // former "external codec required" stub branch
+              val img = MediaCodec.decodeImage(p)
               val npx = math.max(1, img.width * img.height)
               var (bs, gs, rs) = (0L, 0L, 0L)
               var mn = 255
@@ -158,11 +183,14 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
         MediaCodec.detect(p) match {
-          // isCompleteBmp24, not bitsPerPixel alone: a header-only
-          // BMP (synthesizeBmp) or truncated upload must pass through
-          // untouched, not crash the pixel decode.
-          case "bmp" if MediaCodec.isCompleteBmp24(p) =>
-            val img = MediaCodec.decodeBmp24(p)
+          // isDecodableImage, not magic bytes alone: a header-only
+          // payload (synthesizeBmp/synthesizeJpeg) or truncated upload
+          // must pass through untouched, not crash the pixel decode.
+          // JPEG thumbnails re-encode as BMP24 — lossless output from
+          // a decode that was already lossy once; the media_type
+          // column still records the source kind.
+          case "bmp" | "jpeg" if MediaCodec.isDecodableImage(p) =>
+            val img = MediaCodec.decodeImage(p)
             val out = MediaCodec.synthesizeBmp24(width, height,
               (x, y, c) => img(x * img.width / width, y * img.height / height, c))
             ResizedMedia(r.doc_id, r.media_type, out, width, height)
@@ -333,7 +361,7 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
-        val img = MediaCodec.decodeBmp24(p)
+        val img = MediaCodec.decodeImage(p) // BMP24 or baseline JPEG
         var (bs, gs, rs) = (0L, 0L, 0L)
         var mn = 255L
         var mx = 0L

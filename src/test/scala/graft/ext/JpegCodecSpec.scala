@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG codec: exact flat-block roundtrips (the oracle
+  * contract), and BOTH-direction cross-checks against the JDK's
+  * independent ImageIO JPEG implementation — our encoder's streams
+  * decoded by ImageIO, ImageIO's streams decoded by us. The JPEG
+  * standard (T.83) permits ±1/pixel IDCT variation between conformant
+  * decoders, so cross-implementation checks use that tolerance
+  * (slightly wider where color conversion differs too).
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def imageIoDecode(b: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+
+  private def maxDiffVsImageIo(
+      mine: MediaCodec.Bmp24, ref: java.awt.image.BufferedImage): Int = {
+    assert(mine.width === ref.getWidth && mine.height === ref.getHeight)
+    var worst = 0
+    val gray = ref.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    for (y <- 0 until mine.height; x <- 0 until mine.width) {
+      val d =
+        if (gray) {
+          // raster sample, NOT getRGB: getRGB gamma-converts linear
+          // gray to sRGB (observed +-73 on mid-grays) — a color-space
+          // artifact of the comparison, not of either decoder
+          assert(mine(x, y, 0) === mine(x, y, 1))
+          math.abs(ref.getRaster.getSample(x, y, 0) - mine(x, y, 0))
+        } else {
+          val rgb = ref.getRGB(x, y)
+          math.max(
+            math.abs(((rgb >> 16) & 0xff) - mine(x, y, 2)),
+            math.max(
+              math.abs(((rgb >> 8) & 0xff) - mine(x, y, 1)),
+              math.abs((rgb & 0xff) - mine(x, y, 0))))
+        }
+      if (d > worst) worst = d
+    }
+    worst
+  }
+
+  test("flat-block grayscale roundtrips BIT-EXACTLY with flat quant " +
+    "(the oracle contract), incl. partial edge blocks and restarts") {
+    for {
+      (w, h) <- Seq((8, 8), (16, 8), (9, 6), (23, 17), (8, 11), (1, 1))
+      rst <- Seq(0, 2)
+    } {
+      def v(x: Int, y: Int): Int = (7 + (x / 8) * 31 + (y / 8) * 101) % 256
+      val jpeg = JpegCodec.encodeBaseline(w, h, 1, (x, y, _) => v(x, y),
+        lumaQuant = JpegCodec.FlatQuant, restartInterval = rst)
+      assert(JpegCodec.isBaselineDecodable(jpeg))
+      assert(MediaCodec.detect(jpeg) === "jpeg")
+      val img = JpegCodec.decodeBaseline(jpeg)
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(img(x, y, c) === v(x, y),
+          s"(${w}x$h rst=$rst) pixel ($x,$y,$c)")
+    }
+  }
+
+  test("our grayscale stream decodes identically (+-1 IDCT tolerance) " +
+    "in ImageIO and in our decoder — arbitrary content, lossy quant") {
+    val rnd = new scala.util.Random(20260815L)
+    for ((w, h) <- Seq((16, 16), (13, 9), (40, 25))) {
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val jpeg = JpegCodec.encodeBaseline(w, h, 1, (x, y, _) => px(y)(x))
+      val mine = JpegCodec.decodeBaseline(jpeg)
+      val ref = imageIoDecode(jpeg)
+      assert(ref != null, "ImageIO rejected our grayscale stream")
+      val d = maxDiffVsImageIo(mine, ref)
+      assert(d <= 1, s"${w}x$h: max pixel diff vs ImageIO = $d")
+    }
+  }
+
+  test("our 4:4:4 color stream decodes in ImageIO within color-convert " +
+    "tolerance of our decoder") {
+    val rnd = new scala.util.Random(42L)
+    val (w, h) = (24, 18)
+    val px = Array.fill(h, w, 3)(rnd.nextInt(256))
+    val jpeg = JpegCodec.encodeBaseline(w, h, 3, (x, y, c) => px(y)(x)(c))
+    val mine = JpegCodec.decodeBaseline(jpeg)
+    val ref = imageIoDecode(jpeg)
+    assert(ref != null, "ImageIO rejected our color stream")
+    // IDCT (+-1) compounds through two independent YCbCr->RGB
+    // roundings: allow +-3 per channel.
+    val d = maxDiffVsImageIo(mine, ref)
+    assert(d <= 3, s"max pixel diff vs ImageIO = $d")
+  }
+
+  test("an ImageIO-ENCODED grayscale JPEG decodes in our decoder " +
+    "within +-1 of ImageIO's own decode (independent encoder interop)") {
+    val (w, h) = (32, 21)
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 11 + y * 29 + (x * y) % 13) % 256
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val jpeg = bos.toByteArray
+    assert(JpegCodec.isBaselineDecodable(jpeg),
+      "ImageIO grayscale output should be baseline-decodable")
+    val mine = JpegCodec.decodeBaseline(jpeg)
+    val ref = imageIoDecode(jpeg)
+    assert(maxDiffVsImageIo(mine, ref) <= 1)
+  }
+
+  test("an ImageIO-ENCODED color JPEG (subsampled) decodes in our " +
+    "decoder: dims exact, flat-chroma content within tolerance") {
+    val (w, h) = (20, 14)
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // luminance gradient with CONSTANT chroma: box-replicate vs fancy
+    // upsampling then agree everywhere (no chroma edges)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 40 + ((x * 7 + y * 5) % 160)
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val jpeg = bos.toByteArray
+    assert(JpegCodec.isBaselineDecodable(jpeg))
+    val mine = JpegCodec.decodeBaseline(jpeg)
+    val ref = imageIoDecode(jpeg)
+    assert(maxDiffVsImageIo(mine, ref) <= 3)
+  }
+
+  test("progressive JPEG is refused by the guard, not mis-decoded") {
+    val (w, h) = (16, 16)
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 16 + y) % 256
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null,
+      new javax.imageio.IIOImage(src, null, null), param)
+    writer.dispose()
+    val jpeg = bos.toByteArray
+    assert(MediaCodec.detect(jpeg) === "jpeg")
+    assert(!JpegCodec.isBaselineDecodable(jpeg),
+      "progressive stream must be refused")
+    intercept[IllegalArgumentException] {
+      JpegCodec.decodeBaseline(jpeg)
+    }
+  }
+
+  test("truncated and corrupt streams fail with a clear error, " +
+    "and the guard rejects them or decode throws (never a wrong image)") {
+    val good = JpegCodec.encodeBaseline(16, 16, 1,
+      (x, y, _) => (x * 16 + y) % 256)
+    intercept[IllegalArgumentException] {
+      JpegCodec.decodeBaseline(good.take(good.length / 2))
+    }
+    assert(!JpegCodec.isBaselineDecodable(good.take(20)))
+    assert(!JpegCodec.isBaselineDecodable(Array[Byte](0x12, 0x34)))
+    assert(!JpegCodec.isBaselineDecodable(null))
+  }
+
+  test("decodeImage dispatches BMP and JPEG through one shape") {
+    val bmp = MediaCodec.synthesizeBmp24(5, 4, (x, y, c) => (x + y + c) % 256)
+    val jpg = JpegCodec.encodeBaseline(8, 8, 1, (_, _, _) => 77,
+      lumaQuant = JpegCodec.FlatQuant)
+    assert(MediaCodec.isDecodableImage(bmp))
+    assert(MediaCodec.isDecodableImage(jpg))
+    assert(MediaCodec.decodeImage(bmp)(2, 3, 1) === (2 + 3 + 1) % 256)
+    assert(MediaCodec.decodeImage(jpg)(4, 4, 0) === 77)
+    assert(!MediaCodec.isDecodableImage(Array[Byte](1, 2, 3)))
+  }
+}
