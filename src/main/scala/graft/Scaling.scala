@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve measurement for the heaviest inventory queries: build a
+  * `factor`× corpus from the base SF dir and time each query on both,
+  * printing measured wall-time ratios (SCALING.md records the results).
+  *
+  * Corpus construction keeps duplicate/near-dup CLUSTER SIZES constant
+  * while cluster COUNT scales — the realistic growth mode for a
+  * training corpus, and the one that doesn't quadratically inflate
+  * candidate pairs by construction:
+  *   - documents/customer text: each copy k Caesar-shifts letters by k
+  *     (a bijective char map preserves every in-copy edit distance and
+  *     shingle-overlap structure EXACTLY while making copies
+  *     content-disjoint);
+  *   - ids shift by k·10^12 (disjoint key spaces, graph becomes k
+  *     disjoint isomorphic components);
+  *   - embeddings translate by k·0.5 per component (in-copy geometry
+  *     identical, copies separated in space).
+  *
+  * Known caveats, stated where they matter:
+  *   - q_dedup_eval's left side is pinned to `doc_id < 200`, so only
+  *     its right side and corpus scan scale;
+  *   - q_semdedup keeps the same k-means k over factor× more spread —
+  *     per-cluster pair space grows, which measures the ALGORITHM
+  *     CONFIG (k should scale with corpus), not a plan defect.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> SPARK_GRAFT_SCALE_FACTOR=10
+  *   sbt "runMain graft.Scaling"
+  */
+object Scaling {
+
+  private val Keys = Seq(
+    "q_dedup_edit", "q_pagerank", "q_semdedup", "q_record_link",
+    "q_dedup_eval")
+
+  private def caesar(c: Column, k: Int): Column = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val hi = lo.toUpperCase
+    def rot(s: String): String = {
+      val n = ((k % s.length) + s.length) % s.length
+      s.drop(n) + s.take(n)
+    }
+    if (k == 0) c else translate(c, lo + hi, rot(lo) + rot(hi))
+  }
+
+  private def buildScaled(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val off = 1000000000000L // disjoint id spaces per copy
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => f(df, k)).reduce(_ union _)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    copies(docs, (d, k) => d.select(
+      (col("doc_id") + lit(k * off)).as("doc_id"),
+      caesar(col("text"), k).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    copies(emb, (d, k) => d.select(
+      (col("vec_id") + lit(k * off)).as("vec_id"),
+      transform(col("embedding"),
+        e => e + lit(k * 0.5f)).as("embedding"),
+      col("label")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    copies(cust, (d, k) => d.select(
+      (col("c_custkey") + lit(k * off)).as("c_custkey"),
+      caesar(col("c_name"), k).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    copies(li, (d, k) => d.withColumn(
+      "l_orderkey", col("l_orderkey") + lit(k * off))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * off)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale_${factor}x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prepare(spark)
+
+    val marker = new java.io.File(s"$out/_built_$factor")
+    if (!marker.exists()) {
+      System.err.println(s"[scaling] building ${factor}x corpus at $out")
+      buildScaled(spark, base, out, factor)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+
+    // Warm codegen/JIT on the tiny SF so first-run compilation cost
+    // doesn't land in the base timings.
+    Keys.foreach { k =>
+      try SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    spark.catalog.clearCache()
+
+    def time(dir: String): Map[String, Double] = Keys.map { k =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(k)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      k -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+    val baseT = time(base)
+    val scaledT = time(out)
+    println(f"| query | ${1}x sec | ${factor}x sec | ratio |")
+    println("|---|---|---|---|")
+    Keys.foreach { k =>
+      println(f"| $k | ${baseT(k)}%.2f | ${scaledT(k)}%.2f | " +
+        f"${scaledT(k) / baseT(k)}%.2fx |")
+    }
+    val json = Keys.map(k =>
+      s""""$k":{"base":${f"${baseT(k)}%.3f"},""" +
+        s""""scaled":${f"${scaledT(k)}%.3f"},""" +
+        s""""ratio":${f"${scaledT(k) / baseT(k)}%.3f"}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","factor":$factor,"queries":$json}""")
+    spark.stop()
+  }
+}

@@ -150,7 +150,7 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
     null
   }
 
-  private val upsertSql =
+  private[sink] val upsertSql =
     """INSERT INTO aggregated_sensor_data
       |(sensor_id, file_name, aggregation_time, metric_name, min_value,
       | max_value, avg_value, std_dev_value, record_count)
@@ -174,7 +174,7 @@ final class JdbcSink(conf: JdbcConf) extends BatchSink {
       | max_value, avg_value, std_dev_value, record_count)
       |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin
 
-  private val rawSql =
+  private[sink] val rawSql =
     if (derby)
       """INSERT INTO raw_sensor_data
         |(sensor_id, "timestamp", temperature, humidity, pressure, file_name)

@@ -50,6 +50,41 @@ class JdbcSinkSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("the MySQL dialect is pinned reference-exact — the declared " +
+    "substitute for a live soak (this sandbox ships no mysqld and no " +
+    "MySQL JDBC driver; Derby proves the transactional path instead)") {
+    // DDL shape of setup_database_in_mysql.py:58-71 (raw table)
+    val raw = graft.sink.JdbcBootstrap.rawTableDdl
+    assert(raw.contains("CREATE TABLE IF NOT EXISTS raw_sensor_data"))
+    assert(raw.contains("id INT AUTO_INCREMENT PRIMARY KEY"))
+    assert(raw.contains("timestamp DATETIME NOT NULL"))
+    assert(raw.contains("processed_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP"))
+    Seq("idx_sensor_id (sensor_id)", "idx_timestamp (timestamp)",
+      "idx_file_name (file_name)").foreach(ix =>
+      assert(raw.contains(s"INDEX $ix"), s"missing secondary index $ix"))
+    // DDL shape of setup_database_in_mysql.py:81-97 (aggregate table)
+    val agg = graft.sink.JdbcBootstrap.aggTableDdl
+    assert(agg.contains("CREATE TABLE IF NOT EXISTS aggregated_sensor_data"))
+    assert(agg.contains("metric_name VARCHAR(50)"))
+    assert(agg.contains("ON UPDATE CURRENT_TIMESTAMP"))
+    assert(agg.contains(
+      "UNIQUE KEY uq_agg (sensor_id, file_name, metric_name, aggregation_time)"))
+    // upsert shape of pipeline.py:236-244: native MySQL
+    // INSERT ... ON DUPLICATE KEY UPDATE with VALUES() refresh
+    val mysqlSink = new graft.sink.JdbcSink(
+      graft.config.JdbcConf("jdbc:mysql://unreachable/x", "", ""))
+    val up = mysqlSink.upsertSql
+    assert(up.contains("INSERT INTO aggregated_sensor_data"))
+    assert(up.contains("ON DUPLICATE KEY UPDATE"))
+    Seq("min_value", "max_value", "avg_value", "std_dev_value",
+      "record_count").foreach(c =>
+      assert(up.contains(s"$c=VALUES($c)"), s"missing VALUES refresh for $c"))
+    assert(up.contains("processed_at=NOW()"))
+    // raw insert column order matches the reference executemany
+    assert(mysqlSink.rawSql.replaceAll("\\s+", " ").contains(
+      "(sensor_id, timestamp, temperature, humidity, pressure, file_name)"))
+  }
+
   test("the WHOLE transactional path runs against a real embedded " +
     "Derby database: bootstrap, write, idempotent replay, upsert, " +
     "second file") {
