@@ -175,10 +175,15 @@ object Bench {
         s""""retimed":$retimedJson,"sf":"$sfDir","queries_omitted":0,""" +
         s""""queries":${bySlowest.map { case (k, v, _) =>
           "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+    // Never from a SPARK_GRAFT_BENCH_ONLY subset run: a dev A/B pass
+    // must not clobber the full map (and with it the next full run's
+    // contention baseline) with a few-entry fragment.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+    }
     val fixed =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +

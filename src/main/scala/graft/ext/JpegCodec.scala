@@ -584,9 +584,22 @@ object JpegCodec {
     * ([[MediaCodec.Bmp24]] layout — interleaved BGR; grayscale expands
     * to B = G = R). Throws IllegalArgumentException on unsupported or
     * corrupt streams — gate with [[isBaselineDecodable]] on untrusted
-    * bytes.
+    * bytes; bounds-violating corruption surfaces as the same data
+    * fault, never an AIOOBE that kills the task. `maxPixels` caps the
+    * decode allocation: a hostile 65535×65535 header would otherwise
+    * demand ~13 G ints before a single entropy byte is read.
     */
-  def decodeBaseline(b: Array[Byte]): MediaCodec.Bmp24 = {
+  def decodeBaseline(
+      b: Array[Byte], maxPixels: Int = 1 << 25): MediaCodec.Bmp24 =
+    try decodeBaseline0(b, maxPixels)
+    catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "JPEG: truncated or corrupt stream", e)
+    }
+
+  private def decodeBaseline0(
+      b: Array[Byte], maxPixels: Int): MediaCodec.Bmp24 = {
     require(MediaCodec.detect(b) == "jpeg", "not a JPEG payload")
     val quant = Array.ofDim[Int](4, 64)
     val dcTabs = new Array[HuffDecodeTable](4)
@@ -627,6 +640,8 @@ object JpegCodec {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)
               throw new IllegalArgumentException(
                 s"JPEG: sampling ${c.h}x${c.v} unsupported")
+            if (c.qId > 3)
+              throw new IllegalArgumentException(s"JPEG: SOF qId ${c.qId}")
             c
           }
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
@@ -640,6 +655,8 @@ object JpegCodec {
             val id = b(p) & 0x0f
             if (pq != 0)
               throw new IllegalArgumentException("JPEG: 16-bit DQT")
+            if (id > 3)
+              throw new IllegalArgumentException(s"JPEG: DQT id $id")
             var i = 0
             while (i < 64) {
               quant(id)(Zigzag(i)) = b(p + 1 + i) & 0xff
@@ -652,6 +669,11 @@ object JpegCodec {
           while (p < segEnd) {
             val cls = (b(p) & 0xff) >> 4
             val id = b(p) & 0x0f
+            // ids above 3 index past the 4-slot tables: reject the
+            // corrupt stream as a data fault, never an AIOOBE
+            if (cls > 1 || id > 3)
+              throw new IllegalArgumentException(
+                s"JPEG: DHT class $cls id $id")
             val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
             val nv = bits.sum
             val vals = Array.tabulate(nv)(i => b(p + 17 + i) & 0xff)
@@ -674,6 +696,9 @@ object JpegCodec {
                 s"JPEG: scan component $cid not in frame"))
             comp.dcId = tsel >> 4
             comp.acId = tsel & 0xf
+            if (comp.dcId > 3 || comp.acId > 3)
+              throw new IllegalArgumentException(
+                s"JPEG: SOS table ids ${comp.dcId}/${comp.acId}")
             i += 1
           }
           scanStart = segEnd
@@ -683,6 +708,9 @@ object JpegCodec {
     }
     if (width <= 0 || height <= 0)
       throw new IllegalArgumentException("JPEG: no frame header before SOS")
+    if (width.toLong * height > maxPixels)
+      throw new IllegalArgumentException(
+        s"JPEG: ${width}x$height exceeds the $maxPixels-pixel decode cap")
 
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max

@@ -166,6 +166,52 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(!JpegCodec.isBaselineDecodable(null))
   }
 
+  test("byte-fuzzed streams NEVER escape as AIOOBE/OOM — every fault " +
+    "is an IllegalArgumentException (untrusted corpus bytes contract)") {
+    val rnd = new scala.util.Random(0x1f2e3dL)
+    val base = JpegCodec.encodeBaseline(24, 16, 3,
+      (x, y, c) => (x * 7 + y * 5 + c * 3) % 256)
+    for (trial <- 1 to 300) {
+      val mutated = base.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 0 until flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { JpegCodec.decodeBaseline(mutated); () }
+      catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable =>
+          fail(s"trial $trial escaped with ${e.getClass.getName}: " +
+            s"${e.getMessage}")
+      }
+      // truncations too
+      val cut = base.take(1 + rnd.nextInt(base.length - 1))
+      try { JpegCodec.decodeBaseline(cut); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"truncation trial $trial escaped with ${e.getClass.getName}")
+      }
+    }
+    // hostile-dims allocation cap: a huge SOF must refuse, not OOM
+    val huge = JpegCodec.encodeBaseline(8, 8, 1, (_, _, _) => 0)
+    // patch the SOF dims (height/width u16be right after precision)
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        val m = huge(i + 1) & 0xff
+        val len = ((huge(i + 2) & 0xff) << 8) | (huge(i + 3) & 0xff)
+        if (m == 0xc0) at = i else i += 2 + len
+      }
+      at
+    }
+    Seq(5, 6, 7, 8).foreach(d => huge(sofAt + d) = 0xff.toByte)
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decodeBaseline(huge)
+    }
+    assert(e.getMessage.contains("decode cap"), e.getMessage)
+  }
+
   test("decodeImage dispatches BMP and JPEG through one shape") {
     val bmp = MediaCodec.synthesizeBmp24(5, 4, (x, y, c) => (x + y + c) % 256)
     val jpg = JpegCodec.encodeBaseline(8, 8, 1, (_, _, _) => 77,

@@ -169,6 +169,51 @@ class IngestSpec extends SparkSpec {
     assert(moved === 1000)
   }
 
+  test("1k files against a REAL parquet sink drain in O(batches) group " +
+    "commits, not O(files) job pairs — the group-commit scale contract") {
+    val root = tmp("graft_1k_real")
+    val cap = 100
+    val conf = mkConf(root).copy(maxFilesPerTrigger = Some(cap))
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    (1 to 1000).foreach { i =>
+      writeCsv(dataDir, f"r$i%04d.csv",
+        f"2025-05-26 04:${i % 60}%02d:08,S${i % 7},25.5,0.65,1013.25")
+    }
+    val writeAllCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val perFileCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val real = new ParquetSink(
+      root.resolve("raw").toString, root.resolve("agg").toString)
+    val sink = new graft.sink.BatchSink {
+      override def write(f: String, raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Boolean = {
+        perFileCalls.incrementAndGet(); real.write(f, raw, agg)
+      }
+      override def writeAll(names: Seq[String],
+          raw: org.apache.spark.sql.DataFrame,
+          agg: org.apache.spark.sql.DataFrame): Set[String] = {
+        writeAllCalls.incrementAndGet(); real.writeAll(names, raw, agg)
+      }
+    }
+    val q = Ingest.start(spark, conf, sink)
+    try q.processAllAvailable() finally q.stop()
+    // ONE group write per data-bearing micro-batch — 1000/cap of them,
+    // never 1000 per-file job pairs (before group commit this spec
+    // shape was driver-serialized minutes; now it's bounded by batch
+    // count)
+    assert(perFileCalls.get() === 0)
+    assert(writeAllCalls.get() === 1000 / cap,
+      s"expected ${1000 / cap} group writes, got ${writeAllCalls.get()}")
+    val raw = spark.read.parquet(root.resolve("raw").toString)
+    assert(raw.count() === 1000)
+    assert(raw.select("file_name").distinct().count() === 1000)
+    val listing = Files.list(root.resolve("processed"))
+    val moved = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.count(_.toString.endsWith(".csv"))
+    } finally listing.close()
+    assert(moved === 1000)
+  }
+
   test("end-to-end routing: clean commits+moves, dirty quarantines with reason, empty sweeps") {
     val root = tmp("graft_ingest")
     val conf = mkConf(root)
