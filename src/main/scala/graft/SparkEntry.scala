@@ -530,29 +530,43 @@ object SparkEntry {
       graft.ext.Multimodal.audioEnergy(s, media)
     }),
 
-    // [EXT] REAL image decode + resize over TWO real formats: even
-    // doc_ids are 24-bit BMPs with formula pixels (bottom-up rows,
-    // padding, BGR); odd doc_ids are baseline JPEGs — a REAL
+    // [EXT] REAL image decode + resize over THREE real formats,
+    // doc_id % 3 cycling: (0) 24-bit BMPs with formula pixels
+    // (bottom-up rows, padding, BGR); (1) baseline JPEGs — a REAL
     // Huffman-coded bitstream (DC prediction, EOB, byte stuffing)
     // whose 8×8 blocks are formula-CONSTANT with an identity quant
     // table, which makes the lossy format decode bit-exactly
-    // (JpegCodec scaladoc) and therefore DuckDB-oracle-able. Both are
-    // decoded, nearest-neighbor resized to 5×3, and reduced to exact
-    // channel stats the oracle recomputes from the generator formulas.
+    // (JpegCodec scaladoc); (2) PNGs — a REAL zlib-deflated bitstream
+    // with the filter type CYCLING 0→4 per scanline and Adam7
+    // interlace on alternating ids, losslessly carrying the BMP pixel
+    // formula. All DuckDB-oracle-able. Each is decoded,
+    // nearest-neighbor resized to 5×3, and reduced to exact channel
+    // stats the oracle recomputes from the generator formulas.
     "q_image_resize" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + id % 9).toInt
           val h = (5 + id % 7).toInt
-          if (id % 2 == 0)
-            (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
-              (x, y, c) => ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
-          else
-            (id, "image", graft.ext.JpegCodec.encodeBaseline(w, h, 1,
-              (x, y, _) =>
-                ((id * 11 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt,
-              lumaQuant = graft.ext.JpegCodec.FlatQuant))
+          (id % 3) match {
+            case 0 =>
+              (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
+                (x, y, c) =>
+                  ((id * 7 + x * 13 + y * 31 + c * 5) % 256).toInt))
+            case 1 =>
+              (id, "image", graft.ext.JpegCodec.encodeBaseline(w, h, 1,
+                (x, y, _) =>
+                  ((id * 11 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt,
+                lumaQuant = graft.ext.JpegCodec.FlatQuant))
+            case _ =>
+              // PNG samples are RGB-ordered; the shared pixel formula
+              // indexes Bmp24 channels (0 = B), so sample c carries
+              // channel 2 − c — the decode lands formula(c) at c.
+              (id, "image", graft.ext.PngCodec.encode(w, h, 3,
+                (x, y, c) =>
+                  ((id * 7 + x * 13 + y * 31 + (2 - c) * 5) % 256).toInt,
+                filterMode = -1, interlaced = id % 2 == 0))
+          }
         }).toDF("doc_id", "media_type", "payload")
       graft.ext.Multimodal.imageResizeStats(s, media, outW = 5, outH = 3)
         .toDF()
@@ -3785,23 +3799,25 @@ FROM deg GROUP BY 1"""
         |FROM px GROUP BY 1, 2""".stripMargin,
 
     // Resized-image stats from the pixel GENERATOR formulas evaluated
-    // at the nearest-neighbor source coordinates — even ids the BMP
-    // pixel formula, odd ids the JPEG flat-block formula (each 8×8
-    // block constant, channel-independent, identity quant → the real
-    // Huffman bitstream decodes bit-exactly). Proves decode of BOTH
-    // formats and the resize math exact.
+    // at the nearest-neighbor source coordinates — doc_id % 3 = 1 the
+    // JPEG flat-block formula (each 8×8 block constant,
+    // channel-independent, identity quant → the real Huffman bitstream
+    // decodes bit-exactly), otherwise the BMP/PNG pixel formula (PNG
+    // is lossless: deflate → filter 0-4 → Adam7 round-trips the exact
+    // bytes). Proves decode of all THREE formats and the resize math
+    // exact.
     "q_image_resize" ->
       """WITH d AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, w, h, c.c AS chan,
-        |    CASE WHEN doc_id % 2 = 0 THEN
-        |      (doc_id * 7 + ((u.x * w) // 5) * 13
-        |        + ((v.y * h) // 3) * 31 + c.c * 5) % 256
-        |    ELSE
+        |    CASE WHEN doc_id % 3 = 1 THEN
         |      (doc_id * 11 + (((u.x * w) // 5) // 8) * 7
         |        + (((v.y * h) // 3) // 8) * 13) % 256
+        |    ELSE
+        |      (doc_id * 7 + ((u.x * w) // 5) * 13
+        |        + ((v.y * h) // 3) * 31 + c.c * 5) % 256
         |    END AS val
         |  FROM d, unnest(range(0, 5)) u(x), unnest(range(0, 3)) v(y),
         |    unnest(range(0, 3)) c(c)),

@@ -376,21 +376,29 @@ object MediaCodec {
     * The 1→N decode shape of real video without an external codec.
     */
   /** Unified pixel decode over the formats with a REAL decoder: 24-bit
-    * BMP (here) and baseline sequential JPEG ([[JpegCodec]], grayscale
-    * expands to B = G = R). One return shape for every pixel consumer.
+    * BMP (here), baseline sequential JPEG ([[JpegCodec]]) and PNG
+    * ([[PngCodec]] — all color types, Adam7, zlib inflate); grayscale
+    * expands to B = G = R. One return shape for every pixel consumer.
     */
   def decodeImage(b: Array[Byte]): Bmp24 = detect(b) match {
     case "bmp" => decodeBmp24(b)
     case "jpeg" => JpegCodec.decodeBaseline(b)
+    case "png" => PngCodec.decode(b)
     case other => throw new IllegalArgumentException(
       s"no pixel decoder for format '$other'")
   }
 
-  /** Guard for [[decodeImage]] on untrusted corpus bytes. */
+  /** Guard for [[decodeImage]] on untrusted corpus bytes. The JPEG and
+    * PNG guards are structural (they do not decode entropy data), so a
+    * guard-passing stream can still fail decode with
+    * IllegalArgumentException — consumers of untrusted bytes must
+    * catch it and fall back.
+    */
   def isDecodableImage(b: Array[Byte]): Boolean =
     detect(b) match {
       case "bmp" => isCompleteBmp24(b)
       case "jpeg" => JpegCodec.isBaselineDecodable(b)
+      case "png" => PngCodec.isDecodable(b)
       case _ => false
     }
 

@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
   * reference equivalent.
   *
   * Every path here decodes REAL bytes via [[MediaCodec]]: header
-  * parse for all six formats, full pixel decode for 24-bit BMP AND
+  * parse for all six formats, full pixel decode for 24-bit BMP,
   * baseline sequential JPEG ([[JpegCodec]] — Huffman entropy decode,
   * dequantize, IDCT, chroma upsample, YCbCr→RGB, cross-checked
-  * against the JDK's ImageIO in both directions), full sample decode
-  * for 16-bit PCM WAV, container walk + frame decode for GVID video.
-  * The remaining stub boundary — clearly labeled at each site — is
-  * pixel/sample decode of PNG/GIF/WebP streams and non-PCM audio:
-  * those need codec libraries this environment doesn't ship, and a
-  * real deployment swaps in javacv / a `mapInPandas` PIL worker at
-  * exactly those branches.
+  * against the JDK's ImageIO in both directions) AND PNG
+  * ([[PngCodec]] — zlib inflate, all five scanline filters, Adam7
+  * interlace, gray/RGB/palette/alpha color types, also
+  * ImageIO-cross-checked), full sample decode for 16-bit PCM WAV,
+  * container walk + frame decode for GVID video. The remaining stub
+  * boundary — clearly labeled at each site — is pixel decode of
+  * GIF/WebP streams and non-PCM audio: those need codec libraries
+  * this environment doesn't ship, and a real deployment swaps in
+  * javacv / a `mapInPandas` PIL worker at exactly those branches.
   *
   * Design for 100 TB: payloads are decoded per-partition via
   * `mapPartitions` over a typed Dataset, so one task holds one batch of
@@ -46,6 +48,16 @@ object Multimodal {
     * header variants carry no depth (channels 0 — honest, not
     * invented); unknown payloads are all-zero.
     */
+  /** Pixel decode of untrusted bytes: the structural guards
+    * ([[MediaCodec.isDecodableImage]]) don't inflate/entropy-decode,
+    * so decode can still reject a guard-passing corrupt stream — as a
+    * data fault (IllegalArgumentException) this catches, never a
+    * task-killing escape.
+    */
+  private def decodeChecked(p: Array[Byte]): Option[MediaCodec.Bmp24] =
+    try Some(MediaCodec.decodeImage(p))
+    catch { case _: IllegalArgumentException => None }
+
   private def headerDims(payload: Array[Byte]): (String, Int, Int, Int) =
     MediaCodec.detect(payload) match {
       case "bmp" =>
@@ -73,10 +85,10 @@ object Multimodal {
 
   /** Feature extraction over REAL decoded content — the fixed-width
     * float vector a downstream [[Similarity]] index consumes, one
-    * encoder pass per partition. BMP and baseline-JPEG features come
-    * from the actual pixel decode (dims + exact per-channel means +
-    * min/max); WAV features from the actual PCM samples (count, peak,
-    * RMS, mean); the remaining compressed formats (PNG/GIF/WebP) get
+    * encoder pass per partition. BMP, baseline-JPEG and PNG features
+    * come from the actual pixel decode (dims + exact per-channel means
+    * + min/max); WAV features from the actual PCM samples (count,
+    * peak, RMS, mean); the remaining compressed formats (GIF/WebP) get
     * header dims only, zero-padded — the LABELED STUB boundary:
     * replacing the zeros with learned-encoder output is exactly where
     * a PIL/torchvision `mapInPandas` worker plugs in.
@@ -94,50 +106,39 @@ object Multimodal {
           // the header-dims fallback instead of killing the task —
           // corpus bytes are untrusted.
           val stats: Array[Float] = MediaCodec.detect(p) match {
-            case "bmp" if MediaCodec.isCompleteBmp24(p) =>
-              val img = MediaCodec.decodeBmp24(p)
-              val npx = math.max(1, img.width * img.height)
-              var (bs, gs, rs) = (0L, 0L, 0L)
-              var mn = 255
-              var mx = 0
-              var i = 0
-              while (i < img.pixels.length) {
-                val v = img.pixels(i)
-                (i % 3) match {
-                  case 0 => bs += v
-                  case 1 => gs += v
-                  case _ => rs += v
-                }
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                i += 1
+            // REAL pixel decode for every format with a real decoder
+            // (BMP24, baseline JPEG, PNG) — the former "external codec
+            // required" stub branches. decodeChecked, not decodeImage:
+            // the JPEG/PNG guards are structural, so a guard-passing
+            // stream can still fail entropy decode; untrusted corpus
+            // bytes must fall back to header dims, never kill the task.
+            case "bmp" | "jpeg" | "png"
+                if MediaCodec.isDecodableImage(p) =>
+              decodeChecked(p) match {
+                case Some(img) =>
+                  val npx = math.max(1, img.width * img.height)
+                  var (bs, gs, rs) = (0L, 0L, 0L)
+                  var mn = 255
+                  var mx = 0
+                  var i = 0
+                  while (i < img.pixels.length) {
+                    val v = img.pixels(i)
+                    (i % 3) match {
+                      case 0 => bs += v
+                      case 1 => gs += v
+                      case _ => rs += v
+                    }
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    i += 1
+                  }
+                  Array(img.width.toFloat, img.height.toFloat,
+                    bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
+                    mn.toFloat, mx.toFloat, npx.toFloat)
+                case None =>
+                  val (_, w, h, c) = headerDims(p)
+                  Array(w.toFloat, h.toFloat, c.toFloat, 0f, 0f, 0f, 0f, 0f)
               }
-              Array(img.width.toFloat, img.height.toFloat,
-                bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
-                mn.toFloat, mx.toFloat, npx.toFloat)
-            case "jpeg" if MediaCodec.isDecodableImage(p) =>
-              // REAL baseline-JPEG pixel decode (JpegCodec) — the
-              // former "external codec required" stub branch
-              val img = MediaCodec.decodeImage(p)
-              val npx = math.max(1, img.width * img.height)
-              var (bs, gs, rs) = (0L, 0L, 0L)
-              var mn = 255
-              var mx = 0
-              var i = 0
-              while (i < img.pixels.length) {
-                val v = img.pixels(i)
-                (i % 3) match {
-                  case 0 => bs += v
-                  case 1 => gs += v
-                  case _ => rs += v
-                }
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                i += 1
-              }
-              Array(img.width.toFloat, img.height.toFloat,
-                bs.toFloat / npx, gs.toFloat / npx, rs.toFloat / npx,
-                mn.toFloat, mx.toFloat, npx.toFloat)
             case "wav" if MediaCodec.isCompletePcm16(p) =>
               val s = MediaCodec.decodePcm16(p)
               var peak = 0L
@@ -166,14 +167,14 @@ object Multimodal {
       }
   }
 
-  /** REAL thumbnail path: 24-bit BMP payloads are pixel-decoded,
-    * nearest-neighbor resampled (the [[imageResizeStats]] coordinate
-    * math) and RE-ENCODED as a valid BMP24 payload — decode → resample
-    * → encode, all byte-level. Non-BMP payloads pass through UNCHANGED
-    * with their parsed header dimensions: resampling a compressed
-    * format needs an external codec (the labeled stub boundary), and
-    * an untouched payload is the honest fallback — never a fabricated
-    * one.
+  /** REAL thumbnail path: BMP24, baseline-JPEG and PNG payloads are
+    * pixel-decoded, nearest-neighbor resampled (the
+    * [[imageResizeStats]] coordinate math) and RE-ENCODED as a valid
+    * BMP24 payload — decode → resample → encode, all byte-level.
+    * GIF/WebP payloads pass through UNCHANGED with their parsed header
+    * dimensions: resampling those needs an external codec (the labeled
+    * stub boundary), and an untouched payload is the honest fallback —
+    * never a fabricated one.
     */
   def resize(
       spark: SparkSession, media: DataFrame,
@@ -182,19 +183,24 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .mapPartitions(_.map { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
-        MediaCodec.detect(p) match {
+        val decoded = MediaCodec.detect(p) match {
           // isDecodableImage, not magic bytes alone: a header-only
           // payload (synthesizeBmp/synthesizeJpeg) or truncated upload
-          // must pass through untouched, not crash the pixel decode.
-          // JPEG thumbnails re-encode as BMP24 — lossless output from
-          // a decode that was already lossy once; the media_type
-          // column still records the source kind.
-          case "bmp" | "jpeg" if MediaCodec.isDecodableImage(p) =>
-            val img = MediaCodec.decodeImage(p)
+          // must pass through untouched, not crash the pixel decode —
+          // and decodeChecked for the entropy faults the structural
+          // guard can't see. JPEG/PNG thumbnails re-encode as BMP24 —
+          // uncompressed output; the media_type column still records
+          // the source kind.
+          case "bmp" | "jpeg" | "png" if MediaCodec.isDecodableImage(p) =>
+            decodeChecked(p)
+          case _ => None
+        }
+        decoded match {
+          case Some(img) =>
             val out = MediaCodec.synthesizeBmp24(width, height,
               (x, y, c) => img(x * img.width / width, y * img.height / height, c))
             ResizedMedia(r.doc_id, r.media_type, out, width, height)
-          case _ =>
+          case None =>
             val (_, w, h, _) = headerDims(p)
             ResizedMedia(r.doc_id, r.media_type, p, w, h)
         }
