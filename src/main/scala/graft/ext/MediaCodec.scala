@@ -376,14 +376,16 @@ object MediaCodec {
     * The 1→N decode shape of real video without an external codec.
     */
   /** Unified pixel decode over the formats with a REAL decoder: 24-bit
-    * BMP (here), baseline sequential JPEG ([[JpegCodec]]) and PNG
-    * ([[PngCodec]] — all color types, Adam7, zlib inflate); grayscale
-    * expands to B = G = R. One return shape for every pixel consumer.
+    * BMP (here), baseline sequential JPEG ([[JpegCodec]]), PNG
+    * ([[PngCodec]] — all color types, Adam7, zlib inflate) and GIF
+    * ([[GifCodec]] — LZW, interlace, first frame); grayscale expands
+    * to B = G = R. One return shape for every pixel consumer.
     */
   def decodeImage(b: Array[Byte]): Bmp24 = detect(b) match {
     case "bmp" => decodeBmp24(b)
     case "jpeg" => JpegCodec.decodeBaseline(b)
     case "png" => PngCodec.decode(b)
+    case "gif" => GifCodec.decode(b)
     case other => throw new IllegalArgumentException(
       s"no pixel decoder for format '$other'")
   }
@@ -399,6 +401,7 @@ object MediaCodec {
       case "bmp" => isCompleteBmp24(b)
       case "jpeg" => JpegCodec.isBaselineDecodable(b)
       case "png" => PngCodec.isDecodable(b)
+      case "gif" => GifCodec.isDecodable(b)
       case _ => false
     }
 
