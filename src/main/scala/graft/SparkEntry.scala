@@ -530,8 +530,8 @@ object SparkEntry {
       graft.ext.Multimodal.audioEnergy(s, media)
     }),
 
-    // [EXT] REAL image decode + resize over FOUR real formats,
-    // doc_id % 4 cycling: (0) 24-bit BMPs with formula pixels
+    // [EXT] REAL image decode + resize over FIVE real formats,
+    // doc_id % 5 cycling: (0) 24-bit BMPs with formula pixels
     // (bottom-up rows, padding, BGR); (1) baseline JPEGs — a REAL
     // Huffman-coded bitstream (DC prediction, EOB, byte stuffing)
     // whose 8×8 blocks are formula-CONSTANT with an identity quant
@@ -541,16 +541,19 @@ object SparkEntry {
     // interlace on alternating ids, losslessly carrying the BMP pixel
     // formula; (3) GIFs — a REAL LZW-coded bitstream with a 64-entry
     // formula palette and 4-pass interlace on alternating ids
-    // (palette-lossless). All DuckDB-oracle-able. Each is decoded,
-    // nearest-neighbor resized to 5×3, and reduced to exact channel
-    // stats the oracle recomputes from the generator formulas.
+    // (palette-lossless); (4) lossless WebPs — a REAL VP8L
+    // prefix-coded bitstream (libwebp-conformance-proven codec),
+    // losslessly carrying the BMP pixel formula. All
+    // DuckDB-oracle-able. Each is decoded, nearest-neighbor resized
+    // to 5×3, and reduced to exact channel stats the oracle
+    // recomputes from the generator formulas.
     "q_image_resize" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + id % 9).toInt
           val h = (5 + id % 7).toInt
-          (id % 4) match {
+          (id % 5) match {
             case 0 =>
               (id, "image", graft.ext.MediaCodec.synthesizeBmp24(w, h,
                 (x, y, c) =>
@@ -567,8 +570,8 @@ object SparkEntry {
               (id, "image", graft.ext.PngCodec.encode(w, h, 3,
                 (x, y, c) =>
                   ((id * 7 + x * 13 + y * 31 + (2 - c) * 5) % 256).toInt,
-                filterMode = -1, interlaced = id % 8 == 2))
-            case _ =>
+                filterMode = -1, interlaced = id % 2 == 0))
+            case 3 =>
               // GIF: 64-entry palette whose entry i decodes to the
               // BGR-indexed formula (id·7 + i·13 + c·5) % 256; packed
               // entries are 0xRRGGBB so R carries c = 2.
@@ -577,7 +580,13 @@ object SparkEntry {
                 (pf(2) << 16) | (pf(1) << 8) | pf(0)
               }
               (id, "image", graft.ext.GifCodec.encode(w, h, pal,
-                (x, y) => (x * 3 + y * 5) % 64, interlaced = id % 8 == 3))
+                (x, y) => (x * 3 + y * 5) % 64, interlaced = id % 2 == 1))
+            case _ =>
+              // WebP (VP8L, lossless): encode samples are RGB-ordered
+              // like PNG's, so sample c carries BGR channel 2 − c.
+              (id, "image", graft.ext.VP8LCodec.encode(w, h,
+                (x, y, c) =>
+                  ((id * 7 + x * 13 + y * 31 + (2 - c) * 5) % 256).toInt))
           }
         }).toDF("doc_id", "media_type", "payload")
       graft.ext.Multimodal.imageResizeStats(s, media, outW = 5, outH = 3)
@@ -3811,25 +3820,26 @@ FROM deg GROUP BY 1"""
         |FROM px GROUP BY 1, 2""".stripMargin,
 
     // Resized-image stats from the pixel GENERATOR formulas evaluated
-    // at the nearest-neighbor source coordinates — doc_id % 4 picks
+    // at the nearest-neighbor source coordinates — doc_id % 5 picks
     // the format: 1 the JPEG flat-block formula (each 8×8 block
     // constant, channel-independent, identity quant → the real
     // Huffman bitstream decodes bit-exactly); 3 the GIF
     // palette-compose formula (palette entry (x·3 + y·5) % 64, each
     // entry the BGR channel formula — LZW is palette-lossless);
-    // otherwise the BMP/PNG pixel formula (PNG is lossless: deflate →
-    // filter 0-4 → Adam7 round-trips the exact bytes). Proves decode
-    // of all FOUR formats and the resize math exact.
+    // otherwise the BMP/PNG/WebP pixel formula (PNG and VP8L are
+    // lossless: the real entropy bitstreams round-trip the exact
+    // bytes). Proves decode of all FIVE formats and the resize math
+    // exact.
     "q_image_resize" ->
       """WITH d AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, w, h, c.c AS chan,
-        |    CASE WHEN doc_id % 4 = 1 THEN
+        |    CASE WHEN doc_id % 5 = 1 THEN
         |      (doc_id * 11 + (((u.x * w) // 5) // 8) * 7
         |        + (((v.y * h) // 3) // 8) * 13) % 256
-        |    WHEN doc_id % 4 = 3 THEN
+        |    WHEN doc_id % 5 = 3 THEN
         |      (doc_id * 7
         |        + ((((u.x * w) // 5) * 3 + ((v.y * h) // 3) * 5) % 64) * 13
         |        + c.c * 5) % 256

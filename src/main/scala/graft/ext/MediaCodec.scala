@@ -386,6 +386,7 @@ object MediaCodec {
     case "jpeg" => JpegCodec.decodeBaseline(b)
     case "png" => PngCodec.decode(b)
     case "gif" => GifCodec.decode(b)
+    case "webp" => VP8LCodec.decode(b)
     case other => throw new IllegalArgumentException(
       s"no pixel decoder for format '$other'")
   }
@@ -402,6 +403,7 @@ object MediaCodec {
       case "jpeg" => JpegCodec.isBaselineDecodable(b)
       case "png" => PngCodec.isDecodable(b)
       case "gif" => GifCodec.isDecodable(b)
+      case "webp" => VP8LCodec.isDecodable(b)
       case _ => false
     }
 

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * against the JDK's ImageIO in both directions) AND PNG
   * ([[PngCodec]] — zlib inflate, all five scanline filters, Adam7
   * interlace, gray/RGB/palette/alpha color types, also
-  * ImageIO-cross-checked) and GIF ([[GifCodec]] — LZW entropy decode,
-  * 4-pass interlace, color tables, also ImageIO-cross-checked), full
-  * sample decode for 16-bit PCM WAV, container walk + frame decode
-  * for GVID video. The remaining stub boundary — clearly labeled at
-  * each site — is pixel decode of WebP streams and non-PCM audio:
+  * ImageIO-cross-checked), GIF ([[GifCodec]] — LZW entropy decode,
+  * 4-pass interlace, color tables, also ImageIO-cross-checked) AND
+  * lossless WebP ([[VP8LCodec]] — VP8L prefix codes, LZ77, color
+  * cache, all four transforms, conformance-proven against libwebp
+  * fixtures in both directions), full sample decode for 16-bit PCM
+  * WAV, container walk + frame decode for GVID video. The remaining
+  * stub boundary — clearly labeled at each site — is pixel decode of
+  * LOSSY WebP (VP8 boolean-arithmetic coding) and non-PCM audio:
   * those need codec libraries this environment doesn't ship, and a
   * real deployment swaps in javacv / a `mapInPandas` PIL worker at
   * exactly those branches.
@@ -90,8 +93,8 @@ object Multimodal {
     * encoder pass per partition. BMP, baseline-JPEG and PNG features
     * come from the actual pixel decode (dims + exact per-channel means
     * + min/max); WAV features from the actual PCM samples (count,
-    * peak, RMS, mean); the remaining compressed format (WebP) gets
-    * header dims only, zero-padded — the LABELED STUB boundary:
+    * peak, RMS, mean); the remaining compressed format (lossy-VP8
+    * WebP) gets header dims only, zero-padded — the LABELED STUB boundary:
     * replacing the zeros with learned-encoder output is exactly where
     * a PIL/torchvision `mapInPandas` worker plugs in.
     */
@@ -114,7 +117,7 @@ object Multimodal {
             // the JPEG/PNG guards are structural, so a guard-passing
             // stream can still fail entropy decode; untrusted corpus
             // bytes must fall back to header dims, never kill the task.
-            case "bmp" | "jpeg" | "png" | "gif"
+            case "bmp" | "jpeg" | "png" | "gif" | "webp"
                 if MediaCodec.isDecodableImage(p) =>
               decodeChecked(p) match {
                 case Some(img) =>
@@ -169,14 +172,15 @@ object Multimodal {
       }
   }
 
-  /** REAL thumbnail path: BMP24, baseline-JPEG, PNG and GIF payloads
-    * are pixel-decoded, nearest-neighbor resampled (the
-    * [[imageResizeStats]] coordinate math) and RE-ENCODED as a valid
-    * BMP24 payload — decode → resample → encode, all byte-level.
-    * WebP payloads pass through UNCHANGED with their parsed header
-    * dimensions: resampling those needs an external codec (the labeled
-    * stub boundary), and an untouched payload is the honest fallback —
-    * never a fabricated one.
+  /** REAL thumbnail path: BMP24, baseline-JPEG, PNG, GIF and
+    * lossless-WebP payloads are pixel-decoded, nearest-neighbor
+    * resampled (the [[imageResizeStats]] coordinate math) and
+    * RE-ENCODED as a valid BMP24 payload — decode → resample →
+    * encode, all byte-level. Lossy-VP8 WebP payloads pass through
+    * UNCHANGED with their parsed header dimensions: resampling those
+    * needs an external codec (the labeled stub boundary), and an
+    * untouched payload is the honest fallback — never a fabricated
+    * one.
     */
   def resize(
       spark: SparkSession, media: DataFrame,
@@ -193,7 +197,7 @@ object Multimodal {
           // guard can't see. JPEG/PNG thumbnails re-encode as BMP24 —
           // uncompressed output; the media_type column still records
           // the source kind.
-          case "bmp" | "jpeg" | "png" | "gif"
+          case "bmp" | "jpeg" | "png" | "gif" | "webp"
               if MediaCodec.isDecodableImage(p) =>
             decodeChecked(p)
           case _ => None
