@@ -513,19 +513,31 @@ object SparkEntry {
     // (dims derived from n_chars), parse them back with the byte-level
     // MediaCodec; the oracle recomputes the same fields arithmetically
     // — the parse must invert the synthesis bit-exactly.
-    // [EXT] REAL audio decode: 16-bit PCM WAVs synthesized from a
-    // deterministic per-doc waveform, decoded back byte-for-byte and
-    // reduced to exact integer energy moments. The oracle recomputes
-    // from the generator FORMULA — the hash matches only if the
-    // byte-level decode is exact.
+    // [EXT] REAL audio decode over THREE encodings, doc_id % 3
+    // cycling: (0) 16-bit PCM WAVs from a deterministic waveform;
+    // (1) μ-law and (2) A-law G.711 WAVs whose 8-bit code bytes
+    // follow a formula and expand through the REAL ITU-T tables
+    // (JDK-cross-checked in G711Spec). All reduced to exact integer
+    // energy moments; the oracle recomputes from the generator
+    // FORMULA (and the closed-form G.711 expansion) — the hash
+    // matches only if the byte-level decode is exact.
     "q_audio_energy" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val n = (200 + id % 100).toInt
-          val samples = Array.tabulate(n)(i =>
-            (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt)
-          (id, "audio", graft.ext.MediaCodec.synthesizeWavPcm16(16000, samples))
+          (id % 3) match {
+            case 0 =>
+              val samples = Array.tabulate(n)(i =>
+                (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt)
+              (id, "audio",
+                graft.ext.MediaCodec.synthesizeWavPcm16(16000, samples))
+            case m =>
+              val codes = Array.tabulate(n)(i =>
+                ((id * 31 + i.toLong * 17) % 256).toInt)
+              (id, "audio", graft.ext.MediaCodec.synthesizeWavG711(
+                8000, codes, ulaw = m == 1))
+          }
         }).toDF("doc_id", "media_type", "payload")
       graft.ext.Multimodal.audioEnergy(s, media)
     }),
@@ -3865,13 +3877,33 @@ FROM deg GROUP BY 1"""
         |FROM g""".stripMargin,
 
     // Moments from the waveform GENERATOR formula — not the bytes —
-    // so the hash proves the byte decode exact.
+    // so the hash proves the byte decode exact. doc_id % 3 picks the
+    // encoding: 0 raw PCM16; 1 μ-law and 2 A-law, where the oracle
+    // expands the 8-bit code formula through the closed-form ITU-T
+    // G.711 tables (complement/xor-0x55, segment shift, bias).
     "q_audio_energy" ->
       """WITH d AS (SELECT doc_id FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + u.i * 17) % 65536 AS raw16,
+        |    (doc_id * 31 + u.i * 17) % 256 AS code
+        |  FROM d, unnest(range(0, 200 + doc_id % 100)) AS u(i)),
         |s AS (
         |  SELECT doc_id,
-        |    (doc_id * 31 + u.i * 17) % 65536 - 32768 AS v
-        |  FROM d, unnest(range(0, 200 + doc_id % 100)) AS u(i)),
+        |    CASE doc_id % 3
+        |    WHEN 0 THEN raw16 - 32768
+        |    WHEN 1 THEN (CASE WHEN (255 - code) >= 128 THEN 132 -
+        |        (((255 - code) % 16) * 8 + 132)
+        |          * (1 << (((255 - code) // 16) % 8))
+        |      ELSE (((255 - code) % 16) * 8 + 132)
+        |          * (1 << (((255 - code) // 16) % 8)) - 132 END)
+        |    ELSE (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE (xor(code, 85) // 16) % 8
+        |       WHEN 0 THEN (xor(code, 85) % 16) * 16 + 8
+        |       ELSE ((xor(code, 85) % 16) * 16 + 264)
+        |         * (1 << ((xor(code, 85) // 16) % 8 - 1)) END)
+        |    END AS v
+        |  FROM c),
         |g AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
         |    CAST(MAX(ABS(v)) AS BIGINT) AS peak,

@@ -500,6 +500,122 @@ object MediaCodec {
     out
   }
 
+  /** G.711 μ-law byte → 16-bit linear PCM (ITU-T G.711 expansion). */
+  def g711UlawToPcm(code: Int): Int = {
+    val v = ~code & 0xff
+    var t = ((v & 0x0f) << 3) + 0x84
+    t <<= (v & 0x70) >> 4
+    if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit linear PCM (ITU-T G.711 expansion). */
+  def g711AlawToPcm(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Canonical mono G.711 WAV (format tag 7 = μ-law, 6 = A-law,
+    * 8 bits/sample) with REAL code bytes — the payload
+    * [[decodeG711]] expands back to linear PCM.
+    */
+  def synthesizeWavG711(
+      sampleRate: Int, codes: Array[Int], ulaw: Boolean): Array[Byte] = {
+    val b = new Array[Byte](44 + codes.length)
+    System.arraycopy(synthesizeWav(1, sampleRate, 8), 0, b, 0, 44)
+    putLe16(b, 20, if (ulaw) 7 else 6) // WAVE_FORMAT_MULAW / ALAW
+    putLe32(b, 4, 36 + codes.length)
+    putLe32(b, 40, codes.length)
+    var i = 0
+    while (i < codes.length) {
+      b(44 + i) = (codes(i) & 0xff).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** REAL G.711 decode: walk to the `data` chunk and expand each
+    * 8-bit μ-law/A-law code byte to a 16-bit linear sample. Same
+    * untrusted-bytes contract as [[decodePcm16]].
+    */
+  def decodeG711(b: Array[Byte]): Array[Int] = {
+    require(detect(b) == "wav", "not a WAV payload")
+    val tag = le16(b, 20)
+    require(tag == 6 || tag == 7, s"not a G.711 WAV: format tag $tag")
+    require(le16(b, 34) == 8, s"G.711 is 8-bit: ${le16(b, 34)}")
+    val ulaw = tag == 7
+    var off = 12
+    require(off + 8 <= b.length, "no data chunk")
+    while (!(b(off) == 'd' && b(off + 1) == 'a' &&
+      b(off + 2) == 't' && b(off + 3) == 'a')) {
+      val sz = le32(b, off + 4)
+      require(sz >= 0, s"corrupt WAV chunk size: $sz")
+      off += 8 + sz + (sz & 1)
+      require(off + 8 <= b.length, "no data chunk")
+    }
+    val dataBytes = le32(b, off + 4)
+    require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
+      s"truncated WAV data chunk: claims $dataBytes bytes, " +
+        s"payload has ${b.length - off - 8}")
+    val out = new Array[Int](dataBytes)
+    var i = 0
+    while (i < dataBytes) {
+      val c = b(off + 8 + i) & 0xff
+      out(i) = if (ulaw) g711UlawToPcm(c) else g711AlawToPcm(c)
+      i += 1
+    }
+    out
+  }
+
+  /** True iff `b` is a canonical 8-bit G.711 WAV whose data chunk is
+    * complete — the safe-dispatch twin of [[isCompletePcm16]].
+    */
+  def isCompleteG711(b: Array[Byte]): Boolean =
+    detect(b) == "wav" &&
+      (le16(b, 20) == 6 || le16(b, 20) == 7) && le16(b, 34) == 8 && {
+        var off = 12
+        var ok = false
+        var done = false
+        while (!done && off + 8 <= b.length) {
+          if (b(off) == 'd' && b(off + 1) == 'a' &&
+            b(off + 2) == 't' && b(off + 3) == 'a') {
+            val sz = le32(b, off + 4)
+            ok = sz >= 0 && off + 8L + sz <= b.length
+            done = true
+          } else {
+            val sz = le32(b, off + 4)
+            if (sz < 0) done = true
+            else off += 8 + sz + (sz & 1)
+          }
+        }
+        ok
+      }
+
+  /** Unified WAV sample decode: 16-bit PCM or 8-bit G.711 (μ-law /
+    * A-law), both to linear PCM ints — one return shape for every
+    * sample consumer, mirroring [[decodeImage]].
+    */
+  def decodeAudio(b: Array[Byte]): Array[Int] = {
+    require(detect(b) == "wav", "not a WAV payload")
+    le16(b, 20) match {
+      case 1 => decodePcm16(b)
+      case 6 | 7 => decodeG711(b)
+      case other => throw new IllegalArgumentException(
+        s"no sample decoder for WAV format tag $other")
+    }
+  }
+
+  /** Guard for [[decodeAudio]] on untrusted corpus bytes. */
+  def isDecodableAudio(b: Array[Byte]): Boolean =
+    detect(b) == "wav" && (le16(b, 20) match {
+      case 1 => isCompletePcm16(b)
+      case 6 | 7 => isCompleteG711(b)
+      case _ => false
+    })
+
   /** Minimal spec-valid PNG: signature + IHDR chunk (with a real
     * CRC-32 over type+data — readers that check it must accept the
     * payload) and an IEND chunk. No IDAT — header-only payload, the

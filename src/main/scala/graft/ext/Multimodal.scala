@@ -144,8 +144,8 @@ object Multimodal {
                   val (_, w, h, c) = headerDims(p)
                   Array(w.toFloat, h.toFloat, c.toFloat, 0f, 0f, 0f, 0f, 0f)
               }
-            case "wav" if MediaCodec.isCompletePcm16(p) =>
-              val s = MediaCodec.decodePcm16(p)
+            case "wav" if MediaCodec.isDecodableAudio(p) =>
+              val s = MediaCodec.decodeAudio(p) // PCM16 or G.711
               var peak = 0L
               var sum = 0L
               var ss = 0L
@@ -337,7 +337,7 @@ object Multimodal {
     import org.apache.spark.sql.functions.{col, floor, lit, sqrt}
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
-        val samples = MediaCodec.decodePcm16(p)
+        val samples = MediaCodec.decodeAudio(p) // PCM16 or G.711
         var peak = 0L
         var ss = 0L
         var i = 0
