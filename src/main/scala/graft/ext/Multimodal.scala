@@ -175,12 +175,15 @@ object Multimodal {
   /** REAL thumbnail path: BMP24, baseline-JPEG, PNG, GIF and
     * lossless-WebP payloads are pixel-decoded, nearest-neighbor
     * resampled (the [[imageResizeStats]] coordinate math) and
-    * RE-ENCODED as a valid BMP24 payload — decode → resample →
-    * encode, all byte-level. Lossy-VP8 WebP payloads pass through
-    * UNCHANGED with their parsed header dimensions: resampling those
-    * needs an external codec (the labeled stub boundary), and an
-    * untouched payload is the honest fallback — never a fabricated
-    * one.
+    * RE-ENCODED in the SOURCE format through the real encoders
+    * (PNG → PNG, GIF → GIF with its palette rebuilt from the
+    * resampled pixels, WebP → VP8L; JPEG → lossless PNG so the
+    * already-lossy content is not degraded a second generation;
+    * BMP → BMP) — decode → resample → encode, all byte-level.
+    * Lossy-VP8 WebP payloads pass through UNCHANGED with their parsed
+    * header dimensions: resampling those needs an external codec (the
+    * labeled stub boundary), and an untouched payload is the honest
+    * fallback — never a fabricated one.
     */
   def resize(
       spark: SparkSession, media: DataFrame,
@@ -189,14 +192,13 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .mapPartitions(_.map { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
-        val decoded = MediaCodec.detect(p) match {
+        val fmt = MediaCodec.detect(p)
+        val decoded = fmt match {
           // isDecodableImage, not magic bytes alone: a header-only
           // payload (synthesizeBmp/synthesizeJpeg) or truncated upload
           // must pass through untouched, not crash the pixel decode —
           // and decodeChecked for the entropy faults the structural
-          // guard can't see. JPEG/PNG thumbnails re-encode as BMP24 —
-          // uncompressed output; the media_type column still records
-          // the source kind.
+          // guard can't see.
           case "bmp" | "jpeg" | "png" | "gif" | "webp"
               if MediaCodec.isDecodableImage(p) =>
             decodeChecked(p)
@@ -204,8 +206,50 @@ object Multimodal {
         }
         decoded match {
           case Some(img) =>
-            val out = MediaCodec.synthesizeBmp24(width, height,
-              (x, y, c) => img(x * img.width / width, y * img.height / height, c))
+            // NN sample in Bmp24 channel order (0 = B)
+            def s(x: Int, y: Int, c: Int): Int =
+              img(x * img.width / width, y * img.height / height, c)
+            // FORMAT-PRESERVING re-encode: the thumbnail ships in the
+            // source's own compressed format through the real
+            // encoders. JPEG is the exception — re-encoding lossy
+            // content a second time compounds generational loss, so
+            // its thumbnail ships as lossless PNG (the standard
+            // quality-preserving downgrade); BMP stays BMP.
+            val out = fmt match {
+              case "bmp" =>
+                MediaCodec.synthesizeBmp24(width, height, s)
+              case "png" | "jpeg" =>
+                PngCodec.encode(width, height, 3,
+                  (x, y, c) => s(x, y, 2 - c)) // PNG samples are RGB
+              case "webp" =>
+                VP8LCodec.encode(width, height,
+                  (x, y, c) => s(x, y, 2 - c)) // VP8L samples are RGB
+              case _ => // gif
+                // NN resampling of palette content cannot introduce
+                // colors, so the thumbnail's distinct-color set stays
+                // within the source's ≤256-entry table
+                val colors = scala.collection.mutable.LinkedHashMap
+                  .empty[Int, Int]
+                var y = 0
+                while (y < height) {
+                  var x = 0
+                  while (x < width) {
+                    val rgb = (s(x, y, 2) << 16) | (s(x, y, 1) << 8) |
+                      s(x, y, 0)
+                    if (!colors.contains(rgb)) colors(rgb) = colors.size
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (colors.size <= 256) {
+                  val pal = colors.keys.toArray
+                  GifCodec.encode(width, height, pal, (x, y) =>
+                    colors((s(x, y, 2) << 16) | (s(x, y, 1) << 8) |
+                      s(x, y, 0)))
+                } else // unreachable from a GIF source; honest guard
+                  PngCodec.encode(width, height, 3,
+                    (x, y, c) => s(x, y, 2 - c))
+            }
             ResizedMedia(r.doc_id, r.media_type, out, width, height)
           case None =>
             val (_, w, h, _) = headerDims(p)

@@ -408,4 +408,50 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.doc_id -> f.feature).toMap
     assert(feats(3L)(3) === 0f) // header fallback shape, not samples
   }
+
+  test("resize is FORMAT-PRESERVING: PNG→PNG, GIF→GIF, WebP→WebP, " +
+    "JPEG→lossless PNG, BMP→BMP — all real encodes, all pixel-exact") {
+    // one shared BGR-indexed formula; JPEG uses flat 8x8 blocks with
+    // the identity quant so its decode (and thus its thumbnail) is
+    // bit-exact too
+    def f(x: Int, y: Int, c: Int): Int = (x * 13 + y * 31 + c * 5) % 256
+    def fj(x: Int, y: Int): Int = ((x / 8) * 7 + (y / 8) * 13) % 256
+    val srcW = 12
+    val srcH = 9
+    val pal = Array.tabulate(64) { i =>
+      def pf(c: Int) = (i * 13 + c * 5) % 256
+      (pf(2) << 16) | (pf(1) << 8) | pf(0)
+    }
+    val media = Seq(
+      (1L, "bmp", MediaCodec.synthesizeBmp24(srcW, srcH, f)),
+      (2L, "png", PngCodec.encode(srcW, srcH, 3,
+        (x, y, c) => f(x, y, 2 - c))),
+      (3L, "gif", GifCodec.encode(srcW, srcH, pal,
+        (x, y) => (x * 3 + y * 5) % 64)),
+      (4L, "webp", VP8LCodec.encode(srcW, srcH,
+        (x, y, c) => f(x, y, 2 - c))),
+      (5L, "jpeg", JpegCodec.encodeBaseline(srcW, srcH, 1,
+        (x, y, _) => fj(x, y), lumaQuant = JpegCodec.FlatQuant)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resize(spark, media, 4, 3).collect()
+      .map(r => r.doc_id -> r).toMap
+    val wantFormat = Map(1L -> "bmp", 2L -> "png", 3L -> "gif",
+      4L -> "webp", 5L -> "png")
+    (1L to 5L).foreach { id =>
+      val r = out(id)
+      assert((r.width, r.height) === ((4, 3)), s"doc $id")
+      assert(MediaCodec.detect(r.payload) === wantFormat(id), s"doc $id")
+      val thumb = MediaCodec.decodeImage(r.payload)
+      for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+        val sx = x * srcW / 4
+        val sy = y * srcH / 3
+        val want = id match {
+          case 3L => (((sx * 3 + sy * 5) % 64) * 13 + c * 5) % 256
+          case 5L => fj(sx, sy) // grayscale: B=G=R
+          case _ => f(sx, sy, c)
+        }
+        assert(thumb(x, y, c) === want, s"doc $id ($x,$y,$c)")
+      }
+    }
+  }
 }
