@@ -114,20 +114,15 @@ object VP8LCodec {
     // over-subscription check + canonical symbol order
     private val offsets = new Array[Int](16)
     locally {
-      var code = 0
       var len = 1
       var total = 0
+      var kraft = 0L
       while (len <= 15) {
-        code = (code + count(len - 1)) << 1
-        // (code is the first code of this length in the canonical
-        // assignment; tracked implicitly in read())
         offsets(len) = total
         total += count(len)
+        kraft += count(len).toLong << (15 - len)
         len += 1
       }
-      var kraft = 0L
-      len = 1
-      while (len <= 15) { kraft += count(len).toLong << (15 - len); len += 1 }
       if (used > 1 && kraft > (1L << 15)) fail("over-subscribed prefix code")
     }
     private val symbols = new Array[Int](used)

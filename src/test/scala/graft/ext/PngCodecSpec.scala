@@ -193,7 +193,9 @@ class PngCodecSpec extends AnyFunSuite {
     huge(31) = (cv >>> 8).toByte; huge(32) = cv.toByte
     val e = intercept[IllegalArgumentException](PngCodec.decode(huge))
     assert(e.getMessage.contains("decode cap"), e.getMessage)
-    assert(!PngCodec.isDecodable(huge) || PngCodec.isDecodable(huge))
+    // the STRUCTURAL guard accepts it (dims are a decode-time cap, not
+    // a structure fault) — consumers rely on decodeChecked's fallback
+    assert(PngCodec.isDecodable(huge))
     // 16-bit depth
     val deep = PngCodec.encode(4, 4, 3, (_, _, _) => 0)
     deep(24) = 16
