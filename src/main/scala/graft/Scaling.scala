@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  private val Keys = Seq(
-    "q_dedup_edit", "q_pagerank", "q_semdedup", "q_record_link",
-    "q_dedup_eval")
+  /** Measured set — overridable (comma-separated) via
+    * SPARK_GRAFT_SCALE_KEYS for targeted higher-factor runs.
+    */
+  private def Keys: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_KEYS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq(
+        "q_dedup_edit", "q_pagerank", "q_semdedup", "q_record_link",
+        "q_dedup_eval"))
 
   private def caesar(c: Column, k: Int): Column = {
     val lo = "abcdefghijklmnopqrstuvwxyz"

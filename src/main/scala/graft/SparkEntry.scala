@@ -1821,6 +1821,12 @@ object SparkEntry {
         when(k % 5 === 0, col("c_acctbal") + lit(0.5))
           .otherwise(col("c_acctbal")).as("r_acctbal"),
         col("c_mktsegment").as("r_mktsegment"))
+      // acctbal band-blocking is EXACT here: 0.7·nameSim alone cannot
+      // reach the 0.9 threshold, so every accepted pair needs the 0.3
+      // balance term, which zeroes outside |Δ| < 1.0 — the band width.
+      // Without it the 125 constant-cardinality (nation, segment)
+      // blocks grow linearly with the corpus and pairs quadratically
+      // (measured 39.9× wall-time at 30× data; see SCALING.md).
       graft.ops.Linkage.scoredLink(
         c, right,
         Seq("c_nationkey" -> "r_nationkey", "c_mktsegment" -> "r_mktsegment"),
@@ -1830,7 +1836,8 @@ object SparkEntry {
             col("c_name"), col("r_name"), maxDist = 2),
           0.3 -> when(abs(col("c_acctbal") - col("r_acctbal")) < 1.0, lit(1.0))
             .otherwise(lit(0.0))),
-        threshold = 0.9)
+        threshold = 0.9,
+        bandBlock = Some(("c_acctbal", "r_acctbal", 1.0)))
     }),
 
     // [EXT] Golden records: originals (priority 2, acctbal nulled for

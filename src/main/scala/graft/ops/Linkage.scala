@@ -42,18 +42,45 @@ object Linkage {
     * must be disjoint for the sim expressions to reference both
     * (alias upstream).
     */
+  /** Blocked, scored record linkage. `bandBlock = (leftNum, rightNum,
+    * width)` adds a NUMERIC BAND to the blocking key: the left side
+    * explodes to bands ⌊v/width⌋ − 1 / ± 0 / + 1 and the right side
+    * keys its own band, so every pair with |l − r| < width meets in
+    * exactly one band (the right band is unique per row) and block
+    * sizes stay scale-stable even when the categorical keys have
+    * CONSTANT cardinality — the 30× scale run measured the plain
+    * (nation, segment) blocking going quadratic (39.9× wall-time at
+    * 30× data) precisely because 125 blocks each grew linearly.
+    *
+    * Result-preservation contract (caller's obligation): banding is
+    * EXACT only when every pair scoring ≥ threshold must satisfy
+    * |leftNum − rightNum| < width — e.g. when the numeric similarity
+    * term is required to reach the threshold and it zeroes outside
+    * that window.
+    */
   def scoredLink(
       left: DataFrame, right: DataFrame, blockCols: Seq[(String, String)],
       leftId: String, rightId: String,
-      sims: Seq[(Double, Column)], threshold: Double): DataFrame = {
+      sims: Seq[(Double, Column)], threshold: Double,
+      bandBlock: Option[(String, String, Double)] = None): DataFrame = {
     require(blockCols.nonEmpty, "linkage needs at least one blocking key")
     require(sims.nonEmpty, "linkage needs at least one similarity")
-    val cond = blockCols
-      .map { case (l, r) => left(l) === right(r) }
-      .reduce(_ && _)
+    val (l2, r2, extraCond) = bandBlock match {
+      case Some((lc, rc, w)) =>
+        require(w > 0, s"band width must be positive: $w")
+        val bands = array((-1 to 1).map(d =>
+          (floor(col(lc) / lit(w)) + lit(d)).cast("long")): _*)
+        (left.withColumn("__lband", explode(bands)),
+          right.withColumn("__rband",
+            floor(col(rc) / lit(w)).cast("long")),
+          Some(col("__lband") === col("__rband")))
+      case None => (left, right, None)
+    }
+    val cond = (blockCols.map { case (l, r) => l2(l) === r2(r) } ++
+      extraCond).reduce(_ && _)
     val score = round(
       sims.map { case (w, sim) => lit(w) * sim }.reduce(_ + _), 6)
-    left.join(right, cond)
+    l2.join(r2, cond)
       .withColumn("score", score)
       .filter(col("score") >= threshold)
       .select(col(leftId), col(rightId), col("score"))
