@@ -66,23 +66,38 @@ object Bench {
       val latest = new java.io.File(".").listFiles()
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(_.getName).lastOption.map(_.getPath)
-      explicit.orElse(fullPrev).orElse(latest) match {
-        case Some(p) if new java.io.File(p).isFile =>
-          val txt = scala.io.Source.fromFile(p)
-          try {
-            // The driver wraps the bench line inside a JSON string
-            // field, so the per-query entries appear with ESCAPED
-            // quotes (\"q_x\":1.23) — the optional backslash keeps the
-            // baseline readable from both the raw line and the wrapper
-            // (a quote-only regex silently loaded an EMPTY baseline,
-            // which disarmed the >5x contention re-time for two
-            // rounds).
+      // Per-candidate load that REJECTS a baseline recorded at a
+      // different scale factor: BENCH_FULL.json is preferred but a
+      // full bench at another SF would otherwise arm (or disarm) the
+      // 2.5× re-time against timings from the wrong scale. A rejected
+      // candidate falls through to the next (explicit → full map →
+      // latest driver report).
+      def load(p: String): Option[Map[String, Double]] = {
+        val src = scala.io.Source.fromFile(p)
+        try {
+          val txt = src.mkString
+          // The driver wraps the bench line inside a JSON string
+          // field, so entries appear with ESCAPED quotes
+          // (\"q_x\":1.23) — the optional backslash keeps the
+          // baseline readable from both the raw line and the wrapper
+          // (a quote-only regex silently loaded an EMPTY baseline,
+          // which disarmed the >5x contention re-time for two
+          // rounds).
+          val fileSf = "\\\\?\"sf\\\\?\":\\s*\\\\?\"([^\"\\\\]+)".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          if (fileSf.exists(_ != sfDir)) {
+            System.err.println(
+              s"[bench] baseline $p is for sf ${fileSf.get}, benching $sfDir — skipped")
+            None
+          } else Some(
             "\\\\?\"(q_\\w+)\\\\?\":([0-9]+\\.[0-9]+)".r
-              .findAllMatchIn(txt.mkString)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          } finally txt.close()
-        case _ => Map.empty
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        } finally src.close()
       }
+      List(explicit, fullPrev, latest).flatten
+        .filter(p => new java.io.File(p).isFile)
+        .view.flatMap(load).headOption.getOrElse(Map.empty)
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {

@@ -261,28 +261,39 @@ object MediaCodec {
     def apply(x: Int, y: Int, c: Int): Int = pixels(3 * (y * width + x) + c)
   }
 
+  /** Walk the RIFF chunk list from offset 12 to the `data` chunk
+    * header. The cursor is a Long: a non-data chunk declaring a size
+    * near Int.MaxValue must walk OFF the end of the buffer, not wrap
+    * negative and re-enter it (untrusted-bytes contract — an Int
+    * cursor made `b(off)` reachable with off < 0 after `off += 8+sz`
+    * wrapped, throwing AIOOBE from inside the bounds guard itself).
+    * Returns the data chunk's header offset, or −1 if absent,
+    * truncated, or any chunk size is negative.
+    */
+  private def dataChunkOffset(b: Array[Byte]): Int = {
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      if (b(o) == 'd' && b(o + 1) == 'a' &&
+        b(o + 2) == 't' && b(o + 3) == 'a') return o
+      val sz = le32(b, o + 4)
+      if (sz < 0) return -1
+      off += 8L + sz + (sz & 1)
+    }
+    -1
+  }
+
   /** True iff `b` is a canonical 16-bit PCM WAV whose data chunk is
     * present and complete — the safe-dispatch twin of
     * [[isCompleteBmp24]] for sample-reading paths.
     */
   def isCompletePcm16(b: Array[Byte]): Boolean =
     detect(b) == "wav" && le16(b, 34) == 16 && {
-      var off = 12
-      var ok = false
-      var done = false
-      while (!done && off + 8 <= b.length) {
-        if (b(off) == 'd' && b(off + 1) == 'a' &&
-          b(off + 2) == 't' && b(off + 3) == 'a') {
-          val sz = le32(b, off + 4)
-          ok = sz >= 0 && off + 8L + sz <= b.length
-          done = true
-        } else {
-          val sz = le32(b, off + 4)
-          if (sz < 0) done = true
-          else off += 8 + sz + (sz & 1)
-        }
+      val o = dataChunkOffset(b)
+      o >= 0 && {
+        val sz = le32(b, o + 4)
+        sz >= 0 && o + 8L + sz <= b.length
       }
-      ok
     }
 
   /** True iff `b` is a GVID container whose frame count and every
@@ -473,18 +484,11 @@ object MediaCodec {
   def decodePcm16(b: Array[Byte]): Array[Int] = {
     require(detect(b) == "wav", "not a WAV payload")
     require(le16(b, 34) == 16, s"not 16-bit PCM: ${le16(b, 34)}")
-    // Bounds-check BEFORE each chunk-header read: corrupt chunk sizes
-    // must hit the loud "no data chunk" require, not an AIOOBE from
-    // walking past the buffer.
-    var off = 12
-    require(off + 8 <= b.length, "no data chunk")
-    while (!(b(off) == 'd' && b(off + 1) == 'a' &&
-      b(off + 2) == 't' && b(off + 3) == 'a')) {
-      val sz = le32(b, off + 4)
-      require(sz >= 0, s"corrupt WAV chunk size: $sz")
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
-      require(off + 8 <= b.length, "no data chunk")
-    }
+    // Long-cursor walk (dataChunkOffset): corrupt chunk sizes must hit
+    // the loud "no data chunk" require, not an AIOOBE from a wrapped
+    // Int cursor re-entering the buffer.
+    val off = dataChunkOffset(b)
+    require(off >= 0, "no data chunk")
     val dataBytes = le32(b, off + 4)
     require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
       s"truncated WAV data chunk: claims $dataBytes bytes, " +
@@ -547,15 +551,8 @@ object MediaCodec {
     require(tag == 6 || tag == 7, s"not a G.711 WAV: format tag $tag")
     require(le16(b, 34) == 8, s"G.711 is 8-bit: ${le16(b, 34)}")
     val ulaw = tag == 7
-    var off = 12
-    require(off + 8 <= b.length, "no data chunk")
-    while (!(b(off) == 'd' && b(off + 1) == 'a' &&
-      b(off + 2) == 't' && b(off + 3) == 'a')) {
-      val sz = le32(b, off + 4)
-      require(sz >= 0, s"corrupt WAV chunk size: $sz")
-      off += 8 + sz + (sz & 1)
-      require(off + 8 <= b.length, "no data chunk")
-    }
+    val off = dataChunkOffset(b)
+    require(off >= 0, "no data chunk")
     val dataBytes = le32(b, off + 4)
     require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
       s"truncated WAV data chunk: claims $dataBytes bytes, " +
@@ -576,22 +573,11 @@ object MediaCodec {
   def isCompleteG711(b: Array[Byte]): Boolean =
     detect(b) == "wav" &&
       (le16(b, 20) == 6 || le16(b, 20) == 7) && le16(b, 34) == 8 && {
-        var off = 12
-        var ok = false
-        var done = false
-        while (!done && off + 8 <= b.length) {
-          if (b(off) == 'd' && b(off + 1) == 'a' &&
-            b(off + 2) == 't' && b(off + 3) == 'a') {
-            val sz = le32(b, off + 4)
-            ok = sz >= 0 && off + 8L + sz <= b.length
-            done = true
-          } else {
-            val sz = le32(b, off + 4)
-            if (sz < 0) done = true
-            else off += 8 + sz + (sz & 1)
-          }
+        val o = dataChunkOffset(b)
+        o >= 0 && {
+          val sz = le32(b, o + 4)
+          sz >= 0 && o + 8L + sz <= b.length
         }
-        ok
       }
 
   /** Unified WAV sample decode: 16-bit PCM or 8-bit G.711 (μ-law /

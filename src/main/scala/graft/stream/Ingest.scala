@@ -93,24 +93,30 @@ object Ingest {
       .select("__file").distinct().collect().map(_.getString(0))
       .map(uri => uri -> headerTokens(FsRouting.toLocalPath(uri))).toMap
     // Line-number contract guard: `__mono` (monotonically_increasing_id)
-    // follows CSV line order only while a file maps to ONE input split,
-    // i.e. its size ≤ spark.sql.files.maxPartitionBytes. An oversize
-    // file would silently misnumber its rows (wrong row numbers in
-    // error reasons) — quarantine it with the operator action named
-    // instead. Size 0 on a stat failure ⇒ not oversize; the
+    // follows CSV line order only while a file maps to ONE input split.
+    // Spark cuts a file into splits of `FilePartition.maxSplitBytes` =
+    // min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)) — NOT
+    // plain maxPartitionBytes: a small batch shrinks bytesPerCore so the
+    // effective split size can drop to openCostInBytes (4 MiB default),
+    // splitting files well under the conf. Compute the same formula over
+    // this batch's files so the guard quarantines exactly the files
+    // Spark would split. Size 0 on a stat failure ⇒ not oversize; the
     // unreadable/moved path below decides.
-    val splitLimit = maxPartitionBytes(batch.sparkSession)
-    val oversize: Map[String, String] = fileTokens.keys.flatMap { uri =>
-      val sz =
-        try Files.size(FsRouting.toLocalPath(uri))
-        catch { case _: Exception => 0L }
-      if (sz > splitLimit)
-        Some(uri -> (s"File is $sz bytes, larger than " +
-          s"spark.sql.files.maxPartitionBytes ($splitLimit): per-file " +
-          "line numbering requires a single input split. Raise the " +
-          "conf to ingest files this large. Quarantining."))
-      else None
+    val sizes: Map[String, Long] = fileTokens.keys.map { uri =>
+      uri -> (try Files.size(FsRouting.toLocalPath(uri))
+      catch { case _: Exception => 0L })
     }.toMap
+    val splitLimit = effectiveMaxSplitBytes(batch.sparkSession, sizes.values)
+    val oversize: Map[String, String] = sizes.flatMap { case (uri, sz) =>
+      if (sz > splitLimit)
+        Some(uri -> (s"File is $sz bytes, larger than the effective " +
+          s"input split size ($splitLimit = min(spark.sql.files." +
+          "maxPartitionBytes, max(openCostInBytes, bytesPerCore))): " +
+          "per-file line numbering requires a single input split. " +
+          "Raise spark.sql.files.maxPartitionBytes (and openCostInBytes " +
+          "for small batches) to ingest files this large. Quarantining."))
+      else None
+    }
     val headerBad: Map[String, String] = fileTokens.flatMap {
       case (uri, _) if oversize.contains(uri) => Some(uri -> oversize(uri))
       case (uri, Some(Left(reason))) => Some(uri -> reason)
@@ -252,11 +258,10 @@ object Ingest {
       // streaming plans).
       // Line-number ordering contract: __mono follows (partitionId,
       // offset), which matches CSV line order only while each file maps
-      // to a SINGLE input split. That holds for this source's file class
-      // (the reference's per-file pandas loop caps files at chunk size,
-      // K6 ≤5000 rows) — a file larger than
-      // spark.sql.files.maxPartitionBytes (128 MiB default) would be
-      // split and could misnumber; raise that conf if such files appear.
+      // to a SINGLE input split. ENFORCED upstream: processBatch
+      // quarantines any file larger than the batch's effective split
+      // size (FilePartition.maxSplitBytes re-derived in
+      // effectiveMaxSplitBytes), so no file reaching this point splits.
       val cleaned = Schemas.sensorColumns.foldLeft(
         batchOk.withColumn("__mono", monotonically_increasing_id()))((d, c) =>
         d.withColumn(c, Cleanse.naNormalize(col(c))))
@@ -549,6 +554,33 @@ object Ingest {
   private def maxPartitionBytes(spark: SparkSession): Long =
     org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+
+  /** The split size Spark will actually use for a scan over files of
+    * the given sizes — `FilePartition.maxSplitBytes` re-derived:
+    * min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)) with
+    * bytesPerCore = Σ(size + openCost) / minPartitionNum, and
+    * minPartitionNum defaulting through leafNodeDefaultParallelism to
+    * the cluster's default parallelism. A file ≤ this is guaranteed a
+    * single input split (Spark chunks each file at exactly this
+    * stride); `spark.sql.files.maxPartitionNum` can only COARSEN
+    * splits further, so the bound stays safe under it.
+    */
+  private[stream] def effectiveMaxSplitBytes(
+      spark: SparkSession, sizes: Iterable[Long]): Long = {
+    val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes _
+    val defaultMax = maxPartitionBytes(spark)
+    val openCost = bytes(
+      spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    val minPartitionNum =
+      spark.conf.getOption("spark.sql.files.minPartitionNum")
+        .orElse(spark.conf.getOption("spark.sql.leafNodeDefaultParallelism"))
+        .map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+        .max(1)
+    val totalBytes = sizes.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / minPartitionNum
+    math.min(defaultMax, math.max(openCost, bytesPerCore))
+  }
 
   private def countDataLines(p: Path): Long =
     try {

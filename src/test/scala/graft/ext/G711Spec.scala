@@ -80,4 +80,36 @@ class G711Spec extends AnyFunSuite {
     assert(!MediaCodec.isDecodableAudio(cut))
     intercept[IllegalArgumentException](MediaCodec.decodeG711(cut))
   }
+
+  /** Overwrite the fmt chunk header with a junk id and a size near
+    * Int.MaxValue: `off += 8 + sz` must not wrap an Int cursor back
+    * inside the buffer (it did — AIOOBE from inside the bounds guard).
+    */
+  private def nearMaxChunk(wav: Array[Byte]): Array[Byte] = {
+    val evil = wav.clone()
+    evil(12) = 'J'; evil(13) = 'U'; evil(14) = 'N'; evil(15) = 'K'
+    val sz = Int.MaxValue - 15
+    evil(16) = (sz & 0xff).toByte
+    evil(17) = ((sz >> 8) & 0xff).toByte
+    evil(18) = ((sz >> 16) & 0xff).toByte
+    evil(19) = ((sz >> 24) & 0xff).toByte
+    evil
+  }
+
+  test("a chunk size near Int.MaxValue cannot wrap the cursor back " +
+    "into the buffer — gates false, decodes fail as data faults") {
+    val g711 = nearMaxChunk(MediaCodec.synthesizeWavG711(8000,
+      Array.tabulate(64)(i => (i * 13) % 256), ulaw = true))
+    assert(MediaCodec.detect(g711) === "wav")
+    assert(!MediaCodec.isCompleteG711(g711))
+    assert(!MediaCodec.isDecodableAudio(g711))
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodeG711(g711))
+    assert(e1.getMessage.contains("no data chunk"), e1.getMessage)
+
+    val pcm = nearMaxChunk(MediaCodec.synthesizeWavPcm16(16000,
+      Array.tabulate(64)(i => i * 100 - 3200)))
+    assert(!MediaCodec.isCompletePcm16(pcm))
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodePcm16(pcm))
+    assert(e2.getMessage.contains("no data chunk"), e2.getMessage)
+  }
 }

@@ -668,9 +668,38 @@ class IngestSpec extends SparkSpec {
       assert(Files.exists(root.resolve("quarantine/big.csv")))
       assert(Files.exists(root.resolve("processed/small.csv")))
       val log = Files.readString(root.resolve("quarantine/quarantine_log.txt"))
-      assert(log.contains("larger than spark.sql.files.maxPartitionBytes"),
+      assert(log.contains("larger than the effective input split size"),
         log)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("the oversize guard derives Spark's ACTUAL split size " +
+    "(min(maxPartitionBytes, max(openCost, bytesPerCore))), not the " +
+    "raw conf — small batches split files well under the conf") {
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // Small batch: bytesPerCore ≪ openCost, so the effective split
+      // size is openCostInBytes, NOT the 128 MiB maxPartitionBytes.
+      spark.conf.set("spark.sql.files.openCostInBytes", "4096")
+      val small = Ingest.effectiveMaxSplitBytes(spark, Seq(1000L, 2000L))
+      assert(small === 4096L,
+        s"openCost must bind when bytesPerCore is small: $small")
+      // Large batch: bytesPerCore grows past openCost but is capped by
+      // maxPartitionBytes.
+      val cap = Ingest.effectiveMaxSplitBytes(
+        spark, Seq.fill(64)(1L << 30)) // 64 GiB total
+      val confCap = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+      assert(cap === confCap,
+        s"maxPartitionBytes must cap the split size: $cap vs $confCap")
+      // Mid batch: bytesPerCore itself binds. defaultParallelism cores,
+      // openCost 4096: sizes chosen so openCost < bytesPerCore < cap.
+      val cores = spark.sparkContext.defaultParallelism
+      val mid = Ingest.effectiveMaxSplitBytes(
+        spark, Seq.fill(cores)(1L << 20))
+      assert(mid === (1L << 20) + 4096L,
+        s"bytesPerCore must bind in between: $mid")
+    } finally spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
   }
 
   test("retryPending defers markers for files the current batch lists " +
