@@ -162,8 +162,12 @@ object MediaCodec {
     */
   def parseJpeg(b: Array[Byte]): JpegHeader = {
     require(detect(b) == "jpeg", "not a JPEG payload")
+    // Int cursor is wrap-safe here, unlike the WAV walk: each advance
+    // is ≤ 2 + 65535 (u16be segment length), which can only overflow
+    // past a payload already larger than Int.MaxValue − 64 KiB — and a
+    // JVM byte array cannot reach that with the loop guard below.
     var off = 2
-    while (off + 4 <= b.length) {
+    while (off >= 0 && off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff)
         throw new IllegalArgumentException(
           f"bad JPEG marker alignment at $off (0x${b(off) & 0xff}%02x)")

@@ -192,6 +192,22 @@ class JpegCodecSpec extends AnyFunSuite {
           fail(s"truncation trial $trial escaped with ${e.getClass.getName}")
       }
     }
+    // Directed extreme u16be values in every slot (marker-segment
+    // lengths): random pokes rarely craft a maximal length, the class
+    // that wrapped the WAV walk cursor in the audio twin of this
+    // decoder.
+    for (off <- 0 until (base.length - 1);
+         v <- Seq(0xffff, 0xfffe, 0x8000)) {
+      val m = base.clone()
+      m(off) = ((v >> 8) & 0xff).toByte
+      m(off + 1) = (v & 0xff).toByte
+      try { JpegCodec.decodeBaseline(m); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"extreme-u16 at $off escaped with ${e.getClass.getName}")
+      }
+    }
     // hostile-dims allocation cap: a huge SOF must refuse, not OOM
     val huge = JpegCodec.encodeBaseline(8, 8, 1, (_, _, _) => 0)
     // patch the SOF dims (height/width u16be right after precision)

@@ -128,9 +128,13 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.detect(b)
       safe(MediaCodec.decodeBmp24(b))
       safe(MediaCodec.decodePcm16(b))
+      safe(MediaCodec.decodeG711(b))
+      safe(MediaCodec.decodeAudio(b))
       safe(MediaCodec.decodeVideoFrames(b))
       safe(MediaCodec.isCompleteBmp24(b))
       safe(MediaCodec.isCompletePcm16(b))
+      safe(MediaCodec.isCompleteG711(b))
+      safe(MediaCodec.isDecodableAudio(b))
     }
     // pure noise, all sizes around the header boundaries
     for (_ <- 1 to 400) poke(Array.fill(rnd.nextInt(120))(rnd.nextInt().toByte))
@@ -139,6 +143,8 @@ class MultimodalSpec extends SparkSpec {
     val seeds = Seq(
       MediaCodec.synthesizeBmp24(4, 3, (x, y, c) => x + y + c),
       MediaCodec.synthesizeWav(2, 8000),
+      MediaCodec.synthesizeWavG711(8000,
+        Array.tabulate(16)(i => i * 17 % 256), ulaw = true),
       MediaCodec.synthesizeVideo(
         Seq(MediaCodec.synthesizeBmp24(2, 2, (_, _, _) => 7))))
     for (seed <- seeds; _ <- 1 to 400) {
@@ -147,6 +153,21 @@ class MultimodalSpec extends SparkSpec {
         m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
       poke(m)
       poke(java.util.Arrays.copyOf(m, rnd.nextInt(m.length + 1)))
+    }
+    // DIRECTED extreme-size fuzz: random byte pokes almost never craft
+    // a near-Int.MaxValue length field, which is exactly how the WAV
+    // chunk-walk cursor wrap survived 400×4 random mutations — so
+    // write each extreme 32-bit value into EVERY aligned u32 slot of
+    // every seed explicitly.
+    val extremes = Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1, -4, -8)
+    for (seed <- seeds; off <- 0 until (seed.length - 3) by 4;
+         v <- extremes) {
+      val m = seed.clone()
+      m(off) = (v & 0xff).toByte
+      m(off + 1) = ((v >> 8) & 0xff).toByte
+      m(off + 2) = ((v >> 16) & 0xff).toByte
+      m(off + 3) = ((v >> 24) & 0xff).toByte
+      poke(m)
     }
   }
 

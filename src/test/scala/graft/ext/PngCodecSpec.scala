@@ -177,6 +177,23 @@ class PngCodecSpec extends AnyFunSuite {
           fail(s"truncation trial $trial escaped with ${e.getClass.getName}")
       }
     }
+    // Directed extreme u32 values in every aligned slot: random pokes
+    // almost never craft a near-Int.MaxValue chunk length (the class
+    // that wrapped the WAV walk cursor) — write them explicitly.
+    for (off <- 0 until (base.length - 3) by 4;
+         v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1)) {
+      val m = base.clone()
+      m(off) = ((v >> 24) & 0xff).toByte
+      m(off + 1) = ((v >> 16) & 0xff).toByte
+      m(off + 2) = ((v >> 8) & 0xff).toByte
+      m(off + 3) = (v & 0xff).toByte
+      try { PngCodec.decode(m); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"extreme-u32 at $off escaped with ${e.getClass.getName}")
+      }
+    }
   }
 
   test("hostile dimensions refuse at the decode cap BEFORE inflate; " +

@@ -145,6 +145,23 @@ class VP8LCodecSpec extends AnyFunSuite {
               e.getClass.getName)
         }
       }
+      // Directed extreme u32le values in every aligned slot (RIFF
+      // chunk lengths live here): random pokes almost never craft the
+      // near-Int.MaxValue length that wrapped the WAV walk cursor.
+      for (off <- 0 until (base.length - 3) by 4;
+           v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1)) {
+        val m = base.clone()
+        m(off) = (v & 0xff).toByte
+        m(off + 1) = ((v >> 8) & 0xff).toByte
+        m(off + 2) = ((v >> 16) & 0xff).toByte
+        m(off + 3) = ((v >> 24) & 0xff).toByte
+        try { VP8LCodec.decode(m); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"extreme-u32 at $off escaped with ${e.getClass.getName}")
+        }
+      }
     }
   }
 
