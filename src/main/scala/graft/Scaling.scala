@@ -129,16 +129,35 @@ object Scaling {
     }
     spark.catalog.clearCache()
 
-    def time(dir: String): Map[String, Double] = Keys.map { k =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(k)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      k -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Stream each timing to an append-only JSONL the moment it lands:
+    // a 150-key sweep can outlive its parent session, and a harness
+    // that only prints at exit loses everything when the process is
+    // killed (that is exactly what happened to the first round-13 run).
+    val progressLog = sys.env.get("SPARK_GRAFT_SCALE_LOG")
+    def record(phase: String, k: String, sec: Double): Unit = {
+      val line = s"""{"key":"$k","phase":"$phase","sec":${f"$sec%.3f"}}"""
+      System.err.println(s"[scaling] $line")
+      progressLog.foreach { p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p), line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
 
-    val baseT = time(base)
-    val scaledT0 = time(out)
+    def time(phase: String, dir: String): Map[String, Double] =
+      Keys.map { k =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(k)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        val sec = (System.nanoTime() - t0) / 1e9
+        record(phase, k, sec)
+        k -> sec
+      }.toMap
+
+    val baseT = time("base", base)
+    val scaledT0 = time("scaled", out)
     // Contention defense (same idea as Bench's 2.5× re-time): a long
     // multi-query sweep in one JVM accumulates GC/JIT pressure that
     // can inflate a later query's scaled time several-fold (observed:
@@ -158,7 +177,9 @@ object Scaling {
           SparkEntry.queries(k)(spark, out)
             .write.mode("overwrite").format("noop").save()
           spark.catalog.clearCache()
-          k -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          record("retime", k, sec)
+          k -> sec
         }.toMap
         scaledT0.map { case (k, v) =>
           k -> math.min(v, again.getOrElse(k, v))
