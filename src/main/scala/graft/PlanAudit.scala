@@ -26,14 +26,30 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE off so executedPlan is the fully-prepared static plan —
+      // with AQE on, exchanges are inserted lazily per query stage and
+      // the audit would see a pre-EnsureRequirements tree.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)
 
+    // executedPlan (exchanges inserted), unwrapped when AQE boxes it
+    def prepared(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+
     def globalWindows(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      // any other shuffle that funnels everything into ONE partition
+      // (global sort-limit exchanges excluded — those are top-k'd)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
     }
 
     var flagged = 0
@@ -41,14 +57,31 @@ object PlanAudit {
       .filter(_.startsWith(prefix)).foreach { k =>
         try {
           val df = SparkEntry.queries(k)(spark, dir)
-          val hits = globalWindows(df.queryExecution.sparkPlan)
+          val hits = globalWindows(prepared(df))
           hits.foreach { w =>
             flagged += 1
-            // row estimate of the window's input, from stats if present
-            val est = w.children.headOption
-              .map(_.logicalLink.map(_.stats.sizeInBytes.toString)
-                .getOrElse("?")).getOrElse("?")
-            println(s"FLAG $k ${w.getClass.getSimpleName} inputBytes~$est")
+            // the immediate child tells the story: a partial aggregate
+            // below a 1-partition exchange is the standard global-agg
+            // merge (rows = #partitions, always safe); anything else
+            // needs a boundedness argument
+            def unwrap(p: SparkPlan): SparkPlan = p match {
+              case c: org.apache.spark.sql.execution
+                .WholeStageCodegenExec => unwrap(c.child)
+              case c: org.apache.spark.sql.execution
+                .InputAdapter => unwrap(c.child)
+              case other => other
+            }
+            val child = w.children.headOption.map(unwrap)
+              .map(c => c.getClass.getSimpleName +
+                (c match {
+                  case a: org.apache.spark.sql.execution.aggregate
+                    .BaseAggregateExec =>
+                    val partial = a.aggregateExpressions.forall(
+                      _.mode.toString.contains("Partial"))
+                    if (partial) "(partial)" else "(final)"
+                  case _ => ""
+                })).getOrElse("?")
+            println(s"FLAG $k ${w.getClass.getSimpleName} child=$child")
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
