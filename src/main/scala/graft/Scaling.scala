@@ -65,12 +65,31 @@ object Scaling {
       col("lang"), col("source"), col("n_chars")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // embeddings: per-copy ORTHOGONAL transform — rotate coordinates
+    // by 7k (mod dim, 7 coprime to 64 so copies get distinct
+    // rotations) and flip every sign on odd k. An orthogonal map
+    // preserves every in-copy dot product and norm, so in-copy
+    // geometry is identical, while copy DIRECTIONS spread over the
+    // sphere. The earlier `+ k·0.5` translation separated copies in
+    // L2 but left them all nearly collinear with the all-ones vector,
+    // which collapsed every angular method (sign-LSH buckets, cosine
+    // near-dup, spherical k-means) into a handful of buckets — their
+    // 30x curves measured corpus degeneracy, not plan shape.
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    copies(emb, (d, k) => d.select(
-      (col("vec_id") + lit(k * off)).as("vec_id"),
-      transform(col("embedding"),
-        e => e + lit(k * 0.5f)).as("embedding"),
-      col("label")))
+    copies(emb, (d, k) => {
+      val dim = 64
+      val r = (7 * k) % dim
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      val spun =
+        if (k % 2 == 1) transform(rot, e => e * lit(-1.0f)) else rot
+      d.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        spun.as("embedding"), col("label"))
+    })
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val cust = spark.read.parquet(s"$base/customer.parquet")

@@ -294,11 +294,16 @@ object SparkEntry {
         threshold = 0.4, queryMax = 200)),
 
     // Embedding near-dup, BOTH sides unbounded: sign-LSH bucket
-    // equi-join (the 100 TB path), exact-cosine verified.
-    "q_dedup_embed_lsh" -> ((s, dir) =>
+    // equi-join (the 100 TB path), exact-cosine verified. Bits follow
+    // the corpus-size ladder — a constant bucket count would make the
+    // within-bucket self-join quadratic as the corpus grows.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
       Dedup.embeddingNearDuplicatesLsh(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.4, dim = 64, bits = 4)),
+        emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64,
+        bits = graft.ext.Similarity.adaptiveLshBits(emb.count()))
+    }),
 
     // Multimodal intake inventory over REAL payloads: BMP24 images
     // (even ids) and PCM16 WAVs (odd ids) synthesized byte-for-byte,
@@ -925,12 +930,16 @@ object SparkEntry {
         "doc_id", k = 100)),
 
     // [EXT] Hubness diagnostic: k-occurrence histogram of the LSH
-    // retriever over the whole corpus (anti-hubs included).
+    // retriever over the whole corpus (anti-hubs included). The only
+    // retrieval with BOTH sides unbounded, so bits follow the
+    // corpus-size ladder — constant bits made this the inventory's one
+    // quadratic query (>1000x wall at 30x data before the ladder).
     "q_ann_hubness" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.adaptiveLshBits(emb.count())
       Similarity.hubnessReport(
         Similarity.lshBucketedTopK(
-          emb, emb, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+          emb, emb, "vec_id", "embedding", k = 10, dim = 64, bits = bits),
         emb, "vec_id")
     }),
 
@@ -2365,6 +2374,30 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= ${nBands - 1}"""
       .stripMargin
   }
 
+  /** [[graft.ext.Similarity.adaptiveLshBits]] as a DuckDB CASE over a
+    * row count `n` — the same integer 256·2^b thresholds, so both
+    * engines pick the identical rung at every corpus size.
+    */
+  private def adaptiveLshBitsSqlCase: String =
+    (4 to 28 by 2)
+      .map(b => s"WHEN n <= ${256L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 30 END")
+
+  /** Ladder-bits bucketing CTEs over a prepared relation `e(vec_id,
+    * emb)`: `nb` picks the rung from COUNT(*), `b` computes the
+    * 30-plane bucket once and masks it to the chosen width (bucket
+    * weights plane p by 2^p, so the low b bits ARE the b-plane
+    * bucket — exactly what the Spark side evaluates directly).
+    */
+  private def adaptiveLshBucketedCte(dim: Int): String =
+    s"""nb AS (SELECT $adaptiveLshBitsSqlCase AS ab
+  FROM (SELECT COUNT(*) AS n FROM e)),
+b AS (
+  SELECT vec_id, emb,
+    (${lshBucketSqlExpr(bits = 30, dim = dim)})
+      % (1::BIGINT << (SELECT ab FROM nb)) AS bucket
+  FROM e)"""
+
   /** The sign-LSH bucket id as DuckDB SQL over a column `emb`
     * (DOUBLE[]), with the SAME hyperplane constants as
     * [[Similarity.lshBucket]] inlined as literals.
@@ -2863,12 +2896,8 @@ FROM q CROSS JOIN mu
   }
 
   private def embedLshOracleSql: String = {
-    val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (
-  SELECT vec_id, emb,
-    $bucketExpr AS bucket
-  FROM e)
+${adaptiveLshBucketedCte(dim = 64)}
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
   ROUND(list_inner_product(a.emb, c.emb)
     / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) AS cosine
@@ -3365,12 +3394,8 @@ WHERE ROUND(list_inner_product(a.emb, c.emb)
     // LSH retrieval over ALL queries (the q_sim_lsh chain without the
     // query filter) -> per-vector in-degree -> k-occurrence histogram.
     "q_ann_hubness" -> {
-      val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (
-  SELECT vec_id, emb,
-    $bucketExpr AS bucket
-  FROM e),
+${adaptiveLshBucketedCte(dim = 64)},
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     ROUND(list_inner_product(q.emb, c.emb)

@@ -209,6 +209,28 @@ object Similarity {
     Array.fill(dim)(rnd.nextGaussian())
   }
 
+  /** Bucket-count ladder for corpus-sized sign-LSH: the smallest even
+    * `bits` ≥ 4 keeping the EXPECTED bucket population ≤ 256, capped
+    * at 30. A constant `bits` makes every self-join over LSH buckets
+    * quadratic — bucket population grows with the corpus, so
+    * Σ n_b² grows as n²/2^bits (measured: q_ann_hubness at bits=4 ran
+    * 1.1 s on 2 k vectors and >20 min on 60 k). Scaling bits with
+    * log₂(n) pins the population, making total pair work ~n·256 —
+    * linear. The ladder is integer-threshold (n vs 256·2^b), stepped
+    * by 2, so the DuckDB oracle reproduces the choice exactly with a
+    * CASE over COUNT(*) — no float log at a rung boundary can
+    * disagree between engines.
+    *
+    * Because the bucket id weights plane p by 2^p, the b-bit bucket is
+    * the (b+Δ)-bit bucket mod 2^b — the oracle computes one max-width
+    * bucket and masks, while Spark evaluates only the chosen planes.
+    */
+  def adaptiveLshBits(n: Long): Int = {
+    var b = 4
+    while (b < 30 && n > (256L << b)) b += 2
+    b
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane. The projection is
     * rounded to 6 dp before the sign test so bucket assignment can't
     * flip on a last-ulp difference between engines.
