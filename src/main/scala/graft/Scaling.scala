@@ -105,6 +105,21 @@ object Scaling {
       .withColumn("l_partkey", col("l_partkey") + lit(k * off)))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // Unscaled dims ride along verbatim: copies preserve their dim
+    // foreign keys (c_nationkey etc.), so dim joins stay valid while
+    // facts scale — the realistic growth mode (a 30x corpus does not
+    // grow 30x more nations).
+    for (t <- Seq("region", "nation", "supplier", "part", "orders")) {
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      if (java.nio.file.Files.exists(src)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(out))
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
     // events: disjoint user/event id spaces per copy, timestamps
     // UNCHANGED — the realistic growth mode for an event stream is
     // more concurrent users over the same wall-clock span, which
