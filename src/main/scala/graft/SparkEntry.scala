@@ -487,7 +487,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshBucketedTopK(
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 10, dim = 64, bits = 4)
+        k = 10, dim = 64,
+        bits = Similarity.adaptiveLshBits(emb.count()))
     }),
 
     // [EXT] ANN self-eval: recall@10 of the sign-LSH retriever vs the
@@ -498,7 +499,8 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
         Similarity.lshBucketedTopK(
-          emb, queries, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+          emb, queries, "vec_id", "embedding", k = 10, dim = 64,
+          bits = Similarity.adaptiveLshBits(emb.count())),
         k = 10)
     }),
 
@@ -1754,7 +1756,8 @@ object SparkEntry {
       Similarity.rrfFuse(
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
         Similarity.lshBucketedTopK(
-          emb, q, "vec_id", "embedding", k = 10, dim = 64, bits = 4),
+          emb, q, "vec_id", "embedding", k = 10, dim = 64,
+          bits = Similarity.adaptiveLshBits(emb.count())),
         kConst = 60, topK = 10)
     }),
 
@@ -2591,12 +2594,8 @@ FROM j GROUP BY 1"""
   }
 
   private def simLshOracleSql: String = {
-    val bucketExpr = lshBucketSqlExpr(bits = 4, dim = 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (
-  SELECT vec_id, emb,
-    $bucketExpr AS bucket
-  FROM e),
+${adaptiveLshBucketedCte(dim = 64)},
 q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM b WHERE vec_id < 50),
 p AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
