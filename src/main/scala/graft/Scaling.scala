@@ -138,9 +138,13 @@ object Scaling {
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       s"/tmp/graft_scale_${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At scale factors >= 30 the default cpus-sized shuffle can leave a
+    // single skewed reducer grinding; allow overriding independently to
+    // probe partition-granularity effects.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
