@@ -89,10 +89,19 @@ object Bench {
             System.err.println(
               s"[bench] baseline $p is for sf ${fileSf.get}, benching $sfDir — skipped")
             None
-          } else Some(
-            "\\\\?\"(q_\\w+)\\\\?\":([0-9]+\\.[0-9]+)".r
+          } else {
+            val entries = "\\\\?\"(q_\\w+)\\\\?\":([0-9]+\\.[0-9]+)".r
               .findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            // a candidate with zero q_ entries (truncated partial
+            // write) must fall through to the next baseline, not
+            // satisfy headOption with an empty map and silently
+            // disarm the contention re-time
+            if (entries.isEmpty) {
+              System.err.println(s"[bench] baseline $p has no entries — skipped")
+              None
+            } else Some(entries)
+          }
         } finally src.close()
       }
       List(explicit, fullPrev, latest).flatten

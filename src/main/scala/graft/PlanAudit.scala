@@ -1,24 +1,99 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Static plan audit over the whole inventory: flag physical-plan
-  * shapes that collapse to a single partition at scale —
-  * `WindowExec`/`WindowGroupLimitExec` with an EMPTY partition spec
-  * move every row through one task, the classic 100-TB bottleneck
-  * that local[32] timings hide completely.
+/** Single-partition plan audit — THE one collector and allowlist,
+  * consumed by PlanAuditSpec (the tripwire) and the CLI main below so
+  * they cannot drift.
   *
-  * Every flagged site must either be eliminated (distributed prefix
-  * sums / Ordinal / bounded pre-aggregation) or carry a documented
-  * bound: a global window over an already-bounded intermediate
-  * (k rows, vocabulary-bounded, top-k'd) is fine; one over a scan is
-  * not. Prints one line per flagged query: key, node, input estimate.
+  * A `WindowExec` with an empty partition spec, or any shuffle
+  * exchange into ONE partition, routes every input row through one
+  * task — invisible at local test scale, fatal at 100 TB. Two forms
+  * are legitimate, and only these:
   *
-  * Usage: runMain graft.PlanAudit <sfDir> [keyPrefix]
+  *   1. the global-aggregate merge — a 1-partition exchange whose
+  *      child aggregates with ZERO grouping keys, so at most one row
+  *      leaves each upstream partition (a KEYED partial below a
+  *      single-partition exchange would move #distinct-keys rows and
+  *      is NOT exempt);
+  *   2. a global window/exchange over an already-bounded intermediate
+  *      (a per-source aggregate, a top-k, a vocabulary), allowlisted
+  *      in [[boundedAllowlist]] with the bound stated.
   */
 object PlanAudit {
+
+  /** key → why its single-partition shape survives any corpus scale.
+    *
+    * All three are `Sampling.largestRemainderAllocate`'s Hamilton rank
+    * `row_number().over(orderBy(__frac))` (and its feeding exchanges):
+    * input is one row per STRATUM (`source` — single digits here, at
+    * most thousands in any real corpus mix), already reduced by a
+    * full aggregate. Ranking |strata| rows on one task is the right
+    * plan; partitioning it would shuffle for nothing.
+    *
+    * NOT listed: q_train_manifest also runs largestRemainderAllocate,
+    * but eagerly at CONSTRUCTION time (the allocation sub-job executes
+    * before the returned frame's plan exists), so the final plan this
+    * audit walks cannot contain it.
+    */
+  val boundedAllowlist: Map[String, String] = Map(
+    "q_mix_plan" -> ("mixing-plan allocation → largestRemainderAllocate "
+      + "ranks one row per source (bounded strata)"),
+    "q_mix_capped" -> ("cappedAllocate water-filling loop → one Hamilton "
+      + "rank per iteration, each over one row per source (bounded "
+      + "strata; count scales with cap iterations, never corpus rows)"),
+    "q_mix_temp_general" -> ("temperatureAllocate → "
+      + "largestRemainderAllocate ranks one row per source (bounded "
+      + "strata)"))
+
+  /** The fully-prepared static physical plan: exchanges inserted,
+    * AQE wrapper stripped to its initial plan.
+    */
+  def preparedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case c: WholeStageCodegenExec => unwrap(c.child)
+    case c: InputAdapter => unwrap(c.child)
+    case other => other
+  }
+
+  /** True only for the provably-bounded exchange shape: the child
+    * aggregates with zero grouping keys, so each upstream partition
+    * contributes at most one row regardless of aggregate mode.
+    */
+  private def isGlobalAggMerge(e: ShuffleExchangeExec): Boolean =
+    unwrap(e.child) match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+
+  /** Every unbounded single-partition shape in the plan, including
+    * inside subquery plans: (kind, node) pairs.
+    */
+  def singlePartitionShapes(plan: SparkPlan): Seq[(String, SparkPlan)] =
+    plan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        ("global-window", w: SparkPlan)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        ("global-window-limit", w: SparkPlan)
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            !isGlobalAggMerge(e) =>
+        ("single-partition-exchange", e: SparkPlan)
+    }
+
+  /** CLI: print every flagged query.
+    * Usage: runMain graft.PlanAudit <sfDir> [keyPrefix]
+    */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PlanAudit <sfDir> [keyPrefix]")
     val dir = args(0)
@@ -26,69 +101,26 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      // AQE off so executedPlan is the fully-prepared static plan —
-      // with AQE on, exchanges are inserted lazily per query stage and
-      // the audit would see a pre-EnsureRequirements tree.
-      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)
-
-    // executedPlan (exchanges inserted), unwrapped when AQE boxes it
-    def prepared(df: org.apache.spark.sql.DataFrame): SparkPlan =
-      df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive
-          .AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-
-    def globalWindows(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-      // any other shuffle that funnels everything into ONE partition
-      // (global sort-limit exchanges excluded — those are top-k'd)
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.outputPartitioning.numPartitions == 1 => e
-    }
-
     var flagged = 0
     SparkEntry.queries.keys.toSeq.sorted
       .filter(_.startsWith(prefix)).foreach { k =>
         try {
           val df = SparkEntry.queries(k)(spark, dir)
-          val hits = globalWindows(prepared(df))
-          hits.foreach { w =>
+          singlePartitionShapes(preparedPlan(df)).foreach { case (kind, w) =>
             flagged += 1
-            // the immediate child tells the story: a partial aggregate
-            // below a 1-partition exchange is the standard global-agg
-            // merge (rows = #partitions, always safe); anything else
-            // needs a boundedness argument
-            def unwrap(p: SparkPlan): SparkPlan = p match {
-              case c: org.apache.spark.sql.execution
-                .WholeStageCodegenExec => unwrap(c.child)
-              case c: org.apache.spark.sql.execution
-                .InputAdapter => unwrap(c.child)
-              case other => other
-            }
-            val child = w.children.headOption.map(unwrap)
-              .map(c => c.getClass.getSimpleName +
-                (c match {
-                  case a: org.apache.spark.sql.execution.aggregate
-                    .BaseAggregateExec =>
-                    val partial = a.aggregateExpressions.forall(
-                      _.mode.toString.contains("Partial"))
-                    if (partial) "(partial)" else "(final)"
-                  case _ => ""
-                })).getOrElse("?")
-            println(s"FLAG $k ${w.getClass.getSimpleName} child=$child")
+            val listed = if (boundedAllowlist.contains(k)) " [allowlisted]" else ""
+            println(s"FLAG $k $kind ${w.getClass.getSimpleName}$listed")
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
             println(s"ERR  $k ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
-    println(s"== $flagged global-window site(s) ==")
+    println(s"== $flagged unbounded single-partition site(s) ==")
     spark.stop()
   }
 }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *     shingle-overlap structure EXACTLY while making copies
   *     content-disjoint);
   *   - ids shift by k·10^12 (disjoint key spaces, graph becomes k
-  *     disjoint isomorphic components);
-  *   - embeddings translate by k·0.5 per component (in-copy geometry
-  *     identical, copies separated in space).
+  *     disjoint isomorphic components); orders/part shift the SAME
+  *     keys as lineitem so each copy is a referentially consistent
+  *     sub-database;
+  *   - embeddings get a per-copy orthogonal transform (coordinate
+  *     rotation + sign flip: in-copy geometry exactly preserved,
+  *     copy directions spread over the sphere).
   *
   * Known caveats, stated where they matter:
   *   - q_dedup_eval's left side is pinned to `doc_id < 200`, so only
@@ -105,11 +108,28 @@ object Scaling {
       .withColumn("l_partkey", col("l_partkey") + lit(k * off)))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // Unscaled dims ride along verbatim: copies preserve their dim
-    // foreign keys (c_nationkey etc.), so dim joins stay valid while
-    // facts scale — the realistic growth mode (a 30x corpus does not
-    // grow 30x more nations).
-    for (t <- Seq("region", "nation", "supplier", "part", "orders")) {
+    // orders/part scale WITH lineitem, shifting the same keys by the
+    // same per-copy offset (plus o_custkey, matching customer), so
+    // every copy is a referentially CONSISTENT sub-database — a
+    // verbatim copy would leave 1−1/factor of fact rows with dangling
+    // FKs and turn every fact-dim join into a mostly-no-match
+    // workload that measures nothing real.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    copies(ord, (d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * off))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * off)))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val part = spark.read.parquet(s"$base/part.parquet")
+    copies(part, (d, k) => d
+      .withColumn("p_partkey", col("p_partkey") + lit(k * off)))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // True dims ride along verbatim: nothing shifts their keys
+    // (customer keeps c_nationkey, lineitem keeps l_suppkey), so
+    // their joins stay valid — the realistic growth mode (a 30x
+    // corpus does not grow 30x more nations).
+    for (t <- Seq("region", "nation", "supplier")) {
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")
       if (java.nio.file.Files.exists(src)) {
         java.nio.file.Files.createDirectories(
@@ -150,12 +170,21 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
 
+    // The marker records the GENERATOR VERSION, not just existence: a
+    // corpus built by an older construction (e.g. the degenerate
+    // embedding translation replaced in v2) must rebuild, or every
+    // curve silently measures the stale geometry. Bump on any change
+    // to buildScaled's content.
+    val generatorVersion = "v3-consistent-subdbs"
     val marker = new java.io.File(s"$out/_built_$factor")
-    if (!marker.exists()) {
-      System.err.println(s"[scaling] building ${factor}x corpus at $out")
+    val upToDate = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == generatorVersion
+    if (!upToDate) {
+      System.err.println(
+        s"[scaling] building ${factor}x corpus ($generatorVersion) at $out")
       buildScaled(spark, base, out, factor)
       marker.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(marker.toPath, "ok")
+      java.nio.file.Files.writeString(marker.toPath, generatorVersion)
     }
 
     // Warm codegen/JIT on the tiny SF so first-run compilation cost

@@ -624,7 +624,7 @@ object JpegCodec {
         val m = b(off + 1) & 0xff
         if (m == 0xd9) return false // EOI before SOS
         val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-        if (len < 2 || off + 2 + len > b.length) return false
+        if (len < 2 || off + 2L + len > b.length) return false
         m match {
           case 0xc0 | 0xc1 =>
             val prec = b(off + 4) & 0xff
@@ -692,12 +692,17 @@ object JpegCodec {
           f"JPEG: bad marker alignment at $off")
       val m = b(off + 1) & 0xff
       val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-      if (len < 2 || off + 2 + len > b.length)
+      if (len < 2 || off + 2L + len > b.length)
         throw new IllegalArgumentException("JPEG: truncated segment")
       val seg = off + 4
       val segEnd = off + 2 + len
       m match {
         case 0xc0 | 0xc1 =>
+          // every read below must sit INSIDE the declared segment — a
+          // hostile small len would otherwise read past segEnd
+          // (garbage dims, or AIOOBE when the segment ends the buffer)
+          if (segEnd - seg < 6)
+            throw new IllegalArgumentException("JPEG: truncated SOF")
           val prec = b(seg) & 0xff
           if (prec != 8)
             throw new IllegalArgumentException(s"JPEG: precision $prec")
@@ -706,6 +711,8 @@ object JpegCodec {
           val nc = b(seg + 5) & 0xff
           if (nc != 1 && nc != 3)
             throw new IllegalArgumentException(s"JPEG: $nc components")
+          if (segEnd - seg < 6 + 3 * nc)
+            throw new IllegalArgumentException("JPEG: truncated SOF")
           comps = Array.tabulate(nc) { i =>
             val base = seg + 6 + 3 * i
             val hv = b(base + 1) & 0xff
@@ -724,6 +731,8 @@ object JpegCodec {
         case 0xdb => // one or more quant tables
           var p = seg
           while (p < segEnd) {
+            if (segEnd - p < 65)
+              throw new IllegalArgumentException("JPEG: truncated DQT")
             val pq = (b(p) & 0xff) >> 4
             val id = b(p) & 0x0f
             if (pq != 0)
@@ -740,6 +749,8 @@ object JpegCodec {
         case 0xc4 => // one or more huffman tables
           var p = seg
           while (p < segEnd) {
+            if (segEnd - p < 17)
+              throw new IllegalArgumentException("JPEG: truncated DHT")
             val cls = (b(p) & 0xff) >> 4
             val id = b(p) & 0x0f
             // ids above 3 index past the 4-slot tables: reject the
@@ -749,17 +760,25 @@ object JpegCodec {
                 s"JPEG: DHT class $cls id $id")
             val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
             val nv = bits.sum
+            if (segEnd - p < 17 + nv)
+              throw new IllegalArgumentException("JPEG: truncated DHT")
             val vals = Array.tabulate(nv)(i => b(p + 17 + i) & 0xff)
             val t = new HuffDecodeTable(bits, vals)
             if (cls == 0) dcTabs(id) = t else acTabs(id) = t
             p += 17 + nv
           }
         case 0xdd =>
+          if (segEnd - seg < 2)
+            throw new IllegalArgumentException("JPEG: truncated DRI")
           restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
         case 0xda =>
+          if (segEnd - seg < 1)
+            throw new IllegalArgumentException("JPEG: truncated SOS")
           val ns = b(seg) & 0xff
           if (comps == null || ns != comps.length)
             throw new IllegalArgumentException("JPEG: SOS/SOF mismatch")
+          if (segEnd - seg < 1 + 2 * ns)
+            throw new IllegalArgumentException("JPEG: truncated SOS")
           var i = 0
           while (i < ns) {
             val cid = b(seg + 1 + 2 * i) & 0xff

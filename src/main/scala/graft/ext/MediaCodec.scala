@@ -162,31 +162,37 @@ object MediaCodec {
     */
   def parseJpeg(b: Array[Byte]): JpegHeader = {
     require(detect(b) == "jpeg", "not a JPEG payload")
-    // Int cursor is wrap-safe here, unlike the WAV walk: each advance
-    // is ≤ 2 + 65535 (u16be segment length), which can only overflow
-    // past a payload already larger than Int.MaxValue − 64 KiB — and a
-    // JVM byte array cannot reach that with the loop guard below.
-    var off = 2
-    while (off >= 0 && off + 4 <= b.length) {
-      if ((b(off) & 0xff) != 0xff)
+    // Long cursor + an explicit bound before EVERY read: segment
+    // lengths and 0xFF fill runs come from untrusted bytes. An Int
+    // walk has a wrap window near Int.MaxValue (the WAV chunk-walk
+    // class), and the fill-skip loop can park the cursor close enough
+    // to the end that the segment-length read itself runs off the
+    // buffer — both must fault as IllegalArgumentException, never
+    // AIOOBE.
+    var off: Long = 2L
+    while (off + 4 <= b.length) {
+      if ((b(off.toInt) & 0xff) != 0xff)
         throw new IllegalArgumentException(
-          f"bad JPEG marker alignment at $off (0x${b(off) & 0xff}%02x)")
-      var m = b(off + 1) & 0xff
-      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+          f"bad JPEG marker alignment at $off (0x${b(off.toInt) & 0xff}%02x)")
+      var m = b(off.toInt + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) {
+        off += 1; m = b(off.toInt + 1) & 0xff
+      }
       m match {
         case mk if mk >= 0xc0 && mk <= 0xcf &&
           mk != 0xc4 && mk != 0xc8 && mk != 0xcc =>
           // SOFn: len u16be, precision u8, height u16be, width u16be, nc u8
           require(off + 9 < b.length, "truncated SOF segment")
           return JpegHeader(
-            b(off + 4) & 0xff, be16(b, off + 7), be16(b, off + 5),
-            b(off + 9) & 0xff)
+            b(off.toInt + 4) & 0xff, be16(b, off.toInt + 7),
+            be16(b, off.toInt + 5), b(off.toInt + 9) & 0xff)
         case 0xd9 | 0xda => // EOI / SOS without a frame header
           throw new IllegalArgumentException("JPEG stream has no SOF marker")
         case mk if mk == 0x01 || (mk >= 0xd0 && mk <= 0xd7) =>
           off += 2 // standalone marker, no length
         case _ =>
-          off += 2 + be16(b, off + 2)
+          require(off + 4 <= b.length, "truncated JPEG segment length")
+          off += 2L + be16(b, off.toInt + 2)
       }
     }
     throw new IllegalArgumentException("JPEG stream has no SOF marker")

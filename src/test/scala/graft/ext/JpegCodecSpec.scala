@@ -208,6 +208,38 @@ class JpegCodecSpec extends AnyFunSuite {
           fail(s"extreme-u16 at $off escaped with ${e.getClass.getName}")
       }
     }
+    // Directed SMALL u16be values: a tiny declared segment length
+    // passes the global truncation check yet every fixed-offset read
+    // in the arm (SOF dims, DQT's 65-byte table, DHT's 17+nv, DRI's
+    // 2, SOS's 1+2ns) lands past segEnd — garbage-in-buffer or AIOOBE
+    // at EOF. The extreme-value pass above can't reach this class.
+    for (off <- 0 until (base.length - 1);
+         v <- Seq(2, 3, 4, 8)) {
+      val m = base.clone()
+      m(off) = ((v >> 8) & 0xff).toByte
+      m(off + 1) = (v & 0xff).toByte
+      try { JpegCodec.decodeBaseline(m); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"small-u16 $v at $off escaped with ${e.getClass.getName}")
+      }
+      try { JpegCodec.isBaselineDecodable(m); () }
+      catch {
+        case e: Throwable =>
+          fail(s"guard small-u16 $v at $off threw ${e.getClass.getName}")
+      }
+    }
+    // The FF-fill-run crash (found by review, reproduced): a run of
+    // 0xFF fill bytes reaching EOF parked parseJpeg's cursor where the
+    // segment-length read ran off the buffer — AIOOBE, not IAE.
+    val ffRun = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE1).map(_.toByte)
+    try { graft.ext.MediaCodec.parseJpeg(ffRun); () }
+    catch {
+      case _: IllegalArgumentException => ()
+      case e: Throwable =>
+        fail(s"FF-fill run escaped with ${e.getClass.getName}")
+    }
     // hostile-dims allocation cap: a huge SOF must refuse, not OOM
     val huge = JpegCodec.encodeBaseline(8, 8, 1, (_, _, _) => 0)
     // patch the SOF dims (height/width u16be right after precision)
