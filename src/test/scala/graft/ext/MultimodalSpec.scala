@@ -159,7 +159,7 @@ class MultimodalSpec extends SparkSpec {
     // chunk-walk cursor wrap survived 400×4 random mutations — so
     // write each extreme 32-bit value into EVERY aligned u32 slot of
     // every seed explicitly.
-    val extremes = Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1, -4, -8)
+    val extremes = Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1, -4, -8, 2, 3, 8)
     for (seed <- seeds; off <- 0 until (seed.length - 3) by 4;
          v <- extremes) {
       val m = seed.clone()

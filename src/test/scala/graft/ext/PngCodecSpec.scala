@@ -181,7 +181,7 @@ class PngCodecSpec extends AnyFunSuite {
     // almost never craft a near-Int.MaxValue chunk length (the class
     // that wrapped the WAV walk cursor) — write them explicitly.
     for (off <- 0 until (base.length - 3) by 4;
-         v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1)) {
+         v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1, 2, 3, 8)) {
       val m = base.clone()
       m(off) = ((v >> 24) & 0xff).toByte
       m(off + 1) = ((v >> 16) & 0xff).toByte

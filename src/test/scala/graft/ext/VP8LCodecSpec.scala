@@ -149,7 +149,7 @@ class VP8LCodecSpec extends AnyFunSuite {
       // chunk lengths live here): random pokes almost never craft the
       // near-Int.MaxValue length that wrapped the WAV walk cursor.
       for (off <- 0 until (base.length - 3) by 4;
-           v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1)) {
+           v <- Seq(0x7fffffff, 0x7ffffff0, 0x80000000, -1, 2, 3, 8)) {
         val m = base.clone()
         m(off) = (v & 0xff).toByte
         m(off + 1) = ((v >> 8) & 0xff).toByte
