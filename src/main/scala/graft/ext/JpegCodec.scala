@@ -627,9 +627,14 @@ object JpegCodec {
         if (len < 2 || off + 2L + len > b.length) return false
         m match {
           case 0xc0 | 0xc1 =>
+            // reads must sit inside the DECLARED segment, mirroring
+            // decodeBaseline's bound — otherwise the guard can accept
+            // out-of-segment bytes the hardened decoder rejects
+            if (len < 8) return false
             val prec = b(off + 4) & 0xff
             val nc = b(off + 9) & 0xff
             if (prec != 8 || (nc != 1 && nc != 3)) return false
+            if (len < 8 + 3 * nc) return false
             var i = 0
             while (i < nc) {
               val hv = b(off + 11 + 3 * i) & 0xff

@@ -293,18 +293,29 @@ object MediaCodec {
     -1
   }
 
+  /** The data chunk's payload offset and byte count, validated — the
+    * ONE bound both the gates and the decoders consult (they must
+    * agree, or a gate-passing payload can fault its decoder — the
+    * class the round-13 review flagged). Left = decoder fault message.
+    */
+  private def dataChunk(b: Array[Byte]): Either[String, (Int, Int)] = {
+    val o = dataChunkOffset(b)
+    if (o < 0) Left("no data chunk")
+    else {
+      val sz = le32(b, o + 4)
+      if (sz < 0 || o + 8L + sz > b.length)
+        Left(s"truncated WAV data chunk: claims $sz bytes, " +
+          s"payload has ${b.length - o - 8}")
+      else Right((o + 8, sz))
+    }
+  }
+
   /** True iff `b` is a canonical 16-bit PCM WAV whose data chunk is
     * present and complete — the safe-dispatch twin of
     * [[isCompleteBmp24]] for sample-reading paths.
     */
   def isCompletePcm16(b: Array[Byte]): Boolean =
-    detect(b) == "wav" && le16(b, 34) == 16 && {
-      val o = dataChunkOffset(b)
-      o >= 0 && {
-        val sz = le32(b, o + 4)
-        sz >= 0 && o + 8L + sz <= b.length
-      }
-    }
+    detect(b) == "wav" && le16(b, 34) == 16 && dataChunk(b).isRight
 
   /** True iff `b` is a GVID container whose frame count and every
     * frame length are in-bounds — the safe-dispatch twin of
@@ -494,21 +505,17 @@ object MediaCodec {
   def decodePcm16(b: Array[Byte]): Array[Int] = {
     require(detect(b) == "wav", "not a WAV payload")
     require(le16(b, 34) == 16, s"not 16-bit PCM: ${le16(b, 34)}")
-    // Long-cursor walk (dataChunkOffset): corrupt chunk sizes must hit
-    // the loud "no data chunk" require, not an AIOOBE from a wrapped
-    // Int cursor re-entering the buffer.
-    val off = dataChunkOffset(b)
-    require(off >= 0, "no data chunk")
-    val dataBytes = le32(b, off + 4)
-    require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
-      s"truncated WAV data chunk: claims $dataBytes bytes, " +
-        s"payload has ${b.length - off - 8}")
+    // Long-cursor walk (dataChunkOffset) + the shared dataChunk bound:
+    // corrupt chunk sizes must hit a loud IllegalArgumentException,
+    // not an AIOOBE from a wrapped Int cursor re-entering the buffer.
+    val (dataOff, dataBytes) = dataChunk(b).fold(
+      m => throw new IllegalArgumentException(m), identity)
     val n = dataBytes / 2
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      out(i) = ((b(off + 8 + 2 * i) & 0xff) |
-        (b(off + 9 + 2 * i) << 8)).toShort.toInt
+      out(i) = ((b(dataOff + 2 * i) & 0xff) |
+        (b(dataOff + 1 + 2 * i) << 8)).toShort.toInt
       i += 1
     }
     out
@@ -561,16 +568,12 @@ object MediaCodec {
     require(tag == 6 || tag == 7, s"not a G.711 WAV: format tag $tag")
     require(le16(b, 34) == 8, s"G.711 is 8-bit: ${le16(b, 34)}")
     val ulaw = tag == 7
-    val off = dataChunkOffset(b)
-    require(off >= 0, "no data chunk")
-    val dataBytes = le32(b, off + 4)
-    require(dataBytes >= 0 && off + 8L + dataBytes <= b.length,
-      s"truncated WAV data chunk: claims $dataBytes bytes, " +
-        s"payload has ${b.length - off - 8}")
+    val (dataOff, dataBytes) = dataChunk(b).fold(
+      m => throw new IllegalArgumentException(m), identity)
     val out = new Array[Int](dataBytes)
     var i = 0
     while (i < dataBytes) {
-      val c = b(off + 8 + i) & 0xff
+      val c = b(dataOff + i) & 0xff
       out(i) = if (ulaw) g711UlawToPcm(c) else g711AlawToPcm(c)
       i += 1
     }
@@ -582,13 +585,8 @@ object MediaCodec {
     */
   def isCompleteG711(b: Array[Byte]): Boolean =
     detect(b) == "wav" &&
-      (le16(b, 20) == 6 || le16(b, 20) == 7) && le16(b, 34) == 8 && {
-        val o = dataChunkOffset(b)
-        o >= 0 && {
-          val sz = le32(b, o + 4)
-          sz >= 0 && o + 8L + sz <= b.length
-        }
-      }
+      (le16(b, 20) == 6 || le16(b, 20) == 7) && le16(b, 34) == 8 &&
+      dataChunk(b).isRight
 
   /** Unified WAV sample decode: 16-bit PCM or 8-bit G.711 (μ-law /
     * A-law), both to linear PCM ints — one return shape for every

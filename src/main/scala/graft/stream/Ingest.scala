@@ -258,10 +258,13 @@ object Ingest {
       // streaming plans).
       // Line-number ordering contract: __mono follows (partitionId,
       // offset), which matches CSV line order only while each file maps
-      // to a SINGLE input split. ENFORCED upstream: processBatch
-      // quarantines any file larger than the batch's effective split
-      // size (FilePartition.maxSplitBytes re-derived in
-      // effectiveMaxSplitBytes), so no file reaching this point splits.
+      // to a SINGLE input split. Guarded upstream (processBatch
+      // pre-quarantines files larger than the batch's effective split
+      // size) and VERIFIED from the data below: the per-file __mono
+      // contiguity check quarantines any file whose rows actually
+      // arrived across input splits — which also covers the by-name
+      // re-read path, whose SOLO scan computes its own (smaller)
+      // split size the batch-wide pre-guard cannot see.
       val cleaned = Schemas.sensorColumns.foldLeft(
         batchOk.withColumn("__mono", monotonically_increasing_id()))((d, c) =>
         d.withColumn(c, Cleanse.naNormalize(col(c))))
@@ -272,6 +275,33 @@ object Ingest {
       val validated = Validate.withValidation(numbered, conf, "row_num")
         .persist()
       try {
+        // Single-split contract verified by OBSERVATION, not only
+        // predicted by formula: monotonically_increasing_id packs the
+        // partition id into the high 33 bits, so a file read as one
+        // split has CONTIGUOUS ids (two splits of one file land in
+        // different partitions, whose id islands sit ≥2^33 apart and
+        // can never abut). Non-contiguity ⇒ row_number over __mono
+        // would misnumber lines — quarantine with an actionable
+        // reason. One extra bounded aggregate (3 longs per file).
+        val splitFiles: Map[String, String] = validated
+          .groupBy(col("__file"))
+          .agg(count(lit(1)).as("__n"),
+            min(col("__mono")).as("__lo"), max(col("__mono")).as("__hi"))
+          .collect()
+          .flatMap { r =>
+            val n = r.getAs[Long]("__n")
+            val span = r.getAs[Long]("__hi") - r.getAs[Long]("__lo") + 1
+            if (span != n)
+              Some(r.getAs[String]("__file") ->
+                ("File rows arrived across multiple input splits " +
+                  s"(id span $span over $n rows): per-file line " +
+                  "numbering requires a single input split. Raise " +
+                  "spark.sql.files.maxPartitionBytes (and " +
+                  "openCostInBytes for small batches) to ingest files " +
+                  "this large. Quarantining."))
+            else None
+          }.toMap
+
         val verdicts = Validate.strictVerdicts(validated, "__file")
           .collect() // one row per file — driver-side routing decisions
 
@@ -293,7 +323,12 @@ object Ingest {
           val isClean = v.getAs[Boolean]("is_clean")
           val firstError = Option(v.getAs[String]("first_error"))
 
-          if (conf.strictMode) {
+          if (splitFiles.contains(fileUri)) {
+            val reason = splitFiles(fileUri)
+            log.warn(s"File '$name': $reason")
+            pendingMoves += path -> Some(reason)
+            outcomes += FileOutcome(name, "quarantined", Some(reason), nRows)
+          } else if (conf.strictMode) {
             // Past tense: the validation pass already ran (the verdict
             // aggregate above IS the validation); a "Starting…" line
             // here would misstate the execution order.

@@ -804,4 +804,45 @@ class IngestSpec extends SparkSpec {
     assert(Files.exists(log) &&
       Files.readString(log).contains("Header remap failed"))
   }
+
+  test("a remappable file whose SOLO re-read splits across input " +
+    "partitions is quarantined by the contiguity check, never " +
+    "silently misnumbered (the batch-wide pre-guard cannot see the " +
+    "solo scan's smaller split size)") {
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // Batch pre-guard passes: splitLimit = min(4096, max(256,
+      // bytesPerCore over ~16 files)) = 4096 > the ~3 KB remap file.
+      // Solo re-read of that one file: bytesPerCore = (3 KB + 256)/4
+      // cores < 4096, so Spark cuts it into multiple splits.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "256")
+      val root = tmp("graft_remap_split")
+      val conf = mkConf(root)
+      val dataDir = Files.createDirectories(root.resolve("data"))
+      val rows = (1 to 60).map(i =>
+        f"2025-05-26 04:${i % 60}%02d:08,S${i % 5},25.5,0.65,1013.25")
+      // reordered header -> the remap path; content itself is valid
+      Files.writeString(dataDir.resolve("bigremap.csv"),
+        ("timestamp,sensor_id,humidity,temperature,pressure" +:
+          rows.map { r =>
+            val c = r.split(","); Seq(c(0), c(1), c(3), c(2), c(4)).mkString(",")
+          }).mkString("", "\n", "\n"))
+      (1 to 15).foreach(i => writeCsv(dataDir, s"pad$i.csv", rows: _*))
+      val q = Ingest.start(spark, conf, new ParquetSink(
+        root.resolve("raw").toString, root.resolve("agg").toString))
+      try { q.processAllAvailable() } finally q.stop()
+      assert(Files.exists(root.resolve("quarantine/bigremap.csv")),
+        "the split solo re-read must quarantine, not misnumber")
+      (1 to 15).foreach(i =>
+        assert(Files.exists(root.resolve(s"processed/pad$i.csv"))))
+      val log = Files.readString(
+        root.resolve("quarantine/quarantine_log.txt"))
+      assert(log.contains("across multiple input splits"), log)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
 }
