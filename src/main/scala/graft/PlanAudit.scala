@@ -106,21 +106,27 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)
     var flagged = 0
+    var allowlisted = 0
     SparkEntry.queries.keys.toSeq.sorted
       .filter(_.startsWith(prefix)).foreach { k =>
         try {
           val df = SparkEntry.queries(k)(spark, dir)
           singlePartitionShapes(preparedPlan(df)).foreach { case (kind, w) =>
-            flagged += 1
-            val listed = if (boundedAllowlist.contains(k)) " [allowlisted]" else ""
-            println(s"FLAG $k $kind ${w.getClass.getSimpleName}$listed")
+            // Allowlisted (documented-bounded) shapes are reported but
+            // counted separately: the summary line must not label a
+            // bounded-strata rank an "unbounded" site.
+            val listed = boundedAllowlist.contains(k)
+            if (listed) allowlisted += 1 else flagged += 1
+            val tag = if (listed) " [allowlisted]" else ""
+            println(s"FLAG $k $kind ${w.getClass.getSimpleName}$tag")
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
             println(s"ERR  $k ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
-    println(s"== $flagged unbounded single-partition site(s) ==")
+    println(s"== $flagged unbounded single-partition site(s), " +
+      s"$allowlisted documented-bounded (allowlisted) ==")
     spark.stop()
   }
 }

@@ -193,6 +193,10 @@ object Scaling {
       buildScaled(spark, base, out, factor)
       marker.getParentFile.mkdirs()
       java.nio.file.Files.writeString(marker.toPath, generatorVersion)
+      // The corpus under `out` just changed: drop any corpus-size
+      // memo a previous query against that dir may have pinned
+      // (SparkEntry.corpusCountCache's immutability contract).
+      SparkEntry.clearCorpusSizeCache()
     }
 
     // Warm codegen/JIT on the tiny SF so first-run compilation cost

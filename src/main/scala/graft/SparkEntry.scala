@@ -24,19 +24,36 @@ import graft.plans.{Ordinal, Prefix}
   */
 object SparkEntry {
 
-  /** Adaptive-LSH rung per data dir, memoized: the rung needs ONE
-    * count of the embeddings table, and without the memo every bench
-    * warmup/timed/re-time invocation of each of the five LSH queries
-    * re-ran the counting job (the count itself is what makes the
-    * bucket count corpus-sized — see Similarity.adaptiveLshBits).
-    * Keyed by dir: test corpora are immutable per JVM run.
+  /** Embeddings-corpus row count per data dir, memoized: the count
+    * sizes both the adaptive-LSH rung (Similarity.adaptiveLshBits)
+    * and the SemDeDup k ladder (Dedup.semDeDupK), and without the
+    * memo every bench warmup/timed/re-time invocation of each
+    * corpus-sized query re-ran the counting job.
+    *
+    * CALLER CONTRACT — immutable corpora per JVM: the cache assumes
+    * the embeddings table under a given dir does not change while
+    * this JVM lives (true for Verify/Bench/Scaling, whose corpora are
+    * written once and read many times). A long-lived caller that
+    * APPENDS to a corpus dir would keep a stale rung/k — pinning
+    * yesterday's bucket granularity onto today's larger corpus — and
+    * must call [[clearCorpusSizeCache]] after any write to a dir it
+    * will query again (the scaling harness does exactly this after
+    * building a scaled corpus into a previously-queried path).
     */
-  private val lshBitsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCountFor(dir: String, emb: => DataFrame): Long =
+    corpusCountCache.computeIfAbsent(dir,
+      _ => Long.box(emb.count())).longValue
+
+  /** Drop every memoized corpus size (see [[corpusCountCache]]'s
+    * immutability contract) — call after mutating a corpus dir this
+    * JVM has already queried.
+    */
+  def clearCorpusSizeCache(): Unit = corpusCountCache.clear()
+
   private def lshBitsFor(dir: String, emb: => DataFrame): Int =
-    lshBitsCache.computeIfAbsent(dir,
-      _ => Int.box(graft.ext.Similarity.adaptiveLshBits(emb.count()))
-    ).intValue
+    graft.ext.Similarity.adaptiveLshBits(embCountFor(dir, emb))
 
   // ---- events-analog validation predicate (V1-V5 on the testdata) ----
   private val ValueLo = 0.0

@@ -606,11 +606,16 @@ object JpegCodec {
       id: Int, h: Int, v: Int, qId: Int,
       var dcId: Int = 0, var acId: Int = 0)
 
-  /** Structural pre-check: true iff [[decodeBaseline]] supports this
-    * stream (SOI, sequential-Huffman SOF0/SOF1, 8-bit, 1 or 3
-    * components with sampling factors 1..2, DQT/DHT/SOS present).
-    * Walks marker segments only — never the entropy stream — so it is
-    * cheap and safe on untrusted corpus bytes.
+  /** Structural pre-check: a NECESSARY condition for
+    * [[decodeBaseline]] support (SOI, sequential-Huffman SOF0/SOF1,
+    * 8-bit, 1 or 3 components with sampling factors 1..2,
+    * DQT/DHT/SOS present). Only the SOF interior is bounds-validated
+    * here, so a stream with a truncated DQT/DHT/DRI/SOS interior can
+    * pass the guard and still be rejected by the decoder — the
+    * guard-may-pass-decode-may-fail contract documented on
+    * [[MediaCodec.isDecodableImage]]. Walks marker segments only —
+    * never the entropy stream — so it is cheap and safe on untrusted
+    * corpus bytes.
     */
   def isBaselineDecodable(b: Array[Byte]): Boolean = {
     if (MediaCodec.detect(b) != "jpeg") return false
