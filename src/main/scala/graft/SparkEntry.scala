@@ -1378,12 +1378,18 @@ object SparkEntry {
 
     // [EXT] SemDeDup: embedding-space semantic dedup — kmeans
     // clusters (bit-reproducible), then within-cluster cosine pruning
-    // against lower-id clustermates. Oracle reuses the unrolled
-    // kmeans chain and mirrors the 6-dp cosine.
+    // against lower-id clustermates. k is CORPUS-SIZED
+    // (Dedup.semDeDupK of the memoized embeddings count — E[n_c]≈256,
+    // so the within-cluster pair join stays linear at any scale; 8 at
+    // every test SF). Oracle reuses the unrolled spread-seeded kmeans
+    // chain, whose COUNT(*)-derived k picks the identical rung, and
+    // mirrors the 6-dp cosine.
     "q_semdedup" -> ((s, dir) =>
       Dedup.semDeDup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, k = 8, iters = 3, threshold = 0.4)),
+        dim = 64,
+        k = Dedup.semDeDupK(embCountFor(dir, Tables.embeddings(s, dir))),
+        iters = 3, threshold = 0.4)),
 
     // [EXT] Analytics: clickstream transition matrix — one lead()
     // shuffle on the user key, then a partial-aggregatable pair count.
@@ -2768,29 +2774,41 @@ s0 AS MATERIALIZED (
 $iterCtes"""
   }
 
-  /** The deterministic k-means unroll as a reusable CTE-chain body
-    * ending in `fin(vec_id, cid)` (plus `e(vec_id, emb, qemb)`) —
-    * shared by the q_kmeans_assign and q_semdedup oracles.
+  /** Quantized-distance SQL shared by every k-means oracle chain —
+    * mirrors [[graft.ext.Embeddings]]'s `quantizedDist` /
+    * [[graft.functions.NearestCentroidQ]] bit-for-bit.
     */
-  private def kmeansAssignCtes(k: Int, iters: Int): String = {
-    def qd(emb: String, cemb: String): String =
-      s"CAST(FLOOR((list_inner_product($emb, $emb) " +
-        s"- list_inner_product($emb, $cemb) * 2.0 " +
-        s"+ list_inner_product($cemb, $cemb)) * 1e6) AS BIGINT)"
-    val seedCtes = (1 until k).map { j =>
-      s"""s$j AS MATERIALIZED (
-  SELECT $j AS cid, any_value(e.emb) AS emb FROM e CROSS JOIN seeds$j s
-  GROUP BY e.vec_id
-  ORDER BY MIN(${qd("e.emb", "s.emb")}) DESC, e.vec_id ASC LIMIT 1),
-seeds${j + 1} AS MATERIALIZED (SELECT * FROM seeds$j UNION ALL SELECT * FROM s$j)"""
-    }.mkString(",\n")
+  private def kmeansQdSql(emb: String, cemb: String): String =
+    s"CAST(FLOOR((list_inner_product($emb, $emb) " +
+      s"- list_inner_product($emb, $cemb) * 2.0 " +
+      s"+ list_inner_product($cemb, $cemb)) * 1e6) AS BIGINT)"
+
+  /** `e(vec_id, emb, qemb)` + `dims` header shared by the k-means
+    * oracle chains.
+    */
+  private val kmeansHeaderCtes: String =
+    s"""e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS qemb
+  FROM embeddings),
+dims AS MATERIALIZED (SELECT UNNEST(range(1, 65)) AS i)"""
+
+  /** The k-AGNOSTIC part of the Lloyd unroll: `iters` iterations from
+    * a seed table `c0(cid, emb)` of ANY size, ending in
+    * `fin(vec_id, cid)`. Quantized assignment (lowest cid on ties),
+    * exact integer centroid sums, empty clusters keep their centroid —
+    * the [[graft.ext.Embeddings.kmeans]]/`kmeansSpread` iteration
+    * contract.
+    */
+  private def kmeansIterFinCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       val prev = s"c${t - 1}"
       s"""a$t AS MATERIALIZED (
   SELECT vec_id, qemb, cid FROM (
     SELECT e.vec_id, e.qemb, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
+        ORDER BY ${kmeansQdSql("e.emb", "c.emb")} ASC, c.cid ASC) AS r
     FROM e CROSS JOIN $prev c) WHERE r = 1),
 u$t AS MATERIALIZED (
   SELECT a.cid, d.i, SUM(a.qemb[d.i]) AS s, COUNT(*) AS n
@@ -2802,24 +2820,57 @@ c$t AS MATERIALIZED (
       ORDER BY i) AS emb
     FROM u$t GROUP BY cid) nc USING (cid))"""
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-    list_transform(CAST(embedding AS DOUBLE[]),
-      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS qemb
-  FROM embeddings),
-dims AS MATERIALIZED (SELECT UNNEST(range(1, 65)) AS i),
-s0 AS MATERIALIZED (SELECT 0 AS cid, emb FROM e ORDER BY vec_id LIMIT 1),
-seeds1 AS MATERIALIZED (SELECT * FROM s0),
-$seedCtes,
-c0 AS MATERIALIZED (SELECT * FROM seeds$k),
-$iterCtes,
+    s"""$iterCtes,
 fin AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ${qd("e.emb", "c.emb")} ASC, c.cid ASC) AS r
+        ORDER BY ${kmeansQdSql("e.emb", "c.emb")} ASC, c.cid ASC) AS r
     FROM e CROSS JOIN c$iters c) WHERE r = 1)"""
   }
+
+  /** The deterministic FIXED-k k-means unroll (farthest-point seeds,
+    * k−1 seed CTEs) ending in `fin(vec_id, cid)` — the
+    * q_kmeans_assign oracle.
+    */
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
+    val seedCtes = (1 until k).map { j =>
+      s"""s$j AS MATERIALIZED (
+  SELECT $j AS cid, any_value(e.emb) AS emb FROM e CROSS JOIN seeds$j s
+  GROUP BY e.vec_id
+  ORDER BY MIN(${kmeansQdSql("e.emb", "s.emb")}) DESC, e.vec_id ASC LIMIT 1),
+seeds${j + 1} AS MATERIALIZED (SELECT * FROM seeds$j UNION ALL SELECT * FROM s$j)"""
+    }.mkString(",\n")
+    s"""$kmeansHeaderCtes,
+s0 AS MATERIALIZED (SELECT 0 AS cid, emb FROM e ORDER BY vec_id LIMIT 1),
+seeds1 AS MATERIALIZED (SELECT * FROM s0),
+$seedCtes,
+c0 AS MATERIALIZED (SELECT * FROM seeds$k),
+${kmeansIterFinCtes(iters)}"""
+  }
+
+  /** The CORPUS-SIZED k-means unroll — k-AGNOSTIC TEXT, so one static
+    * SQL string follows the data: `kk` derives k from COUNT(*) with
+    * the exact [[graft.ext.Dedup.semDeDupK]] integer ladder, and `c0`
+    * seeds with the k smallest md5-rank ids in rank order
+    * ([[graft.ext.Embeddings]]'s `hashSpreadInit`/`kmeansSpread`).
+    * Both engines therefore pick the identical rung AND the identical
+    * seed set at every corpus size — the `adaptiveLshBitsSqlCase`
+    * discipline applied to k-means. Ends in `fin(vec_id, cid)`.
+    */
+  private def kmeansSpreadCtes(iters: Int): String =
+    s"""$kmeansHeaderCtes,
+kk AS MATERIALIZED (
+  SELECT LEAST(COUNT(*), GREATEST(8, (COUNT(*) + 255) // 256)) AS k
+  FROM e),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cid, emb FROM (
+    SELECT emb, ROW_NUMBER() OVER (
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        vec_id) AS rn
+    FROM e)
+  WHERE rn <= (SELECT k FROM kk)),
+${kmeansIterFinCtes(iters)}"""
 
   /** DuckDB oracle for q_dedup_embed_lsh: same bucket constants, same
     * equi-join + exact-cosine verification.
@@ -3451,10 +3502,12 @@ FROM deg GROUP BY 1"""
 
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
 
-    // Same unrolled kmeans chain; then within-cluster lower-id pairs
-    // with the repo-standard ROUND(cosine, 6).
+    // Corpus-sized unrolled kmeans chain (k from COUNT(*), md5-rank
+    // seeds — k-agnostic text so the same SQL follows the data);
+    // then within-cluster lower-id pairs with the repo-standard
+    // ROUND(cosine, 6).
     "q_semdedup" ->
-      s"""WITH ${kmeansAssignCtes(8, 3)},
+      s"""WITH ${kmeansSpreadCtes(3)},
         |p AS (
         |  SELECT a.vec_id AS ida,
         |    ROUND(list_inner_product(ea.emb, eb.emb)

@@ -1187,8 +1187,14 @@ object Dedup {
     * Scale shape: the only superlinear step is the within-cluster
     * pair join, Σ_c n_c² — SemDeDup's own design lever: pick
     * k ∝ corpus size so E[n_c] is constant and the join is a plain
-    * cluster-keyed shuffle (AQE splits a skewed mega-cluster). The
-    * kmeans pass is one constant-state aggregate per iteration.
+    * cluster-keyed shuffle (AQE splits a skewed mega-cluster). Pass
+    * [[semDeDupK]] of the corpus count as `k` (the inventory query
+    * does; measured r13 with k pinned to 8: 18.3× wall at 30× data —
+    * the within-cluster pair space itself was the quadratic).
+    * Clustering is [[Embeddings.kmeansSpread]]: its init and
+    * assignment kernel stay cheap at corpus-sized k, and the chain
+    * stays bit-reproducible cross-engine. The kmeans pass is one
+    * constant-state aggregate per iteration.
     *
     * Output: one row per vector — (id, cluster, max_prior_sim =
     * max cosine to a lower-id clustermate or null, kept).
@@ -1197,7 +1203,7 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorExprs.{dot => vdot}
-    val (_, assigned) = Embeddings.kmeans(emb, idCol, vecCol, dim, k, iters)
+    val (_, assigned) = Embeddings.kmeansSpread(emb, idCol, vecCol, dim, k, iters)
     val base = assigned
       .select(col(idCol), col(vecCol), col("cluster"))
       .withColumn("__nrm", sqrt(vdot(col(vecCol), col(vecCol))))
@@ -1216,5 +1222,23 @@ object Dedup {
       .join(best, Seq(idCol, "cluster"), "left")
       .withColumn("kept",
         col("max_prior_sim").isNull || col("max_prior_sim") < threshold)
+  }
+
+  /** Corpus-sized cluster count for [[semDeDup]]: the smallest k
+    * keeping the EXPECTED cluster population ≤ 256 (floor 8, capped
+    * at n) — k = min(n, max(8, ⌈n/256⌉)). With E[n_c] pinned, the
+    * within-cluster pair join does ~n·256 comparisons total — linear
+    * in the corpus — where a constant k makes it Σn_c² ≈ n²/k
+    * (measured: 18.3× wall at 30× data with k=8). Pure integer
+    * arithmetic (ceil via (n+255)/256 truncating division), so the
+    * DuckDB oracle reproduces the choice exactly with
+    * `LEAST(n, GREATEST(8, (n + 255) // 256))` over a COUNT(*) — the
+    * [[Similarity.adaptiveLshBits]] integer-ladder discipline applied
+    * to k-means. At the three test SFs (n = 500/500/2000) this is
+    * always 8, so the rung only moves on scaled corpora.
+    */
+  def semDeDupK(n: Long): Int = {
+    require(n >= 1, s"semDeDupK needs a non-empty corpus, got $n")
+    math.min(n, math.max(8L, (n + 255L) / 256L)).toInt
   }
 }

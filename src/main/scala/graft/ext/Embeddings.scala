@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CovAgg, VectorExprs}
+import graft.functions.{CovAgg, HashExprs, VectorExprs}
 
 /** [EXT] Distributed embedding analytics: PCA over an embedding column
   * with the scale-correct split of work — ONE mergeable-aggregate pass
@@ -242,6 +242,13 @@ object Embeddings {
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
+    // NOTE on k at scale: k here is caller-pinned, which is right for
+    // a requested-cluster-count analysis (q_kmeans_assign) but wrong
+    // for corpus partitioning — any downstream within-cluster pair
+    // work is Σn_c², quadratic at fixed k. Corpus-sized callers
+    // should derive k from the row count ([[Dedup.semDeDupK]]'s
+    // E[n_c]≈256 ladder) and use [[kmeansSpread]], whose init cost
+    // does not grow with k² the way farthest-point's k scans do.
     require(k >= 1 && iters >= 1, s"bad kmeans params: k=$k iters=$iters")
     var centroids: Array[Array[Double]] =
       farthestPointInit(df, idCol, vecCol, k)
@@ -270,6 +277,70 @@ object Embeddings {
     }
     (centroids, df.withColumn("cluster",
       nearestCentroidQuantized(col(vecCol), centroids)))
+  }
+
+  /** Deterministic pseudo-random (Forgy) init for CORPUS-SIZED k:
+    * the k vectors with the smallest portable 60-bit md5 prefix of
+    * their id (ties by id), in that order — one distributed top-k
+    * (TakeOrdered) pass, O(n) work however large k is, where
+    * [[farthestPointInit]] is k sequential jobs totalling O(n·k²)
+    * distance work (fine at k=8, prohibitive at a corpus-sized
+    * k in the hundreds). The md5-rank order is the repo's standard
+    * cross-engine hash gate, so a SQL oracle reproduces BOTH the
+    * member set and the cid order with one ROW_NUMBER.
+    */
+  private def hashSpreadInit(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
+    df.orderBy(
+        HashExprs.md5Prefix60(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Lloyd's k-means for CORPUS-SIZED k (hundreds+): identical
+    * iteration contract to [[kmeans]] (quantized assignments, exact
+    * integer centroid sums, empty clusters keep their centroid — the
+    * same cross-engine determinism, oracle-able by the same unrolled
+    * CTE chain), with the two pieces that break at large k swapped:
+    * [[hashSpreadInit]] instead of farthest-point (O(n) vs O(n·k²)),
+    * and the codegen'd [[graft.functions.NearestCentroidQ]] kernel
+    * instead of a `least(struct...)` tree that falls out of codegen
+    * past a few dozen centroids. cid j = the j-th seed in md5-rank
+    * order.
+    */
+  def kmeansSpread(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
+    require(k >= 1 && iters >= 1, s"bad kmeans params: k=$k iters=$iters")
+    var centroids: Array[Array[Double]] =
+      hashSpreadInit(df, idCol, vecCol, k)
+    require(centroids.length == k, s"need >= $k vectors for init")
+    val qsums = (0 until dim).map(i =>
+      sum(floor(col(vecCol).getItem(i).cast("double") * lit(1e6))
+        .cast("long")).as(s"__s$i"))
+    var it = 0
+    while (it < iters) {
+      val states = df
+        .groupBy(VectorExprs.nearestCentroidQ(col(vecCol), centroids)
+          .as("cluster"))
+        .agg(count(lit(1)).as("__n"), qsums: _*)
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        states.get(j) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            Array.tabulate(dim)(i =>
+              r.getLong(2 + i).toDouble / (n.toDouble * 1e6))
+          case _ => old
+        }
+      }
+      it += 1
+    }
+    (centroids, df.withColumn("cluster",
+      VectorExprs.nearestCentroidQ(col(vecCol), centroids)))
   }
 
   /** Project the embedding column onto the model's axes: for each

@@ -289,6 +289,15 @@ object Similarity {
     * search is one shuffle-join — the standard IVF trade of recall for
     * scale, complementary to [[lshBucketedTopK]] (IVF adapts to the
     * data distribution; sign-LSH doesn't).
+    *
+    * `nlist` at scale: like any bucket count, a PINNED nlist makes
+    * per-list population — and with it the candidate join — grow
+    * linearly with the corpus (pair work ~n²·nprobe/nlist). A
+    * corpus-sized caller should derive nlist from the row count so
+    * E[list size] stays constant, exactly as [[adaptiveLshBits]] does
+    * for sign-LSH buckets and `Dedup.semDeDupK` for k-means clusters
+    * (e.g. nlist = max(16, n/4096), nprobe ∝ √recall-budget). The
+    * default 16 is sized for the test corpus, not for production.
     */
   def ivfTopK(
       candidates: DataFrame, queries: DataFrame,

@@ -443,6 +443,25 @@ class DedupSpec extends SparkSpec {
     assert(out7 === out)
   }
 
+  test("semDeDupK ladder: E[cluster]≈256 with floor 8 and cap n, " +
+    "pure integer arithmetic") {
+    // floor region: everything up to 2048 stays at 8 (all three test
+    // SFs: n = 500/500/2000 → 8, so the inventory rung is stable)
+    assert(Dedup.semDeDupK(1) === 1)       // capped at n
+    assert(Dedup.semDeDupK(7) === 7)       // capped at n
+    assert(Dedup.semDeDupK(8) === 8)
+    assert(Dedup.semDeDupK(500) === 8)
+    assert(Dedup.semDeDupK(2000) === 8)
+    assert(Dedup.semDeDupK(2048) === 8)
+    // ladder region: k = ceil(n/256)
+    assert(Dedup.semDeDupK(2049) === 9)
+    assert(Dedup.semDeDupK(16000) === 63)  // 8× sf0.1 (rung proof corpus)
+    assert(Dedup.semDeDupK(60000) === 235) // 30× sf0.1
+    assert(Dedup.semDeDupK(200000) === 782) // 100× sf0.1
+    assert(Dedup.semDeDupK(256L * 1000000) === 1000000)
+    intercept[IllegalArgumentException](Dedup.semDeDupK(0))
+  }
+
   test("pairEval: unordered-pair precision/recall with exact counts") {
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
     // one hit (reversed order), one false positive, one duplicate row

@@ -218,4 +218,131 @@ class EmbeddingsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out7 === out)
   }
+
+  test("NearestCentroidQ matches the least(struct) form, including " +
+    "quantized ties to the lowest cid") {
+    import graft.functions.VectorExprs
+    // centroids symmetric around several points → exact qd ties; the
+    // grid also exercises negative coords and off-centroid points
+    val centroids = Array(
+      Array(0.0, 0.0), Array(4.0, 0.0), Array(0.0, 4.0), Array(2.0, 2.0))
+    val pts = for { x <- -3 to 7; y <- -3 to 7 }
+      yield (x * 100L + y, Array((x * 0.5).toFloat, (y * 0.5).toFloat))
+    val df = pts.toDF("vec_id", "embedding")
+    val both = df.select(
+      col("vec_id"),
+      VectorExprs.nearestCentroidQ(col("embedding"), centroids).as("fast"),
+      Embeddings.nearestCentroidQuantized(col("embedding"), centroids)
+        .as("ref"))
+      .as[(Long, Int, Int)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, fast, ref) =>
+      assert(fast === ref, s"vec_id=$id: NearestCentroidQ=$fast least=$ref")
+    }
+    // (1.0, 1.0) is exactly equidistant from all four centroids after
+    // quantization — the tie must go to cid 0 in both forms
+    val tie = Seq((0L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+      .select(VectorExprs.nearestCentroidQ(col("embedding"), centroids))
+      .as[Int].head()
+    assert(tie === 0)
+  }
+
+  test("NearestCentroidQ stays correct at corpus-sized k (300 " +
+    "centroids — the least(struct) tree would fall out of codegen)") {
+    import graft.functions.VectorExprs
+    val dim = 8
+    val k = 300
+    // deterministic pseudo-random centroids + points
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+      VectorExprs.nearestCentroidQ(col("embedding"), centroids).as("c"))
+      .as[(Long, Int)].collect().toMap
+    // driver-side reference: same formula, same accumulation order
+    def argmin(v: Array[Float]): Int = {
+      var xx = 0.0
+      v.foreach(x => xx += x.toDouble * x.toDouble)
+      var best = Long.MaxValue; var bestJ = 0
+      centroids.zipWithIndex.foreach { case (c, j) =>
+        var xc = 0.0; var cc = 0.0
+        var i = 0
+        while (i < dim) {
+          xc += v(i).toDouble * c(i); cc += c(i) * c(i); i += 1
+        }
+        val q = math.floor((xx - xc * 2.0 + cc) * 1e6).toLong
+        if (q < best) { best = q; bestJ = j }
+      }
+      bestJ
+    }
+    pts.foreach { case (id, v) =>
+      assert(got(id) === argmin(v), s"vec_id=$id")
+    }
+  }
+
+  test("kmeansSpread recovers well-separated planted clusters and is " +
+    "invariant to input partitioning") {
+    // same three tight blobs as the kmeans test. Forgy (md5-rank)
+    // init is pseudo-RANDOM: like any random k-means init it can put
+    // two seeds in one blob and converge to a local optimum — that is
+    // the algorithm, not a defect, so this MECHANICS test picks ids
+    // whose three md5-smallest (6, 19, 24 among 0..26; ids 10↔19
+    // swapped) land one per blob. Robustness-to-init is the
+    // production caller's iters/k budget, not a seeding property.
+    val blobs = for {
+      (cx, cy) <- Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+      dx <- -1 to 1; dy <- -1 to 1
+    } yield (cx, cy, Array((cx + dx * 0.1).toFloat, (cy + dy * 0.1).toFloat))
+    val pts = blobs.zipWithIndex
+      .map { case ((_, _, v), i) =>
+        val id = if (i == 10) 19L else if (i == 19) 10L else i.toLong
+        (id, v)
+      }
+    def run(parts: Int) = {
+      val df = pts.toDF("vec_id", "embedding").repartition(parts)
+      val (cs, assigned) = Embeddings.kmeansSpread(
+        df, "vec_id", "embedding", dim = 2, k = 3, iters = 5)
+      (cs.map(_.toSeq).toSeq,
+        assigned.select("vec_id", "cluster")
+          .as[(Long, Int)].collect().toMap)
+    }
+    val (c1, a1) = run(1)
+    Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0)).foreach { case (cx, cy) =>
+      assert(c1.exists(c =>
+        math.abs(c(0) - cx) < 0.1 && math.abs(c(1) - cy) < 0.1),
+        s"no centroid near ($cx,$cy): $c1")
+    }
+    assert(a1.values.groupBy(identity).values.map(_.size).toSeq.sorted
+      === Seq(9, 9, 9))
+    val (c16, a16) = run(16)
+    assert(c1 == c16 && a1 == a16)
+  }
+
+  test("kmeansSpread seeds are the k smallest md5-rank ids in rank " +
+    "order (the oracle's ROW_NUMBER contract)") {
+    import graft.functions.HashExprs
+    // k = n with widely-separated distinct embeddings: every vector
+    // is its own seed (distance 0 to itself, huge to every other), so
+    // after any number of Lloyd passes each vec_id's cluster IS its
+    // seed cid — which the contract says is its (md5Prefix60, id)
+    // rank. This pins the exact seed ORDER the DuckDB oracle's
+    // ROW_NUMBER reproduces.
+    val pts = (0 until 40).map(i =>
+      (i.toLong, Array((i * 1000.0).toFloat, 0.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val rank = df.select(col("vec_id"),
+      HashExprs.md5Prefix60(col("vec_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, h) => (h, id) }
+      .map(_._1).zipWithIndex.toMap
+    val (_, assigned) = Embeddings.kmeansSpread(
+      df, "vec_id", "embedding", dim = 2, k = 40, iters = 2)
+    val got = assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    pts.foreach { case (id, _) =>
+      assert(got(id) === rank(id), s"vec_id=$id not at its md5 rank")
+    }
+  }
 }
