@@ -25,6 +25,23 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Shuffle granularity at the 30× "awkward middle" (SCALING.md
+    // q_dedup_edit: hot FastSS join partitions too big for 32
+    // cpus-sized reducers at 59 s one-wave, too small for AQE's
+    // default 256 MB skew-split; 31.5 s at a hand-set 256): lower the
+    // AQE skew thresholds so the split engages on tens-of-MB hot
+    // partitions instead of only at 100×. This is the DATA-derived
+    // default — AQE measures the actual partition bytes and splits
+    // only what is hot — and costs nothing at small SF (thresholds
+    // stay far above tiny-SF partition sizes; measured: a blanket
+    // initialPartitionNum=256 alternative added ~45% wall at
+    // sf0.001). Set idempotently here because the driver may hand us
+    // its own session.
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     // SQL surface for the native kernels (idempotent re-registration);
     // sessions built with spark.sql.extensions=GraftExtensions get the
     // same set at config time.

@@ -1050,8 +1050,22 @@ object Dedup {
         sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
       .otherwise(array().cast("array<string>"))
+    // Fan the variant join out over 8× core-count reducers, NOT the
+    // session shuffle default: within one variant key the join does
+    // m² levenshtein verifies, so the stage's cost lives in rows
+    // OUT of the reducer while AQE's skew split reads bytes INTO it —
+    // a hot digit-heavy bucket is a few MB of strings but minutes of
+    // verify, and no byte threshold ever fires (measured at 30×
+    // sf0.1: 65 s with 32 cpus-sized reducers even with skew-split
+    // thresholds at 32 MB / factor 2, because the hot partitions sit
+    // far below any byte trigger). An explicit repartition on the
+    // join key spreads the verify work and AQE leaves user-specified
+    // partition counts alone; at small SF the extra reducers are
+    // empty and cost milliseconds.
+    val fanout = df.sparkSession.sparkContext.defaultParallelism * 8
     val variants = names.select(
       s, explode(array_distinct(concat(array(s), deletions))).as("__v"))
+      .repartition(fanout, col("__v"))
     val a = variants.select(s.as("name_a"), col("__v"))
     val b = variants.select(s.as("name_b"), col("__v"))
     // Verify BEFORE the pair dedup: near-dup-dense domains (digit ids,
