@@ -54,7 +54,10 @@ def main(sf_dir, out_dir, only=None, verbose=False):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[: -len(".parquet")]
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # driver testdata tables are single files; Spark-written scaled
+        # corpora are DIRECTORIES named <table>.parquet with part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for q, sql in sorted(oracle.items()):
