@@ -21,8 +21,7 @@ object Bench {
     */
   private[graft] def mergeBaselines(
       maps: List[Map[String, Double]]): Map[String, Double] =
-    if (maps.isEmpty) Map.empty
-    else maps.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    maps.flatten.groupMapReduce(_._1)(_._2)(math.min)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

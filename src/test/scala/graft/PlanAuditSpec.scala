@@ -27,10 +27,13 @@ class PlanAuditSpec extends SparkSpec {
         .nonEmpty, "detector canary failed")
     }
     val dir = "/root/testdata/sf0.001"
-    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
-      val plan = PlanAudit.preparedPlan(SparkEntry.queries(k)(spark, dir))
-      if (PlanAudit.singlePartitionShapes(plan).nonEmpty) Seq(k) else Nil
-    }.distinct
+    val shapeCounts: Map[String, Int] =
+      SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+        val plan = PlanAudit.preparedPlan(SparkEntry.queries(k)(spark, dir))
+        val n = PlanAudit.singlePartitionShapes(plan).size
+        if (n > 0) Some(k -> n) else None
+      }.toMap
+    val flagged = shapeCounts.keys.toSeq
     val unexpected = flagged.filterNot(PlanAudit.boundedAllowlist.contains)
     assert(unexpected.isEmpty,
       s"single-partition plans outside the allowlist: $unexpected — " +
@@ -41,5 +44,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"allowlisted queries no longer plan a single-partition shape: " +
         s"$stale — drop them from the allowlist")
+    // ...and it must not become a BLANKET exemption: the allowlist is
+    // per-QUERY, so a new, genuinely-unbounded shape added inside an
+    // allowlisted query would otherwise ride the exemption unseen.
+    // Pin the exact shape census of each allowlisted plan (sf0.001 is
+    // deterministic); any change here means a shape was added or
+    // removed — re-verify its bound before updating the census.
+    assert(shapeCounts === Map(
+      "q_mix_plan" -> 2, // Hamilton rank window + its feeding exchange
+      "q_mix_temp_general" -> 2, // same shape via temperatureAllocate
+      "q_mix_capped" -> 16), // water-filling: 4 rank rounds × (window,
+                             // window-group-limit, exchange) + ranks
+      s"allowlisted single-partition shape census changed: $shapeCounts")
   }
 }
