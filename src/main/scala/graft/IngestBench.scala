@@ -77,6 +77,14 @@ object IngestBench {
     val processed = try moved.count() finally moved.close()
     require(processed == files,
       s"expected $files files in processed/, got $processed")
+    // The throughput claim divides rows WRITTEN by wall time — so the
+    // sink must actually have received every one of them. Lenient
+    // mode would silently drop rows a validation regression rejects
+    // and still move all the files; this count turns that into a
+    // loud failure instead of an inflated rows/s figure.
+    val sunk = spark.read.parquet(root.resolve("raw").toString).count()
+    require(sunk == rows, s"sink has $sunk rows, workload wrote $rows — " +
+      "rows were dropped; the throughput figure would be a lie")
     (rows, sec)
   }
 
@@ -84,7 +92,14 @@ object IngestBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val files = sys.env.getOrElse("SPARK_GRAFT_INGEST_FILES", "20").toInt
     val rowsPerFile = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000").toInt
-    val lastFileRows = 1453
+    // The reference's 20th file has 1,453 rows; that tail only applies
+    // to the DEFAULT workload — a scaled probe (FILES/ROWS overridden)
+    // gets uniform files, otherwise FILES=1 would silently measure a
+    // 1,453-row corpus whatever ROWS asked for.
+    val lastFileRows =
+      if (sys.env.contains("SPARK_GRAFT_INGEST_FILES") ||
+        sys.env.contains("SPARK_GRAFT_INGEST_ROWS")) rowsPerFile
+      else 1453
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1059,9 +1059,17 @@ object Dedup {
     // sf0.1: 65 s with 32 cpus-sized reducers even with skew-split
     // thresholds at 32 MB / factor 2, because the hot partitions sit
     // far below any byte trigger). An explicit repartition on the
-    // join key spreads the verify work and AQE leaves user-specified
-    // partition counts alone; at small SF the extra reducers are
-    // empty and cost milliseconds.
+    // join key spreads the MANY hot keys across reducers (the
+    // measured pathology: several hot variant buckets co-resident on
+    // 32 coarse reducers) and AQE leaves user-specified partition
+    // counts alone; at small SF the extra reducers are empty and cost
+    // milliseconds. Residual class NOT covered: a SINGLE variant key
+    // with m in the many-thousands still lands its m² verifies on one
+    // reducer — splitting that needs the grid decomposition (salt
+    // both sides, join on (v, saltA, saltB) pairs), which multiplies
+    // shuffle volume by the salt factor; at the measured corpora hot
+    // keys are in the hundreds of rows and the trade is not worth it.
+    // Revisit if a corpus ships a mega-key.
     val fanout = df.sparkSession.sparkContext.defaultParallelism * 8
     val variants = names.select(
       s, explode(array_distinct(concat(array(s), deletions))).as("__v"))

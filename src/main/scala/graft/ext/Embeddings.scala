@@ -250,17 +250,33 @@ object Embeddings {
     // E[n_c]≈256 ladder) and use [[kmeansSpread]], whose init cost
     // does not grow with k² the way farthest-point's k scans do.
     require(k >= 1 && iters >= 1, s"bad kmeans params: k=$k iters=$iters")
-    var centroids: Array[Array[Double]] =
-      farthestPointInit(df, idCol, vecCol, k)
-    require(centroids.length == k, s"need >= $k vectors for init")
+    val init = farthestPointInit(df, idCol, vecCol, k)
+    require(init.length == k, s"need >= $k vectors for init")
+    lloyd(df, vecCol, dim, iters, init,
+      cs => nearestCentroidQuantized(col(vecCol), cs))
+  }
+
+  /** The shared Lloyd iteration body (ONE copy — [[kmeans]] and
+    * [[kmeansSpread]] differ only in init and assignment kernel, and
+    * both must stay bit-identical to the oracle's unrolled CTE chain):
+    * per pass, one hash aggregate with exact integer centroid sums
+    * (⌊v_i·10⁶⌋ as long — partition order cannot perturb them), new
+    * centroid = sum / (n·10⁶) as the one IEEE division, empty
+    * clusters keep their previous centroid.
+    */
+  private def lloyd(
+      df: DataFrame, vecCol: String, dim: Int, iters: Int,
+      init: Array[Array[Double]],
+      assign: Array[Array[Double]] => Column)
+      : (Array[Array[Double]], DataFrame) = {
+    var centroids = init
     val qsums = (0 until dim).map(i =>
       sum(floor(col(vecCol).getItem(i).cast("double") * lit(1e6))
         .cast("long")).as(s"__s$i"))
     var it = 0
     while (it < iters) {
       val states = df
-        .groupBy(nearestCentroidQuantized(col(vecCol), centroids)
-          .as("cluster"))
+        .groupBy(assign(centroids).as("cluster"))
         .agg(count(lit(1)).as("__n"), qsums: _*)
         .collect()
         .map(r => r.getInt(0) -> r).toMap
@@ -275,8 +291,7 @@ object Embeddings {
       }
       it += 1
     }
-    (centroids, df.withColumn("cluster",
-      nearestCentroidQuantized(col(vecCol), centroids)))
+    (centroids, df.withColumn("cluster", assign(centroids)))
   }
 
   /** Deterministic pseudo-random (Forgy) init for CORPUS-SIZED k:
@@ -314,33 +329,10 @@ object Embeddings {
       df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
     require(k >= 1 && iters >= 1, s"bad kmeans params: k=$k iters=$iters")
-    var centroids: Array[Array[Double]] =
-      hashSpreadInit(df, idCol, vecCol, k)
-    require(centroids.length == k, s"need >= $k vectors for init")
-    val qsums = (0 until dim).map(i =>
-      sum(floor(col(vecCol).getItem(i).cast("double") * lit(1e6))
-        .cast("long")).as(s"__s$i"))
-    var it = 0
-    while (it < iters) {
-      val states = df
-        .groupBy(VectorExprs.nearestCentroidQ(col(vecCol), centroids)
-          .as("cluster"))
-        .agg(count(lit(1)).as("__n"), qsums: _*)
-        .collect()
-        .map(r => r.getInt(0) -> r).toMap
-      centroids = centroids.zipWithIndex.map { case (old, j) =>
-        states.get(j) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            Array.tabulate(dim)(i =>
-              r.getLong(2 + i).toDouble / (n.toDouble * 1e6))
-          case _ => old
-        }
-      }
-      it += 1
-    }
-    (centroids, df.withColumn("cluster",
-      VectorExprs.nearestCentroidQ(col(vecCol), centroids)))
+    val init = hashSpreadInit(df, idCol, vecCol, k)
+    require(init.length == k, s"need >= $k vectors for init")
+    lloyd(df, vecCol, dim, iters, init,
+      cs => VectorExprs.nearestCentroidQ(col(vecCol), cs))
   }
 
   /** Project the embedding column onto the model's axes: for each

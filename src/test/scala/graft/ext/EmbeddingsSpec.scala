@@ -239,8 +239,9 @@ class EmbeddingsSpec extends SparkSpec {
     both.foreach { case (id, fast, ref) =>
       assert(fast === ref, s"vec_id=$id: NearestCentroidQ=$fast least=$ref")
     }
-    // (1.0, 1.0) is exactly equidistant from all four centroids after
-    // quantization — the tie must go to cid 0 in both forms
+    // (1.0, 1.0) is exactly equidistant from centroids 0 and 3
+    // (d² = 2 to each; cids 1 and 2 sit at d² = 10) — the quantized
+    // tie between 0 and 3 must go to the LOWER cid in both forms
     val tie = Seq((0L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
       .select(VectorExprs.nearestCentroidQ(col("embedding"), centroids))
       .as[Int].head()
