@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Known caveats, stated where they matter:
   *   - q_dedup_eval's left side is pinned to `doc_id < 200`, so only
-  *     its right side and corpus scan scale;
-  *   - q_semdedup keeps the same k-means k over factor× more spread —
-  *     per-cluster pair space grows, which measures the ALGORITHM
-  *     CONFIG (k should scale with corpus), not a plan defect.
+  *     its right side and corpus scan scale.
+  *   (q_semdedup's former fixed-k caveat is CLOSED as of round 14:
+  *   k rides `Dedup.semDeDupK` — corpus-sized, E[cluster]≈256 — so
+  *   its curves are measured results, not config artifacts.)
   *
   * Usage: SPARK_GRAFT_SF_DIR=<base> SPARK_GRAFT_SCALE_FACTOR=10
   *   sbt "runMain graft.Scaling"

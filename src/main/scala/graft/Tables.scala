@@ -27,18 +27,20 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Shuffle granularity at the 30× "awkward middle" (SCALING.md
     // q_dedup_edit: hot FastSS join partitions too big for 32
-    // cpus-sized reducers at 59 s one-wave, too small for AQE's
-    // default 256 MB skew-split; 31.5 s at a hand-set 256): lower the
-    // AQE skew thresholds so the split engages on tens-of-MB hot
-    // partitions instead of only at 100×. This is the DATA-derived
-    // default — AQE measures the actual partition bytes and splits
-    // only what is hot — and costs nothing at small SF (thresholds
-    // stay far above tiny-SF partition sizes; measured: a blanket
-    // initialPartitionNum=256 alternative added ~45% wall at
-    // sf0.001). Set idempotently here because the driver may hand us
-    // its own session.
-    spark.conf.set(
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    // cpus-sized reducers, too small for AQE's default 256 MB
+    // skew-split): lower the AQE skew-JOIN thresholds so the split
+    // engages on byte-visible tens-of-MB hot partitions instead of
+    // only at 100×. This is the DATA-derived default — AQE measures
+    // the actual partition bytes and splits only what is hot — and
+    // costs nothing at small SF (thresholds stay far above tiny-SF
+    // partition sizes). Deliberately NOT touched after A/B at sf0.1:
+    // advisoryPartitionSizeInBytes (16m re-coalesced EVERY mid-size
+    // shuffle and measured ~3-4% slower on the full bench; the
+    // default 64m stays) and coalescePartitions.initialPartitionNum
+    // (a blanket 256 added ~45% wall at sf0.001). Compute-per-row
+    // skew that no byte trigger can see is handled at the query
+    // level (editDistancePairs' explicit fan-out). Set idempotently
+    // here because the driver may hand us its own session.
     spark.conf.set(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")

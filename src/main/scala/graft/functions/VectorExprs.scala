@@ -157,12 +157,21 @@ case class NearestCentroidQ(
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val lf = isFloat
-    def elem(i: Int): Double =
-      if (arr.isNullAt(i)) 0.0
-      else if (lf) arr.getFloat(i).toDouble else arr.getDouble(i)
+    // buffer the vector ONCE: the k-centroid loop reads each element
+    // k times, and ArrayData accessors (null check + virtual get) are
+    // the dominant cost at corpus-sized k — a flat local copy turns
+    // the inner loop into pure array arithmetic, bit-identically.
+    val buf = new Array[Double](n)
     var xx = 0.0
     var i = 0
-    while (i < n) { val x = elem(i); xx += x * x; i += 1 }
+    while (i < n) {
+      val x =
+        if (arr.isNullAt(i)) 0.0
+        else if (lf) arr.getFloat(i).toDouble else arr.getDouble(i)
+      buf(i) = x
+      xx += x * x
+      i += 1
+    }
     val m = math.min(n, dim)
     var best = Long.MaxValue
     var bestJ = 0
@@ -170,7 +179,7 @@ case class NearestCentroidQ(
     while (j < k) {
       var xc = 0.0
       i = 0
-      while (i < m) { xc += elem(i) * flat(j * dim + i); i += 1 }
+      while (i < m) { xc += buf(i) * flat(j * dim + i); i += 1 }
       val q = math.floor((xx - xc * 2.0 + selfDots(j)) * 1e6).toLong
       if (q < best) { best = q; bestJ = j }
       j += 1
@@ -182,6 +191,13 @@ case class NearestCentroidQ(
     nullSafeCodeGen(ctx, ev, v => {
       val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
       val ccRef = ctx.addReferenceObj("centroidSelfDots", selfDots, "double[]")
+      // per-task scratch buffer, grown on demand: the k-centroid loop
+      // reads each element k times, and ArrayData accessors dominate
+      // at corpus-sized k — buffering once per row turns the inner
+      // loop into flat array arithmetic, bit-identically. Mutable
+      // state is safe: one operator instance per task thread.
+      val buf = ctx.addMutableState("double[]", "ncqBuf",
+        name => s"$name = new double[64];")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
@@ -196,9 +212,11 @@ case class NearestCentroidQ(
         else (idx: String) => s"$v.getDouble($idx)"
       s"""
          |int $n = $v.numElements();
+         |if ($buf.length < $n) $buf = new double[$n];
          |double $xx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = $v.isNullAt($i) ? 0.0 : ${get(i)};
+         |  $buf[$i] = x;
          |  $xx += x * x;
          |}
          |int $m = java.lang.Math.min($n, $dim);
@@ -207,8 +225,7 @@ case class NearestCentroidQ(
          |for (int $j = 0; $j < $k; $j++) {
          |  double $xc = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    double x = $v.isNullAt($i) ? 0.0 : ${get(i)};
-         |    $xc += x * $flatRef[$j * $dim + $i];
+         |    $xc += $buf[$i] * $flatRef[$j * $dim + $i];
          |  }
          |  long $q = (long) java.lang.Math.floor(($xx - $xc * 2.0 + $ccRef[$j]) * 1e6);
          |  if ($q < $best) { $best = $q; $bestJ = $j; }
