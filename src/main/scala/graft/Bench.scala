@@ -88,8 +88,11 @@ object Bench {
       // Numeric round order — a lexicographic name sort ranks
       // BENCH_r9.json above BENCH_r13.json once rounds reach two
       // digits and would quietly arm the defense against a stale map.
+      // listFiles() is null (not empty) on an unreadable cwd — degrade
+      // to a disarmed baseline instead of NPEing the whole bench.
       val latest = Bench.latestRoundReport(
-        new java.io.File(".").listFiles().map(_.getName).toSeq)
+        Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File]).map(_.getName).toSeq)
       // Per-candidate load that REJECTS a baseline recorded at a
       // different scale factor: BENCH_FULL.json is preferred but a
       // full bench at another SF would otherwise arm (or disarm) the

@@ -41,9 +41,18 @@ object Tables {
     // skew that no byte trigger can see is handled at the query
     // level (editDistancePairs' explicit fan-out). Set idempotently
     // here because the driver may hand us its own session.
+    //
+    // These two are HARD framework defaults (registered SQLConf keys
+    // always report a value, so "was it externally set?" is not
+    // observable from here): a caller who tuned its own session keeps
+    // its values by exporting SPARK_GRAFT_SKEW_THRESHOLD /
+    // SPARK_GRAFT_SKEW_FACTOR — prepare() then applies THOSE instead
+    // of clobbering back to 32m/2 on every query entry.
     spark.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "32m"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_FACTOR", "2"))
     // SQL surface for the native kernels (idempotent re-registration);
     // sessions built with spark.sql.extensions=GraftExtensions get the
     // same set at config time.

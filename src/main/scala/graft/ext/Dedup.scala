@@ -50,6 +50,97 @@ object Dedup {
       result: DataFrame, cached: Seq[DataFrame]): DataFrame =
     withCleanup(result, cached)
 
+  /** The key-cells of `df` holding at least `gridThreshold` rows — the
+    * cells whose m² verify work [[gridSelfJoin]] spreads over a salt
+    * grid. One map-side-combinable aggregate; the result is provably
+    * small (each hot cell holds ≥ gridThreshold rows, so there are at
+    * most n / gridThreshold of them — ≤ ~250k cells even at 10⁹ banded
+    * rows with the 4096 default), which is what licenses broadcasting
+    * it below.
+    */
+  private[graft] def hotCells(
+      df: DataFrame, keys: Seq[String], gridThreshold: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cellN"))
+      .filter(col("__cellN") >= gridThreshold)
+      .drop("__cellN")
+
+  /** Count-gated grid self-join — the skew-distribution move shared by
+    * the banded near-dup miners (SimHash bands, FastSS variants).
+    * Self-joins `df` on `keys`, returning keys ++ the `aCols`/`bCols`
+    * renames of the payload columns; the caller applies its verify
+    * filter (`id_a < id_b`, hamming/levenshtein bound) and pair dedup.
+    *
+    * Why it exists: within one key cell the join emits m² candidate
+    * rows from a few MB of input — compute-per-row skew that AQE's
+    * byte-based skew split can never see (the q_dedup_edit pathology:
+    * hot partitions sit far below any byte trigger while holding
+    * minutes of verify work). Two measured pathologies, two moves:
+    *
+    *   1. MANY warm cells co-resident on cpus-sized reducers → every
+    *      cell is fanned over 8×-core partitions keyed on `keys`
+    *      (user-specified counts, which AQE leaves alone);
+    *   2. a SINGLE hot cell (count ≥ `gridThreshold`) still lands its
+    *      m² verifies on one reducer → its rows are spread over a
+    *      gridSalt × gridSalt salt grid: a left row carries a fixed
+    *      deterministic salt sa = xxhash64(payload) mod S and is
+    *      replicated across all S values of sb; a right row carries
+    *      fixed sb, replicated across all sa. Every (left, right) pair
+    *      in the cell meets EXACTLY once — at (sa(left), sb(right)) —
+    *      so the output pair multiset is identical to the plain
+    *      self-join; the grid only changes WHERE the verify runs
+    *      (up to S² reducer cells instead of one, for ×S shuffle
+    *      replication of hot rows only).
+    *
+    * The gate is a row COUNT per cell (not bytes) because rows are
+    * what predict the m² work; cold corpora pay one cheap aggregate
+    * (it reuses the fan-out exchange) and an empty broadcast join.
+    * Counts are data-derived, so the split is deterministic across
+    * partition layouts (invariance gate) and the oracle is untouched.
+    */
+  private[graft] def gridSelfJoin(
+      df: DataFrame, keys: Seq[String],
+      aCols: Seq[(String, String)], bCols: Seq[(String, String)],
+      gridThreshold: Int, gridSalt: Int = 8): DataFrame = {
+    require(gridThreshold >= 2, s"gridThreshold must be >= 2: $gridThreshold")
+    require(gridSalt >= 2, s"gridSalt must be >= 2: $gridSalt")
+    require(aCols.map(_._1) == bCols.map(_._1),
+      s"aCols/bCols must rename the same source columns: $aCols vs $bCols")
+    require(!keys.exists(Set("__sa", "__sb", "__hot")),
+      s"keys collide with grid-internal columns: $keys")
+    val keyCols = keys.map(col)
+    val fanout = df.sparkSession.sparkContext.defaultParallelism * 8
+    // One fan-out exchange feeds the cell-count aggregate, the cold
+    // join's both sides, and the hot tag probe (ReusedExchange) — the
+    // count gate does not re-derive the banded/variant table.
+    val fanned = df.repartition(fanout, keyCols: _*)
+    val hotMark = broadcast(
+      hotCells(fanned, keys, gridThreshold).withColumn("__hot", lit(true)))
+    val tagged = fanned.join(hotMark, keys, "left")
+    def side(d: DataFrame, renames: Seq[(String, String)],
+        salts: Seq[Column]): DataFrame =
+      d.select(keyCols ++ renames.map { case (f, t) => col(f).as(t) }
+        ++ salts: _*)
+    val cold = tagged.filter(col("__hot").isNull)
+    val coldPairs = side(cold, aCols, Nil).join(side(cold, bCols, Nil), keys)
+    val hotRows = tagged.filter(col("__hot") === true)
+    // Deterministic per-row salt from the payload itself (never the
+    // partition), so the same row salts identically on both sides and
+    // under any CPU count.
+    val rowSalt = pmod(xxhash64(aCols.map(c => col(c._1)): _*),
+      lit(gridSalt.toLong)).cast("int")
+    val allSalts = explode(array((0 until gridSalt).map(lit): _*))
+    val gridKeys = keys ++ Seq("__sa", "__sb")
+    val hotA = side(hotRows.withColumn("__sa", rowSalt), aCols,
+      Seq(col("__sa"))).withColumn("__sb", allSalts)
+      .repartition(fanout, gridKeys.map(col): _*)
+    val hotB = side(hotRows.withColumn("__sb", rowSalt), bCols,
+      Seq(col("__sb"))).withColumn("__sa", allSalts)
+      .repartition(fanout, gridKeys.map(col): _*)
+    val hotPairs = hotA.join(hotB, gridKeys).drop("__sa", "__sb")
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** Exact dedup: deterministic representative (min of `repCol`) + copy
     * count per distinct key. One hash aggregation.
     */
@@ -522,7 +613,8 @@ object Dedup {
   }
 
   def portableSimHashNearDuplicates(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String,
+      gridThreshold: Int = 1024): DataFrame = {
     val nBands = 6
     val width = 10
     val maxDist = nBands - 1
@@ -537,11 +629,14 @@ object Dedup {
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("__bb"))
       .select(col(idCol), col("simhash"),
         col("__bb.band").as("__band"), col("__bb.bk").as("__bk"))
-    val a = banded.select(col(idCol).as("id_a"),
-      col("simhash").as("__sig_a"), col("__band"), col("__bk"))
-    val b = banded.select(col(idCol).as("id_b"),
-      col("simhash").as("__sig_b"), col("__band"), col("__bk"))
-    val result = a.join(b, Seq("__band", "__bk"))
+    // 10-bit bands (1,024 values each): hot band cells are guaranteed
+    // past ~10⁶ docs, so the candidate join runs through the
+    // count-gated salt grid (see [[gridSelfJoin]] — identical pair
+    // multiset, verify work spread over the grid).
+    val result = gridSelfJoin(banded, Seq("__band", "__bk"),
+        Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
+        Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
+        gridThreshold)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
@@ -582,7 +677,7 @@ object Dedup {
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, gridThreshold: Int = 1024): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     // Both join sides derive from the signature table — persist it so
@@ -601,11 +696,15 @@ object Dedup {
         explode(array(bandCols: _*)).as("__bb"))
       .select(col(idCol), col("simhash"),
         col("__bb.band").as("__band"), col("__bb.bits").as("__bits"))
-    val a = banded.select(col(idCol).as("id_a"),
-      col("simhash").as("__sig_a"), col("__band"), col("__bits"))
-    val b = banded.select(col(idCol).as("id_b"),
-      col("simhash").as("__sig_b"), col("__band"), col("__bits"))
-    val result = a.join(b, Seq("__band", "__bits"))
+    // The Σ n_v² ≈ bands·n²/2^width candidate count is the operator's
+    // distance-`maxDist` recall guarantee and stays (the band structure
+    // cannot grow with the corpus — SCALING.md); what must NOT stay is
+    // every hot band value's m² verifies landing on one reducer, so the
+    // candidate join runs through the count-gated salt grid.
+    val result = gridSelfJoin(banded, Seq("__band", "__bits"),
+        Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
+        Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
+        gridThreshold)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))))
       .filter(col("hamming") <= maxDist)
@@ -1036,7 +1135,51 @@ object Dedup {
     * (name_a, name_b, dist), name_a < name_b.
     */
   def editDistancePairs(
-      df: DataFrame, strCol: String): DataFrame = {
+      df: DataFrame, strCol: String, gridThreshold: Int = 2048): DataFrame = {
+    // The variant join is fanned out by [[gridSelfJoin]] over 8×
+    // core-count reducers, NOT the session shuffle default: within one
+    // variant key the join does m² levenshtein verifies, so the
+    // stage's cost lives in rows OUT of the reducer while AQE's skew
+    // split reads bytes INTO it — a hot digit-heavy bucket is a few MB
+    // of strings but minutes of verify, and no byte threshold ever
+    // fires (measured at 30× sf0.1: 65 s with 32 cpus-sized reducers
+    // even with skew-split thresholds at 32 MB / factor 2, because the
+    // hot partitions sit far below any byte trigger). The explicit
+    // fan-out spreads the MANY hot keys across reducers (the measured
+    // pathology: several hot variant buckets co-resident on 32 coarse
+    // reducers); a SINGLE mega-key (count ≥ gridThreshold, e.g. a
+    // digit-heavy id domain where thousands of strings share one
+    // deletion variant) additionally goes through the salt grid so its
+    // m² verifies spread over up to salt² reducers instead of
+    // serializing on one. At the measured corpora hot keys are in the
+    // hundreds of rows, so the default 2048 gate keeps normal corpora
+    // on the plain fanned path — they pay only the count aggregate,
+    // which reuses the fan-out exchange.
+    val s = col("__s")
+    // Verify BEFORE the pair dedup: near-dup-dense domains (digit ids,
+    // SKUs) keep ~98% of candidates distinct, so deduping first pays a
+    // hash aggregate over the whole candidate stream while deduping
+    // verified survivors is ~5x smaller (measured 6.5 s -> 4.1 s at
+    // sf0.1). The threshold form of levenshtein runs the banded DP —
+    // O(len) per pair at threshold 1, not O(len^2) — and returns the
+    // true distance for survivors (-1 beyond the band, filtered out),
+    // so the emitted `dist` is identical to the unbanded form.
+    gridSelfJoin(editVariants(df, strCol), Seq("__v"),
+        Seq("__s" -> "name_a"), Seq("__s" -> "name_b"), gridThreshold)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+      .filter(col("dist") >= 0)
+      .dropDuplicates("name_a", "name_b")
+      .select("name_a", "name_b", "dist")
+  }
+
+  /** The FastSS deletion-variant table (__s, __v) behind
+    * [[editDistancePairs]]: distinct non-null strings, each exploded to
+    * itself plus every single-char deletion. Factored out so the
+    * mega-key spec can assert the grid gate fires on the same frame the
+    * join consumes.
+    */
+  private[graft] def editVariants(df: DataFrame, strCol: String): DataFrame = {
     val s = col("__s")
     val names = df.select(col(strCol).as("__s"))
       .filter(s.isNotNull).distinct()
@@ -1050,46 +1193,8 @@ object Dedup {
         sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
       .otherwise(array().cast("array<string>"))
-    // Fan the variant join out over 8× core-count reducers, NOT the
-    // session shuffle default: within one variant key the join does
-    // m² levenshtein verifies, so the stage's cost lives in rows
-    // OUT of the reducer while AQE's skew split reads bytes INTO it —
-    // a hot digit-heavy bucket is a few MB of strings but minutes of
-    // verify, and no byte threshold ever fires (measured at 30×
-    // sf0.1: 65 s with 32 cpus-sized reducers even with skew-split
-    // thresholds at 32 MB / factor 2, because the hot partitions sit
-    // far below any byte trigger). An explicit repartition on the
-    // join key spreads the MANY hot keys across reducers (the
-    // measured pathology: several hot variant buckets co-resident on
-    // 32 coarse reducers) and AQE leaves user-specified partition
-    // counts alone; at small SF the extra reducers are empty and cost
-    // milliseconds. Residual class NOT covered: a SINGLE variant key
-    // with m in the many-thousands still lands its m² verifies on one
-    // reducer — splitting that needs the grid decomposition (salt
-    // both sides, join on (v, saltA, saltB) pairs), which multiplies
-    // shuffle volume by the salt factor; at the measured corpora hot
-    // keys are in the hundreds of rows and the trade is not worth it.
-    // Revisit if a corpus ships a mega-key.
-    val fanout = df.sparkSession.sparkContext.defaultParallelism * 8
-    val variants = names.select(
+    names.select(
       s, explode(array_distinct(concat(array(s), deletions))).as("__v"))
-      .repartition(fanout, col("__v"))
-    val a = variants.select(s.as("name_a"), col("__v"))
-    val b = variants.select(s.as("name_b"), col("__v"))
-    // Verify BEFORE the pair dedup: near-dup-dense domains (digit ids,
-    // SKUs) keep ~98% of candidates distinct, so deduping first pays a
-    // hash aggregate over the whole candidate stream while deduping
-    // verified survivors is ~5x smaller (measured 6.5 s -> 4.1 s at
-    // sf0.1). The threshold form of levenshtein runs the banded DP —
-    // O(len) per pair at threshold 1, not O(len^2) — and returns the
-    // true distance for survivors (-1 beyond the band, filtered out),
-    // so the emitted `dist` is identical to the unbanded form.
-    a.join(b, Seq("__v"))
-      .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
-      .filter(col("dist") >= 0)
-      .dropDuplicates("name_a", "name_b")
-      .select("name_a", "name_b", "dist")
   }
 
   /** Exact repeated-substring SPANS (Lee et al. 2022, "Deduplicating

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The count-gated grid self-join ([[Dedup.gridSelfJoin]]) — the skew
+  * move behind the SimHash banding join and the FastSS variant join.
+  * The contract under test: the grid changes WHERE the m² verify work
+  * runs, never WHAT pairs come out — the pre-dedup pair MULTISET must
+  * be bit-identical to the plain self-join, the gate must fire exactly
+  * on cells at/above the threshold, and a forced-grid run of each
+  * consumer must equal its ungated run on the same corpus.
+  */
+class GridSelfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hotCells returns exactly the cells at/above the threshold") {
+    val df = (Seq.fill(5)(("k1", 1)) ++ Seq.fill(3)(("k2", 2)) ++
+      Seq(("k3", 3))).toDF("k", "payload")
+    val hot = Dedup.hotCells(df, Seq("k"), 4).as[String].collect().toSet
+    assert(hot === Set("k1"))
+    val hot3 = Dedup.hotCells(df, Seq("k"), 3).as[String].collect().toSet
+    assert(hot3 === Set("k1", "k2"))
+  }
+
+  test("grid join emits the exact pair MULTISET of the plain self-join") {
+    // Hot cell k1 (6 rows, incl. a duplicate payload), warm k2 (3), cold
+    // k3 (1): the dup payload means set equality would hide a lost or
+    // double-matched row — compare per-row COUNTS of the full output.
+    val df = (
+      (1 to 5).map(i => ("k1", i.toLong)) ++ Seq(("k1", 3L)) ++
+        (10 to 12).map(i => ("k2", i.toLong)) ++ Seq(("k3", 99L))
+      ).toDF("k", "id")
+    def counts(out: org.apache.spark.sql.DataFrame) = out
+      .groupBy("k", "id_a", "id_b").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val plain = {
+      val a = df.select(col("k"), col("id").as("id_a"))
+      val b = df.select(col("k"), col("id").as("id_b"))
+      counts(a.join(b, Seq("k")))
+    }
+    // salt 2 and 3 (odd salt catches a lost grid cell that an even
+    // split pattern can mask); thresholds that make k1-only and
+    // k1+k2 hot.
+    for (threshold <- Seq(4, 3); salt <- Seq(2, 3)) {
+      val grid = Dedup.gridSelfJoin(df, Seq("k"),
+        Seq("id" -> "id_a"), Seq("id" -> "id_b"), threshold, salt)
+      assert(counts(grid) === plain, s"threshold=$threshold salt=$salt")
+    }
+  }
+
+  test("FastSS mega-key: the gate fires and pair output is identical") {
+    // One variant mega-key by construction: every string is the base
+    // word with ONE char inserted, so deleting that char lands every
+    // string on the same deletion variant — the digit-heavy-id-domain
+    // shape the in-code note warned about.
+    val base = "abcdefgh"
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val names = (for {
+      p <- 0 to base.length
+      c <- alphabet
+    } yield base.substring(0, p) + c + base.substring(p)).distinct
+      .toDF("name")
+    // the mega-key is hot at the spec threshold
+    val hot = Dedup.hotCells(Dedup.editVariants(names, "name"),
+      Seq("__v"), 64).as[String].collect().toSet
+    assert(hot.contains(base), s"expected mega-key '$base' hot, got $hot")
+    val gated = Dedup.editDistancePairs(names, "name", gridThreshold = 64)
+      .as[(String, String, Int)].collect().toSet
+    val ungated = Dedup.editDistancePairs(
+      names, "name", gridThreshold = Int.MaxValue)
+      .as[(String, String, Int)].collect().toSet
+    assert(gated.nonEmpty && gated === ungated)
+  }
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1L, "the quick brown fox leaps over the lazy dog near the old river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (3L, "completely different content about spark query engines and data"),
+    (4L, "another unrelated document mentioning aggregation shuffles and joins"))
+    .toDF("doc_id", "text")
+
+  test("simhash miners: forced-grid run equals the ungated run") {
+    // threshold 2 turns every shared band cell hot (the exact-dup pair
+    // guarantees some), so the grid path carries real candidates.
+    val fastCold = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+      maxDist = 3).as[(Long, Long, Int)].collect().toSet
+    val fastHot = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+      maxDist = 3, gridThreshold = 2).as[(Long, Long, Int)].collect().toSet
+    assert(fastHot === fastCold && fastHot.exists(p => p._1 == 0L && p._2 == 2L))
+    val portCold = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val portHot = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text",
+      gridThreshold = 2).as[(Long, Long, Long)].collect().toSet
+    assert(portHot === portCold && portHot.exists(p => p._1 == 0L && p._2 == 2L))
+  }
+}
