@@ -93,15 +93,24 @@ object Dedup {
     *      replication of hot rows only).
     *
     * The gate is a row COUNT per cell (not bytes) because rows are
-    * what predict the m² work; cold corpora pay one cheap aggregate
-    * (it reuses the fan-out exchange) and an empty broadcast join.
-    * Counts are data-derived, so the split is deterministic across
-    * partition layouts (invariance gate) and the oracle is untouched.
+    * what predict the m² work, and it resolves DRIVER-SIDE: one
+    * aggregate job collects the hot-cell list (bounded — each hot cell
+    * holds ≥ gridThreshold rows, so ≤ n/gridThreshold cells come back)
+    * before the join plan is built. When the list is empty — every
+    * corpus below ~10⁶ docs for the SimHash defaults — the emitted
+    * plan is EXACTLY the plain self-join (no tag join, no union, no
+    * empty 8×-core stages: an always-in-DAG split was measured at
+    * +1.6/+2.4 s on the sf0.1 bench for the simhash keys, all of it
+    * machinery shuffling zero hot rows). Counts are data-derived, so
+    * the branch is deterministic across partition layouts (invariance
+    * gate) and the oracle is untouched either way.
     */
   private[graft] def gridSelfJoin(
       df: DataFrame, keys: Seq[String],
       aCols: Seq[(String, String)], bCols: Seq[(String, String)],
-      gridThreshold: Int, gridSalt: Int = 8): DataFrame = {
+      gridThreshold: Int, gridSalt: Int = 8,
+      plainFanout: Option[Int] = None,
+      maxCellBound: Option[Long] = None): DataFrame = {
     require(gridThreshold >= 2, s"gridThreshold must be >= 2: $gridThreshold")
     require(gridSalt >= 2, s"gridSalt must be >= 2: $gridSalt")
     require(aCols.map(_._1) == bCols.map(_._1),
@@ -109,18 +118,37 @@ object Dedup {
     require(!keys.exists(Set("__sa", "__sb", "__hot")),
       s"keys collide with grid-internal columns: $keys")
     val keyCols = keys.map(col)
-    val fanout = df.sparkSession.sparkContext.defaultParallelism * 8
-    // One fan-out exchange feeds the cell-count aggregate, the cold
-    // join's both sides, and the hot tag probe (ReusedExchange) — the
-    // count gate does not re-derive the banded/variant table.
-    val fanned = df.repartition(fanout, keyCols: _*)
-    val hotMark = broadcast(
-      hotCells(fanned, keys, gridThreshold).withColumn("__hot", lit(true)))
-    val tagged = fanned.join(hotMark, keys, "left")
     def side(d: DataFrame, renames: Seq[(String, String)],
         salts: Seq[Column]): DataFrame =
       d.select(keyCols ++ renames.map { case (f, t) => col(f).as(t) }
         ++ salts: _*)
+    def plainJoin: DataFrame = {
+      // Plain fanned self-join — the pre-grid plan shape, bit for bit.
+      val base = plainFanout
+        .map(n => df.repartition(n, keyCols: _*)).getOrElse(df)
+      side(base, aCols, Nil).join(side(base, bCols, Nil), keys)
+    }
+    // A caller-supplied structural bound on any single cell's count
+    // (e.g. the signature count — no band cell can exceed the corpus)
+    // below the threshold proves no cell is hot WITHOUT running the
+    // count job: the common small-corpus case pays literally nothing.
+    if (maxCellBound.exists(_ < gridThreshold)) return plainJoin
+    // Bounded driver state: ≤ n/gridThreshold hot key tuples (the
+    // CollectAuditSpec census entry for this file).
+    val hotFrame = hotCells(df, keys, gridThreshold)
+    val hotList = hotFrame.collect()
+    if (hotList.isEmpty) return plainJoin
+    val spark = df.sparkSession
+    val fanout = math.max(plainFanout.getOrElse(0),
+      spark.sparkContext.defaultParallelism * 8)
+    val fanned = df.repartition(fanout, keyCols: _*)
+    // The hot list is already on the driver — rebuild it as a local
+    // relation for the tag join instead of re-running the aggregate
+    // in-DAG.
+    val hotMark = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(hotList: _*), hotFrame.schema)
+      .withColumn("__hot", lit(true)))
+    val tagged = fanned.join(hotMark, keys, "left")
     val cold = tagged.filter(col("__hot").isNull)
     val coldPairs = side(cold, aCols, Nil).join(side(cold, bCols, Nil), keys)
     val hotRows = tagged.filter(col("__hot") === true)
@@ -614,11 +642,15 @@ object Dedup {
 
   def portableSimHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      gridThreshold: Int = 1024): DataFrame = {
+      gridThreshold: Int = 8192): DataFrame = {
     val nBands = 6
     val width = 10
     val maxDist = nBands - 1
     val sigs = portableSimHashSignatures(docs, idCol, textCol).persist()
+    // Materializes the cache AND bounds every band cell (a cell can't
+    // hold more rows than there are signatures) — corpora under the
+    // grid threshold skip the hot-cell gate job entirely.
+    val nSigs = sigs.count()
     val bandCols = (0 until nBands).map { bIdx =>
       struct(
         lit(bIdx).as("band"),
@@ -636,7 +668,7 @@ object Dedup {
     val result = gridSelfJoin(banded, Seq("__band", "__bk"),
         Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
         Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
-        gridThreshold)
+        gridThreshold, maxCellBound = Some(nSigs))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
@@ -677,12 +709,16 @@ object Dedup {
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, gridThreshold: Int = 1024): DataFrame = {
+      maxDist: Int = 3, gridThreshold: Int = 8192): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     // Both join sides derive from the signature table — persist it so
     // the 64-column aggregate runs once (8 bytes/doc: tiny at any scale).
     val sigs = simHash(docs, idCol, textCol).persist()
+    // Materializes the cache AND bounds every band cell (a cell can't
+    // hold more rows than there are signatures) — corpora under the
+    // grid threshold skip the hot-cell gate job entirely.
+    val nSigs = sigs.count()
     // Band indices are static → plain Int shift amounts, unsigned so the
     // sign bit of the signature doesn't smear across bands.
     val bandCols = (0 until nBands).map { bIdx =>
@@ -704,7 +740,7 @@ object Dedup {
     val result = gridSelfJoin(banded, Seq("__band", "__bits"),
         Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
         Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
-        gridThreshold)
+        gridThreshold, maxCellBound = Some(nSigs))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))))
       .filter(col("hamming") <= maxDist)
@@ -1131,8 +1167,13 @@ object Dedup {
     * Scale shape: dedup to distinct strings first (typo domains are
     * far smaller than corpora), explode ×(len+1), one shuffled
     * equi-join on the variant — never an all-pairs product, no
-    * broadcast, AQE free to handle variant-key skew. Output:
-    * (name_a, name_b, dist), name_a < name_b.
+    * broadcast assumptions; variant-key compute skew is handled
+    * explicitly by [[gridSelfJoin]] (8×-core fan-out always, salt grid
+    * for mega-keys at `gridThreshold`). Output: (name_a, name_b,
+    * dist), name_a < name_b.
+    *
+    * EAGER: returns a persisted pair frame the caller owns —
+    * `unpersist()` it when done (see [[withCleanup]]).
     */
   def editDistancePairs(
       df: DataFrame, strCol: String, gridThreshold: Int = 2048): DataFrame = {
@@ -1164,13 +1205,20 @@ object Dedup {
     // O(len) per pair at threshold 1, not O(len^2) — and returns the
     // true distance for survivors (-1 beyond the band, filtered out),
     // so the emitted `dist` is identical to the unbanded form.
-    gridSelfJoin(editVariants(df, strCol), Seq("__v"),
-        Seq("__s" -> "name_a"), Seq("__s" -> "name_b"), gridThreshold)
+    // Persisted so the hot-cell gate job and both join sides read one
+    // computed copy instead of re-running the distinct + explode
+    // (EAGER result via withCleanup, like the other pair miners).
+    val variants = editVariants(df, strCol).persist()
+    val result = gridSelfJoin(variants, Seq("__v"),
+        Seq("__s" -> "name_a"), Seq("__s" -> "name_b"), gridThreshold,
+        plainFanout =
+          Some(df.sparkSession.sparkContext.defaultParallelism * 8))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .filter(col("dist") >= 0)
       .dropDuplicates("name_a", "name_b")
       .select("name_a", "name_b", "dist")
+    withCleanup(result, Seq(variants))
   }
 
   /** The FastSS deletion-variant table (__s, __v) behind

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounded-collect census — the driver-state counterpart of
+  * [[PlanAuditSpec]]'s single-partition shape census.
+  *
+  * The repo's discipline is "every driver collect is bounded, with the
+  * bound stated where the collect happens". This spec makes that
+  * enforceable the way plan shapes are: it walks `src/main` for every
+  * `.collect()` / `.collectAsList` / `.toLocalIterator` site and
+  * asserts the per-file site counts match this annotated allowlist
+  * EXACTLY — a new unbounded (or bounded-but-undocumented) collect
+  * fails the suite like an unbounded global window does, and a removed
+  * site fails too so the census can never go stale. Each entry carries
+  * the bound that licenses it; when adding a site, state its bound
+  * here AND in a comment at the site.
+  */
+class CollectAuditSpec extends AnyFunSuite {
+
+  /** relative path under src/main/scala → (site count, stated bound). */
+  private val allowlist: Map[String, (Int, String)] = Map(
+    "graft/plans/Prefix.scala" -> (1,
+      "one k-long partial-sum array PER PARTITION (k = #prefix " +
+        "columns) — #partitions rows, never data rows"),
+    "graft/ops/JoinPlanner.scala" -> (1,
+      "single-row join-plan report (full aggregate of both sides' " +
+        "stats)"),
+    "graft/sink/Sinks.scala" -> (3,
+      "toLocalIterator STREAMS one file's rows/aggregates into JDBC " +
+        "batches inside the per-file txn — iterator pull, one " +
+        "partition resident at a time, never a materialized array"),
+    "graft/sink/GraftLake.scala" -> (3,
+      "manifest reads: one row per DATA FILE (the Delta-log bounded-" +
+        "driver-state contract) and <= |distinct bloom words| rows " +
+        "per file for the sidecar probe"),
+    "graft/ext/Dedup.scala" -> (1,
+      "gridSelfJoin hot-cell gate: <= n/gridThreshold key tuples " +
+        "(each hot cell holds >= gridThreshold rows by definition) — " +
+        "resolved driver-side so cold corpora keep the plain join plan"),
+    "graft/ext/Sampling.scala" -> (2,
+      "strata table bounded by contract (temperature weights over " +
+        "sources, driver-side DetMath) + a single-row capped-" +
+        "allocation residual sum"),
+    "graft/ext/Similarity.scala" -> (1,
+      "nlist IVF centroid rows (limit(nlist))"),
+    "graft/ext/Embeddings.scala" -> (4,
+      "k-means driver state: limit(1) seed + limit(1) per farthest-" +
+        "point round (k rounds), limit(k) hash-spread init, k-row " +
+        "Lloyd cluster-state aggregate per iteration — all k-bounded"),
+    "graft/ext/Bpe.scala" -> (1,
+      "limit(1) best-pair row per BPE merge round"),
+    "graft/ext/Drift.scala" -> (1,
+      "boundedCollect: limit(maxGridCells+1) with a loud require — " +
+        "the bin-universe bound is ENFORCED, not assumed"),
+    "graft/ext/Vocab.scala" -> (1,
+      "limit(fbTerms) RM3 expansion terms"),
+    "graft/stream/StreamQuality.scala" -> (2,
+      "<= |checks| report rows per micro-batch (one aggregate pass)"),
+    "graft/stream/Ingest.scala" -> (3,
+      "one row per FILE in the micro-batch (distinct files, split-" +
+        "contract min/max/count aggregate, strict verdicts) — " +
+        "driver-side routing decisions are per-file by design"),
+    "graft/Explain.scala" -> (1,
+      "dev CLI only (GRAFT_EXPLAIN_RUN=1 materializes a query to " +
+        "print its ADAPTIVE plan) — never a library code path"))
+
+  private val collectRe =
+    raw"\.collect\(\)|\.collectAsList\(|\.toLocalIterator\(".r
+
+  private def stripLineComment(line: String): String = {
+    val i = line.indexOf("//")
+    if (i >= 0) line.substring(0, i) else line
+  }
+
+  test("every driver-collect site is on the annotated bounded allowlist") {
+    val root = Paths.get("src/main/scala")
+    assert(Files.isDirectory(root), s"not run from the repo root? $root")
+    val files: Seq[Path] = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toSeq
+    val census: Map[String, Int] = files.flatMap { p =>
+      val n = Files.readString(p).linesIterator
+        .map(stripLineComment)
+        .map(l => collectRe.findAllIn(l).size)
+        .sum
+      if (n == 0) None
+      else Some(root.relativize(p).toString -> n)
+    }.toMap
+    val extra = census.keySet -- allowlist.keySet
+    val stale = allowlist.keySet -- census.keySet
+    assert(extra.isEmpty,
+      s"NEW collect site(s) outside the census: ${extra.toSeq.sorted
+        .map(f => s"$f(${census(f)})").mkString(", ")} — state the bound " +
+        "at the site and add an annotated allowlist entry here")
+    assert(stale.isEmpty,
+      s"STALE allowlist entr(ies) with no collect left: $stale — remove " +
+        "them so the census stays exact")
+    val drifted = census.filter { case (f, n) => allowlist(f)._1 != n }
+    assert(drifted.isEmpty,
+      drifted.map { case (f, n) =>
+        s"$f has $n collect site(s), allowlist says ${allowlist(f)._1}"
+      }.mkString("; ") + " — re-annotate the census")
+  }
+}
