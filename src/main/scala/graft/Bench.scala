@@ -195,10 +195,22 @@ object Bench {
     // extra timed run in its first sweep — accepted (self-corrects
     // once it enters the report, and both raw numbers are published).
     val prevFloor = if (prevTimes.isEmpty) None else Some(prevTimes.values.min)
+    // Round-scoped tighter trigger: queries whose BACKING MODULE was
+    // touched this round deserve adjudication at a lower bar — r14's
+    // q_kmeans_assign drifted 1.38× on the round that refactored its
+    // module and sailed under the 2.5× trigger, so the delta shipped
+    // un-adjudicated. The round author lists the touched queries in
+    // SPARK_GRAFT_BENCH_TIGHT_KEYS; those re-time at ≥1.3× (same >2 s
+    // floor). The driver leaves it unset — the global 2.5× stands for
+    // untouched code, where sub-2.5× deltas are almost always box
+    // contention and a blanket 1.3× would re-time half the inventory.
+    val tightKeys = sys.env.get("SPARK_GRAFT_BENCH_TIGHT_KEYS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val results = firstPass.map { case (name, fn, dt, err) =>
       val prevOpt = prevTimes.get(name).orElse(prevFloor)
+      val trigger = if (tightKeys(name)) 1.3 else 2.5
       val suspicious = err.isEmpty && dt > 2.0 &&
-        prevOpt.exists(prev => dt > 2.5 * prev)
+        prevOpt.exists(prev => dt > trigger * prev)
       if (suspicious) {
         val (dt2, err2) = timeOne(name, fn)
         retimed ::= ((name, dt, dt2))

@@ -111,9 +111,15 @@ object IngestBench {
     val warmRoot = Files.createTempDirectory("graft_ingest_warm")
     runOnce(spark, warmRoot, files = 3, rowsPerFile = 500, lastFileRows = 500)
 
+    // The deferred per-file move loop is the one O(files) driver-side
+    // tail in the batch; report its share so a deep small-file backlog
+    // probe shows whether the sequential renames ever dominate.
+    Ingest.moveLoopNanos.set(0L)
     val root = Files.createTempDirectory("graft_ingest_bench")
     val (rows, sec) = runOnce(spark, root, files, rowsPerFile, lastFileRows)
     val rps = rows / sec
+    val moveSec = Ingest.moveLoopNanos.get() / 1e9
+    val moveShare = moveSec / sec
     // The reference's 5,820 rows/s was measured on ITS default workload
     // (20 files = 96,453 rows) only — a scaled probe must not carry the
     // figure, or its JSON line reads as apples-to-apples against a
@@ -121,7 +127,7 @@ object IngestBench {
     val baselineField =
       if (lastFileRows == 1453) ""","baseline_rows_per_sec":5820""" else ""
     println(
-      f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f$baselineField}""")
+      f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f,"move_sec":$moveSec%.3f,"move_share":$moveShare%.4f$baselineField}""")
     spark.stop()
   }
 }

@@ -53,6 +53,16 @@ object Ingest {
     */
   private val log = org.slf4j.LoggerFactory.getLogger("graft.stream.Ingest")
 
+  /** Wall-clock nanos spent in the deferred per-file move loop since
+    * the last reset. The move loop is the one O(files) DRIVER-side
+    * tail in an otherwise distributed batch (every filesystem rename
+    * runs sequentially on the stream thread), so its share of a deep
+    * small-file backlog is the number that decides whether the loop
+    * ever needs to move off the driver. `IngestBench` resets this
+    * before its timed run and reports `move_sec`/`move_share`.
+    */
+  val moveLoopNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-file routing outcome, reported to `onBatch` observers.
     *
     * Outcomes are AT-LEAST-ONCE per file across triggers: a terminal
@@ -216,6 +226,7 @@ object Ingest {
     // moved files. The failed move is ledgered instead: the retry pass
     // re-drives the file (sinks are per-file idempotent) and re-decides
     // its routing; a file no longer in data/ prunes as a stale marker.
+    val moveT0 = System.nanoTime()
     pendingMoves.foreach { case (path, kind) =>
       try kind match {
         case None =>
@@ -237,6 +248,7 @@ object Ingest {
               .getOrElse(e.getClass.getName)), 0L)
       }
     }
+    moveLoopNanos.addAndGet(System.nanoTime() - moveT0)
     outcomes.toSeq
   }
 
