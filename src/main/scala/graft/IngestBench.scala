@@ -96,10 +96,10 @@ object IngestBench {
     // to the DEFAULT workload — a scaled probe (FILES/ROWS overridden)
     // gets uniform files, otherwise FILES=1 would silently measure a
     // 1,453-row corpus whatever ROWS asked for.
-    val lastFileRows =
-      if (sys.env.contains("SPARK_GRAFT_INGEST_FILES") ||
-        sys.env.contains("SPARK_GRAFT_INGEST_ROWS")) rowsPerFile
-      else 1453
+    val isReferenceWorkload =
+      !sys.env.contains("SPARK_GRAFT_INGEST_FILES") &&
+        !sys.env.contains("SPARK_GRAFT_INGEST_ROWS")
+    val lastFileRows = if (isReferenceWorkload) 1453 else rowsPerFile
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -123,9 +123,11 @@ object IngestBench {
     // The reference's 5,820 rows/s was measured on ITS default workload
     // (20 files = 96,453 rows) only — a scaled probe must not carry the
     // figure, or its JSON line reads as apples-to-apples against a
-    // workload shape the reference never ran.
+    // workload shape the reference never ran. Keyed on env presence,
+    // NOT lastFileRows == 1453: SPARK_GRAFT_INGEST_ROWS=1453 is a
+    // scaled probe too (uniform files), and must not carry the figure.
     val baselineField =
-      if (lastFileRows == 1453) ""","baseline_rows_per_sec":5820""" else ""
+      if (isReferenceWorkload) ""","baseline_rows_per_sec":5820""" else ""
     println(
       f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f,"move_sec":$moveSec%.3f,"move_share":$moveShare%.4f$baselineField}""")
     spark.stop()

@@ -54,9 +54,10 @@ object Dedup {
     * cells whose m² verify work [[gridSelfJoin]] spreads over a salt
     * grid. One map-side-combinable aggregate; the result is provably
     * small (each hot cell holds ≥ gridThreshold rows, so there are at
-    * most n / gridThreshold of them — ≤ ~250k cells even at 10⁹ banded
-    * rows with the 4096 default), which is what licenses broadcasting
-    * it below.
+    * most n / gridThreshold of them — ≤ ~500k cells even at 10⁹ banded
+    * rows with the lowest shipped threshold, 2048 in
+    * [[editDistancePairs]]; the SimHash miners gate at 8192), which is
+    * what licenses broadcasting it below.
     */
   private[graft] def hotCells(
       df: DataFrame, keys: Seq[String], gridThreshold: Int): DataFrame =
@@ -115,8 +116,17 @@ object Dedup {
     require(gridSalt >= 2, s"gridSalt must be >= 2: $gridSalt")
     require(aCols.map(_._1) == bCols.map(_._1),
       s"aCols/bCols must rename the same source columns: $aCols vs $bCols")
-    require(!keys.exists(Set("__sa", "__sb", "__hot")),
-      s"keys collide with grid-internal columns: $keys")
+    // The collision surface is every column the hot path touches: the
+    // join keys AND the payload columns (sources and renames). A
+    // payload column named __sa would be silently REPLACED by the salt
+    // on the hot path only (withColumn overwrite), so emitted pairs
+    // would carry salt integers instead of ids — and only for corpora
+    // past the gate, where small-SF tests never look.
+    val reserved = Set("__sa", "__sb", "__hot")
+    val surface = keys ++ aCols.flatMap(c => Seq(c._1, c._2)) ++
+      bCols.map(_._2)
+    require(!surface.exists(reserved),
+      s"columns collide with grid-internal names $reserved: $surface")
     val keyCols = keys.map(col)
     def side(d: DataFrame, renames: Seq[(String, String)],
         salts: Seq[Column]): DataFrame =
@@ -1194,8 +1204,11 @@ object Dedup {
     // m² verifies spread over up to salt² reducers instead of
     // serializing on one. At the measured corpora hot keys are in the
     // hundreds of rows, so the default 2048 gate keeps normal corpora
-    // on the plain fanned path — they pay only the count aggregate,
-    // which reuses the fan-out exchange.
+    // on the plain fanned path — they pay only the gate: one hash
+    // exchange on __v (its own shuffle at the session partition count;
+    // the join's fan-out exchange is separate and cannot be reused
+    // across the gate's driver-side collect) over the persisted
+    // variants cache.
     val s = col("__s")
     // Verify BEFORE the pair dedup: near-dup-dense domains (digit ids,
     // SKUs) keep ~98% of candidates distinct, so deduping first pays a

@@ -60,6 +60,13 @@ object Ingest {
     * small-file backlog is the number that decides whether the loop
     * ever needs to move off the driver. `IngestBench` resets this
     * before its timed run and reports `move_sec`/`move_share`.
+    *
+    * SCOPE: process-wide instrumentation, summed across EVERY Ingest
+    * stream in the JVM — a reader measuring one stream must ensure it
+    * is the only one running (IngestBench is), or the share
+    * misattributes other streams' renames. Kept a plain JVM-global on
+    * purpose: threading a per-stream meter through the batch path
+    * would put bench-only plumbing in every library signature.
     */
   val moveLoopNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -70,17 +70,36 @@ class CollectAuditSpec extends AnyFunSuite {
   private val collectRe =
     raw"\.collect\(\)|\.collectAsList\(|\.toLocalIterator\(".r
 
+  /** Cuts the line at the first `//` that is OUTSIDE a double-quoted
+    * string literal — a plain `indexOf("//")` would let a collect site
+    * hide behind a URL in a log/string on the same line (`"s3a://…"`)
+    * and silently evade the census. Quote state tracks `\"` escapes;
+    * char literals and triple-quoted strings are rare enough in this
+    * codebase that the double-quote heuristic covers every real line.
+    */
   private def stripLineComment(line: String): String = {
-    val i = line.indexOf("//")
-    if (i >= 0) line.substring(0, i) else line
+    var inStr = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')
+        return line.substring(0, i)
+      i += 1
+    }
+    line
   }
 
   test("every driver-collect site is on the annotated bounded allowlist") {
     val root = Paths.get("src/main/scala")
     assert(Files.isDirectory(root), s"not run from the repo root? $root")
-    val files: Seq[Path] = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq
+    // Files.walk streams hold open directory handles — close them.
+    val files: Seq[Path] = scala.util.Using.resource(Files.walk(root)) { s =>
+      s.iterator().asScala.filter(p => p.toString.endsWith(".scala")).toSeq
+    }
     val census: Map[String, Int] = files.flatMap { p =>
       val n = Files.readString(p).linesIterator
         .map(stripLineComment)
