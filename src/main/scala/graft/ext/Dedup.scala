@@ -52,10 +52,11 @@ object Dedup {
 
   /** The key-cells of `df` holding at least `gridThreshold` rows — the
     * cells whose m² verify work [[gridSelfJoin]] spreads over a salt
-    * grid. One map-side-combinable aggregate; the result is provably
-    * small (each hot cell holds ≥ gridThreshold rows, so there are at
-    * most n / gridThreshold of them — ≤ ~500k cells even at 10⁹ banded
-    * rows with the lowest shipped threshold, 2048 in
+    * grid — with their row counts (`__cellN`), which size each cell's
+    * salt grid. One map-side-combinable aggregate; the result is
+    * provably small (each hot cell holds ≥ gridThreshold rows, so
+    * there are at most n / gridThreshold of them — ≤ ~500k cells even
+    * at 10⁹ banded rows with the lowest shipped threshold, 2048 in
     * [[editDistancePairs]]; the SimHash miners gate at 8192), which is
     * what licenses broadcasting it below.
     */
@@ -64,7 +65,6 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cellN"))
       .filter(col("__cellN") >= gridThreshold)
-      .drop("__cellN")
 
   /** Count-gated grid self-join — the skew-distribution move shared by
     * the banded near-dup miners (SimHash bands, FastSS variants).
@@ -82,16 +82,32 @@ object Dedup {
     *      cell is fanned over 8×-core partitions keyed on `keys`
     *      (user-specified counts, which AQE leaves alone);
     *   2. a SINGLE hot cell (count ≥ `gridThreshold`) still lands its
-    *      m² verifies on one reducer → its rows are spread over a
-    *      gridSalt × gridSalt salt grid: a left row carries a fixed
-    *      deterministic salt sa = xxhash64(payload) mod S and is
-    *      replicated across all S values of sb; a right row carries
-    *      fixed sb, replicated across all sa. Every (left, right) pair
-    *      in the cell meets EXACTLY once — at (sa(left), sb(right)) —
-    *      so the output pair multiset is identical to the plain
-    *      self-join; the grid only changes WHERE the verify runs
-    *      (up to S² reducer cells instead of one, for ×S shuffle
-    *      replication of hot rows only).
+    *      m² verifies on one reducer → its rows are spread over an
+    *      S × S salt grid: a left row carries a fixed deterministic
+    *      salt sa = xxhash64(payload) mod S and is replicated across
+    *      all S values of sb; a right row carries fixed sb, replicated
+    *      across all sa. Every (left, right) pair in the cell meets
+    *      EXACTLY once — at (sa(left), sb(right)) — so the output pair
+    *      multiset is identical to the plain self-join; the grid only
+    *      changes WHERE the verify runs (up to S² reducer cells
+    *      instead of one, for ×S shuffle replication of hot rows
+    *      only).
+    *
+    * S is PER CELL, scaled to the cell's own count:
+    * S = clamp(⌈cellN / sliceTarget⌉, 2, `gridSalt`), i.e. each grid
+    * slice aims to hold ~`sliceTarget` of the cell's rows. The slice
+    * target is DECOUPLED from the gate on purpose: at the shipped
+    * defaults (gate 8192, target 1024, salt cap 8) every gated cell
+    * computes S ≥ 8 and caps at 8 — bit-identical behavior to the
+    * fixed-S grid this round's 100× wins were measured on — while a
+    * LOWERED gate gives barely-hot cells a gentle ×2–×4 grid instead
+    * of the full ×gridSalt (the r15 threshold A/B measured fixed S=8
+    * at a 1024 gate tripling the sf0.1 wall of the coarse-banded
+    * SimHash miner: every barely-hot cell paid ×8 shuffle replication
+    * for ms-class verify work). Both sides of a pair live in the same
+    * cell and so derive the same S: the exactly-once meeting argument
+    * is unchanged, and S is data-derived (from counts), so the plan is
+    * deterministic across partition layouts (invariance gate).
     *
     * The gate is a row COUNT per cell (not bytes) because rows are
     * what predict the m² work, and it resolves DRIVER-SIDE: one
@@ -111,9 +127,11 @@ object Dedup {
       aCols: Seq[(String, String)], bCols: Seq[(String, String)],
       gridThreshold: Int, gridSalt: Int = 8,
       plainFanout: Option[Int] = None,
-      maxCellBound: Option[Long] = None): DataFrame = {
+      maxCellBound: Option[Long] = None,
+      sliceTarget: Int = 1024): DataFrame = {
     require(gridThreshold >= 2, s"gridThreshold must be >= 2: $gridThreshold")
     require(gridSalt >= 2, s"gridSalt must be >= 2: $gridSalt")
+    require(sliceTarget >= 1, s"sliceTarget must be >= 1: $sliceTarget")
     require(aCols.map(_._1) == bCols.map(_._1),
       s"aCols/bCols must rename the same source columns: $aCols vs $bCols")
     // The collision surface is every column the hot path touches: the
@@ -122,10 +140,15 @@ object Dedup {
     // on the hot path only (withColumn overwrite), so emitted pairs
     // would carry salt integers instead of ids — and only for corpora
     // past the gate, where small-SF tests never look.
-    val reserved = Set("__sa", "__sb", "__hot")
+    // NOTE: resolution is CASE-INSENSITIVE by default (spark.sql.
+    // caseSensitive=false), so the grid-size column is "__gs", not
+    // "__S" — "__S" would be ambiguous against editDistancePairs' own
+    // "__s" payload column. The reserved set is compared lowercased
+    // for the same reason.
+    val reserved = Set("__sa", "__sb", "__hot", "__gs", "__celln")
     val surface = keys ++ aCols.flatMap(c => Seq(c._1, c._2)) ++
       bCols.map(_._2)
-    require(!surface.exists(reserved),
+    require(!surface.map(_.toLowerCase).exists(reserved),
       s"columns collide with grid-internal names $reserved: $surface")
     val keyCols = keys.map(col)
     def side(d: DataFrame, renames: Seq[(String, String)],
@@ -153,10 +176,21 @@ object Dedup {
       spark.sparkContext.defaultParallelism * 8)
     val fanned = df.repartition(fanout, keyCols: _*)
     // The hot list is already on the driver — rebuild it as a local
-    // relation for the tag join instead of re-running the aggregate
-    // in-DAG.
+    // relation for the tag join (carrying each cell's salt-grid size
+    // __gs, computed here from the collected count) instead of
+    // re-running the aggregate in-DAG.
+    val sField = org.apache.spark.sql.types.StructField(
+      "__gs", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val sSchema = org.apache.spark.sql.types.StructType(
+      hotFrame.schema.fields.init :+ sField)
+    val hotWithS = hotList.map { r =>
+      val cellN = r.getLong(r.length - 1)
+      val s = math.min(gridSalt.toLong, math.max(2L,
+        (cellN + sliceTarget - 1) / sliceTarget)).toInt
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ s)
+    }
     val hotMark = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(hotList: _*), hotFrame.schema)
+      java.util.Arrays.asList(hotWithS: _*), sSchema)
       .withColumn("__hot", lit(true)))
     val tagged = fanned.join(hotMark, keys, "left")
     val cold = tagged.filter(col("__hot").isNull)
@@ -164,16 +198,18 @@ object Dedup {
     val hotRows = tagged.filter(col("__hot") === true)
     // Deterministic per-row salt from the payload itself (never the
     // partition), so the same row salts identically on both sides and
-    // under any CPU count.
+    // under any CPU count; modulus __gs is the row's own cell grid size.
     val rowSalt = pmod(xxhash64(aCols.map(c => col(c._1)): _*),
-      lit(gridSalt.toLong)).cast("int")
-    val allSalts = explode(array((0 until gridSalt).map(lit): _*))
+      col("__gs").cast("long")).cast("int")
+    val spanSalt = explode(sequence(lit(0), col("__gs") - 1))
     val gridKeys = keys ++ Seq("__sa", "__sb")
-    val hotA = side(hotRows.withColumn("__sa", rowSalt), aCols,
-      Seq(col("__sa"))).withColumn("__sb", allSalts)
+    val hotA = side(
+      hotRows.withColumn("__sa", rowSalt).withColumn("__sb", spanSalt),
+      aCols, Seq(col("__sa"), col("__sb")))
       .repartition(fanout, gridKeys.map(col): _*)
-    val hotB = side(hotRows.withColumn("__sb", rowSalt), bCols,
-      Seq(col("__sb"))).withColumn("__sa", allSalts)
+    val hotB = side(
+      hotRows.withColumn("__sb", rowSalt).withColumn("__sa", spanSalt),
+      bCols, Seq(col("__sa"), col("__sb")))
       .repartition(fanout, gridKeys.map(col): _*)
     val hotPairs = hotA.join(hotB, gridKeys).drop("__sa", "__sb")
     coldPairs.unionByName(hotPairs)

@@ -14,13 +14,15 @@ import graft.SparkSpec
 class GridSelfJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("hotCells returns exactly the cells at/above the threshold") {
+  test("hotCells returns exactly the cells at/above the threshold, with counts") {
     val df = (Seq.fill(5)(("k1", 1)) ++ Seq.fill(3)(("k2", 2)) ++
       Seq(("k3", 3))).toDF("k", "payload")
-    val hot = Dedup.hotCells(df, Seq("k"), 4).as[String].collect().toSet
-    assert(hot === Set("k1"))
-    val hot3 = Dedup.hotCells(df, Seq("k"), 3).as[String].collect().toSet
-    assert(hot3 === Set("k1", "k2"))
+    val hot = Dedup.hotCells(df, Seq("k"), 4)
+      .as[(String, Long)].collect().toSet
+    assert(hot === Set(("k1", 5L)))
+    val hot3 = Dedup.hotCells(df, Seq("k"), 3)
+      .as[(String, Long)].collect().toSet
+    assert(hot3 === Set(("k1", 5L), ("k2", 3L)))
   }
 
   test("grid join emits the exact pair MULTISET of the plain self-join") {
@@ -41,11 +43,18 @@ class GridSelfJoinSpec extends SparkSpec {
     }
     // salt 2 and 3 (odd salt catches a lost grid cell that an even
     // split pattern can mask); thresholds that make k1-only and
-    // k1+k2 hot.
-    for (threshold <- Seq(4, 3); salt <- Seq(2, 3)) {
+    // k1+k2 hot. sliceTarget 2 exercises the PER-CELL grid size: k1
+    // (6 rows) computes S = ceil(6/2) = 3 — capped to 2 at salt 2,
+    // kept at 3 at salt 3 — while k2 (3 rows) computes S = 2, so the
+    // same run carries two different cell grid sizes; sliceTarget
+    // 1024 (the default) pins every gated cell to the S = 2 floor.
+    for (threshold <- Seq(4, 3, 2); salt <- Seq(2, 3);
+         target <- Seq(2, 1024)) {
       val grid = Dedup.gridSelfJoin(df, Seq("k"),
-        Seq("id" -> "id_a"), Seq("id" -> "id_b"), threshold, salt)
-      assert(counts(grid) === plain, s"threshold=$threshold salt=$salt")
+        Seq("id" -> "id_a"), Seq("id" -> "id_b"), threshold, salt,
+        sliceTarget = target)
+      assert(counts(grid) === plain,
+        s"threshold=$threshold salt=$salt sliceTarget=$target")
     }
   }
 
@@ -63,7 +72,7 @@ class GridSelfJoinSpec extends SparkSpec {
       .toDF("name")
     // the mega-key is hot at the spec threshold
     val hot = Dedup.hotCells(Dedup.editVariants(names, "name"),
-      Seq("__v"), 64).as[String].collect().toSet
+      Seq("__v"), 64).select("__v").as[String].collect().toSet
     assert(hot.contains(base), s"expected mega-key '$base' hot, got $hot")
     val gated = Dedup.editDistancePairs(names, "name", gridThreshold = 64)
       .as[(String, String, Int)].collect().toSet
