@@ -686,9 +686,18 @@ object Dedup {
     sums.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Hot-cell gate default for the SimHash miners: 8192 unless
+    * overridden via SPARK_GRAFT_GRID_THRESHOLD (a tuning knob in the
+    * SPARK_GRAFT_SKEW_THRESHOLD tradition — the shipped default was
+    * measured-then-chosen, the env override lets a deployment or an
+    * A/B probe re-gate without a rebuild).
+    */
+  private[graft] def defaultGridThreshold: Int =
+    sys.env.get("SPARK_GRAFT_GRID_THRESHOLD").map(_.toInt).getOrElse(8192)
+
   def portableSimHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      gridThreshold: Int = 8192): DataFrame = {
+      gridThreshold: Int = defaultGridThreshold): DataFrame = {
     val nBands = 6
     val width = 10
     val maxDist = nBands - 1
@@ -755,7 +764,8 @@ object Dedup {
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, gridThreshold: Int = 8192): DataFrame = {
+      maxDist: Int = 3,
+      gridThreshold: Int = defaultGridThreshold): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     // Both join sides derive from the signature table — persist it so
