@@ -686,6 +686,23 @@ object Dedup {
     sums.select(col(idCol), sig.as("simhash"))
   }
 
+  /** The pigeonhole band cells of a SimHash signature column: one
+    * struct(band, bk) per band, where bk is the band's `width` bits of
+    * the signature (unsigned shift so the sign bit never smears across
+    * bands). ONE definition shared by both miners and the
+    * `tools.CellDiag` census so the banding the gate-tuning docs tell
+    * deployments to census can never desynchronize from the banding
+    * the miners join on.
+    */
+  private[graft] def simHashBandCells(
+      nBands: Int, width: Int, sigCol: Column): Seq[Column] =
+    (0 until nBands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        shiftrightunsigned(sigCol, bIdx * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bk"))
+    }
+
   /** Hot-cell gate default for the SimHash miners: 8192 unless
     * overridden via SPARK_GRAFT_GRID_THRESHOLD (a tuning knob in the
     * SPARK_GRAFT_SKEW_THRESHOLD tradition — the shipped default was
@@ -693,7 +710,15 @@ object Dedup {
     * A/B probe re-gate without a rebuild).
     */
   private[graft] def defaultGridThreshold: Int =
-    sys.env.get("SPARK_GRAFT_GRID_THRESHOLD").map(_.toInt).getOrElse(8192)
+    sys.env.get("SPARK_GRAFT_GRID_THRESHOLD").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_GRID_THRESHOLD must be an integer >= 2, got: '$v'")
+      }
+      require(n >= 2,
+        s"SPARK_GRAFT_GRID_THRESHOLD must be >= 2, got: $n")
+      n
+    }.getOrElse(8192)
 
   def portableSimHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -706,12 +731,7 @@ object Dedup {
     // hold more rows than there are signatures) — corpora under the
     // grid threshold skip the hot-cell gate job entirely.
     val nSigs = sigs.count()
-    val bandCols = (0 until nBands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        shiftrightunsigned(col("simhash"), bIdx * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("bk"))
-    }
+    val bandCols = simHashBandCells(nBands, width, col("simhash"))
     val banded = sigs
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("__bb"))
       .select(col(idCol), col("simhash"),
@@ -775,19 +795,12 @@ object Dedup {
     // hold more rows than there are signatures) — corpora under the
     // grid threshold skip the hot-cell gate job entirely.
     val nSigs = sigs.count()
-    // Band indices are static → plain Int shift amounts, unsigned so the
-    // sign bit of the signature doesn't smear across bands.
-    val bandCols = (0 until nBands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        shiftrightunsigned(col("simhash"), bIdx * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
-    }
+    val bandCols = simHashBandCells(nBands, width, col("simhash"))
     val banded = sigs
       .select(col(idCol), col("simhash"),
         explode(array(bandCols: _*)).as("__bb"))
       .select(col(idCol), col("simhash"),
-        col("__bb.band").as("__band"), col("__bb.bits").as("__bits"))
+        col("__bb.band").as("__band"), col("__bb.bk").as("__bits"))
     // The Σ n_v² ≈ bands·n²/2^width candidate count is the operator's
     // distance-`maxDist` recall guarantee and stays (the band structure
     // cannot grow with the corpus — SCALING.md); what must NOT stay is
@@ -1268,10 +1281,17 @@ object Dedup {
     // computed copy instead of re-running the distinct + explode
     // (EAGER result via withCleanup, like the other pair miners).
     val variants = editVariants(df, strCol).persist()
+    // sliceTarget = gate/8 keeps EVERY gated cell on the full 8×8 grid
+    // (ceil(n/256) ≥ 8 for any n ≥ 2048): levenshtein verifies are the
+    // expensive-per-pair kind where more slices always win and the ×8
+    // replication of a few-thousand-row cell is noise, so the FastSS
+    // miner opts out of the gentle mid-cell grids the SimHash miners'
+    // default sliceTarget (1024) exists for.
     val result = gridSelfJoin(variants, Seq("__v"),
         Seq("__s" -> "name_a"), Seq("__s" -> "name_b"), gridThreshold,
         plainFanout =
-          Some(df.sparkSession.sparkContext.defaultParallelism * 8))
+          Some(df.sparkSession.sparkContext.defaultParallelism * 8),
+        sliceTarget = math.max(1, gridThreshold / 8))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .filter(col("dist") >= 0)

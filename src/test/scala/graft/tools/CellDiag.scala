@@ -1,11 +1,15 @@
 package graft.tools
 
-// TEMPORARY diagnostic (deleted before round end): band-cell count
-// distributions for the SimHash miners and the FastSS variant table,
-// to size the grid gate/salt against measured cell mass.
+// Band/variant cell-count census — the count-derived (host-noise-
+// immune) diagnostic behind the grid-gate tuning docs in SCALING.md:
+// run it against a corpus dir to see what a given
+// SPARK_GRAFT_GRID_THRESHOLD would catch before re-gating a
+// deployment. Test scope on purpose: it is a dev/ops probe, not a
+// library code path, and its one driver collect is a single
+// aggregated summary row per table.
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{SparkEntry, Tables}
+import graft.Tables
 import graft.ext.Dedup
 
 object CellDiag {
@@ -26,6 +30,11 @@ object CellDiag {
       s"ge512=${d.get(7)}")
   }
 
+  private def bandCells(sigs: DataFrame, nBands: Int, width: Int) =
+    sigs.select(explode(array(
+        Dedup.simHashBandCells(nBands, width, col("simhash")): _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bk")).agg(count(lit(1)).as("n"))
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale_30x")
     val spark = SparkSession.builder().master("local[32]")
@@ -35,28 +44,14 @@ object CellDiag {
     Tables.prepare(spark)
     val docs = Tables.documents(spark, dir)
 
-    // portable miner: 6 bands x 10 bits
-    val psigs = Dedup.portableSimHashSignatures(docs, "doc_id", "text")
-    val pcells = psigs.select(col("simhash"),
-        explode(array((0 until 6).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 10)
-            .bitwiseAND(lit((1L << 10) - 1)).as("bk"))): _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bk")).agg(count(lit(1)).as("n"))
-    dist("portable(6x10b)", pcells)
-
-    // fast miner at maxDist=6: 7 bands x 9 bits
-    val fsigs = Dedup.simHash(docs, "doc_id", "text")
-    val nBands = 7; val width = 64 / nBands
-    val fcells = fsigs.select(col("simhash"),
-        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bk"))): _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bk")).agg(count(lit(1)).as("n"))
-    dist(s"fast(${nBands}x${width}b)", fcells)
-
-    // FastSS variants over customer names
-    val cust = Tables.customer(spark, dir)
-    val vcells = Dedup.editVariants(cust, "c_name")
+    // q_dedup_simhash: portable miner, 6 bands x 10 bits
+    dist("portable(6x10b)", bandCells(
+      Dedup.portableSimHashSignatures(docs, "doc_id", "text"), 6, 10))
+    // q_dedup_simhash_fast: 64-bit miner at maxDist=6 -> 7 bands x 9 bits
+    dist("fast(7x9b)", bandCells(
+      Dedup.simHash(docs, "doc_id", "text"), 7, 64 / 7))
+    // q_dedup_edit: FastSS deletion variants over customer names
+    val vcells = Dedup.editVariants(Tables.customer(spark, dir), "c_name")
       .groupBy("__v").agg(count(lit(1)).as("n"))
     dist("fastss(c_name)", vcells)
     spark.stop()
