@@ -128,8 +128,10 @@ object Dedup {
       gridThreshold: Int, gridSalt: Int = 8,
       plainFanout: Option[Int] = None,
       maxCellBound: Option[Long] = None,
-      sliceTarget: Int = 1024): DataFrame = {
+      sliceTarget: Int = 1024,
+      maxHotCells: Int = 1 << 20): DataFrame = {
     require(gridThreshold >= 2, s"gridThreshold must be >= 2: $gridThreshold")
+    require(maxHotCells >= 1, s"maxHotCells must be >= 1: $maxHotCells")
     require(gridSalt >= 2, s"gridSalt must be >= 2: $gridSalt")
     require(sliceTarget >= 1, s"sliceTarget must be >= 1: $sliceTarget")
     require(aCols.map(_._1) == bCols.map(_._1),
@@ -167,9 +169,22 @@ object Dedup {
     // count job: the common small-corpus case pays literally nothing.
     if (maxCellBound.exists(_ < gridThreshold)) return plainJoin
     // Bounded driver state: ≤ n/gridThreshold hot key tuples (the
-    // CollectAuditSpec census entry for this file).
+    // CollectAuditSpec census entry for this file) — and the bound is
+    // ENFORCED, not assumed: at the shipped gates n/gridThreshold is
+    // small, but the env knob lets a deployment re-gate arbitrarily
+    // low (SPARK_GRAFT_GRID_THRESHOLD=2 on 10⁹ banded rows would make
+    // "bounded" mean 5·10⁸ rows), so the collect is capped via
+    // limit(maxHotCells+1) and a cap overflow fails LOUDLY with the
+    // remedy (raise the gate) instead of OOMing the driver. 2²⁰ cells
+    // needs ≥ 2²⁰·gate banded rows to reach — ~8.6·10⁹ at the shipped
+    // 8192 — and stays a few tens of MB of driver heap if it ever does.
     val hotFrame = hotCells(df, keys, gridThreshold)
-    val hotList = hotFrame.collect()
+    val hotList = hotFrame.limit(maxHotCells + 1).collect()
+    require(hotList.length <= maxHotCells,
+      s"gridSelfJoin: more than $maxHotCells cells hold >= " +
+        s"$gridThreshold rows — the gate is mis-tuned for this corpus " +
+        "(the hot list must stay a small broadcast); raise " +
+        "SPARK_GRAFT_GRID_THRESHOLD / the gridThreshold argument")
     if (hotList.isEmpty) return plainJoin
     val spark = df.sparkSession
     val fanout = math.max(plainFanout.getOrElse(0),

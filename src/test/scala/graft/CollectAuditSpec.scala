@@ -70,27 +70,73 @@ class CollectAuditSpec extends AnyFunSuite {
   private val collectRe =
     raw"\.collect\(\)|\.collectAsList\(|\.toLocalIterator\(".r
 
-  /** Cuts the line at the first `//` that is OUTSIDE a double-quoted
-    * string literal — a plain `indexOf("//")` would let a collect site
-    * hide behind a URL in a log/string on the same line (`"s3a://…"`)
-    * and silently evade the census. Quote state tracks `\"` escapes;
-    * char literals and triple-quoted strings are rare enough in this
-    * codebase that the double-quote heuristic covers every real line.
+  /** Cuts the line at the first `//` that is OUTSIDE a string
+    * literal — a plain `indexOf("//")` would let a collect site hide
+    * behind a URL in a log/string on the same line (`"s3a://…"`) and
+    * silently evade the census. Three states are tracked within the
+    * line: plain `"…"` (with `\"` escapes), triple-quoted `"""…"""`
+    * (a lone `"` inside must NOT flip the plain-string state — it
+    * previously did, so a later real `//` in string content cut the
+    * line early and a same-line collect site could evade the census),
+    * and the `'"'` char literal (skipped whole). A triple-quoted
+    * string whose body SPANS lines still scans its interior lines in
+    * the normal state — that direction only OVER-counts (a `.collect()`
+    * mention inside multi-line string content trips the census
+    * loudly), never hides a site.
     */
-  private def stripLineComment(line: String): String = {
+  private[graft] def stripLineComment(line: String): String = {
     var inStr = false
+    var inTriple = false
     var i = 0
+    def at(j: Int, s: String): Boolean = line.startsWith(s, j)
     while (i < line.length) {
       val c = line.charAt(i)
-      if (inStr) {
+      if (inTriple) {
+        if (at(i, "\"\"\"")) {
+          // Consume trailing extra quotes too: `""""` closes with the
+          // last three ambiguous — Scala binds extras to the CONTENT,
+          // so skip forward to the final quote of the run.
+          var j = i + 3
+          while (j < line.length && line.charAt(j) == '"') j += 1
+          i = j - 1
+          inTriple = false
+        }
+      } else if (inStr) {
         if (c == '\\') i += 1
         else if (c == '"') inStr = false
-      } else if (c == '"') inStr = true
+      } else if (at(i, "\"\"\"")) { inTriple = true; i += 2 }
+      else if (c == '"') inStr = true
+      else if (c == '\'' && i + 2 < line.length && line.charAt(i + 2) == '\''
+          && line.charAt(i + 1) != '\\') i += 2 // char literal, incl. '"'
       else if (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')
         return line.substring(0, i)
       i += 1
     }
     line
+  }
+
+  test("stripLineComment: string states cannot hide or invent a collect site") {
+    // plain string: a // inside a URL must not cut the line
+    assert(stripLineComment("""log("s3a://bucket"); x.collect()""")
+      .contains(".collect()"))
+    // real comment cut
+    assert(!stripLineComment("""val n = 1 // was .collect()""")
+      .contains(".collect()"))
+    // the ADVICE case: a LONE " inside a same-line triple-quoted string
+    // used to flip the plain-string state, so the later // (real
+    // comment) was treated as string content on the flipped state's
+    // view — and with the states inverted a later collect could hide.
+    // After the fix the " is triple-string content, the // is a real
+    // comment, and a collect BEFORE it still counts:
+    val tripled = "val s = \"\"\"quote \" inside\"\"\"; df.collect() // note"
+    assert(stripLineComment(tripled).contains(".collect()"))
+    assert(!stripLineComment(tripled).contains("note"))
+    // char literal '"' must not open a string
+    assert(!stripLineComment("""val q = '"' // .collect()""")
+      .contains(".collect()"))
+    // escaped quote inside a plain string stays inside it
+    assert(stripLineComment("""val s = "a\"//b"; y.collect()""")
+      .contains(".collect()"))
   }
 
   test("every driver-collect site is on the annotated bounded allowlist") {

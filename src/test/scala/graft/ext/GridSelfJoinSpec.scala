@@ -58,6 +58,25 @@ class GridSelfJoinSpec extends SparkSpec {
     }
   }
 
+  test("hot-list cap: an over-gated corpus fails loudly, never OOMs the driver") {
+    // Two hot cells at threshold 2; maxHotCells = 1 must refuse — the
+    // collect is limit(cap+1), so an operator typo re-gating far too
+    // low surfaces as a require with the remedy, not a driver OOM.
+    val df = (Seq.fill(3)(("k1", 1L)) ++ Seq.fill(3)(("k2", 2L)))
+      .toDF("k", "id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.gridSelfJoin(df, Seq("k"),
+        Seq("id" -> "id_a"), Seq("id" -> "id_b"),
+        gridThreshold = 2, maxHotCells = 1)
+    }
+    assert(e.getMessage.contains("raise"))
+    // at a sufficient cap the same corpus grids normally
+    val ok = Dedup.gridSelfJoin(df, Seq("k"),
+      Seq("id" -> "id_a"), Seq("id" -> "id_b"),
+      gridThreshold = 2, maxHotCells = 2)
+    assert(ok.count() === 18L) // 3*3 + 3*3 pairs
+  }
+
   test("FastSS mega-key: the gate fires and pair output is identical") {
     // One variant mega-key by construction: every string is the base
     // word with ONE char inserted, so deleting that char lands every

@@ -19,15 +19,37 @@ object CellDiag {
         expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999), 10000)")
           .as("p"),
         sum(col("n") * col("n")).as("sumN2"),
-        sum(when(col("n") >= 8192, col("n") * col("n"))).as("n2_ge8192"),
-        sum(when(col("n") >= 2048, col("n") * col("n"))).as("n2_ge2048"),
-        sum(when(col("n") >= 1024, col("n") * col("n"))).as("n2_ge1024"),
-        sum(when(col("n") >= 512, col("n") * col("n"))).as("n2_ge512"))
+        // .otherwise(0L): a conditional sum with no otherwise yields
+        // NULL when no cell reaches the tier, and "ge8192=null" is
+        // ambiguous output for the exact tool deployments read before
+        // re-gating — an empty tier must print 0.
+        sum(when(col("n") >= 8192, col("n") * col("n")).otherwise(lit(0L)))
+          .as("n2_ge8192"),
+        sum(when(col("n") >= 4096, col("n") * col("n")).otherwise(lit(0L)))
+          .as("n2_ge4096"),
+        sum(when(col("n") >= 2048, col("n") * col("n")).otherwise(lit(0L)))
+          .as("n2_ge2048"),
+        sum(when(col("n") >= 1024, col("n") * col("n")).otherwise(lit(0L)))
+          .as("n2_ge1024"),
+        sum(when(col("n") >= 512, col("n") * col("n")).otherwise(lit(0L)))
+          .as("n2_ge512"),
+        // Per-tier CELL counts alongside the n² mass: the gate recipe
+        // (Dedup.recommendedGridThreshold) needs both — mass says how
+        // much verify work a gate would catch, count says whether it
+        // is straggler relief (few huge cells) or machinery (hundreds
+        // of warm ones).
+        sum(when(col("n") >= 8192, 1L).otherwise(lit(0L))).as("c_ge8192"),
+        sum(when(col("n") >= 4096, 1L).otherwise(lit(0L))).as("c_ge4096"),
+        sum(when(col("n") >= 2048, 1L).otherwise(lit(0L))).as("c_ge2048"),
+        sum(when(col("n") >= 1024, 1L).otherwise(lit(0L))).as("c_ge1024"),
+        sum(when(col("n") >= 512, 1L).otherwise(lit(0L))).as("c_ge512"))
       .collect()(0)
     println(s"[celldiag] $name cells=${d.get(0)} maxN=${d.get(1)} " +
       s"p50/90/99/999=${d.get(2)} sumN2=${d.get(3)} " +
-      s"ge8192=${d.get(4)} ge2048=${d.get(5)} ge1024=${d.get(6)} " +
-      s"ge512=${d.get(7)}")
+      s"n2_ge8192=${d.get(4)} n2_ge4096=${d.get(5)} n2_ge2048=${d.get(6)} " +
+      s"n2_ge1024=${d.get(7)} n2_ge512=${d.get(8)} " +
+      s"c_ge8192=${d.get(9)} c_ge4096=${d.get(10)} c_ge2048=${d.get(11)} " +
+      s"c_ge1024=${d.get(12)} c_ge512=${d.get(13)}")
   }
 
   private def bandCells(sigs: DataFrame, nBands: Int, width: Int) =
