@@ -24,6 +24,39 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.latestRoundReport(Nil) === None)
   }
 
+  test("noise floor: median control ratio vs all-time min, floored at 1") {
+    val base = Map("q_scan_cast" -> 0.2, "q_agg_metrics" -> 0.4)
+    // median of 3 samples, per control; max across controls
+    val hot = Bench.noiseFloor(
+      Map("q_scan_cast" -> Seq(0.6, 0.4, 5.0), // median 0.6 → 3.0×
+        "q_agg_metrics" -> Seq(0.4, 0.5, 0.6)), // median 0.5 → 1.25×
+      base)
+    assert(hot.exists(f => math.abs(f - 3.0) < 1e-9))
+    // a control FASTER than its all-time min reads 1.0, not <1
+    val quiet = Bench.noiseFloor(Map("q_scan_cast" -> Seq(0.1, 0.1, 0.1)), base)
+    assert(quiet === Some(1.0))
+    // no control has a baseline → None (plain 2× rule downstream)
+    assert(Bench.noiseFloor(Map("q_scan_cast" -> Seq(1.0)), Map.empty) === None)
+    assert(Bench.noiseFloor(Map.empty, base) === None)
+  }
+
+  test("unresolved: re-timed min must clear max(2x baseline, 2x noise floor)") {
+    // quiet session: > 2× baseline and > 2 s absolute → unresolved
+    assert(Bench.unresolvedRatio(6.0, Some(2.0), Some(1.0))
+      .exists(r => math.abs(r - 3.0) < 1e-9))
+    // hot session (floor 2.5×): the SAME 3× reading is inside the
+    // weather band — 2×2.5 = 5× bar — so it is NOT marked
+    assert(Bench.unresolvedRatio(6.0, Some(2.0), Some(2.5)) === None)
+    // but a 6× reading clears even the hot bar
+    assert(Bench.unresolvedRatio(12.0, Some(2.0), Some(2.5)).isDefined)
+    // absolute floor: 1.9 s is never unresolved whatever the ratio
+    assert(Bench.unresolvedRatio(1.9, Some(0.1), Some(1.0)) === None)
+    // no baseline → nothing to resolve against
+    assert(Bench.unresolvedRatio(10.0, None, Some(1.0)) === None)
+    // missing floor falls back to the plain 2× rule
+    assert(Bench.unresolvedRatio(6.0, Some(2.0), None).isDefined)
+  }
+
   test("baseline merge takes the per-query minimum across maps") {
     val full = Map("q_a" -> 2.0, "q_b" -> 0.5, "q_c" -> 1.0)
     val report = Map("q_a" -> 0.8, "q_b" -> 1.5, "q_d" -> 3.0)
