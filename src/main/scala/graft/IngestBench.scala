@@ -27,33 +27,77 @@ import graft.stream.Ingest
   */
 object IngestBench {
 
+  /** File f carries seeded-invalid rows iff its index lands in the
+    * badPct stripe: ((f·pct) mod 100) < pct puts EXACTLY pct dirty
+    * files in every 100 consecutive indices, deterministically — a
+    * seeded-random choice would make reruns incomparable.
+    */
+  private[graft] def isDirty(f: Int, badPct: Int): Boolean =
+    badPct > 0 && ((f.toLong * badPct) % 100) < badPct
+
+  /** The reference generator's six row-level error classes
+    * (`test_csv_files_generator.py:73-90`), mapped onto the sensor CSV
+    * schema and cycled deterministically. Each dirty file gets 3 bad
+    * rows (the generator's 1–3 cap) at fixed relative positions.
+    */
+  private val badRows = Seq(
+    ",S0,25.0,0.50,1000.00",                           // null sensor_id (key)
+    "NOT_A_VALID_TIMESTAMP,S1,25.0,0.50,1000.00",      // unparseable ts (key)
+    "2025-05-26 10:00:00,S2,abc,0.50,1000.00",         // bad-type temperature
+    "2025-05-26 10:00:01,S3,-75.0,0.50,1000.00",       // temp below -50 range
+    "2025-05-26 10:00:02,S4,75.0,0.50,1000.00",        // temp above +50 range
+    "2025-05-26 10:00:03,S5,25.0,,1000.00")            // null humidity reading
+
+  /** Workload accounting: `validRows` is what LENIENT mode commits
+    * (all rows minus seeded-bad ones); `dirtyFileRows` is what STRICT
+    * mode quarantines (every row of a file containing any bad row).
+    */
+  private final case class Workload(
+      total: Long, validRows: Long, dirtyFiles: Int, dirtyFileRows: Long)
+
   private def writeWorkload(dataDir: Path, files: Int, rowsPerFile: Int,
-      lastFileRows: Int): Long = {
+      lastFileRows: Int, badPct: Int = 0): Workload = {
     var total = 0L
+    var validRows = 0L
+    var dirtyFiles = 0
+    var dirtyFileRows = 0L
     (1 to files).foreach { f =>
       val n = if (f == files) lastFileRows else rowsPerFile
+      val dirty = isDirty(f, badPct)
+      if (dirty) { dirtyFiles += 1; dirtyFileRows += n }
+      // 3 bad rows per dirty file at fixed relative positions
+      val badAt: Set[Int] =
+        if (dirty) Set(n / 4, n / 2, (3 * n) / 4) else Set.empty
       val sb = new StringBuilder(n * 48)
       sb.append("timestamp,sensor_id,temperature,humidity,pressure\n")
       var i = 0
       while (i < n) {
-        // valid, in-range readings; varied sensors and timestamps
-        val hh = (i / 3600) % 24
-        val mm = (i / 60) % 60
-        val ss = i % 60
-        sb.append(f"2025-05-26 $hh%02d:$mm%02d:$ss%02d,S${i % 10},")
-          .append(f"${20.0 + (i % 25)}%.1f,${0.30 + (i % 60) * 0.01}%.2f,")
-          .append(f"${990.0 + (i % 50)}%.2f\n")
+        if (badAt(i)) {
+          sb.append(badRows((f + i) % badRows.length)).append('\n')
+        } else {
+          // valid, in-range readings; varied sensors and timestamps
+          val hh = (i / 3600) % 24
+          val mm = (i / 60) % 60
+          val ss = i % 60
+          sb.append(f"2025-05-26 $hh%02d:$mm%02d:$ss%02d,S${i % 10},")
+            .append(f"${20.0 + (i % 25)}%.1f,${0.30 + (i % 60) * 0.01}%.2f,")
+            .append(f"${990.0 + (i % 50)}%.2f\n")
+        }
         i += 1
       }
       Files.writeString(dataDir.resolve(f"sensor_$f%02d.csv"), sb.toString)
       total += n
+      validRows += (if (dirty) n - badAt.size else n)
     }
-    total
+    Workload(total, validRows, dirtyFiles, dirtyFileRows)
   }
 
-  /** One full ingest run to quiescence; returns (rows, seconds). */
+  /** One full ingest run to quiescence; returns
+    * (total rows, valid rows sunk, dirty files, seconds).
+    */
   private def runOnce(spark: SparkSession, root: Path,
-      files: Int, rowsPerFile: Int, lastFileRows: Int): (Long, Double) = {
+      files: Int, rowsPerFile: Int, lastFileRows: Int,
+      badPct: Int = 0, strict: Boolean = false): (Long, Long, Int, Double) = {
     val dataDir = Files.createDirectories(root.resolve("data"))
     val conf = PipelineConf(
       dataDir = dataDir.toString,
@@ -61,8 +105,8 @@ object IngestBench {
       quarantineDir = root.resolve("quarantine").toString,
       checkpointDir = root.resolve("checkpoint").toString,
       monitorIntervalSec = 1,
-      strictMode = false)
-    val rows = writeWorkload(dataDir, files, rowsPerFile, lastFileRows)
+      strictMode = strict)
+    val w = writeWorkload(dataDir, files, rowsPerFile, lastFileRows, badPct)
     val sink = new ParquetSink(
       root.resolve("raw").toString, root.resolve("agg").toString)
     val t0 = System.nanoTime()
@@ -73,19 +117,35 @@ object IngestBench {
     val sec =
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
       finally q.stop()
+    // Routing must be EXACT for the figure to mean anything: in strict
+    // mode every dirty file quarantines (its CSV plus a reason line)
+    // and every clean file moves to processed/; in lenient mode dirty
+    // files commit their valid subset and still move to processed/.
+    val expectProcessed = if (strict) files - w.dirtyFiles else files
+    val expectQuarantined = if (strict) w.dirtyFiles else 0
     val moved = Files.list(root.resolve("processed"))
     val processed = try moved.count() finally moved.close()
-    require(processed == files,
-      s"expected $files files in processed/, got $processed")
-    // The throughput claim divides rows WRITTEN by wall time — so the
-    // sink must actually have received every one of them. Lenient
-    // mode would silently drop rows a validation regression rejects
-    // and still move all the files; this count turns that into a
-    // loud failure instead of an inflated rows/s figure.
+    require(processed == expectProcessed,
+      s"expected $expectProcessed files in processed/, got $processed")
+    val qDir = root.resolve("quarantine")
+    val quarantined = if (!Files.isDirectory(qDir)) 0L else {
+      val s = Files.list(qDir)
+      try s.filter(p => p.getFileName.toString.endsWith(".csv")).count()
+      finally s.close()
+    }
+    require(quarantined == expectQuarantined,
+      s"expected $expectQuarantined files in quarantine/, got $quarantined")
+    // The throughput claim divides rows HANDLED by wall time — so the
+    // sink must have received exactly the committable subset: clean
+    // files' rows in strict mode (dirty files quarantine wholesale),
+    // every non-seeded row in lenient mode. A silent drop (or a leak
+    // of a quarantined file's rows) turns into a loud failure instead
+    // of a wrong rows/s figure.
+    val wantSunk = if (strict) w.total - w.dirtyFileRows else w.validRows
     val sunk = spark.read.parquet(root.resolve("raw").toString).count()
-    require(sunk == rows, s"sink has $sunk rows, workload wrote $rows — " +
-      "rows were dropped; the throughput figure would be a lie")
-    (rows, sec)
+    require(sunk == wantSunk, s"sink has $sunk rows, expected $wantSunk — " +
+      "rows were dropped or leaked; the throughput figure would be a lie")
+    (w.total, sunk, w.dirtyFiles, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,9 +156,16 @@ object IngestBench {
     // to the DEFAULT workload — a scaled probe (FILES/ROWS overridden)
     // gets uniform files, otherwise FILES=1 would silently measure a
     // 1,453-row corpus whatever ROWS asked for.
+    // Quarantine-heavy probe knobs: BAD_PCT percent of files carry 3
+    // seeded-invalid rows (the reference generator's error taxonomy);
+    // STRICT=1 quarantines those files wholesale (the reference's
+    // strict per-file verdict), unset commits their valid subset.
+    val badPct = sys.env.getOrElse("SPARK_GRAFT_INGEST_BAD_PCT", "0").toInt
+    require(badPct >= 0 && badPct <= 100, s"BAD_PCT out of [0,100]: $badPct")
+    val strict = sys.env.get("SPARK_GRAFT_INGEST_STRICT").contains("1")
     val isReferenceWorkload =
       !sys.env.contains("SPARK_GRAFT_INGEST_FILES") &&
-        !sys.env.contains("SPARK_GRAFT_INGEST_ROWS")
+        !sys.env.contains("SPARK_GRAFT_INGEST_ROWS") && badPct == 0 && !strict
     val lastFileRows = if (isReferenceWorkload) 1453 else rowsPerFile
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,15 +175,28 @@ object IngestBench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
 
+    // Warmup matches the timed run's MODE (dirty files + strict
+    // verdicts included) so the quarantine/routing code path is as
+    // JIT-warm as the commit path when the probe measures it.
     val warmRoot = Files.createTempDirectory("graft_ingest_warm")
-    runOnce(spark, warmRoot, files = 3, rowsPerFile = 500, lastFileRows = 500)
+    // 10 warm files when dirty: the deterministic stripe needs enough
+    // indices to land a dirty file (3 files at pct 30 would seed none
+    // and leave the quarantine path cold).
+    runOnce(spark, warmRoot, files = if (badPct > 0) 10 else 3,
+      rowsPerFile = 500, lastFileRows = 500, badPct = badPct,
+      strict = strict)
 
     // The deferred per-file move loop is the one O(files) driver-side
     // tail in the batch; report its share so a deep small-file backlog
     // probe shows whether the sequential renames ever dominate.
     Ingest.moveLoopNanos.set(0L)
     val root = Files.createTempDirectory("graft_ingest_bench")
-    val (rows, sec) = runOnce(spark, root, files, rowsPerFile, lastFileRows)
+    val (rows, sunk, dirtyFiles, sec) =
+      runOnce(spark, root, files, rowsPerFile, lastFileRows, badPct, strict)
+    // End-to-end claim: every row was read, validated, and ROUTED
+    // (committed or quarantined) — total-over-wall is the rate the
+    // reference's headline measures too (its log window includes its
+    // quarantine decisions).
     val rps = rows / sec
     val moveSec = Ingest.moveLoopNanos.get() / 1e9
     val moveShare = moveSec / sec
@@ -128,8 +208,11 @@ object IngestBench {
     // scaled probe too (uniform files), and must not carry the figure.
     val baselineField =
       if (isReferenceWorkload) ""","baseline_rows_per_sec":5820""" else ""
+    val dirtyField =
+      if (badPct == 0) ""
+      else f""","bad_pct":$badPct,"strict":$strict,"rows_sunk":$sunk,"files_quarantined":$dirtyFiles,"quarantine_share":${dirtyFiles.toDouble / files}%.4f"""
     println(
-      f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f,"move_sec":$moveSec%.3f,"move_share":$moveShare%.4f$baselineField}""")
+      f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f,"move_sec":$moveSec%.3f,"move_share":$moveShare%.4f$dirtyField$baselineField}""")
     spark.stop()
   }
 }
