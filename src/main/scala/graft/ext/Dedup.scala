@@ -735,6 +735,49 @@ object Dedup {
       n
     }.getOrElse(8192)
 
+  /** Census-driven per-deployment gate guidance — the committed recipe
+    * behind "re-gate from your own cell census" (SCALING.md, r15 gate
+    * A/B). Input is the two count-derived statistics `tools.CellDiag`
+    * prints for a banding (host-noise-immune): the LARGEST band-cell
+    * row count and the TOTAL verify mass Σ n_cell². Returns the gate
+    * the measured A/B table says that shape wants — it does NOT change
+    * any shipped default.
+    *
+    * The rule (pure integer arithmetic, measured-then-chosen on the
+    * six (miner, corpus) cells of the r15/r16 A/B —
+    * `SCALING_100x_ab_T{8192,4096,1024}.jsonl`, `SCALING_30x_ab_T1024
+    * .jsonl`, censuses in SCALING.md): recommend the low 1024 gate iff
+    * BOTH hold, else keep the shipped 8192 —
+    *
+    *   (a) scale floor: Σn²/fanout ≥ 2²² — the balanced per-reducer
+    *       verify share is big enough that a straggler costs seconds
+    *       (portable@100× 15.9M ✓; portable@30× 1.45M ✗ — there the
+    *       1024 gate measured 6.93 s vs 3.61 s shipped: machinery);
+    *   (b) straggler severity: maxN² ≥ 6 · Σn²/fanout — the one
+    *       hottest cell alone out-weighs six balanced reducers, so the
+    *       tail is a genuine single-cell straggler the grid can slice
+    *       (portable@100× 8.3× ✓ — 1024 measured 12.2 s vs 14.0;
+    *       fast@100× 4.0× ✗ — its mass sits in a thousand warm cells
+    *       the 256-way fan-out already balances statistically, and
+    *       1024 measured 17.0 s vs 11.9 shipped).
+    *
+    * Why not the tempting mass-share rule ("gate low when most Σn²
+    * sits below 8192"): fast@100× holds MORE sub-8192 mass (89.6% at
+    * ≥1024) than portable@100× (78.6%) yet measured best at the HIGH
+    * gate — caught mass does not discriminate; concentration does.
+    * BigInt for the severity product: maxN² · fanout overflows Long
+    * already at maxN ≈ 2³¹ with fanout 256.
+    */
+  def recommendedGridThreshold(
+      maxCellN: Long, sumN2: BigInt, fanout: Int = 256): Int = {
+    require(maxCellN >= 0 && sumN2 >= 0 && fanout >= 1,
+      s"bad census: maxCellN=$maxCellN sumN2=$sumN2 fanout=$fanout")
+    val scaleFloor = sumN2 >= BigInt(1L << 22) * fanout
+    val severity =
+      BigInt(maxCellN) * BigInt(maxCellN) * fanout >= sumN2 * 6
+    if (scaleFloor && severity) 1024 else 8192
+  }
+
   def portableSimHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       gridThreshold: Int = defaultGridThreshold): DataFrame = {
