@@ -44,12 +44,18 @@ object CellDiag {
         sum(when(col("n") >= 1024, 1L).otherwise(lit(0L))).as("c_ge1024"),
         sum(when(col("n") >= 512, 1L).otherwise(lit(0L))).as("c_ge512"))
       .collect()(0)
+    // The committed recipe reads straight off the census: deployments
+    // see the recommended SPARK_GRAFT_GRID_THRESHOLD on the same line
+    // as the statistics that justify it (SCALING.md r16 section).
+    val rec = Dedup.recommendedGridThreshold(
+      d.getLong(1), BigInt(d.getLong(3)))
     println(s"[celldiag] $name cells=${d.get(0)} maxN=${d.get(1)} " +
       s"p50/90/99/999=${d.get(2)} sumN2=${d.get(3)} " +
       s"n2_ge8192=${d.get(4)} n2_ge4096=${d.get(5)} n2_ge2048=${d.get(6)} " +
       s"n2_ge1024=${d.get(7)} n2_ge512=${d.get(8)} " +
       s"c_ge8192=${d.get(9)} c_ge4096=${d.get(10)} c_ge2048=${d.get(11)} " +
-      s"c_ge1024=${d.get(12)} c_ge512=${d.get(13)}")
+      s"c_ge1024=${d.get(12)} c_ge512=${d.get(13)} " +
+      s"recommended_gate=$rec")
   }
 
   private def bandCells(sigs: DataFrame, nBands: Int, width: Int) =
