@@ -367,7 +367,15 @@ object Bench {
       val prevFull = Some("BENCH_FULL.json")
         .filter(p => new java.io.File(p).isFile).flatMap(load)
         .getOrElse(Map.empty[String, Double])
-      val runMap = results.map { case (k, v, _) => k -> v }.toMap
+      // Errored queries are EXCLUDED from the merge: a fast failure
+      // records its time-to-FAILURE, and min-merging that into a
+      // monotone floor would lock a bogus sub-second "min" in forever
+      // (every later honest run would read as a regression). The
+      // stdout map still shows the errored figure next to its errors
+      // entry.
+      val runMap = results.collect {
+        case (k, v, None) => k -> v
+      }.toMap
       val merged = Bench.mergeBaselines(List(prevFull, runMap))
       val mergedSlowest = merged.toSeq.sortBy(-_._2)
       s"""{"metric":"total","value":${fmt(merged.values.sum)},"unit":"sec",""" +
