@@ -287,8 +287,14 @@ object Bench {
         // further runs only buy precision the min already has).
         val samples = scala.collection.mutable.ListBuffer(dt)
         var attempts = 0
+        // Early-exit bar: the min must clear BOTH consequence bars
+        // before re-timing stops — the 2.5× trigger alone would exit
+        // inside the (2×, 2.5×) band and ship an UNRESOLVED mark whose
+        // min-of-3 defense never actually ran (the unresolved bar is
+        // ≥2×; tight keys' 1.3× is already stricter than both).
+        val exitBar = math.min(trigger, 2.0)
         while (attempts < 3 &&
-            prevOpt.exists(p => samples.min > trigger * p)) {
+            prevOpt.exists(p => samples.min > exitBar * p)) {
           val (dt2, err2) = timeOne(name, fn)
           // A failed RE-time must not mark a query that already
           // succeeded as failed — the re-run exists to defend against
@@ -336,13 +342,20 @@ object Bench {
     // unresolved (value = ratio-to-baseline) instead of as a silent
     // figure — the reader decides regression-vs-weather with the
     // noise_floor field, rather than the number masquerading as fact.
+    // Only queries with a REAL baseline can be unresolved: the
+    // prevFloor fallback (min over unrelated queries) legitimately
+    // ARMS a re-time for a baseline-less query, but publishing
+    // "UNRESOLVED at 109× its all-time min" against another query's
+    // floor would be a false regression claim.
     val unresolved: Map[String, Double] = retimed.flatMap {
       case (k, samples) => Bench.unresolvedRatio(
-        samples.min, prevTimes.get(k).orElse(prevFloor), sessionFloor)
+        samples.min, prevTimes.get(k), sessionFloor)
         .map(k -> _)
     }.toMap
-    unresolved.foreach { case (k, r) => System.err.println(
-      f"[bench] $k UNRESOLVED at $r%.2fx its all-time min after 3 re-times") }
+    unresolved.foreach { case (k, r) =>
+      val n = retimed.find(_._1 == k).map(_._2.size - 1).getOrElse(0)
+      System.err.println(
+        f"[bench] $k UNRESOLVED at $r%.2fx its all-time min after $n re-time(s)") }
     // Ratio values ship as STRINGS ("2.74x"): baseline `load` scrapes
     // every bare "q_*":<float> pair from these files, and a numeric
     // ratio here would be min-merged into a future floor as if it were
@@ -363,7 +376,10 @@ object Bench {
     // if the raw run replaces the file. The merged floor is monotone;
     // the RUN's own figures are fully published in "queries" on
     // stdout and in the driver's BENCH_rN.
-    val fullJson = {
+    // Built (and the file re-parsed) only on FULL runs — a
+    // SPARK_GRAFT_BENCH_ONLY subset run never writes it, so building
+    // the ~10 KB merged map there would be dead work.
+    def fullJson: String = {
       val prevFull = Some("BENCH_FULL.json")
         .filter(p => new java.io.File(p).isFile).flatMap(load)
         .getOrElse(Map.empty[String, Double])

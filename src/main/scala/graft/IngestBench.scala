@@ -41,7 +41,7 @@ object IngestBench {
     * rows (the generator's 1–3 cap) at fixed relative positions.
     */
   private val badRows = Seq(
-    ",S0,25.0,0.50,1000.00",                           // null sensor_id (key)
+    "2025-05-26 10:00:04,,25.0,0.50,1000.00",          // null sensor_id (key)
     "NOT_A_VALID_TIMESTAMP,S1,25.0,0.50,1000.00",      // unparseable ts (key)
     "2025-05-26 10:00:00,S2,abc,0.50,1000.00",         // bad-type temperature
     "2025-05-26 10:00:01,S3,-75.0,0.50,1000.00",       // temp below -50 range
@@ -93,7 +93,9 @@ object IngestBench {
   }
 
   /** One full ingest run to quiescence; returns
-    * (total rows, valid rows sunk, dirty files, seconds).
+    * (total rows, rows sunk, files actually QUARANTINED, seconds) —
+    * quarantined is the verified on-disk count, not the seeded dirty
+    * count (lenient mode routes zero files for the same seeding).
     */
   private def runOnce(spark: SparkSession, root: Path,
       files: Int, rowsPerFile: Int, lastFileRows: Int,
@@ -123,8 +125,14 @@ object IngestBench {
     // files commit their valid subset and still move to processed/.
     val expectProcessed = if (strict) files - w.dirtyFiles else files
     val expectQuarantined = if (strict) w.dirtyFiles else 0
-    val moved = Files.list(root.resolve("processed"))
-    val processed = try moved.count() finally moved.close()
+    // processed/ (like quarantine/ below) only exists once a file
+    // routes there — an all-quarantined run (BAD_PCT=100 strict) never
+    // creates it, and absence IS the correct zero count.
+    val pDir = root.resolve("processed")
+    val processed = if (!Files.isDirectory(pDir)) 0L else {
+      val moved = Files.list(pDir)
+      try moved.count() finally moved.close()
+    }
     require(processed == expectProcessed,
       s"expected $expectProcessed files in processed/, got $processed")
     val qDir = root.resolve("quarantine")
@@ -142,10 +150,16 @@ object IngestBench {
     // of a quarantined file's rows) turns into a loud failure instead
     // of a wrong rows/s figure.
     val wantSunk = if (strict) w.total - w.dirtyFileRows else w.validRows
-    val sunk = spark.read.parquet(root.resolve("raw").toString).count()
+    // An all-quarantined workload (BAD_PCT=100 strict) never creates
+    // raw/ — reading it would throw PATH_NOT_FOUND; absence IS the
+    // correct zero-row verification there.
+    val sunk =
+      if (Files.isDirectory(root.resolve("raw")))
+        spark.read.parquet(root.resolve("raw").toString).count()
+      else 0L
     require(sunk == wantSunk, s"sink has $sunk rows, expected $wantSunk — " +
       "rows were dropped or leaked; the throughput figure would be a lie")
-    (w.total, sunk, w.dirtyFiles, sec)
+    (w.total, sunk, quarantined.toInt, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,6 +177,13 @@ object IngestBench {
     val badPct = sys.env.getOrElse("SPARK_GRAFT_INGEST_BAD_PCT", "0").toInt
     require(badPct >= 0 && badPct <= 100, s"BAD_PCT out of [0,100]: $badPct")
     val strict = sys.env.get("SPARK_GRAFT_INGEST_STRICT").contains("1")
+    // The probe's semantics are PARTIALLY-dirty files (3 bad rows at
+    // n/4, n/2, 3n/4). At n <= 3 those positions cover every row, the
+    // file becomes all-bad, and lenient mode quarantines it like
+    // strict does — the routing expectations below would be wrong.
+    require(badPct == 0 ||
+      sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "5000").toInt >= 4,
+      "BAD_PCT needs INGEST_ROWS >= 4: 3-row dirty files are all-bad")
     val isReferenceWorkload =
       !sys.env.contains("SPARK_GRAFT_INGEST_FILES") &&
         !sys.env.contains("SPARK_GRAFT_INGEST_ROWS") && badPct == 0 && !strict
@@ -179,11 +200,15 @@ object IngestBench {
     // verdicts included) so the quarantine/routing code path is as
     // JIT-warm as the commit path when the probe measures it.
     val warmRoot = Files.createTempDirectory("graft_ingest_warm")
-    // 10 warm files when dirty: the deterministic stripe needs enough
-    // indices to land a dirty file (3 files at pct 30 would seed none
-    // and leave the quarantine path cold).
+    // 10 warm files at a warm-only pct floor of 10 when dirty: the
+    // stripe's first dirty index for pct p is ceil(100/p)-ish, so a
+    // low timed pct (1-9) over 10 warm files would seed none and
+    // leave the quarantine path cold in exactly the runs the warmup
+    // exists for. The warm workload is independent — what matters is
+    // that BOTH routing paths are JIT-warm, not that its mix matches.
     runOnce(spark, warmRoot, files = if (badPct > 0) 10 else 3,
-      rowsPerFile = 500, lastFileRows = 500, badPct = badPct,
+      rowsPerFile = 500, lastFileRows = 500,
+      badPct = if (badPct > 0) math.max(badPct, 10) else 0,
       strict = strict)
 
     // The deferred per-file move loop is the one O(files) driver-side
@@ -191,7 +216,7 @@ object IngestBench {
     // probe shows whether the sequential renames ever dominate.
     Ingest.moveLoopNanos.set(0L)
     val root = Files.createTempDirectory("graft_ingest_bench")
-    val (rows, sunk, dirtyFiles, sec) =
+    val (rows, sunk, filesQuarantined, sec) =
       runOnce(spark, root, files, rowsPerFile, lastFileRows, badPct, strict)
     // End-to-end claim: every row was read, validated, and ROUTED
     // (committed or quarantined) — total-over-wall is the rate the
@@ -210,7 +235,7 @@ object IngestBench {
       if (isReferenceWorkload) ""","baseline_rows_per_sec":5820""" else ""
     val dirtyField =
       if (badPct == 0) ""
-      else f""","bad_pct":$badPct,"strict":$strict,"rows_sunk":$sunk,"files_quarantined":$dirtyFiles,"quarantine_share":${dirtyFiles.toDouble / files}%.4f"""
+      else f""","bad_pct":$badPct,"strict":$strict,"rows_sunk":$sunk,"files_quarantined":$filesQuarantined,"quarantine_share":${filesQuarantined.toDouble / files}%.4f"""
     println(
       f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":$rows,"files":$files,"sec":$sec%.2f,"move_sec":$moveSec%.3f,"move_share":$moveShare%.4f$dirtyField$baselineField}""")
     spark.stop()

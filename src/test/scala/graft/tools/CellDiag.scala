@@ -44,6 +44,13 @@ object CellDiag {
         sum(when(col("n") >= 1024, 1L).otherwise(lit(0L))).as("c_ge1024"),
         sum(when(col("n") >= 512, 1L).otherwise(lit(0L))).as("c_ge512"))
       .collect()(0)
+    // An empty census (zero cells) leaves max/sum NULL — print that
+    // state instead of NPEing past the remaining censuses.
+    if (d.isNullAt(1) || d.isNullAt(3)) {
+      println(s"[celldiag] $name cells=${d.get(0)} EMPTY census " +
+        "(no band cells) — recommended_gate=8192 (shipped default)")
+      return
+    }
     // The committed recipe reads straight off the census: deployments
     // see the recommended SPARK_GRAFT_GRID_THRESHOLD on the same line
     // as the statistics that justify it (SCALING.md r16 section).
