@@ -166,6 +166,24 @@ object Bench {
         }
       } finally src.close()
     }
+    // Floor-reset knob for ADJUDICATED slowdowns: the min-merged
+    // BENCH_FULL floor is monotone by design, so a legitimate permanent
+    // slowdown (accepted algorithm change, correctness fix) would trip
+    // the 2.5x trigger, burn 3 re-times, and ship UNRESOLVED on every
+    // future full run. Listing the key here (comma-separated) removes
+    // its stale floor from this run's baseline AND from the BENCH_FULL
+    // min-merge, so the run's own figure becomes the new floor — the
+    // slowdown is adjudicated once, not forever. NOTE: the next
+    // driver-round BENCH_rN may still carry the old fast figure until
+    // a fresh report replaces it in numeric order; re-set the knob on
+    // that one run if it trips.
+    val resetKeys = sys.env.get("SPARK_GRAFT_BENCH_RESET_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (resetKeys.nonEmpty)
+      System.err.println(
+        s"[bench] floor RESET for ${resetKeys.toSeq.sorted.mkString(",")} — " +
+          "this run's figures become their new all-time floors")
     val prevTimes: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       // Prefer the previous run's COMPLETE map (min-merged below, read
@@ -195,7 +213,7 @@ object Bench {
       // for those keys happened to be higher). Arming against the
       // per-query minimum of both means any delta the judge can see,
       // the re-time saw first.
-      explicit match {
+      val base = explicit match {
         case Some(p) =>
           Some(p).filter(f => new java.io.File(f).isFile).flatMap(load)
             .getOrElse {
@@ -208,6 +226,10 @@ object Bench {
             List(fullPrev, latest).flatten
               .filter(p => new java.io.File(p).isFile).flatMap(load))
       }
+      // Adjudicated-slowdown keys run baseline-less this sweep (the
+      // prevFloor fallback still arms a sanity re-time against the
+      // inventory's fastest figure, which is fine).
+      base -- resetKeys
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -235,10 +257,20 @@ object Bench {
     // median-vs-all-time-min. Controls run regardless of a BENCH_ONLY
     // subset (they are the subset run's weather reading too) and are
     // cheap (~0.1–0.3 s each at sf0.1).
+    // Errored control samples are DROPPED: timeOne records
+    // time-to-FAILURE, and a failing control would contribute a tiny
+    // bogus sample that deflates the session floor and silently
+    // disarms the hot-box widening of the unresolved bar. A control
+    // with zero valid samples contributes nothing (noiseFloor skips
+    // empty sample lists); if EVERY control errored, the floor is None
+    // and the unresolved marking falls back to the plain 2x rule.
     val controlSamples: Map[String, Seq[Double]] =
       Bench.controlKeys.flatMap { k =>
         SparkEntry.queries.get(k).map { fn =>
-          k -> (1 to 3).map(_ => timeOne(k, fn)._1)
+          k -> (1 to 3).flatMap { _ =>
+            val (dt, err) = timeOne(k, fn)
+            if (err.isEmpty) Some(dt) else None
+          }
         }
       }.toMap
     val sessionFloor = Bench.noiseFloor(controlSamples, prevTimes)
@@ -258,9 +290,10 @@ object Bench {
     // previously-fast queries could never trigger the re-time (observed
     // this round: a 0.7 s funnel read 18 s in a contended full sweep
     // and had no baseline to trip the defense). Trade-off: a
-    // genuinely NEW slow query also has no baseline and gets one
-    // extra timed run in its first sweep — accepted (self-corrects
-    // once it enters the report, and both raw numbers are published).
+    // genuinely NEW slow query also has no baseline and gets up to 3
+    // extra timed runs in its first sweep (~4x its one-sweep cost) —
+    // accepted (self-corrects once it enters the report, and all raw
+    // samples are published in "retimed").
     val prevFloor = if (prevTimes.isEmpty) None else Some(prevTimes.values.min)
     // Round-scoped tighter trigger: queries whose BACKING MODULE was
     // touched this round deserve adjudication at a lower bar — r14's
@@ -392,7 +425,9 @@ object Bench {
       val runMap = results.collect {
         case (k, v, None) => k -> v
       }.toMap
-      val merged = Bench.mergeBaselines(List(prevFull, runMap))
+      // Adjudicated slowdowns (SPARK_GRAFT_BENCH_RESET_KEYS): drop the
+      // stale floor so the run's own figure replaces it in the merge.
+      val merged = Bench.mergeBaselines(List(prevFull -- resetKeys, runMap))
       val mergedSlowest = merged.toSeq.sortBy(-_._2)
       s"""{"metric":"total","value":${fmt(merged.values.sum)},"unit":"sec",""" +
         s""""min_merged_floor":true,"run_total":${fmt(total)},""" +

@@ -388,23 +388,53 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       historyDigests: DataFrame, digestCol: String = "digest",
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val spark = newDocs.sparkSession
-    // The sketch keys on the hex rendering (stat.bloomFilter hashes
-    // strings); the verifying join stays on the compact binary digest.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    // Sketch build AND probe through Spark's native bloom expressions
+    // (the engine's own runtime-filter kernels): the build is a real
+    // distributed TypedImperativeAggregate (executor-side partial
+    // sketches, one merge), the probe is a codegen'd scalar against a
+    // literal sketch — no Scala-UDF serialization boundary anywhere.
+    // Both sides key on xxhash64(digest) (LongType — the same
+    // type-agnostic recipe Spark's own InjectRuntimeFilter uses); the
+    // extra 64-bit-collision false-positive channel is absorbed by the
+    // verifying exact join like every other bloom positive.
     // Null digests (null text rows) match incrementalExactByDigest's
-    // join semantics: they are excluded from the sketch build (a null
-    // would NPE stat.bloomFilter's string hasher) and treated as
+    // join semantics: excluded from the sketch build (xxhash64(null)
+    // would insert the seed constant for them) and treated as
     // definitely-new below (a null key never equi-joins history).
-    val bf = historyDigests
-      .select(hex(col(digestCol)).as("__h"))
+    // Size caps: the expression clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (defaults 4M items / 67M bits) — raise those confs when sizing
+    // for >4M history digests, or shard as the scaladoc above says.
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfAgg = column(new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("__h")))),
+      expression(lit(expectedItems)), expression(lit(numBits)))
+      .toAggregateExpression())
+    val bfRow = historyDigests
+      .select(col(digestCol).as("__h"))
       .filter(col("__h").isNotNull)
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) =>
-      h != null && bfBc.value.mightContainString(h))
+      .select(bfAgg.as("bf"))
+      // single-row driver collect BY CONSTRUCTION (full aggregate of
+      // the digest frame): only the merged sketch bytes come back —
+      // the probe needs it as a foldable literal (might_contain's
+      // analysis contract), exactly how Spark's own runtime filters
+      // inline the built sketch into the probe side's plan.
+      .collect()
+    val bfBytes: Array[Byte] =
+      if (bfRow.isEmpty || bfRow(0).isNullAt(0)) null
+      else bfRow(0).getAs[Array[Byte]](0)
+    def mightContain(c: Column): Column =
+      if (bfBytes == null) lit(false) // empty history: nothing matches
+      else column(BloomFilterMightContain(
+        expression(lit(bfBytes)), new XxHash64(Seq(expression(c)))))
     val withFp = newDocs
       .withColumn("__fp", textDigest(col(textCol)))
-      .withColumn("__maybe", mightContain(hex(col("__fp"))))
+      .withColumn("__maybe",
+        col("__fp").isNotNull && mightContain(col("__fp")))
     // Same-digest rows get the same bloom verdict, so the two branches
     // partition the batch BY DIGEST — the final within-batch dedup
     // window sees every copy of a digest on one side or the other.

@@ -36,10 +36,13 @@ class CollectAuditSpec extends AnyFunSuite {
       "manifest reads: one row per DATA FILE (the Delta-log bounded-" +
         "driver-state contract) and <= |distinct bloom words| rows " +
         "per file for the sidecar probe"),
-    "graft/ext/Dedup.scala" -> (1,
+    "graft/ext/Dedup.scala" -> (2,
       "gridSelfJoin hot-cell gate: <= n/gridThreshold key tuples " +
         "(each hot cell holds >= gridThreshold rows by definition) — " +
-        "resolved driver-side so cold corpora keep the plain join plan"),
+        "resolved driver-side so cold corpora keep the plain join plan; " +
+        "bloomPrefilteredIncremental: ONE row (the merged bloom sketch " +
+        "from a full BloomFilterAggregate) — the probe inlines it as a " +
+        "foldable literal, might_contain's analysis contract"),
     "graft/ext/Sampling.scala" -> (2,
       "strata table bounded by contract (temperature weights over " +
         "sources, driver-side DetMath) + a single-row capped-" +
@@ -108,6 +111,13 @@ class CollectAuditSpec extends AnyFunSuite {
       else if (c == '"') inStr = true
       else if (c == '\'' && i + 2 < line.length && line.charAt(i + 2) == '\''
           && line.charAt(i + 1) != '\\') i += 2 // char literal, incl. '"'
+      // 4-char ESCAPED char literal ('\"', '\\', '\n', …): the 3-char
+      // rule above deliberately excludes charAt(i+1)=='\\', so without
+      // this arm the inner quote of '\"' would flip the plain-string
+      // state and invert quote tracking for the rest of the line — the
+      // same failure class the triple-quote fix closed for '"'.
+      else if (c == '\'' && i + 3 < line.length && line.charAt(i + 1) == '\\'
+          && line.charAt(i + 3) == '\'') i += 3 // escaped char literal
       else if (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')
         return line.substring(0, i)
       i += 1
@@ -136,6 +146,16 @@ class CollectAuditSpec extends AnyFunSuite {
       .contains(".collect()"))
     // escaped quote inside a plain string stays inside it
     assert(stripLineComment("""val s = "a\"//b"; y.collect()""")
+      .contains(".collect()"))
+    // ESCAPED char literal '\"' must not flip the string state: its
+    // inner quote previously opened a phantom string, so the real //
+    // read as string content and a trailing collect could (inverted
+    // case) be cut or (this case) a commented one counted.
+    val escLit = "val q = '\\\"'; z.collect() // was .collect()"
+    assert(stripLineComment(escLit).contains("z.collect()"))
+    assert(!stripLineComment(escLit).contains("was .collect()"))
+    // '\\' (escaped backslash literal) likewise
+    assert(!stripLineComment("val b = '\\\\' // .collect()")
       .contains(".collect()"))
   }
 

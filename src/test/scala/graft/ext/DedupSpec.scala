@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     assert(bloom === plain && bloom === Set(2L, 4L))
   }
 
+  test("bloom prefilter with EMPTY history keeps one rep per batch digest") {
+    // BloomFilterAggregate over zero rows yields a null sketch; the
+    // prefilter must read that as "nothing matches" (all rows
+    // definitely-new), not drop rows into neither branch.
+    val hd = Dedup.textDigests(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val plain = Dedup.incrementalExactByDigest(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomPrefilteredIncremental(batch, "doc_id", "text", hd)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === plain && bloom === Set(1L, 3L))
+  }
+
   test("bloom prefilter stays exact even when the sketch saturates (all false positives)") {
     // 2 expected items but fpp forced high by inserting many: with a
     // tiny sketch every probe reads positive, so every batch row takes
