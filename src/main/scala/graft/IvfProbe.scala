@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Dev harness proving the PRODUCTION IVF path (`ivfTopKSpread` +
+  * `adaptiveNlist`) cross-engine at any corpus size — the
+  * `semDeDupK` k-rung discipline applied to IVF list counts. The
+  * inventory query `q_sim_ivf` stays frozen at nlist=16 with by-id
+  * seeds (its oracle is untouched); THIS harness is where the
+  * adaptive rung and the md5-rank seeding get their DuckDB proof:
+  *
+  *   SPARK_GRAFT_CPUS=8 sbt "runMain graft.IvfProbe <corpusDir> <outDir>"
+  *   python3 tools/exact_check.py <corpusDir> <outDir>
+  *
+  * It writes `ivf_spread.parquet` (the adaptive-path result on the
+  * pinned vec_id<50 query set) plus an `oracle_sql.json` whose SQL
+  * derives the SAME nlist rung from COUNT(*) (integer ladder —
+  * LEAST/GREATEST, no float logs) and the SAME seed set/order from
+  * the portable 60-bit md5 rank, so exact_check's bit-level hash
+  * compare proves seed choice, list assignment, probe ranking, and
+  * final top-k all at once. Run it against the base sf dir (rung 16)
+  * and the 30x/100x scaled corpora (rungs 16/49) for the curve.
+  *
+  * It also prints one JSON line with the recall@k of the frozen
+  * by-id seeding vs the md5-rank seeding AT THE SAME nlist (the
+  * before/after the seeding swap claims), mean over the query set,
+  * plus wall times for both and for the exact baseline.
+  */
+object IvfProbe {
+
+  private[graft] def spreadOracleSql(k: Int, nprobe: Int): String =
+    s"""WITH nl AS (
+  SELECT CAST(LEAST(COUNT(*), GREATEST(16, (COUNT(*) + 4095) // 4096)) AS BIGINT) AS nlist
+  FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+qsel AS (
+  -- unbiased 50-query draw: smallest md5 rank of 'q:'||id ('q:'
+  -- decorrelates from the SEED rank, which hashes the bare id)
+  SELECT vec_id FROM e
+  ORDER BY ('0x' || substr(md5('q:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT 50),
+ranked AS (
+  SELECT vec_id, emb, ROW_NUMBER() OVER (
+    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+             vec_id) AS rn
+  FROM e),
+cent AS (
+  -- cid = position in md5-rank order BEFORE the zero-norm filter
+  -- (gaps allowed), mirroring Similarity.seedVectors
+  SELECT rn - 1 AS cid, emb AS cemb FROM ranked, nl
+  WHERE rn <= nl.nlist AND list_inner_product(emb, emb) > 0),
+asim AS (
+  SELECT e.vec_id, cent.cid,
+    ROUND(list_inner_product(e.emb, cent.cemb)
+      / (sqrt(list_inner_product(cent.cemb, cent.cemb))
+         * sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+  FROM e CROSS JOIN cent
+  WHERE list_inner_product(e.emb, e.emb) > 0),
+assign AS (
+  SELECT vec_id, cid AS list FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS r
+    FROM asim) WHERE r = 1),
+probe AS (
+  SELECT vec_id, cid AS list FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS r
+    FROM asim WHERE vec_id IN (SELECT vec_id FROM qsel))
+  WHERE r <= LEAST($nprobe, (SELECT COUNT(*) FROM cent))),
+c AS (SELECT e.vec_id, e.emb, a.list FROM e JOIN assign a USING (vec_id)),
+q AS (SELECT e.vec_id AS query_id, e.emb AS qe, p.list
+      FROM e JOIN probe p ON e.vec_id = p.vec_id),
+p2 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND(list_inner_product(q.qe, c.emb)
+      / (sqrt(list_inner_product(q.qe, q.qe))
+         * sqrt(list_inner_product(c.emb, c.emb))), 6) AS sim
+  FROM q JOIN c ON q.list = c.list AND c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM p2)
+WHERE rnk <= $k"""
+
+  def main(args: Array[String]): Unit = {
+    val Array(corpusDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prepare(spark)
+
+    val k = 10
+    val nprobe = 4
+    val emb = Tables.embeddings(spark, corpusDir)
+    val n = emb.count()
+    val nlist = Similarity.adaptiveNlist(n)
+    // TWO query sets. The pinned q_sim_ivf set (vec_id < 50) is kept
+    // for lineage but is a BIASED before/after read on Scaling-built
+    // corpora: those grow by whole transformed copies with the
+    // original ids in copy 0, so vec_id<50 queries AND the first
+    // nlist ids live in the same copy — by-id seeding is then
+    // accidentally query-aligned and reads far better than it
+    // deserves (0.98 vs 0.32 at 100x). The unbiased set draws 50
+    // queries by md5 rank of 'q:'||id — uniform over copies, and
+    // 'q:' decorrelates the draw from the seed rank.
+    val qPinned = emb.filter(col("vec_id") < 50)
+    val qDrawn = emb.orderBy(
+        graft.functions.HashExprs.md5Prefix60(
+          concat(lit("q:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+      .limit(50)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // Warm codegen on the smallest SF so the rung timings below
+    // measure the search, not first-run compilation.
+    Similarity.ivfTopKSpread(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter(col("vec_id") < 50),
+      "vec_id", "embedding", k, nlist = 16, nprobe = nprobe)
+      .write.mode("overwrite").format("noop").save()
+
+    // exact_check.py resolves results as <outDir>/<name> (no suffix),
+    // the same layout Verify writes.
+    val outPath = s"$outDir/ivf_spread"
+    val (_, tSpread) = timed {
+      Similarity.ivfTopKSpread(
+        emb, qDrawn, "vec_id", "embedding", k, nlist, nprobe)
+        .write.mode("overwrite").parquet(outPath)
+    }
+    val spread = spark.read.parquet(outPath)
+    val (byId, tById) = timed {
+      val df = Similarity.ivfTopK(
+        emb, qDrawn, "vec_id", "embedding", k, nlist, nprobe)
+        .persist()
+      df.count()
+      df
+    }
+    def recallPair(queries: org.apache.spark.sql.DataFrame,
+        spreadRes: org.apache.spark.sql.DataFrame,
+        byIdRes: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val exact = Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", k).persist()
+      exact.count()
+      def mean(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(exact, approx, k)
+          .agg(avg(col("recall"))).head().getDouble(0)
+      val out = (mean(spreadRes), mean(byIdRes))
+      exact.unpersist()
+      out
+    }
+    val (rSpreadDrawn, rByIdDrawn) = recallPair(qDrawn, spread, byId)
+    val (rSpreadPinned, rByIdPinned) = recallPair(
+      qPinned,
+      Similarity.ivfTopKSpread(emb, qPinned, "vec_id", "embedding", k, nlist, nprobe),
+      Similarity.ivfTopK(emb, qPinned, "vec_id", "embedding", k, nlist, nprobe))
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{"ivf_spread":${ujsonEscape(spreadOracleSql(k, nprobe))}}""")
+    println(
+      f"""{"metric":"ivf_rung","n":$n,"nlist":$nlist,"k":$k,"nprobe":$nprobe,""" +
+        f""""recall_spread_drawn":$rSpreadDrawn%.4f,"recall_by_id_drawn":$rByIdDrawn%.4f,""" +
+        f""""recall_spread_pinned":$rSpreadPinned%.4f,"recall_by_id_pinned":$rByIdPinned%.4f,""" +
+        f""""sec_spread":$tSpread%.3f,"sec_by_id":$tById%.3f,""" +
+        f""""corpus":"$corpusDir"}""")
+    spark.stop()
+  }
+
+  /** Minimal JSON string escape (the oracle SQL contains newlines and
+    * quotes; nothing else exotic).
+    */
+  private def ujsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -292,12 +292,11 @@ object Similarity {
     *
     * `nlist` at scale: like any bucket count, a PINNED nlist makes
     * per-list population — and with it the candidate join — grow
-    * linearly with the corpus (pair work ~n²·nprobe/nlist). A
-    * corpus-sized caller should derive nlist from the row count so
-    * E[list size] stays constant, exactly as [[adaptiveLshBits]] does
-    * for sign-LSH buckets and `Dedup.semDeDupK` for k-means clusters
-    * (e.g. nlist = max(16, n/4096), nprobe ∝ √recall-budget). The
-    * default 16 is sized for the test corpus, not for production.
+    * linearly with the corpus (pair work ~n²·nprobe/nlist). The
+    * default 16 is sized for the test corpus (this method is the
+    * frozen-oracle inventory shape); production callers use
+    * [[ivfTopKSpread]] with [[adaptiveNlist]] — corpus-derived rung,
+    * md5-rank seeding instead of the first-by-id seeds kept here.
     */
   def ivfTopK(
       candidates: DataFrame, queries: DataFrame,
@@ -305,19 +304,85 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     require(nlist >= 1 && nprobe >= 1,
       s"nlist/nprobe must be >= 1: nlist=$nlist nprobe=$nprobe")
-    // Deterministic centroid table, collected once (nlist rows) and
-    // inlined as literals so assignment is pure projection.
-    val centroids: Array[(Int, Array[Double])] = candidates
-      .orderBy(col(idCol).asc).limit(nlist)
-      .select(col(vecCol)).collect()
+    ivfSearch(candidates, queries, idCol, vecCol, k, nprobe,
+      seedVectors(candidates.orderBy(col(idCol).asc).limit(nlist)
+        .select(col(vecCol)), "ivfTopK"))
+  }
+
+  /** List-count ladder for corpus-sized IVF: `nlist` =
+    * min(n, max(16, ⌈n/4096⌉)) pins E[list size] ≈ 4096, so the
+    * candidate equi-join stays ~n·4096·nprobe/nlist ≈ linear however
+    * large the corpus — the [[adaptiveLshBits]] / `Dedup.semDeDupK`
+    * discipline applied to IVF lists (a PINNED nlist makes pair work
+    * n²·nprobe/nlist, quadratic). Pure integer arithmetic so a SQL
+    * oracle derives the identical rung from COUNT(*):
+    * `LEAST(n, GREATEST(16, (n + 4095) // 4096))`. 4096 (not LSH's
+    * 256) because IVF probes `nprobe` lists per query instead of one
+    * bucket, and the per-row assignment cost is nlist dot products —
+    * a larger target population keeps the quantizer pass cheap while
+    * the probed candidate set stays nprobe·4096.
+    */
+  def adaptiveNlist(n: Long): Int = {
+    require(n >= 1, s"adaptiveNlist needs a non-empty corpus, got $n")
+    math.min(n, math.max(16L, (n + 4095L) / 4096L)).toInt
+  }
+
+  /** [[ivfTopK]] with PRODUCTION seeding: list centroids are the
+    * `nlist` corpus vectors with the smallest portable 60-bit md5
+    * prefix of their id (ties by id), cid = position in that rank
+    * order — the `Embeddings.kmeansSpread` Forgy discipline.
+    * First-`nlist`-by-id (what [[ivfTopK]] keeps for its frozen
+    * oracle) is the documented trap (`Embeddings.scala` kmeans doc):
+    * adjacent ids routinely share a source/shard/cluster, so the
+    * whole quantizer lands inside one blob — every far-from-the-blob
+    * vector piles into that blob's edge lists (hot lists → the
+    * quadratic join this family exists to avoid) and cross-blob
+    * recall collapses. md5-rank is a uniform draw over the corpus, id
+    * order can't bias it, and one TakeOrdered pass finds the seeds —
+    * O(n) at any nlist. Callers size `nlist` with [[adaptiveNlist]]
+    * (corpus count in, rung out); both the rank order and the rung
+    * are SQL-reproducible, so the DuckDB oracle proves this path at
+    * any corpus size (`graft.IvfProbe` is the harness).
+    */
+  def ivfTopKSpread(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1,
+      s"nlist/nprobe must be >= 1: nlist=$nlist nprobe=$nprobe")
+    ivfSearch(candidates, queries, idCol, vecCol, k, nprobe,
+      seedVectors(candidates.orderBy(
+          graft.functions.HashExprs
+            .md5Prefix60(col(idCol).cast("string")).asc,
+          col(idCol).asc)
+        .limit(nlist).select(col(vecCol)), "ivfTopKSpread"))
+  }
+
+  /** Deterministic centroid table for the IVF coarse quantizer,
+    * collected once (`nlist` rows, the ONE bounded driver collect of
+    * this module) and inlined as literals so assignment stays pure
+    * projection. `ordered` must already be ordered and limited; cid =
+    * row position in that order. Zero-norm seeds are dropped AFTER
+    * indexing (cids keep their positions, gaps allowed) — such a
+    * centroid would make every row's sim to it NaN and the struct
+    * argmax would always pick it.
+    */
+  private def seedVectors(
+      ordered: DataFrame, what: String): Array[(Int, Array[Double])] = {
+    val centroids = ordered.collect()
       .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble).toArray
       }
-      // a zero-norm centroid would make every row's sim to it NaN and
-      // the struct argmax would always pick it — drop such seeds
       .filter { case (_, c) => c.exists(_ != 0.0) }
     require(centroids.nonEmpty,
-      "ivfTopK: no nonzero centroid seeds in the candidate set")
+      s"$what: no nonzero centroid seeds in the candidate set")
+    centroids
+  }
+
+  private def ivfSearch(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
 
     // array of (similarity, centroidId) structs; argmax = last of the
     // sorted array (struct ordering compares sim first, id breaks ties).

@@ -71,6 +71,75 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1).distinct.length === 10)
   }
 
+  test("adaptiveNlist ladder: E[list]≈4096 with floor 16 and cap n, " +
+      "pure integer rungs") {
+    assert(Similarity.adaptiveNlist(1) === 1)        // capped at n
+    assert(Similarity.adaptiveNlist(15) === 15)      // capped at n
+    assert(Similarity.adaptiveNlist(16) === 16)
+    assert(Similarity.adaptiveNlist(2000) === 16)    // sf0.1 corpus
+    assert(Similarity.adaptiveNlist(60000) === 16)   // 30x: ceil=15, floor 16
+    assert(Similarity.adaptiveNlist(65536) === 16)
+    assert(Similarity.adaptiveNlist(65537) === 17)   // first rung past floor
+    assert(Similarity.adaptiveNlist(200000) === 49)  // 100x sf0.1
+    assert(Similarity.adaptiveNlist(4096L * 4096L) === 4096)
+    intercept[IllegalArgumentException](Similarity.adaptiveNlist(0))
+  }
+
+  test("ivfTopKSpread seeds by md5 rank: nlist=1 collapses to brute force, " +
+      "and the seed is the smallest-md5-rank vector, not the smallest id") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    // nlist=1: one list holds every candidate, so the search IS brute
+    // force — exactness anchor for the whole spread path.
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val spread = Similarity.ivfTopKSpread(
+      emb, q, "vec_id", "embedding", 5, nlist = 1, nprobe = 4)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(spread === brute)
+  }
+
+  test("ivfTopKSpread escapes the adjacent-id seed trap ivfTopK documents") {
+    // Two well-separated orthogonal blobs; ids 0..15 ALL in blob A (the
+    // adjacent-ids-share-a-cluster layout). ivfTopK's first-16-by-id
+    // quantizer then has no blob-B centroid, while md5-rank seeding
+    // draws uniformly over ids and lands seeds in both blobs, so the
+    // coarse lists separate the blobs.
+    def v(hot: Int, eps: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f)
+      a(hot) = 1.0f
+      a((hot + 1) % 8) = 0.01f * eps // in-blob spread
+      a
+    }
+    val rows = (0L until 16L).map(i => (i, v(0, (i % 7).toInt + 1))) ++
+      (16L until 64L).map(i => (i, v(4, (i % 7).toInt + 1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val nlist = 16
+    val byIdSeeds = emb.orderBy(col("vec_id")).limit(nlist)
+    // precondition: the trap layout really puts all by-id seeds in blob A
+    assert(byIdSeeds.filter(col("vec_id") >= 16L).count() === 0)
+    val spreadSeedIds = emb.orderBy(
+        graft.functions.HashExprs.md5Prefix60(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(nlist).select("vec_id").as[Long].collect()
+    // md5-rank draws from the WHOLE id space: some seed lands in blob B
+    assert(spreadSeedIds.exists(_ >= 16L))
+    val q = emb // all vectors as queries
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, 5)
+        .agg(avg(col("recall"))).as[Double].head()
+    val rById = meanRecall(Similarity.ivfTopK(
+      emb, q, "vec_id", "embedding", 5, nlist = nlist, nprobe = 2))
+    val rSpread = meanRecall(Similarity.ivfTopKSpread(
+      emb, q, "vec_id", "embedding", 5, nlist = nlist, nprobe = 2))
+    assert(rSpread > rById,
+      s"spread recall $rSpread should beat by-id recall $rById on the trap layout")
+    assert(rSpread > 0.9, s"spread recall $rSpread should be near-exact here")
+  }
+
   test("IntersectSize counts common elements without double counting") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
     val n = df.select(ArrayExprs.intersectSize(col("x"), col("y")).as("n"))
