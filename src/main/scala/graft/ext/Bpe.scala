@@ -38,6 +38,26 @@ import org.apache.spark.sql.functions._
   * = symbol-pair vocabulary), one single-row collect for the argmax,
   * and one persist/unpersist generation swap so lineage stays O(1)
   * (the PageRank loop discipline). Driver state: `numMerges` rows.
+  *
+  * Merge COUNT at production scale: the per-iteration work above is
+  * vocabulary-bounded, but iterations are SEQUENTIAL — one argmax job
+  * per merge, so a real 32k-merge tokenizer is 32k Spark jobs. At
+  * even ~0.5 s/job that is hours of pure scheduling, and no amount of
+  * cluster width helps (the loop is serial by definition of BPE).
+  * The standard production posture — what SentencePiece/HF trainers
+  * do — is to learn merges on a FREQUENCY-CAPPED word vocabulary
+  * (the head of the Zipf curve carries virtually all pair mass; the
+  * long tail of hapax words costs rows in every one of the 32k window
+  * passes while contributing ~nothing to any argmax) and to run the
+  * loop on that bounded table, which for a capped vocab fits a single
+  * beefy driver/worker as easily as a cluster.
+  * [[learnMergesCapped]] commits the capping half of that posture:
+  * deterministic top-`maxVocab` words by (freq desc, word asc) — a
+  * bounded-heap TakeOrdered, one extra distributed pass, after which
+  * every iteration's tables shrink from |vocab| to maxVocab. The
+  * inventory queries stay at the frozen uncapped rung (numMerges = 6,
+  * tiny test vocab); the capped variant is spec-proven equivalent to
+  * learning on the physically-truncated corpus.
   */
 object Bpe {
 
@@ -58,15 +78,36 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
     learn(docs, textCol, numMerges)._2
 
+  /** [[learnMerges]] on the `maxVocab` most frequent distinct words
+    * (ties by word, ascending — a total order, so the cap is
+    * deterministic and cross-engine reproducible): the committed
+    * production-merge-count posture (object scaladoc). Only the merge
+    * TABLE is exposed — token pricing of a corpus must see the full
+    * vocabulary, so [[vocabAfterMerges]] deliberately has no capped
+    * sibling (apply the learned merges instead).
+    */
+  def learnMergesCapped(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    learn(docs, textCol, numMerges, maxVocab = Some(maxVocab))._1
+  }
+
   private def learn(
-      docs: DataFrame, textCol: String, numMerges: Int)
+      docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = docs.sparkSession
-    val words = docs.filter(col(textCol).isNotNull)
+    val allWords = docs.filter(col(textCol).isNotNull)
       .select(explode(split(trim(lower(col(textCol))), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // Frequency cap (production posture): top-maxVocab by (freq desc,
+    // word asc) is a TakeOrderedAndProject — bounded heap per
+    // partition, never a global sort of the vocabulary.
+    val words = maxVocab.fold(allWords)(m =>
+      allWords.orderBy(col("freq").desc, col("word").asc).limit(m))
     val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     var syms = words
       .select(col("word"), col("freq"),

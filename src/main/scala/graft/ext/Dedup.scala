@@ -714,21 +714,31 @@ object Dedup {
     * the scalar model — spec-pinned).
     */
   def portableSimHashSignatures(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    portableSimHashSignaturesKeyed(docs, Seq(idCol), textCol)
+
+  /** [[portableSimHashSignatures]] with extra carry columns riding the
+    * same one-pass aggregate (each must be functionally dependent on
+    * the id — e.g. the shard of [[portableSimHashNearDuplicatesSharded]]);
+    * output is (keyCols..., simhash), bit-identical signatures.
+    */
+  private def portableSimHashSignaturesKeyed(
+      docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame = {
     val bits = 60
     val exploded = docs.select(
-      col(idCol),
-      explode(split(trim(lower(col(textCol))), " ")).as("__tok"))
+      keyCols.map(col) :+
+        explode(split(trim(lower(col(textCol))), " ")).as("__tok"): _*)
       .withColumn("__m", graft.functions.HashExprs.md5Prefix60(col("__tok")))
     val bitSums = (0 until bits).map { i =>
       sum(when(shiftrightunsigned(col("__m"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$i")
     }
-    val sums = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sums = exploded.groupBy(keyCols.map(col): _*)
+      .agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until bits).map { i =>
       when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sums.select(col(idCol), sig.as("simhash"))
+    sums.select(keyCols.map(col) :+ sig.as("simhash"): _*)
   }
 
   /** The pigeonhole band cells of a SimHash signature column: one
@@ -829,6 +839,66 @@ object Dedup {
     // count-gated salt grid (see [[gridSelfJoin]] — identical pair
     // multiset, verify work spread over the grid).
     val result = gridSelfJoin(banded, Seq("__band", "__bk"),
+        Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
+        Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
+        gridThreshold, maxCellBound = Some(nSigs))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+    withCleanup(result, Seq(sigs))
+  }
+
+  /** The 100-TB shape of the portable SimHash miner: near-dup pairs
+    * WITHIN each shard of a caller-chosen domain column (source, day,
+    * crawl snapshot...) — the posture SCALING.md names for the
+    * intrinsic banded-SimHash quadratic, committed as code.
+    *
+    * Why sharding must be explicit semantics, not a hidden
+    * optimization: 6×10-bit distance-5 banding is the operator's
+    * recall GUARANTEE — 60 bits and maxDist fix the band structure, so
+    * every same-band-value pair must be verified and Σ n_cell² ≈
+    * n²/2¹⁰ is intrinsic. No rearrangement can cut that term while
+    * returning the same corpus-wide pair multiset ([[gridSelfJoin]]
+    * only BALANCES it). What a real deployment actually wants at
+    * corpus scale is near-dups within a locality domain where dups
+    * live (plus a cross-shard pass on the much smaller survivor set):
+    * scoping the key to (shard, band, value) divides every cell
+    * population by the shard count, so the verify mass drops ~S× for
+    * S balanced shards — n²/(S·2¹⁰) — and keeps dropping as the
+    * domain grows with the corpus (shards-per-day × days), which is
+    * exactly the property the unscoped miner cannot have.
+    *
+    * CONTRACT: returns same-shard pairs ONLY — the pair multiset
+    * equals [[portableSimHashNearDuplicates]] filtered to pairs whose
+    * docs share `shardCol` (spec-pinned). For the corpus-wide recipe,
+    * collapse within shards first, then run the cross-shard pass on
+    * survivors — [[minHashNearDuplicates]] is the right cross-shard
+    * tool (its band key is a tuple of 60-bit minhash slots, a domain
+    * that grows with content instead of SimHash's fixed 2¹⁰ values
+    * per band); unscoped banded SimHash stays the fixed-recall
+    * small-domain (≲10⁶ docs) instrument. `shardCol` must be
+    * functionally dependent on the id (it rides the signature
+    * aggregate's group key).
+    */
+  def portableSimHashNearDuplicatesSharded(
+      docs: DataFrame, idCol: String, textCol: String, shardCol: String,
+      gridThreshold: Int = defaultGridThreshold): DataFrame = {
+    val nBands = 6
+    val width = 10
+    val maxDist = nBands - 1
+    val sigs = portableSimHashSignaturesKeyed(
+      docs, Seq(idCol, shardCol), textCol).persist()
+    val nSigs = sigs.count()
+    val bandCols = simHashBandCells(nBands, width, col("simhash"))
+    val banded = sigs
+      .select(col(idCol), col(shardCol), col("simhash"),
+        explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col(shardCol), col("simhash"),
+        col("__bb.band").as("__band"), col("__bb.bk").as("__bk"))
+    val result = gridSelfJoin(banded, Seq(shardCol, "__band", "__bk"),
         Seq(idCol -> "id_a", "simhash" -> "__sig_a"),
         Seq(idCol -> "id_b", "simhash" -> "__sig_b"),
         gridThreshold, maxCellBound = Some(nSigs))

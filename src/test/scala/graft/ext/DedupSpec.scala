@@ -213,6 +213,38 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._3 <= 5))
   }
 
+  test("sharded portable simhash == unsharded pairs restricted to same-shard") {
+    // A corpus with near-dups BOTH within and across shards: the
+    // sharded miner must return exactly the unsharded pair multiset
+    // filtered to same-shard pairs — cross-shard pairs are out of
+    // scope BY CONTRACT, not lost by accident.
+    val sharded = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank", "s0"),
+      (1L, "the quick brown fox leaps over the lazy dog near the old river bank", "s0"),
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank", "s1"), // cross-shard dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog near the old river bank", "s1"), // same-shard dup of 2
+      (4L, "completely different content about spark query engines and data", "s0"),
+      (5L, "another unrelated document mentioning aggregation shuffles and joins", "s1"))
+      .toDF("doc_id", "text", "shard")
+    val unsharded = Dedup.portableSimHashNearDuplicates(
+      sharded, "doc_id", "text")
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val shardOf = sharded.select("doc_id", "shard")
+      .as[(Long, String)].collect().toMap
+    val expected = unsharded.filter(p => shardOf(p._1) == shardOf(p._2))
+    val got = Dedup.portableSimHashNearDuplicatesSharded(
+      sharded, "doc_id", "text", "shard")
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the fixture genuinely exercises both directions of the contract:
+    // a cross-shard dup was present and excluded, a same-shard one kept
+    assert(unsharded.exists(p => shardOf(p._1) != shardOf(p._2)))
+    assert(got.contains((2L, 3L, 0L)))
+    assert(!got.exists(p => (p._1, p._2) == (0L, 2L)))
+  }
+
   test("jaccardPairs computes token-set jaccard with threshold") {
     val out = Dedup.jaccardPairs(docs, docs, "doc_id", "text", 0.5)
       .as[(Long, Long, Double)].collect()
