@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Dev harness measuring the committed corpus-scale SimHash posture
+  * (`portableSimHashNearDuplicatesSharded`) against the unscoped miner
+  * on the same corpus:
+  *
+  *   sbt "runMain graft.SimHashShardProbe <corpusDir>"
+  *
+  * Shard = the Scaling generator's copy index (doc_id / 10^12) — the
+  * realistic per-crawl-snapshot locality domain: the v4 construction
+  * makes copies content-disjoint (bijective Caesar map), so true
+  * near-dups are within-copy and the sharded pass should recover
+  * ~every unsharded pair while its band cells hold 1/S of the rows.
+  * Prints pair counts for both, the cross-shard remainder (pairs the
+  * scoped contract excludes — accidental band collisions at this
+  * construction), and wall times.
+  */
+object SimHashShardProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(corpusDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prepare(spark)
+
+    val docs = Tables.documents(spark, corpusDir)
+      .withColumn("shard", (col("doc_id") / lit(1000000000000L)).cast("long"))
+    val nShards = docs.select(countDistinct(col("shard"))).head().getLong(0)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // Warm codegen on the tiny SF (Bench discipline).
+    Dedup.portableSimHashNearDuplicates(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .write.mode("overwrite").format("noop").save()
+
+    val (nSharded, tSharded) = timed {
+      val p = Dedup.portableSimHashNearDuplicatesSharded(
+        docs, "doc_id", "text", "shard")
+      val n = p.count()
+      p.unpersist()
+      n
+    }
+    val (unshardedPairs, tUnsharded) = timed {
+      val p = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text")
+      p.persist().count()
+      p
+    }
+    val nUnsharded = unshardedPairs.count()
+    // Cross-shard remainder: unsharded pairs whose docs sit in
+    // different copies — what the scoped contract excludes.
+    val shardOf = docs.select(col("doc_id"), col("shard"))
+    val nCross = unshardedPairs
+      .join(shardOf.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("shard", "__sha"), Seq("id_a"))
+      .join(shardOf.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("shard", "__shb"), Seq("id_b"))
+      .filter(col("__sha") =!= col("__shb"))
+      .count()
+    unshardedPairs.unpersist()
+
+    println(
+      f"""{"metric":"simhash_shard","shards":$nShards,""" +
+        f""""pairs_sharded":$nSharded,"pairs_unsharded":$nUnsharded,""" +
+        f""""pairs_cross_shard":$nCross,""" +
+        f""""sec_sharded":$tSharded%.3f,"sec_unsharded":$tUnsharded%.3f,""" +
+        f""""corpus":"$corpusDir"}""")
+    spark.stop()
+  }
+}
