@@ -31,8 +31,12 @@ object SimHashShardProbe {
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
 
+    // Shard = the v4 copy index via INTEGER division: `/` on longs is
+    // Divide (DOUBLE), exact only below 2^53 — at copy indices ≳9000
+    // boundary ids like k·10¹²−1 would round into shard k. `div` stays
+    // in the integer domain at any id.
     val docs = Tables.documents(spark, corpusDir)
-      .withColumn("shard", (col("doc_id") / lit(1000000000000L)).cast("long"))
+      .withColumn("shard", expr("doc_id div 1000000000000"))
     val nShards = docs.select(countDistinct(col("shard"))).head().getLong(0)
 
     def timed[A](f: => A): (A, Double) = {
@@ -40,11 +44,23 @@ object SimHashShardProbe {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    // Warm codegen on the tiny SF (Bench discipline).
-    Dedup.portableSimHashNearDuplicates(
-      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
-      .write.mode("overwrite").format("noop").save()
+    // Warm codegen on a small sibling SF (Bench discipline: env
+    // override, loud skip, no hardcoded absolute path).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(
+        new java.io.File(corpusDir).getParentFile, "sf0.001").getPath)
+    if (new java.io.File(warmDir).isDirectory)
+      Dedup.portableSimHashNearDuplicates(
+        Tables.documents(spark, warmDir), "doc_id", "text")
+        .write.mode("overwrite").format("noop").save()
+    else System.err.println(
+      s"[shardprobe] WARM SKIPPED: $warmDir not found — timings include first-run codegen")
 
+    // SYMMETRIC timed regions: each side is the miner's own EAGER
+    // materialization (both return persisted, counted pair frames —
+    // withCleanup) plus one cached count. No probe-side persist inside
+    // either window; the cross-shard join reuses the miner's cache
+    // OUTSIDE the timed region.
     val (nSharded, tSharded) = timed {
       val p = Dedup.portableSimHashNearDuplicatesSharded(
         docs, "doc_id", "text", "shard")
@@ -54,7 +70,7 @@ object SimHashShardProbe {
     }
     val (unshardedPairs, tUnsharded) = timed {
       val p = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text")
-      p.persist().count()
+      p.count()
       p
     }
     val nUnsharded = unshardedPairs.count()

@@ -67,7 +67,7 @@ object Bpe {
     */
   def learnMerges(
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
-    learn(docs, textCol, numMerges)._1
+    learn(docs, textCol, numMerges, needVocab = false)._1
 
   /** Post-merge vocabulary: one row per distinct word with its symbol
     * (= token) count under the learned merges — the join table that
@@ -90,12 +90,21 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
-    learn(docs, textCol, numMerges, maxVocab = Some(maxVocab))._1
+    learn(docs, textCol, numMerges, maxVocab = Some(maxVocab),
+      needVocab = false)._1
   }
 
+  /** `needVocab = false` (the merge-table-only callers) skips the
+    * post-merge vocab aggregate entirely — its persist+count is a full
+    * extra job over the final symbol generation whose result would be
+    * discarded, and its cache entry would leak for the session (only
+    * a vocab consumer can unpersist it). The second tuple element is
+    * null in that mode (private contract; both callers destructure
+    * ._1 only).
+    */
   private def learn(
       docs: DataFrame, textCol: String, numMerges: Int,
-      maxVocab: Option[Int] = None)
+      maxVocab: Option[Int] = None, needVocab: Boolean = true)
       : (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = docs.sparkSession
@@ -166,13 +175,18 @@ object Bpe {
         rank += 1
       }
     }
-    val vocab = syms
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("n_bpe_tokens"))
-    // Materialize the vocab off the final generation BEFORE releasing
-    // it; the merge table is driver state already.
-    val vocabRows = vocab.persist()
-    vocabRows.count()
+    val vocabRows =
+      if (!needVocab) null
+      else {
+        // Materialize the vocab off the final generation BEFORE
+        // releasing it; the merge table is driver state already.
+        val v = syms
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_bpe_tokens"))
+          .persist()
+        v.count()
+        v
+      }
     if (prevGen != null) prevGen.unpersist()
     syms.unpersist()
     import spark.implicits._

@@ -383,6 +383,15 @@ object Dedup {
     * history by digest prefix and run one sketch per shard (same
     * operator, partitioned), or raise fpp: correctness never depends
     * on the sketch, only the anti-join's input volume does.
+    *
+    * SIZING GUARD: Spark's native aggregate silently clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 67M bits ≈ 8 MB) — a 10^8
+    * request under default confs would saturate toward fpp≈1 and turn
+    * the prefilter into pure overhead with no visible failure. This
+    * method therefore REQUIRES the session confs to accommodate the
+    * requested (expectedItems, fpp) and fails loudly with the remedy
+    * instead of shipping a saturated sketch.
     */
   def bloomPrefilteredIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
@@ -404,12 +413,24 @@ object Dedup {
     // join semantics: excluded from the sketch build (xxhash64(null)
     // would insert the seed constant for them) and treated as
     // definitely-new below (a null key never equi-joins history).
-    // Size caps: the expression clamps to
-    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
-    // (defaults 4M items / 67M bits) — raise those confs when sizing
-    // for >4M history digests, or shard as the scaladoc above says.
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // The expression clamps to the runtime-bloom-filter conf caps via
+    // Math.min (verified in BloomFilterAggregate's lazy init) — a
+    // too-small cap silently saturates the sketch, so enforce the
+    // requested sizing loudly at the contract boundary instead.
+    val spark0 = newDocs.sparkSession
+    val maxItems = spark0.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = spark0.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomPrefilteredIncremental: expectedItems=$expectedItems " +
+        s"(numBits=$numBits at fpp=$fpp) exceeds the session caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits) and would be " +
+        "SILENTLY clamped into a saturated sketch — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits, or shard the history by digest prefix")
     val bfAgg = column(new BloomFilterAggregate(
       new XxHash64(Seq(expression(col("__h")))),
       expression(lit(expectedItems)), expression(lit(numBits)))

@@ -305,9 +305,18 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1,
       s"nlist/nprobe must be >= 1: nlist=$nlist nprobe=$nprobe")
     ivfSearch(candidates, queries, idCol, vecCol, k, nprobe,
-      seedVectors(candidates.orderBy(col(idCol).asc).limit(nlist)
-        .select(col(vecCol)), "ivfTopK"))
+      ivfSeedsById(candidates, idCol, vecCol, nlist))
   }
+
+  /** The frozen-oracle seed rule of [[ivfTopK]]: first `nlist` corpus
+    * vectors by id. Package-private so diagnostics measure the exact
+    * seed set the search uses.
+    */
+  private[graft] def ivfSeedsById(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[(Int, Array[Double])] =
+    seedVectors(candidates.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(vecCol)), "ivfTopK")
 
   /** List-count ladder for corpus-sized IVF: `nlist` =
     * min(n, max(16, ⌈n/4096⌉)) pins E[list size] ≈ 4096, so the
@@ -324,7 +333,15 @@ object Similarity {
     */
   def adaptiveNlist(n: Long): Int = {
     require(n >= 1, s"adaptiveNlist needs a non-empty corpus, got $n")
-    math.min(n, math.max(16L, (n + 4095L) / 4096L)).toInt
+    // Clamped at Int.MaxValue: past n ≈ 8.8e12 the rung itself exceeds
+    // Int (a bare .toInt would wrap NEGATIVE and fail ivfTopKSpread's
+    // require with a misleading message — or worse, truncate to a
+    // small positive rung and silently re-create the quadratic). Ceil
+    // via n/4096 + remainder test, NOT (n + 4095)/4096: the addition
+    // itself overflows near Long.MaxValue and the wrapped NEGATIVE
+    // quotient would fall through max(16,·) to a silent rung of 16.
+    val ceil = n / 4096L + (if (n % 4096L == 0L) 0L else 1L)
+    math.min(math.min(n, math.max(16L, ceil)), Int.MaxValue.toLong).toInt
   }
 
   /** [[ivfTopK]] with PRODUCTION seeding: list centroids are the
@@ -351,12 +368,21 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1,
       s"nlist/nprobe must be >= 1: nlist=$nlist nprobe=$nprobe")
     ivfSearch(candidates, queries, idCol, vecCol, k, nprobe,
-      seedVectors(candidates.orderBy(
-          graft.functions.HashExprs
-            .md5Prefix60(col(idCol).cast("string")).asc,
-          col(idCol).asc)
-        .limit(nlist).select(col(vecCol)), "ivfTopKSpread"))
+      ivfSeedsSpread(candidates, idCol, vecCol, nlist))
   }
+
+  /** [[ivfTopKSpread]]'s seed rule: the `nlist` smallest portable md5
+    * ranks (ties by id), cid = rank position. Package-private for the
+    * same diagnostic reason as [[ivfSeedsById]].
+    */
+  private[graft] def ivfSeedsSpread(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[(Int, Array[Double])] =
+    seedVectors(candidates.orderBy(
+        graft.functions.HashExprs
+          .md5Prefix60(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+      .limit(nlist).select(col(vecCol)), "ivfTopKSpread")
 
   /** Deterministic centroid table for the IVF coarse quantizer,
     * collected once (`nlist` rows, the ONE bounded driver collect of
@@ -379,37 +405,51 @@ object Similarity {
     centroids
   }
 
+  // array of (similarity, centroidId) structs; argmax = last of the
+  // sorted array (struct ordering compares sim first, id breaks ties).
+  // Row norm comes in as a column so dot(vec,vec) is evaluated once
+  // per row, not once per centroid. No HOF lambdas anywhere: static
+  // element_at extractions instead (lambda codegen is expensive).
+  // Sims are rounded to 6 dp BEFORE the argmax so list assignment is
+  // deterministic across engines (same guard as lshBucket).
+  private def simsTo(
+      centroids: Array[(Int, Array[Double])],
+      vec: Column, vecNorm: Column): Column =
+    array(centroids.map { case (cid, c) =>
+      val cCol = array(c.map(lit): _*)
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct(round(dot(vec, cCol) / (lit(norm) * vecNorm), 6).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** The coarse-quantizer assignment frame: every nonzero-norm
+    * candidate with its vector, norm, and nearest-centroid list id —
+    * the first half of [[ivfTopK]]/[[ivfTopKSpread]], exposed
+    * package-private so diagnostics (`graft.IvfProbe`'s list-balance
+    * report) measure the EXACT assignment the search joins on rather
+    * than re-deriving it.
+    */
+  private[graft] def ivfAssign(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
+      .withColumn("__list",
+        element_at(array_sort(simsTo(centroids, col("__cv"), col("__cn"))), -1)
+          .getField("cid"))
+
   private def ivfSearch(
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-
-    // array of (similarity, centroidId) structs; argmax = last of the
-    // sorted array (struct ordering compares sim first, id breaks ties).
-    // Row norm comes in as a column so dot(vec,vec) is evaluated once
-    // per row, not once per centroid. No HOF lambdas anywhere: static
-    // element_at extractions instead (lambda codegen is expensive).
-    // Sims are rounded to 6 dp BEFORE the argmax so list assignment is
-    // deterministic across engines (same guard as lshBucket).
-    def simsTo(vec: Column, vecNorm: Column): Column =
-      array(centroids.map { case (cid, c) =>
-        val cCol = array(c.map(lit): _*)
-        val norm = math.sqrt(c.map(x => x * x).sum)
-        struct(round(dot(vec, cCol) / (lit(norm) * vecNorm), 6).as("sim"),
-          lit(cid).as("cid"))
-      }: _*)
-    def nearestList(vec: Column, vecNorm: Column): Column =
-      element_at(array_sort(simsTo(vec, vecNorm)), -1).getField("cid")
     def probeLists(vec: Column, vecNorm: Column, n: Int): Column = {
-      val ranked = reverse(array_sort(simsTo(vec, vecNorm)))
+      val ranked = reverse(array_sort(simsTo(centroids, vec, vecNorm)))
       array((1 to n).map(i => element_at(ranked, i).getField("cid")): _*)
     }
 
-    val c = candidates.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
-      .filter(col("__cn") > 0)
-      .withColumn("__list", nearestList(col("__cv"), col("__cn")))
+    val c = ivfAssign(candidates, idCol, vecCol, centroids)
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))

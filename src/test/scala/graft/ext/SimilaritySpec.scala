@@ -82,6 +82,9 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveNlist(65537) === 17)   // first rung past floor
     assert(Similarity.adaptiveNlist(200000) === 49)  // 100x sf0.1
     assert(Similarity.adaptiveNlist(4096L * 4096L) === 4096)
+    // past ~8.8e12 the rung exceeds Int — clamped, never wrapped
+    assert(Similarity.adaptiveNlist(10000000000000L) === Int.MaxValue)
+    assert(Similarity.adaptiveNlist(Long.MaxValue) === Int.MaxValue)
     intercept[IllegalArgumentException](Similarity.adaptiveNlist(0))
   }
 
