@@ -83,7 +83,9 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 WHERE rnk <= $k"""
 
   def main(args: Array[String]): Unit = {
-    val Array(corpusDir, outDir) = args
+    require(args.length >= 2,
+      "usage: IvfProbe <corpusDir> <outDir> [embFactor]")
+    val (baseDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,6 +94,33 @@ WHERE rnk <= $k"""
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
+
+    // Optional third arg: build (once, version-markered) an
+    // EMBEDDINGS-ONLY factor-x corpus from baseDir via Scaling's own
+    // v4 transform — higher nlist rungs without paying for a full
+    // all-tables corpus (300x of everything is GBs; 300x of
+    // embeddings is ~150 MB).
+    val corpusDir = args.lift(2).map(_.toInt) match {
+      case Some(f) =>
+        require(f >= 2, s"embFactor must be >= 2: $f")
+        val dir = s"/tmp/graft_emb_${f}x"
+        val marker = new java.io.File(s"$dir/_built_$f")
+        val upToDate = marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath) ==
+            Scaling.generatorVersion
+        if (!upToDate) {
+          System.err.println(
+            s"[ivfprobe] building ${f}x embeddings-only corpus at $dir")
+          val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+          (0 until f).map(k => Scaling.embeddingCopy(emb, k))
+            .reduce(_ union _)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+          java.nio.file.Files.writeString(
+            marker.toPath, Scaling.generatorVersion)
+        }
+        dir
+      case None => baseDir
+    }
 
     val k = 10
     val nprobe = 4

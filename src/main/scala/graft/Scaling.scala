@@ -55,6 +55,38 @@ object Scaling {
     if (k == 0) c else translate(c, lo + hi, rot(lo) + rot(hi))
   }
 
+  /** Copy k of the embeddings table — THE one v4 signed-permutation
+    * transform (scaladoc above), shared by [[buildScaled]] and the
+    * embeddings-only rung corpora (`graft.IvfProbe --factor`) so the
+    * two can never drift onto different geometries (the v1/v3
+    * constructions were both replaced for degenerate geometry; a
+    * second copy of this code would re-open that door).
+    */
+  private[graft] def embeddingCopy(
+      d: DataFrame, k: Int, off: Long = 1000000000000L): DataFrame = {
+    val dim = 64
+    val r = (7 * k) % dim
+    val rot =
+      if (r == 0) col("embedding")
+      else concat(
+        slice(col("embedding"), r + 1, dim - r),
+        slice(col("embedding"), 1, r))
+    val sigBits = (k / 64) * 31 + k
+    val signs = Array.tabulate(dim)(j =>
+      if (((sigBits >> (j % 20)) & 1) == 1) -1.0f else 1.0f)
+    val spun =
+      if (signs.forall(_ == 1.0f)) rot
+      else zip_with(rot, array(signs.map(lit): _*), (e, sg) => e * sg)
+    d.select(
+      (col("vec_id") + lit(k * off)).as("vec_id"),
+      spun.as("embedding"), col("label"))
+  }
+
+  /** Generator version marker shared by every scaled-corpus builder —
+    * bump on ANY change to the construction.
+    */
+  private[graft] val generatorVersion = "v4-signed-permutation"
+
   private def buildScaled(
       spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val off = 1000000000000L // disjoint id spaces per copy
@@ -83,24 +115,7 @@ object Scaling {
     // all-ones vector, collapsing every angular method into a handful
     // of LSH buckets.)
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    copies(emb, (d, k) => {
-      val dim = 64
-      val r = (7 * k) % dim
-      val rot =
-        if (r == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r))
-      val sigBits = (k / 64) * 31 + k
-      val signs = Array.tabulate(dim)(j =>
-        if (((sigBits >> (j % 20)) & 1) == 1) -1.0f else 1.0f)
-      val spun =
-        if (signs.forall(_ == 1.0f)) rot
-        else zip_with(rot, array(signs.map(lit): _*), (e, sg) => e * sg)
-      d.select(
-        (col("vec_id") + lit(k * off)).as("vec_id"),
-        spun.as("embedding"), col("label"))
-    })
+    copies(emb, embeddingCopy(_, _, off))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val cust = spark.read.parquet(s"$base/customer.parquet")
@@ -181,9 +196,8 @@ object Scaling {
     // The marker records the GENERATOR VERSION, not just existence: a
     // corpus built by an older construction (e.g. the degenerate
     // embedding translation replaced in v2) must rebuild, or every
-    // curve silently measures the stale geometry. Bump on any change
-    // to buildScaled's content.
-    val generatorVersion = "v4-signed-permutation"
+    // curve silently measures the stale geometry. Bump Scaling.
+    // generatorVersion on any change to buildScaled's content.
     val marker = new java.io.File(s"$out/_built_$factor")
     val upToDate = marker.exists() &&
       java.nio.file.Files.readString(marker.toPath) == generatorVersion

@@ -422,6 +422,43 @@ object Similarity {
         lit(cid).as("cid"))
     }: _*)
 
+  /** Past this centroid count the quantizer switches from the
+    * composable struct-sort tree (which grows ~10 expression nodes
+    * per centroid and falls out of whole-stage codegen past a few
+    * dozen — the [[graft.functions.NearestCentroidQ]] lesson) to the
+    * codegen'd [[graft.functions.TopCentroidsBySim]] kernel. Both
+    * produce bit-identical list ids (spec-pinned per row; the kernel
+    * rung oracle-proven by `graft.IvfProbe` at nlist=147). 64 keeps
+    * every frozen-inventory plan (nlist=16) and the proven 49-rung
+    * plan byte-for-byte on the tree path.
+    */
+  private[graft] val quantizerKernelThreshold = 64
+
+  /** Nearest-list id for one vector — tree or kernel by `useKernel`
+    * (exposed so the parity spec can force both paths on one corpus).
+    */
+  private[graft] def nearestListCol(
+      centroids: Array[(Int, Array[Double])],
+      vec: Column, vecNorm: Column, useKernel: Boolean): Column =
+    if (useKernel)
+      VectorExprs.topCentroidsBySim(vec, centroids, 1).getItem(0)
+    else
+      element_at(array_sort(simsTo(centroids, vec, vecNorm)), -1)
+        .getField("cid")
+
+  /** The `n` probe-list ids for one query vector, (sim DESC, cid
+    * DESC) — tree or kernel by `useKernel`.
+    */
+  private[graft] def probeListsCol(
+      centroids: Array[(Int, Array[Double])],
+      vec: Column, vecNorm: Column, n: Int, useKernel: Boolean): Column =
+    if (useKernel)
+      VectorExprs.topCentroidsBySim(vec, centroids, n)
+    else {
+      val ranked = reverse(array_sort(simsTo(centroids, vec, vecNorm)))
+      array((1 to n).map(i => element_at(ranked, i).getField("cid")): _*)
+    }
+
   /** The coarse-quantizer assignment frame: every nonzero-norm
     * candidate with its vector, norm, and nearest-centroid list id —
     * the first half of [[ivfTopK]]/[[ivfTopKSpread]], exposed
@@ -437,17 +474,16 @@ object Similarity {
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
       .filter(col("__cn") > 0)
       .withColumn("__list",
-        element_at(array_sort(simsTo(centroids, col("__cv"), col("__cn"))), -1)
-          .getField("cid"))
+        nearestListCol(centroids, col("__cv"), col("__cn"),
+          centroids.length > quantizerKernelThreshold))
 
   private def ivfSearch(
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    def probeLists(vec: Column, vecNorm: Column, n: Int): Column = {
-      val ranked = reverse(array_sort(simsTo(centroids, vec, vecNorm)))
-      array((1 to n).map(i => element_at(ranked, i).getField("cid")): _*)
-    }
+    val useKernel = centroids.length > quantizerKernelThreshold
+    def probeLists(vec: Column, vecNorm: Column, n: Int): Column =
+      probeListsCol(centroids, vec, vecNorm, n, useKernel)
 
     val c = ivfAssign(candidates, idCol, vecCol, centroids)
     val q = queries.select(

@@ -238,6 +238,154 @@ case class NearestCentroidQ(
       newChild: Expression): NearestCentroidQ = copy(child = newChild)
 }
 
+/** Top-`n` centroid ids by cosine similarity against a FIXED
+  * (cid, vector) table — the corpus-sized-`nlist` kernel of the IVF
+  * coarse quantizer ([[graft.ext.Similarity]]).
+  *
+  * Why an expression: the composable formulation —
+  * `element_at(array_sort(array(struct(round(sim,6), cid) × nlist)), …)`
+  * — builds an expression tree that grows ~10 nodes per centroid and
+  * falls out of whole-stage codegen past a few dozen (the same
+  * pathology [[NearestCentroidQ]] closed for k-means; measured ~20 s
+  * for a 600k×147 assignment where this kernel is sub-second work).
+  * One expression holds the centroid matrix flat and runs two tight
+  * primitive loops per row.
+  *
+  * BIT-PARITY CONTRACT with the tree formulation (and with the DuckDB
+  * oracle both are proven against): per centroid,
+  * sim = round(dot(vec, c) / (normC · sqrt(dot(vec, vec))), 6), where
+  * every dot is the left-to-right double accumulation of
+  * [[DotProduct]] over the common prefix (null elements = 0), normC
+  * is the driver-side sqrt of the left-to-right self-dot, and round
+  * is EXACTLY Spark's codegen'd double rounding —
+  * `java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP)` — then the
+  * top `n` by (sim DESC, cid DESC), the `reverse(array_sort(...))`
+  * struct order. Spec-pinned equal to the tree per row
+  * ([[graft.ext.SimilaritySpec]]); oracle-proven at rung 147 by
+  * `graft.IvfProbe`.
+  *
+  * Zero-norm input vectors yield an EMPTY array (cosine undefined —
+  * callers filter them before the quantizer; empty keeps the kernel
+  * total rather than NaN-poisoned).
+  */
+case class TopCentroidsBySim(
+    child: Expression, cids: IndexedSeq[Int],
+    centroids: IndexedSeq[IndexedSeq[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(cids.length == centroids.length, "cids/centroids length mismatch")
+  require(centroids.forall(_.length == centroids.head.length),
+    "ragged centroid matrix")
+  require(n >= 1 && n <= centroids.length,
+    s"n must be in [1, ${centroids.length}]: $n")
+
+  private def dim: Int = centroids.head.length
+  private def k: Int = centroids.length
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      var i = 0
+      while (i < dim) { a(j * dim + i) = centroids(j)(i); i += 1 }
+      j += 1
+    }
+    a
+  }
+  // driver-side centroid norms, computed EXACTLY like the tree's
+  // literal: sqrt of the left-to-right self-dot
+  @transient private lazy val norms: Array[Double] =
+    Array.tabulate(k) { j =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val x = centroids(j)(i); s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_centroids_by_sim needs array<float|double>, got ${t.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** The whole per-row kernel, shared verbatim by eval and codegen
+    * (codegen calls it through a reference object — one virtual call
+    * per row keeps the stage inside whole-stage codegen without
+    * inlining two loops of generated source per centroid).
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val nElems = arr.numElements()
+    val lf = isFloat
+    val buf = new Array[Double](nElems)
+    var xx = 0.0
+    var i = 0
+    while (i < nElems) {
+      val x =
+        if (arr.isNullAt(i)) 0.0
+        else if (lf) arr.getFloat(i).toDouble else arr.getDouble(i)
+      buf(i) = x
+      xx += x * x
+      i += 1
+    }
+    val vecNorm = math.sqrt(xx)
+    if (vecNorm == 0.0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Int])
+    val m = math.min(nElems, dim)
+    // top-n by (sim desc, cid desc): insertion into parallel arrays —
+    // n is small (assignment 1, probes ~4), so O(k·n) beats any heap.
+    val topSim = Array.fill(n)(Double.NegativeInfinity)
+    val topCid = Array.fill(n)(Int.MinValue)
+    var j = 0
+    while (j < k) {
+      var xc = 0.0
+      i = 0
+      while (i < m) { xc += buf(i) * flat(j * dim + i); i += 1 }
+      val sim = java.math.BigDecimal
+        .valueOf(xc / (norms(j) * vecNorm))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cid = cidArr(j)
+      var p = 0
+      while (p < n &&
+          (topSim(p) > sim || (topSim(p) == sim && topCid(p) > cid))) p += 1
+      if (p < n) {
+        var q = n - 1
+        while (q > p) {
+          topSim(q) = topSim(q - 1); topCid(q) = topCid(q - 1); q -= 1
+        }
+        topSim(p) = sim
+        topCid(p) = cid
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(topCid)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val kernel = ctx.addReferenceObj("topCentroidsKernel", this,
+        classOf[TopCentroidsBySim].getName)
+      s"${ev.value} = $kernel.compute($v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopCentroidsBySim = copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftExpressionBridge._
 
@@ -253,4 +401,14 @@ object VectorExprs {
   def nearestCentroidQ(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroidQ(
       expression(vec), centroids.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Top-`n` centroid ids by rounded cosine (sim DESC, cid DESC) as an
+    * `array<int>` Column — see [[TopCentroidsBySim]].
+    */
+  def topCentroidsBySim(
+      vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =
+    column(TopCentroidsBySim(
+      expression(vec),
+      centroids.map(_._1).toIndexedSeq,
+      centroids.map(_._2.toIndexedSeq).toIndexedSeq, n))
 }

@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rSpread > 0.9, s"spread recall $rSpread should be near-exact here")
   }
 
+  test("quantizer kernel == struct-sort tree bit-for-bit: assignment and " +
+      "probe lists, including rounded-sim ties") {
+    // 100 centroids (> quantizerKernelThreshold — the rung where the
+    // production path actually switches) over the real embeddings
+    // corpus: the codegen'd TopCentroidsBySim kernel must reproduce
+    // the tree's (round(sim,6) DESC, cid DESC) order on EVERY row.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = Similarity.ivfSeedsSpread(emb, "vec_id", "embedding", 100)
+    assert(seeds.length === 100)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__n",
+        sqrt(VectorExprs.dot(col("embedding"), col("embedding"))))
+      .filter(col("__n") > 0)
+    def both(mk: Boolean => org.apache.spark.sql.Column) = base.select(
+      col("vec_id"), mk(false).as("tree"), mk(true).as("kernel"))
+    val assignDiff = both(k => Similarity.nearestListCol(
+        seeds, col("embedding"), col("__n"), k))
+      .filter(col("tree") =!= col("kernel"))
+    assert(assignDiff.count() === 0)
+    val probeDiff = both(k => Similarity.probeListsCol(
+        seeds, col("embedding"), col("__n"), 5, k))
+      .filter(col("tree") =!= col("kernel"))
+    assert(probeDiff.count() === 0)
+    // tie exercise: duplicate centroid VECTORS (distinct cids) force
+    // exactly-equal rounded sims — the cid DESC tiebreak must agree.
+    val dupSeeds = seeds.take(50).map(_._2).zipWithIndex.flatMap {
+      case (v, i) => Seq((2 * i, v), (2 * i + 1, v))
+    }
+    val tieDiff = both(k => Similarity.probeListsCol(
+        dupSeeds, col("embedding"), col("__n"), 4, k))
+      .filter(col("tree") =!= col("kernel"))
+    assert(tieDiff.count() === 0)
+  }
+
   test("IntersectSize counts common elements without double counting") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
     val n = df.select(ArrayExprs.intersectSize(col("x"), col("y")).as("n"))
