@@ -82,6 +82,20 @@ object Scaling {
       spun.as("embedding"), col("label"))
   }
 
+  /** Copy k of the documents table — the v4 Caesar construction
+    * (bijective char map: in-copy edit distances and shingle overlap
+    * preserved exactly, copies content-disjoint on letters), shared by
+    * [[buildScaled]] and the documents-only rung corpora
+    * (`graft.SimHashShardProbe --factor`) for the same
+    * no-construction-drift reason as [[embeddingCopy]].
+    */
+  private[graft] def documentCopy(
+      d: DataFrame, k: Int, off: Long = 1000000000000L): DataFrame =
+    d.select(
+      (col("doc_id") + lit(k * off)).as("doc_id"),
+      caesar(col("text"), k).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
   /** Generator version marker shared by every scaled-corpus builder —
     * bump on ANY change to the construction.
     */
@@ -94,10 +108,7 @@ object Scaling {
       (0 until factor).map(k => f(df, k)).reduce(_ union _)
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    copies(docs, (d, k) => d.select(
-      (col("doc_id") + lit(k * off)).as("doc_id"),
-      caesar(col("text"), k).as("text"),
-      col("lang"), col("source"), col("n_chars")))
+    copies(docs, documentCopy(_, _, off))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: per-copy ORTHOGONAL transform — a signed

@@ -21,7 +21,9 @@ import graft.ext.Dedup
   */
 object SimHashShardProbe {
   def main(args: Array[String]): Unit = {
-    val Array(corpusDir) = args
+    require(args.length >= 1,
+      "usage: SimHashShardProbe <corpusDir> [docFactor]")
+    val baseDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +32,31 @@ object SimHashShardProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
+
+    // Optional second arg: build (once, version-markered) a
+    // DOCUMENTS-ONLY factor-x corpus via Scaling's own v4 Caesar
+    // construction — higher shard counts without a full corpus build.
+    val corpusDir = args.lift(1).map(_.toInt) match {
+      case Some(f) =>
+        require(f >= 2, s"docFactor must be >= 2: $f")
+        val dir = s"/tmp/graft_docs_${f}x"
+        val marker = new java.io.File(s"$dir/_built_$f")
+        val upToDate = marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath) ==
+            Scaling.generatorVersion
+        if (!upToDate) {
+          System.err.println(
+            s"[shardprobe] building ${f}x documents-only corpus at $dir")
+          val d = spark.read.parquet(s"$baseDir/documents.parquet")
+          (0 until f).map(k => Scaling.documentCopy(d, k))
+            .reduce(_ union _)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          java.nio.file.Files.writeString(
+            marker.toPath, Scaling.generatorVersion)
+        }
+        dir
+      case None => baseDir
+    }
 
     // Shard = the v4 copy index via INTEGER division: `/` on longs is
     // Divide (DOUBLE), exact only below 2^53 — at copy indices ≳9000
