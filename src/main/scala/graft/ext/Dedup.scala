@@ -958,6 +958,18 @@ object Dedup {
     * candidates come from an equi-join on (band, band_bits), then the
     * exact `bit_count(xor)` filter keeps true matches.
     *
+    * Corpus-scale posture: same story as the portable miner, delayed
+    * ~2⁶×. At the default maxDist=3 the bands are 16-bit, so the
+    * intrinsic collision term is n²/2¹⁶ instead of n²/2¹⁰ — the
+    * quadratic bites at ~8× the corpus size (measured: 4.2× at 30×
+    * where the portable miner read 22×) but it bites, because the
+    * band structure is pinned by the distance guarantee exactly as
+    * [[portableSimHashNearDuplicatesSharded]]'s scaladoc explains.
+    * Deployments past that point shard the same way (clone this
+    * miner's banding with `shardCol` in the group/join keys — the
+    * sharded portable miner is the committed template) or run
+    * [[minHashNearDuplicates]] corpus-wide.
+    *
     * EAGER: returns a persisted pair frame the caller owns —
     * `unpersist()` it when done (see [[withCleanup]]).
     */
