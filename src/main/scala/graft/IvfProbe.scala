@@ -123,7 +123,14 @@ WHERE rnk <= $k"""
     }
 
     val k = 10
-    val nprobe = 4
+    // Overridable probe width: the recall-for-scale knob the ivfTopK
+    // scaladoc tells callers to turn — SPARK_GRAFT_IVF_NPROBE sweeps
+    // the recall/wall curve at a rung without a rebuild (the oracle
+    // SQL below derives from the same value, so every point on the
+    // curve stays hash-checkable).
+    val nprobe = sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt)
+      .getOrElse(4)
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val emb = Tables.embeddings(spark, corpusDir)
     val n = emb.count()
     val nlist = Similarity.adaptiveNlist(n)
