@@ -54,6 +54,51 @@ object Bench {
     if (ratios.isEmpty) None else Some(ratios.max)
   }
 
+  /** The third pinned control (VERDICT r17 #3): a deliberately
+    * MANY-JOB shape — 10 sequential trivial jobs over the 5-row
+    * region table, never in the inventory — whose wall is almost pure
+    * job-launch overhead. Iterative queries (pagerank, clusterPairs,
+    * BPE, k-means) amplify host weather per-JOB, not per-second: the
+    * driver's r17 sweep read controls at 1.67× while pagerank read
+    * 4–7× on UNCHANGED code, because the single-job controls cannot
+    * see scheduler-latency weather. Its floor rides in
+    * BENCH_FULL.json as `ctl_manyjob` (the q_-regex never scrapes it
+    * into query baselines).
+    */
+  private[graft] val manyJobKey = "ctl_manyjob"
+  private[graft] def manyJobShape(
+      spark: SparkSession, sfDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/region.parquet")
+    var i = 0
+    while (i < 10) {
+      df.filter(org.apache.spark.sql.functions.col("r_regionkey") >= i % 3)
+        .write.mode("overwrite").format("noop").save()
+      i += 1
+    }
+  }
+
+  /** Queries launching at least this many jobs get the many-job
+    * control's floor factored into their unresolved bar — measured
+    * job counts via listener (noise-immune), not guessed from names.
+    */
+  private[graft] val manyJobThreshold = 5L
+
+  /** The session floor a query's unresolved bar is widened by: the
+    * single-job control floor always; max'd with the many-job floor
+    * only for queries whose measured job count crossed
+    * [[manyJobThreshold]] (single-job queries must not inherit
+    * scheduler-weather widening they cannot experience).
+    */
+  private[graft] def effectiveFloor(
+      single: Option[Double], many: Option[Double],
+      jobCount: Option[Long]): Option[Double] = {
+    val applyMany = jobCount.exists(_ >= manyJobThreshold)
+    (single, if (applyMany) many else None) match {
+      case (Some(s), Some(m)) => Some(math.max(s, m))
+      case (s, m) => s.orElse(m)
+    }
+  }
+
   /** Post-re-time resolution: Some(ratio-to-baseline) when the final
     * MIN still exceeds max(2× all-time min, 2× noise-floor-scaled min)
     * and 2 s absolute — i.e. the figure is a real regression OR the
@@ -82,6 +127,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Job-launch counter (many-job weather detection): onJobStart is
+    // posted at submission, long before the blocking action returns,
+    // so a snapshot after each query is an accurate per-query count.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
     Tables.prepare(spark)
     // Untimed warmup: pay JVM/JIT/codegen base cost and fault the input
     // files into page cache once, so per-query timings measure the
@@ -184,6 +240,16 @@ object Bench {
       System.err.println(
         s"[bench] floor RESET for ${resetKeys.toSeq.sorted.mkString(",")} — " +
           "this run's figures become their new all-time floors")
+    // Scrape a named non-query float field (ctl_manyjob) from a
+    // report file — the q_-entry regex deliberately never sees it.
+    def loadCtlField(p: String, field: String): Option[Double] =
+      Some(p).filter(f => new java.io.File(f).isFile).flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try {
+          ("\\\\?\"" + field + "\\\\?\":([0-9]+\\.[0-9]+)").r
+            .findFirstMatchIn(src.mkString).map(_.group(1).toDouble)
+        } finally src.close()
+      }
     val prevTimes: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       // Prefer the previous run's COMPLETE map (min-merged below, read
@@ -226,13 +292,23 @@ object Bench {
             List(fullPrev, latest).flatten
               .filter(p => new java.io.File(p).isFile).flatMap(load))
       }
+      // A reset key matching NO baseline entry (typo, renamed query)
+      // would be silently dropped by the subtraction and the
+      // adjudicated reset would never take effect (ADVICE r17) —
+      // warn loudly so the knob's misfire is visible in the run log.
+      val misfired = resetKeys.diff(base.keySet)
+      if (misfired.nonEmpty)
+        System.err.println(
+          s"[bench] reset key(s) ${misfired.toSeq.sorted.mkString(",")} " +
+            "match no baseline entry — check for a typo; the reset has no effect")
       // Adjudicated-slowdown keys run baseline-less this sweep (the
       // prevFloor fallback still arms a sanity re-time against the
       // inventory's fastest figure, which is fine).
       base -- resetKeys
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], Long) = {
+      val jobs0 = jobCounter.get()
       val t0 = System.nanoTime()
       // noop sink: forces every projected column to be computed (a bare
       // count() would let Catalyst prune the projections away and time
@@ -250,7 +326,7 @@ object Bench {
       // LSH queries persist their signature tables; drop them so later
       // queries aren't measured against a shrinking storage pool.
       spark.catalog.clearCache()
-      (dt, err)
+      (dt, err, jobCounter.get() - jobs0)
     }
     // Session noise floor, measured BEFORE the sweep: 3 samples of each
     // pinned control (Bench.controlKeys — trivial untouched shapes),
@@ -268,7 +344,7 @@ object Bench {
       Bench.controlKeys.flatMap { k =>
         SparkEntry.queries.get(k).map { fn =>
           k -> (1 to 3).flatMap { _ =>
-            val (dt, err) = timeOne(k, fn)
+            val (dt, err, _) = timeOne(k, fn)
             if (err.isEmpty) Some(dt) else None
           }
         }
@@ -278,9 +354,43 @@ object Bench {
       System.err.println(f"[bench] session noise_floor = $f%.2fx" +
         (if (f > 2.0) " — HOT BOX: treat every figure in this map as suspect"
          else "")))
+    // MANY-JOB control (VERDICT r17 #3): 3 samples of the pinned
+    // 10-job trivial shape; its median vs the all-time ctl_manyjob
+    // floor is the session's SCHEDULER-latency weather — the band the
+    // single-job controls systematically under-read on iterative
+    // queries (driver r17: controls 1.67× while pagerank read 4–7×
+    // on unchanged code). Same harness rules as the other controls:
+    // runs regardless of BENCH_ONLY, failures dropped loudly.
+    val manyJobBase = loadCtlField("BENCH_FULL.json", Bench.manyJobKey)
+    // One untimed warm pass: the control's own noop/filter stage
+    // codegen must not ride in sample 1 (median-of-3 would still
+    // absorb it, but the FIRST session's floor would bake it in).
+    try Bench.manyJobShape(spark, sfDir)
+    catch { case scala.util.control.NonFatal(_) => () }
+    val manyJobSamples: Seq[Double] = (1 to 3).flatMap { _ =>
+      try {
+        val t0 = System.nanoTime()
+        Bench.manyJobShape(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] many-job control FAILED: $e"); None
+      }
+    }
+    val manyJobFloor: Option[Double] =
+      manyJobBase.filter(_ > 0).flatMap { prev =>
+        if (manyJobSamples.isEmpty) None
+        else {
+          val sorted = manyJobSamples.sorted
+          Some(math.max(1.0, sorted(sorted.size / 2) / prev))
+        }
+      }
+    manyJobFloor.foreach(f =>
+      System.err.println(f"[bench] session manyjob_floor = $f%.2fx" +
+        (if (f > 2.0) " — many-job queries' unresolved bars widened"
+         else "")))
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (dt, err) = timeOne(name, fn)
-      (name, fn, dt, err)
+      val (dt, err, jobs) = timeOne(name, fn)
+      (name, fn, dt, err, jobs)
     }
     var retimed = List.empty[(String, List[Double])]
     // A query ABSENT from the previous report was truncated out of its
@@ -306,7 +416,9 @@ object Bench {
     // contention and a blanket 1.3× would re-time half the inventory.
     val tightKeys = sys.env.get("SPARK_GRAFT_BENCH_TIGHT_KEYS")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = firstPass.map { case (name, fn, dt, err) =>
+    val jobCounts: Map[String, Long] =
+      firstPass.map { case (name, _, _, _, jobs) => name -> jobs }.toMap
+    val results = firstPass.map { case (name, fn, dt, err, _) =>
       val prevOpt = prevTimes.get(name).orElse(prevFloor)
       val trigger = if (tightKeys(name)) 1.3 else 2.5
       val suspicious = err.isEmpty && dt > 2.0 &&
@@ -328,7 +440,7 @@ object Bench {
         val exitBar = math.min(trigger, 2.0)
         while (attempts < 3 &&
             prevOpt.exists(p => samples.min > exitBar * p)) {
-          val (dt2, err2) = timeOne(name, fn)
+          val (dt2, err2, _) = timeOne(name, fn)
           // A failed RE-time must not mark a query that already
           // succeeded as failed — the re-run exists to defend against
           // the very contention that can also kill it transiently. The
@@ -380,15 +492,21 @@ object Bench {
     // ARMS a re-time for a baseline-less query, but publishing
     // "UNRESOLVED at 109× its all-time min" against another query's
     // floor would be a false regression claim.
+    // Per-query effective floor: many-job queries (measured job count
+    // ≥ manyJobThreshold) widen by max(control floor, many-job floor)
+    // — scheduler-latency weather the single-job controls can't read.
     val unresolved: Map[String, Double] = retimed.flatMap {
       case (k, samples) => Bench.unresolvedRatio(
-        samples.min, prevTimes.get(k), sessionFloor)
+        samples.min, prevTimes.get(k),
+        Bench.effectiveFloor(sessionFloor, manyJobFloor, jobCounts.get(k)))
         .map(k -> _)
     }.toMap
     unresolved.foreach { case (k, r) =>
       val n = retimed.find(_._1 == k).map(_._2.size - 1).getOrElse(0)
+      val jobs = jobCounts.getOrElse(k, 0L)
       System.err.println(
-        f"[bench] $k UNRESOLVED at $r%.2fx its all-time min after $n re-time(s)") }
+        f"[bench] $k UNRESOLVED at $r%.2fx its all-time min after $n re-time(s)" +
+          f" (jobs=$jobs)") }
     // Ratio values ship as STRINGS ("2.74x"): baseline `load` scrapes
     // every bare "q_*":<float> pair from these files, and a numeric
     // ratio here would be min-merged into a future floor as if it were
@@ -396,6 +514,12 @@ object Bench {
     val unresolvedJson = unresolved.toSeq.sortBy(_._1).map { case (k, r) =>
       s"\"" + k + "\":\"" + fmt(r) + "x\"" }.mkString("{", ",", "}")
     val floorJson = sessionFloor.map(fmt).getOrElse("null")
+    val manyFloorJson = manyJobFloor.map(fmt).getOrElse("null")
+    val manySamplesJson = manyJobSamples.map(fmt).mkString("[", ",", "]")
+    // All-time many-job floor for future runs: min-merge of the
+    // previous floor and this session's fastest sample.
+    val mergedManyCtl: Option[Double] =
+      (manyJobBase.toSeq ++ manyJobSamples.minOption).minOption
     val controlsJson = controlSamples.toSeq.sortBy(_._1).map {
       case (k, ss) => s"\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -433,6 +557,9 @@ object Bench {
         s""""min_merged_floor":true,"run_total":${fmt(total)},""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
         s""""noise_floor":$floorJson,"controls":$controlsJson,""" +
+        mergedManyCtl.map(v =>
+          s""""${Bench.manyJobKey}":${fmt(v)},""").getOrElse("") +
+        s""""manyjob_floor":$manyFloorJson,"manyjob_samples":$manySamplesJson,""" +
         s""""unresolved":$unresolvedJson,""" +
         s""""retimed":$retimedJson,"sf":"$sfDir","queries_omitted":0,""" +
         s""""queries":${mergedSlowest.map { case (k, v) =>
@@ -451,6 +578,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
         s""""noise_floor":$floorJson,"controls":$controlsJson,""" +
+        s""""manyjob_floor":$manyFloorJson,"manyjob_samples":$manySamplesJson,""" +
         s""""unresolved":$unresolvedJson,""" +
         s""""retimed":$retimedJson,"full_map_file":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","queries_omitted":NNN,"queries":{}}"""
@@ -464,6 +592,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""core_ref_parity_sec":${fmt(coreTotal)},"errors":$errJson,""" +
         s""""noise_floor":$floorJson,"controls":$controlsJson,""" +
+        s""""manyjob_floor":$manyFloorJson,"manyjob_samples":$manySamplesJson,""" +
         s""""unresolved":$unresolvedJson,""" +
         s""""retimed":$retimedJson,"full_map_file":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","queries_omitted":$omitted,"queries":$qs}""")

@@ -76,11 +76,19 @@ object SimHashShardProbe {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(
         new java.io.File(corpusDir).getParentFile, "sf0.001").getPath)
-    if (new java.io.File(warmDir).isDirectory)
-      Dedup.portableSimHashNearDuplicates(
-        Tables.documents(spark, warmDir), "doc_id", "text")
+    if (new java.io.File(warmDir).isDirectory) {
+      val wd = Tables.documents(spark, warmDir)
+      Dedup.portableSimHashNearDuplicates(wd, "doc_id", "text")
         .write.mode("overwrite").format("noop").save()
-    else System.err.println(
+      // Also warm the SHARDED miner (ADVICE r17): its keyed signature
+      // aggregate and (shard, band, bk) join compile distinct stages,
+      // so warming only the unsharded shape left sec_sharded paying
+      // first-run codegen inside its timed window. Synthetic 2-way
+      // shard on the warm corpus; noop sink, untimed.
+      Dedup.portableSimHashNearDuplicatesSharded(
+        wd.withColumn("shard", expr("doc_id % 2")), "doc_id", "text", "shard")
+        .write.mode("overwrite").format("noop").save()
+    } else System.err.println(
       s"[shardprobe] WARM SKIPPED: $warmDir not found — timings include first-run codegen")
 
     // SYMMETRIC timed regions: each side is the miner's own EAGER
@@ -113,11 +121,28 @@ object SimHashShardProbe {
       .count()
     unshardedPairs.unpersist()
 
+    // Optional cascade datapoint (VERDICT r17 #2): the committed
+    // corpus-wide composition (sharded SimHash → within-shard
+    // collapse → MinHash over survivors → pair union) timed
+    // end-to-end on the same corpus. Gated because the MinHash stage
+    // shingles the survivor corpus — a deliberate extra pass the
+    // within-shard A/B above must not absorb.
+    val cascade: Option[(Long, Double)] =
+      if (!sys.env.get("SPARK_GRAFT_CASCADE").contains("1")) None
+      else Some(timed {
+        val p = Dedup.nearDupsSharded(docs, "doc_id", "text", "shard")
+        val n = p.count()
+        p.unpersist()
+        n
+      })
+
     println(
       f"""{"metric":"simhash_shard","shards":$nShards,""" +
         f""""pairs_sharded":$nSharded,"pairs_unsharded":$nUnsharded,""" +
         f""""pairs_cross_shard":$nCross,""" +
         f""""sec_sharded":$tSharded%.3f,"sec_unsharded":$tUnsharded%.3f,""" +
+        cascade.map { case (n, t) =>
+          f""""pairs_cascade":$n,"sec_cascade":$t%.3f,""" }.getOrElse("") +
         f""""corpus":"$corpusDir"}""")
     spark.stop()
   }

@@ -76,7 +76,7 @@ object Bpe {
     */
   def vocabAfterMerges(
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
-    learn(docs, textCol, numMerges)._2
+    learn(docs, textCol, numMerges)._2.get // needVocab=true: always Some
 
   /** [[learnMerges]] on the `maxVocab` most frequent distinct words
     * (ties by word, ascending — a total order, so the cap is
@@ -98,14 +98,14 @@ object Bpe {
     * post-merge vocab aggregate entirely — its persist+count is a full
     * extra job over the final symbol generation whose result would be
     * discarded, and its cache entry would leak for the session (only
-    * a vocab consumer can unpersist it). The second tuple element is
-    * null in that mode (private contract; both callers destructure
-    * ._1 only).
+    * a vocab consumer can unpersist it). The vocab element is `None`
+    * in that mode — an Option so an absent vocab is type-checked at
+    * the call site instead of NPEing at a distance (ADVICE r17).
     */
   private def learn(
       docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Option[Int] = None, needVocab: Boolean = true)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Option[DataFrame]) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = docs.sparkSession
     val allWords = docs.filter(col(textCol).isNotNull)
@@ -176,7 +176,7 @@ object Bpe {
       }
     }
     val vocabRows =
-      if (!needVocab) null
+      if (!needVocab) None
       else {
         // Materialize the vocab off the final generation BEFORE
         // releasing it; the merge table is driver state already.
@@ -185,7 +185,7 @@ object Bpe {
           .agg(count(lit(1)).as("n_bpe_tokens"))
           .persist()
         v.count()
-        v
+        Some(v)
       }
     if (prevGen != null) prevGen.unpersist()
     syms.unpersist()

@@ -500,6 +500,16 @@ object Similarity {
         // — or an INVALID_ARRAY_INDEX error under ANSI.
         explode(probeLists(col("__qv"), col("__qn"),
           math.min(nprobe, centroids.length))))
+    listJoinTopK(c, q, k)
+  }
+
+  /** The shared tail of every IVF search: equi-join assigned
+    * candidates with exploded query probes on the list id, exact
+    * 6-dp cosine re-rank, per-query top-k. Extracted verbatim from
+    * [[ivfSearch]] (identical Columns → identical plans for the
+    * frozen paths) so the two-level path below reuses it.
+    */
+  private def listJoinTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val pairs = c.join(q, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -511,6 +521,86 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** Super-centroid count of the two-level quantizer: the smallest
+    * integer g with g² ≥ nlist (⌈√nlist⌉). IEEE sqrt is exact on
+    * perfect squares and the gap to the next integer (2g−1) is far
+    * above sqrt's half-ulp for any Int, so `CEIL(SQRT(nlist))` in SQL
+    * derives the identical bound — the rung stays cross-engine.
+    */
+  def superBound(nlist: Int): Int = {
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
+    math.ceil(math.sqrt(nlist.toDouble)).toInt
+  }
+
+  /** [[ivfTopKSpread]] with the TWO-LEVEL (hierarchical) coarse
+    * quantizer — the corpus-sized shape. Same md5-rank seeds and the
+    * same candidate join/re-rank; only HOW each vector finds its
+    * list(s) changes:
+    *
+    * Under [[adaptiveNlist]] (nlist = ⌈n/4096⌉) the FLAT quantizer
+    * computes nlist dot products per row — Θ(n²/4096) total, the one
+    * quadratic left in this family (traced at rung 147: 600k×147 =
+    * 88M dots; 10× the corpus is 100× the work). Here the ⌈√nlist⌉
+    * seeds with the smallest md5 ranks (cid < [[superBound]]) act as
+    * super-centroids; every centroid belongs to its nearest super
+    * ([[graft.functions.TwoLevelIndex.build]], driver-side, same
+    * 6-dp/tie arithmetic); a row ranks the supers first, then scans
+    * only the `superProbe` nearest supers' member groups — expected
+    * (superProbe+1)·√nlist dots per row, Θ(n·√n) total: the curve
+    * stays sub-quadratic at any corpus.
+    *
+    * NOT bit-identical to the flat argmax (a row whose true nearest
+    * centroid lives in an unprobed super group lands elsewhere), so
+    * this is a SEPARATE operator with its own DuckDB oracle
+    * (`graft.IvfProbe` derives the same two-level assignment in SQL)
+    * and a measured recall A/B vs the flat path — the frozen
+    * `q_sim_ivf` and [[ivfTopKSpread]] are untouched.
+    *
+    * `superProbe` (queries only; candidate ASSIGNMENT always probes 1
+    * super, the standard IVF two-level shape) widens the phase-1 beam:
+    * 2 recovers most boundary-of-group recall loss for ~√nlist extra
+    * dots per query row. The centroid matrix ships as a real
+    * `Broadcast` (once per executor) instead of expression literals —
+    * the plan-state residual VERDICT r17 #1(a) named.
+    */
+  def ivfTopKSpread2(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int = 4, superProbe: Int = 2): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && superProbe >= 1,
+      s"nlist/nprobe/superProbe must be >= 1: $nlist/$nprobe/$superProbe")
+    val seeds = ivfSeedsSpread(candidates, idCol, vecCol, nlist)
+    val index = candidates.sparkSession.sparkContext.broadcast(
+      graft.functions.TwoLevelIndex.build(seeds, superBound(nlist)))
+    val c = ivfAssign2(candidates, idCol, vecCol, index)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      // zero-norm guard — same reason as ivfSearch.
+      .filter(col("__qn") > 0)
+      .withColumn("__list",
+        explode(VectorExprs.topCentroidsTwoLevel(
+          col("__qv"), index, math.min(nprobe, seeds.length), superProbe)))
+    listJoinTopK(c, q, k)
+  }
+
+  /** Two-level assignment frame ([[ivfAssign]]'s shape for the
+    * hierarchical quantizer): nearest list id via 1-super probe.
+    * Package-private so `graft.IvfProbe` measures list balance on the
+    * EXACT assignment the search joins on.
+    */
+  private[graft] def ivfAssign2(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      index: org.apache.spark.broadcast.Broadcast[
+        graft.functions.TwoLevelIndex]): DataFrame =
+    candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .filter(col("__cn") > 0)
+      .withColumn("__list",
+        VectorExprs.topCentroidsTwoLevel(col("__cv"), index, 1, 1)
+          .getItem(0))
 
   /** Reciprocal-rank fusion of two retrievers' ranked lists — the
     * standard score-free way to combine heterogeneous retrieval

@@ -57,6 +57,48 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.unresolvedRatio(6.0, Some(2.0), None).isDefined)
   }
 
+  test("effectiveFloor: many-job widening applies only past the job threshold") {
+    // many-job query on a scheduler-hot box: widened to the larger floor
+    assert(Bench.effectiveFloor(Some(1.2), Some(3.0), Some(10L)) === Some(3.0))
+    // max of the two floors, never a replacement (a byte-weather-hot
+    // box with quiet scheduling keeps the single-job floor)
+    assert(Bench.effectiveFloor(Some(3.0), Some(1.2), Some(10L)) === Some(3.0))
+    // single-job query must NOT inherit scheduler-weather widening
+    assert(Bench.effectiveFloor(Some(1.2), Some(3.0), Some(2L)) === Some(1.2))
+    // exactly at the threshold counts as many-job
+    assert(Bench.effectiveFloor(
+      Some(1.2), Some(3.0), Some(Bench.manyJobThreshold)) === Some(3.0))
+    // missing pieces degrade to whatever floor exists
+    assert(Bench.effectiveFloor(None, Some(2.0), Some(10L)) === Some(2.0))
+    assert(Bench.effectiveFloor(None, Some(2.0), Some(1L)) === None)
+    assert(Bench.effectiveFloor(Some(1.5), None, Some(10L)) === Some(1.5))
+    assert(Bench.effectiveFloor(None, None, None) === None)
+    // unknown job count (query absent from the first pass): no widening
+    assert(Bench.effectiveFloor(Some(1.5), Some(3.0), None) === Some(1.5))
+  }
+
+  test("many-job control launches enough jobs to read scheduler weather") {
+    val spark = SparkTestSession.spark
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Bench.manyJobShape(spark, "/root/testdata/sf0.001")
+      // listener bus is async — poll briefly for the posts to land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 10L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() >= 10L,
+        s"many-job control launched ${jobs.get()} jobs; need >= 10")
+      assert(jobs.get() >= Bench.manyJobThreshold)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("baseline merge takes the per-query minimum across maps") {
     val full = Map("q_a" -> 2.0, "q_b" -> 0.5, "q_c" -> 1.0)
     val report = Map("q_a" -> 0.8, "q_b" -> 1.5, "q_d" -> 3.0)

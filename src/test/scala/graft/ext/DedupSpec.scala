@@ -245,6 +245,39 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => (p._1, p._2) == (0L, 2L)))
   }
 
+  test("nearDupsSharded cascade: surviving corpus equals the unscoped pipeline's") {
+    // Same fixture as the sharded-contract test: near-dups within AND
+    // across shards. The committed cascade (sharded SimHash →
+    // within-shard collapse → MinHash over survivors → pair union)
+    // must converge to the SAME surviving corpus as the unscoped
+    // miner + collapse — the cross-shard dup is recovered by the
+    // MinHash stage, not lost to the shard scoping.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank", "s0"),
+      (1L, "the quick brown fox leaps over the lazy dog near the old river bank", "s0"),
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank", "s1"), // cross-shard dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog near the old river bank", "s1"), // same-shard dup of 2
+      (4L, "completely different content about spark query engines and data", "s0"),
+      (5L, "another unrelated document mentioning aggregation shuffles and joins", "s1"))
+      .toDF("doc_id", "text", "shard")
+    val cascade = Dedup.nearDupsSharded(docs, "doc_id", "text", "shard")
+    val cascadePairs = cascade.as[(Long, Long)].collect().toSet
+    // stage 1 found the same-shard pairs, stage 3 the cross-shard dup
+    assert(cascadePairs.contains((2L, 3L)))
+    assert(cascadePairs.contains((0L, 1L)))
+    assert(cascadePairs.exists { case (a, b) => (a, b) == (0L, 2L) })
+    val collA = Dedup.collapseNearDuplicates(
+      docs, "doc_id", cascade, "id_a", "id_b")
+    val survCascade = collA.select("doc_id").as[Long].collect().toSet
+    val unscoped = Dedup.portableSimHashNearDuplicates(docs, "doc_id", "text")
+    val collB = Dedup.collapseNearDuplicates(
+      docs, "doc_id", unscoped, "id_a", "id_b")
+    val survUnscoped = collB.select("doc_id").as[Long].collect().toSet
+    assert(survCascade === survUnscoped)
+    assert(survCascade === Set(0L, 4L, 5L))
+    Seq(cascade, collA, unscoped, collB).foreach(_.unpersist())
+  }
+
   test("jaccardPairs computes token-set jaccard with threshold") {
     val out = Dedup.jaccardPairs(docs, docs, "doc_id", "text", 0.5)
       .as[(Long, Long, Double)].collect()

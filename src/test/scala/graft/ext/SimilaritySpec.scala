@@ -177,6 +177,114 @@ class SimilaritySpec extends SparkSpec {
     assert(tieDiff.count() === 0)
   }
 
+  test("two-level kernel with a full super beam == flat kernel bit-for-bit") {
+    // superProbe = superCount makes phase 2 scan EVERY group — the
+    // union is the whole centroid table, so the two-level top-n must
+    // equal the flat TopCentroidsBySim top-n on every row (proves the
+    // phase-2 sim/tie arithmetic is the same code path the oracle
+    // already certifies).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = Similarity.ivfSeedsSpread(emb, "vec_id", "embedding", 100)
+    val index = spark.sparkContext.broadcast(
+      graft.functions.TwoLevelIndex.build(seeds, Similarity.superBound(100)))
+    assert(index.value.superCount === 10) // ⌈√100⌉
+    assert(index.value.centroidCount === seeds.length)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__n",
+        sqrt(VectorExprs.dot(col("embedding"), col("embedding"))))
+      .filter(col("__n") > 0)
+    val diff = base.select(
+      col("vec_id"),
+      VectorExprs.topCentroidsBySim(col("embedding"), seeds, 5).as("flat"),
+      VectorExprs.topCentroidsTwoLevel(
+        col("embedding"), index, 5, index.value.superCount).as("two"))
+      .filter(col("flat") =!= col("two"))
+    assert(diff.count() === 0)
+  }
+
+  test("two-level beam-1 assignment matches an independent reimplementation") {
+    // The hierarchical SELECTION (super grouping + beam) re-derived
+    // from collected vectors in plain Scala — an independent check of
+    // TwoLevelIndex.build's grouping and the kernel's two-phase walk
+    // (the full-beam test above is blind to grouping by construction).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nlist = 100
+    val seeds = Similarity.ivfSeedsSpread(emb, "vec_id", "embedding", nlist)
+    val g = Similarity.superBound(nlist)
+    val index = spark.sparkContext.broadcast(
+      graft.functions.TwoLevelIndex.build(seeds, g))
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norm(a: Array[Double]) = math.sqrt(dotLR(a, a))
+    val supers = seeds.filter(_._1 < g)
+    // nearest super of every centroid, (sim DESC, scid DESC)
+    val groupOf: Map[Int, Int] = seeds.map { case (cid, v) =>
+      cid -> supers.map { case (scid, sv) =>
+        (r6(dotLR(v, sv) / (norm(sv) * norm(v))), scid)
+      }.maxBy { case (sim, scid) => (sim, scid) }._2
+    }.toMap
+    val expected: Map[Long, Int] = emb
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().flatMap { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        if (norm(v) == 0.0) None
+        else {
+          val bestSuper = supers.map { case (scid, sv) =>
+            (r6(dotLR(v, sv) / (norm(sv) * norm(v))), scid)
+          }.maxBy { case (sim, scid) => (sim, scid) }._2
+          val members = seeds.filter { case (cid, _) => groupOf(cid) == bestSuper }
+          val best = members.map { case (cid, cv) =>
+            (r6(dotLR(v, cv) / (norm(cv) * norm(v))), cid)
+          }.maxBy { case (sim, cid) => (sim, cid) }._2
+          Some(id -> best)
+        }
+      }.toMap
+    val got = Similarity.ivfAssign2(emb, "vec_id", "embedding", index)
+      .select(col("neighbor_id"), col("__list"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("two-level kernel edges: zero-norm empty; short union returns fewer") {
+    // 2 orthogonal supers each with a singleton group: probing 1 super
+    // can only ever surface that group's single member, so n=3 must
+    // return a 1-element array; a zero vector returns empty.
+    val seeds = Array(
+      (0, Array(1.0, 0.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0, 0.0)))
+    val index = spark.sparkContext.broadcast(
+      graft.functions.TwoLevelIndex.build(seeds, 2))
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f, 0f, 0f)),
+      (1L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = rows.select(col("vec_id"),
+      VectorExprs.topCentroidsTwoLevel(col("embedding"), index, 3, 1).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(0L) === Seq(0))
+    assert(out(1L) === Seq.empty)
+  }
+
+  test("ivfTopKSpread2 on one list degenerates to exact brute force") {
+    // nlist=1 (single centroid, single super): every vector lands in
+    // list 0 and every query probes it — identical guarantee to the
+    // flat path's nlist=1 degeneracy test above.
+    val emb = vecs
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val two = Similarity.ivfTopKSpread2(
+      emb, q, "vec_id", "embedding", 5, nlist = 1, nprobe = 4)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(two === brute)
+  }
+
   test("IntersectSize counts common elements without double counting") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
     val n = df.select(ArrayExprs.intersectSize(col("x"), col("y")).as("n"))
