@@ -1702,9 +1702,23 @@ object Dedup {
     val base = assigned
       .select(col(idCol), col(vecCol), col("cluster"))
       .withColumn("__nrm", sqrt(vdot(col(vecCol), col(vecCol))))
-    val a = base.select(col(idCol).as("__ida"), col("cluster"),
+    // Single-eval discipline for the pair-join sides (r18 plan audit):
+    // joining on the NULLABLE `cluster` column makes the planner infer
+    // `isnotnull(cluster)` and push it below each side's Project, so
+    // the O(k·dim) assignment kernel ran TWICE per row per side (5×
+    // per corpus row across the plan). coalesce(…, -1) makes the join
+    // key non-nullable (the inferred filter folds away; 5 evals → 3).
+    // Output-identical: -1 only ever joins -1 (a null-vector row on
+    // both sides), such pairs' cosines are null so max() ignores
+    // them, and the FINAL left join keys on the original nullable
+    // `cluster`, where -1 ≠ null matches nothing — kept/max_prior_sim
+    // and the output's cluster column are bit-unchanged (oracle
+    // re-proven).
+    val joinable = base.withColumn("cluster",
+      coalesce(col("cluster"), lit(-1)))
+    val a = joinable.select(col(idCol).as("__ida"), col("cluster"),
       col(vecCol).as("__va"), col("__nrm").as("__na"))
-    val b = base.select(col(idCol).as("__idb"), col("cluster"),
+    val b = joinable.select(col(idCol).as("__idb"), col("cluster"),
       col(vecCol).as("__vb"), col("__nrm").as("__nb"))
     val best = a.join(b, Seq("cluster"))
       .filter(col("__idb") < col("__ida"))

@@ -473,9 +473,22 @@ object Similarity {
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
       .filter(col("__cn") > 0)
+      // coalesce(…, -1): the assignment feeds an equi-join key, and a
+      // NULLABLE key makes the join infer `isnotnull(<assignment>)` —
+      // which the optimizer pushes into the Filter BELOW the Project,
+      // so the whole quantizer expression (nlist dot products!) ran
+      // TWICE per candidate row (measured r18: the Filter+Project pair
+      // both carried the kernel at every rung, ~2× the assignment
+      // cost). The sentinel makes the column non-nullable, the
+      // inferred isnotnull folds to true, and the kernel evaluates
+      // once; -1 is no centroid id, so a (theoretical) null
+      // assignment still matches no probe list — row semantics are
+      // bit-identical (oracle re-proven).
       .withColumn("__list",
-        nearestListCol(centroids, col("__cv"), col("__cn"),
-          centroids.length > quantizerKernelThreshold))
+        coalesce(
+          nearestListCol(centroids, col("__cv"), col("__cn"),
+            centroids.length > quantizerKernelThreshold),
+          lit(-1)))
 
   private def ivfSearch(
       candidates: DataFrame, queries: DataFrame,
@@ -598,9 +611,12 @@ object Similarity {
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
       .filter(col("__cn") > 0)
+      // same coalesce(…, -1) single-eval discipline as [[ivfAssign]]
       .withColumn("__list",
-        VectorExprs.topCentroidsTwoLevel(col("__cv"), index, 1, 1)
-          .getItem(0))
+        coalesce(
+          VectorExprs.topCentroidsTwoLevel(col("__cv"), index, 1, 1)
+            .getItem(0),
+          lit(-1)))
 
   /** Reciprocal-rank fusion of two retrievers' ranked lists — the
     * standard score-free way to combine heterogeneous retrieval
